@@ -1,0 +1,439 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables._
+
+/** Relational operator inventory mapped onto the driver test tables.
+  *
+  * Each entry implements one operator class from SURVEY.md §2 (the id is the
+  * name prefix: p* = projection/filter, j* = join, a* = aggregation,
+  * w* = window, o* = sort/limit, f* = scalar function, s* = source). The
+  * proteomics-specific instances of the same operators (q-value filters,
+  * design joins, precursor as-of lookups, ...) live in the `graft.ops` /
+  * `graft.pipelines` layers; these queries prove the operator semantics
+  * against the DuckDB oracle on the shared tables.
+  *
+  * Determinism contract with the oracle: every floating-point aggregate is
+  * computed in integer "cents" (`sum(cast(round(x * 100) as bigint))`) so the
+  * result is independent of partitioning / addition order, then scaled back.
+  * Window sums order by a unique key so sequential fp addition is
+  * order-stable in both engines.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact money sum: doubles carry 2dp values, so sum in integer cents. */
+  private def centsSum(c: Column): Column =
+    sum(round(c * 100).cast("long"))
+  /** Same, 4 decimal places (for products of 2dp values). */
+  private def dmilSum(c: Column): Column =
+    sum(round(c * 10000).cast("long"))
+
+  val queries: Map[String, Q] = Map(
+    // S3: parquet scan with projection + filter — Catalyst pushes both into
+    // the scan (check: PushedFilters + 3-column ReadSchema in explain).
+    "s3_scan_prune" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .filter(col("l_extendedprice") > 3000.0)
+    }),
+
+    // P1: isin filter (ref: ms_level ∈ {1,2}, mzml_statistics.py:141-143)
+    "p1_isin_filter" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_linenumber").isin(1, 2))
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P2: strict threshold filter (ref: Q.Value < t, diann2msstats.py:263)
+    "p2_threshold_filter" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+    }),
+
+    // P6: non-null + non-blank filter (ref: diann2msstats.py:88-89)
+    "p6_nonblank_filter" -> ((s, d) => {
+      events(s, d)
+        .filter(col("props").isNotNull && trim(col("props")) =!= "")
+        .select(col("event_id"))
+    }),
+
+    // P12: literal column attachment (ref: diann2msstats.py:84-85,95)
+    "p12_literal_columns" -> ((s, d) => {
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          lit("NA").as("fragment_ion"),
+          lit(0).as("product_charge"),
+          lit("L").as("isotope_label"))
+    }),
+
+    // A4 + F13: grouped aggregation with exact sums (TPC-H Q1 shape; ref
+    // global TIC aggregation ms1_feature_finder.py:54-73).
+    "q1_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (centsSum(col("l_quantity")) / 100.0).as("sum_qty"),
+          (centsSum(col("l_extendedprice")) / 100.0).as("sum_base"),
+          (dmilSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 10000.0)
+            .as("sum_disc_price"),
+          round(centsSum(col("l_quantity")) / count(lit(1)) / 100.0, 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // J1: broadcast inner join with a small dimension (ref: sample ⋈ file
+    // design join, diann2msstats.py:103-106). customer is the broadcast side.
+    "j1_broadcast_inner" -> ((s, d) => {
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          (centsSum(col("o_totalprice")) / 100.0).as("total"))
+    }),
+
+    // J2: left many-to-one join (ref: report ⋈ design on Run,
+    // diann2msstats.py:92-98,117); right side unique on key.
+    "j2_left_m2one" -> ((s, d) => {
+      lineitem(s, d)
+        .join(broadcast(orders(s, d)), col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy(coalesce(col("o_orderpriority"), lit("UNMATCHED")).as("priority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // J4: anti join (ref: unmatched-run diagnostic, diann2msstats.py:119-127)
+    "j4_anti_join" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+
+    // J5: semi join (ref: sample→mixture existence check, extract_sample.py:47-57)
+    "j5_semi_join" -> ((s, d) => {
+      supplier(s, d)
+        .join(lineitem(s, d), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"))
+    }),
+
+    // J7: band/range join (ref: feature→scans interval join,
+    // ms1_feature_finder.py:186-187): equi key + range predicate, so Spark
+    // plans a hash join with the range as a post-filter — no BNLJ.
+    "j7_range_join" -> ((s, d) => {
+      val bands = supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(min(col("s_acctbal")).as("lo"), max(col("s_acctbal")).as("hi"))
+      customer(s, d)
+        .join(
+          broadcast(bands),
+          col("c_nationkey") === col("s_nationkey") &&
+            col("c_acctbal").between(col("lo"), col("hi")))
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_in_band"))
+    }),
+
+    // J6/W1: as-of lookup via window last(ignoreNulls) (ref: precursor
+    // spectrum as-of join, mzml_statistics.py:253-260). For every non-view
+    // event: value of the latest preceding 'view' event of the same user.
+    "j6_asof_last_prev" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn(
+          "prev_view_value",
+          last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") =!= "view")
+        .select(col("event_id"), col("prev_view_value"))
+    }),
+
+    // W2/A5: exclusive prefix sum (ref: pTIC running sum,
+    // ms1_feature_finder.py:75-102). Exact via cents.
+    "w2_prefix_sum_excl" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(
+          col("event_id"),
+          (coalesce(sum(round(col("value") * 100).cast("long")).over(w), lit(0L)) / 100.0)
+            .as("running_value"))
+    }),
+
+    // A6: multiplex detection = distinct count per group (diann2msstats.py:61)
+    "a6_count_distinct" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // A7: dedup on a column subset (ref: drop_duplicates, diann2msstats.py:206)
+    "a7_drop_duplicates" -> ((s, d) => {
+      lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).dropDuplicates()
+    }),
+
+    // A8: functional-dependency violation check (diann2msstats.py:205-213)
+    "a8_fd_violations" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("n_variants"))
+        .filter(col("n_variants") > 1)
+    }),
+
+    // A9: group-merge of sorted distinct values (ref: mod-site concat,
+    // dianncfg.py:150-169)
+    "a9_sorted_set_concat" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(concat_ws("", array_sort(collect_set(col("l_linestatus")))).as("statuses"))
+    }),
+
+    // A10: conditional ratio aggregation (ref: precursor purity target/total,
+    // mzml_statistics.py:262-270). Exact integer sums; one final division.
+    "a10_ratio_agg" -> ((s, d) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          dmilSum(when(col("l_returnflag") === "R", disc)).as("target_i"),
+          dmilSum(disc).as("total_i"))
+        .select(
+          col("l_orderkey"),
+          round(col("target_i") / col("total_i"), 6).as("purity"))
+    }),
+
+    // A11: validation-error fold (ref: check_samplesheet.py:49-61): emit the
+    // violating rows; the CLI layer turns count>0 into the exit code.
+    "a11_validation_errors" -> ((s, d) => {
+      customer(s, d)
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), lit("negative_acctbal").as("error"))
+    }),
+
+    // O1: global sort with deterministic rank (ref: features by intensity
+    // desc, ms1_feature_finder.py:213-214)
+    "o1_sort_desc_rank" -> ((s, d) => {
+      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"))
+        .withColumn("rank", row_number().over(w))
+    }),
+
+    // O2: head-of-group (ref: first precursor, mzml_statistics.py:169-172).
+    // min(struct) keeps it a hash aggregate (no window/global sort) and is
+    // deterministic under (linenumber, partkey) ties.
+    "o2_first_per_group" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"))).as("first"))
+        .select(col("l_orderkey"), col("first.l_partkey").as("first_partkey"))
+    }),
+
+    // O3: deterministic top-k (rank + filter, ties broken by unique keys)
+    "o3_topk" -> ((s, d) => {
+      val w = Window.orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+    }),
+
+    // F1/F2: regex extract with cast (ref: scan-id extraction, openms.py:4-24)
+    "f1_regex_extract" -> ((s, d) => {
+      events(s, d)
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+    }),
+
+    // F5: literal-pattern strip (ref: drop "(SILAC)", diann2msstats.py:267-269)
+    "f5_regex_replace" -> ((s, d) => {
+      part(s, d)
+        .select(col("p_partkey"), regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"))
+    }),
+
+    // F7: dictionary label mapping via when-chain (diann2msstats.py:182-199)
+    "f7_label_map" -> ((s, d) => {
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", 1)
+            .when(col("o_orderpriority") === "2-HIGH", 2)
+            .when(col("o_orderpriority") === "3-MEDIUM", 3)
+            .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4)
+            .otherwise(5).as("priority_code"))
+    }),
+
+    // F10/F11: rounding + explicit floor-cast (Spark/DuckDB double→int cast
+    // semantics differ — floor() first keeps them identical)
+    "f10_round_cast" -> ((s, d) => {
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amount"),
+          floor(col("l_quantity")).cast("int").as("qty_floor"))
+    }),
+
+    // F13: conditional row shaping with typed nulls (mzml_statistics.py:153-218)
+    "f13_conditional_shape" -> ((s, d) => {
+      events(s, d)
+        .select(
+          col("event_id"),
+          when(col("event_type") === "purchase", col("value")).as("purchase_value"),
+          when(col("event_type") === "purchase", col("user_id")).as("buyer_id"))
+    }),
+
+    // F14: per-engine score label dispatch (psm_conversion.py:143-158):
+    // concat(prefix, score) through a when-chain.
+    "f14_score_dispatch" -> ((s, d) => {
+      events(s, d)
+        .select(
+          col("event_id"),
+          concat(
+            when(col("event_type") === "purchase", lit("Purchase:amount:"))
+              .when(col("event_type") === "error", lit("Error:code:"))
+              .otherwise(lit("Other:score:")),
+            floor(col("value")).cast("long").cast("string")).as("score_label"))
+    }),
+
+    // TPC-H Q5 shape: the flagship multi-join — two broadcast dims, two
+    // shuffle joins, exact revenue sums.
+    "q5_multijoin" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((dmilSum(rev) / 10000.0).as("revenue"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s3_scan_prune" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice > 3000.0",
+    "p1_isin_filter" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber IN (1, 2)",
+    "p2_threshold_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE l_discount < 0.05",
+    "p6_nonblank_filter" ->
+      "SELECT event_id FROM events WHERE props IS NOT NULL AND trim(props) <> ''",
+    "p12_literal_columns" ->
+      "SELECT o_orderkey, 'NA' AS fragment_ion, 0 AS product_charge, 'L' AS isotope_label FROM orders",
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+             round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / count(*) / 100.0, 6) AS avg_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "j1_broadcast_inner" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""",
+    "j2_left_m2one" -> """
+      SELECT coalesce(o_orderpriority, 'UNMATCHED') AS priority, count(*) AS n
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
+    "j4_anti_join" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "j5_semi_join" ->
+      "SELECT s_suppkey FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)",
+    "j7_range_join" -> """
+      WITH bands AS (
+        SELECT s_nationkey, min(s_acctbal) AS lo, max(s_acctbal) AS hi
+        FROM supplier GROUP BY s_nationkey)
+      SELECT s_nationkey AS nationkey, count(*) AS n_in_band
+      FROM customer JOIN bands
+        ON c_nationkey = s_nationkey AND c_acctbal BETWEEN lo AND hi
+      GROUP BY s_nationkey""",
+    "j6_asof_last_prev" -> """
+      SELECT event_id, prev_view_value FROM (
+        SELECT event_id, event_type,
+               last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_value
+        FROM events) WHERE event_type <> 'view'""",
+    "w2_prefix_sum_excl" -> """
+      SELECT event_id,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 100.0 AS running_value
+      FROM events""",
+    "a6_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    "a7_drop_duplicates" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a8_fd_violations" -> """
+      SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_variants
+      FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderpriority) > 1""",
+    "a9_sorted_set_concat" -> """
+      SELECT l_returnflag, string_agg(DISTINCT l_linestatus, '' ORDER BY l_linestatus) AS statuses
+      FROM lineitem GROUP BY l_returnflag""",
+    "a10_ratio_agg" -> """
+      SELECT l_orderkey,
+             round(sum(CAST(round(CASE WHEN l_returnflag = 'R'
+                         THEN l_extendedprice * (1.0 - l_discount) END * 10000) AS BIGINT))
+               / sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)), 6) AS purity
+      FROM lineitem GROUP BY l_orderkey""",
+    "a11_validation_errors" ->
+      "SELECT c_custkey, 'negative_acctbal' AS error FROM customer WHERE c_acctbal < 0",
+    "o1_sort_desc_rank" -> """
+      SELECT p_partkey, p_retailprice,
+             CAST(row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rank
+      FROM part""",
+    "o2_first_per_group" -> """
+      SELECT l_orderkey, l_partkey AS first_partkey FROM lineitem
+      QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) = 1""",
+    "o3_topk" -> """
+      SELECT * FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               CAST(row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rank
+        FROM lineitem) WHERE rank <= 100""",
+    "f1_regex_extract" -> """
+      SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k FROM events""",
+    "f5_regex_replace" ->
+      "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants FROM part",
+    "f7_label_map" -> """
+      SELECT o_orderkey,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                  WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS priority_code
+      FROM orders""",
+    "f10_round_cast" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * l_discount, 4) AS disc_amount,
+             CAST(floor(l_quantity) AS INTEGER) AS qty_floor
+      FROM lineitem""",
+    "f13_conditional_shape" -> """
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+             CASE WHEN event_type = 'purchase' THEN user_id END AS buyer_id
+      FROM events""",
+    "f14_score_dispatch" -> """
+      SELECT event_id,
+             (CASE WHEN event_type = 'purchase' THEN 'Purchase:amount:'
+                   WHEN event_type = 'error' THEN 'Error:code:'
+                   ELSE 'Other:score:' END) ||
+             CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS score_label
+      FROM events""",
+    "q5_multijoin" -> """
+      SELECT n_name,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name""",
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables._
+
+/** Vector similarity over the `embeddings` table (array<float> column).
+  *
+  * Brute-force cosine top-k is the correctness baseline: broadcast the probe
+  * set, stream the candidate side, no shuffle until the final per-probe top-k
+  * aggregation. The LSH variant (random-hyperplane signs) is the scale path:
+  * candidates are generated per bucket, so the pairwise work drops from
+  * |probes|·N to |probes|·bucket size.
+  *
+  * All arithmetic runs on array<double> (cast once) with sequential
+  * higher-order-function folds — same element order as the oracle, so doubles
+  * match exactly.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val queries: Map[String, Q] = Map(
+    // A1/A2/A3 over real vectors: per-row array max / sum / length.
+    "arr_stats" -> ((s, d) => {
+      val v = asDouble(col("embedding"))
+      embeddings(s, d).select(
+        col("vec_id"),
+        round(array_max(v), 6).as("vmax"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 6).as("vsum"),
+        size(col("embedding")).as("dim"))
+    }),
+
+    // L2 norm per vector (the normalize step of any ANN pipeline).
+    "arr_l2_norm" -> ((s, d) => {
+      val v = asDouble(col("embedding"))
+      embeddings(s, d).select(
+        col("vec_id"),
+        round(sqrt(dot(v, v)), 6).as("l2_norm"))
+    }),
+
+    // Brute-force cosine top-5 for 10 probe vectors. Probe side broadcast;
+    // rank on the rounded similarity with vec_id tiebreak so ordering is
+    // reproducible across engines.
+    "sim_cosine_topk" -> ((s, d) => {
+      val base = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cos = round(
+        dot(col("qv"), col("v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      base.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
+
+    // LSH-bucketed ANN: 16 deterministic hyperplanes (pseudo-random ±1
+    // components from xxhash64(plane, dim)), signature = sign bits; buckets
+    // join on signature. Engine-specific hash → rows-only check. This is the
+    // plan shape that scales: the join key is a 16-bit bucket, not the
+    // vector.
+    "sim_lsh_buckets" -> ((s, d) => {
+      val v = asDouble(col("embedding"))
+      // plane p component for dim i: +1 if xxhash64(p * 4096 + i) even
+      val sigBits = transform(sequence(lit(0), lit(15)), p =>
+        when(
+          aggregate(
+            zip_with(v, sequence(lit(0), size(col("embedding")) - 1),
+              (x, i) => when(xxhash64(p * 4096 + i) % 2 === 0, x).otherwise(-x)),
+            lit(0.0), (acc, x) => acc + x) > 0, lit(1)).otherwise(lit(0)))
+      embeddings(s, d).select(
+        col("vec_id"),
+        concat_ws("", sigBits).as("bucket"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "arr_stats" -> """
+      SELECT vec_id,
+             round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+             round(list_sum(embedding::DOUBLE[]), 6) AS vsum,
+             CAST(len(embedding) AS INTEGER) AS dim
+      FROM embeddings""",
+    "arr_l2_norm" -> """
+      SELECT vec_id,
+             round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+      FROM embeddings""",
+    "sim_cosine_topk" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, vec_id,
+               round(list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+        FROM c CROSS JOIN p WHERE vec_id <> q_id)
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
+    // sim_lsh_buckets: intentionally no oracle (engine-specific hash).
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.tables.Tables._
+
+/** Time-axis operators over `events`: as-of interpolation (J8 — the pTIC
+  * linear interpolation of ms1_feature_finder.py:104-142) and a Structured
+  * Streaming windowed aggregation.
+  */
+object Temporal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // J8: as-of interpolation join. Probes = 'purchase' events, curve =
+    // ('view' ts, value) pairs. Instead of a non-equi join (quadratic), the
+    // curve and probes are merged into one ordered stream and bracketed with
+    // two window passes (forward for the preceding point, backward for the
+    // following), then linearly interpolated and clamped at the ends — one
+    // sort each way, no join. At scale the window would be partitioned by a
+    // series key (here the curve is global, as in the reference's per-file
+    // pTIC).
+    "j8_interpolate_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val curve = ev.filter(col("event_type") === "view")
+        .groupBy(unix_micros(col("ts")).as("us"))
+        .agg(min(col("value")).as("v"))
+        .select(col("us"), col("v"), lit(null).cast("long").as("event_id"), lit(0).as("is_probe"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("us"), lit(null).cast("double").as("v"),
+          col("event_id"), lit(1).as("is_probe"))
+      val merged = curve.unionByName(probes)
+      // forward pass: curve point at or before the probe (curve sorts first
+      // on ties so an exact-ts point is picked up)
+      val wFwd = Window.orderBy(col("us"), col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // backward pass: curve point strictly after (probe sorts first on ties)
+      val wBwd = Window.orderBy(col("us").desc, col("is_probe").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val prevV = last(col("v"), ignoreNulls = true).over(wFwd)
+      val prevUs = last(when(col("is_probe") === 0, col("us")), ignoreNulls = true).over(wFwd)
+      merged
+        .withColumn("prev_v", prevV).withColumn("prev_us", prevUs)
+        .withColumn("next_v", last(col("v"), ignoreNulls = true).over(wBwd))
+        .withColumn("next_us",
+          last(when(col("is_probe") === 0, col("us")), ignoreNulls = true).over(wBwd))
+        .filter(col("is_probe") === 1)
+        .select(
+          col("event_id"),
+          round(
+            when(col("prev_us").isNull, col("next_v"))
+              .when(col("next_us").isNull, col("prev_v"))
+              .otherwise(col("prev_v") +
+                (col("next_v") - col("prev_v")) * (col("us") - col("prev_us")) /
+                  (col("next_us") - col("prev_us"))), 6).as("interp_value"))
+    }),
+
+    // Structured Streaming: hourly tumbling-window aggregate of the events
+    // table, driven to completion with Trigger.AvailableNow + a memory sink.
+    // Batch parity: identical to GROUP BY date_trunc('hour', ts).
+    "stream_hourly_agg" -> ((s, d) => {
+      val path = s"$d/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val qn = s"stream_hourly_${System.nanoTime()}"
+      // FileStreamSource wants a directory: stream the sf dir with a glob
+      // filter selecting just the events file. Integer `div` for the
+      // nanos→micros conversion (see Tables.nanosCols).
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+        col("event_type"),
+        col("n"),
+        (col("value_cents") / 100.0).as("value_sum"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j8_interpolate_asof" -> """
+      WITH curve AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, min(value) AS v
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      probes AS (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'purchase'),
+      br AS (
+        SELECT p.event_id, p.us,
+               (SELECT max(c.us) FROM curve c WHERE c.us <= p.us) AS pus,
+               (SELECT min(c.us) FROM curve c WHERE c.us > p.us) AS nus
+        FROM probes p)
+      SELECT b.event_id,
+             round(CASE WHEN pus IS NULL THEN nv.v
+                        WHEN nus IS NULL THEN pv.v
+                        ELSE pv.v + (nv.v - pv.v) * (b.us - pus) / (nus - pus)
+                   END, 6) AS interp_value
+      FROM br b
+      LEFT JOIN curve pv ON b.pus = pv.us
+      LEFT JOIN curve nv ON b.nus = nv.us""",
+    "stream_hourly_agg" -> """
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+      FROM events GROUP BY 1, 2""",
+  )
+}

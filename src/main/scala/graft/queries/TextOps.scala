@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables._
+
+/** Training-data pipeline text operators over the `documents` table:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting, and
+  * the dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale design: everything here is either per-row (whole-stage codegen'd
+  * higher-order functions — no UDFs, no shuffles) or an inverted-index
+  * shingle join (shuffle on shingle hash; discriminative 4-gram shingles keep
+  * the posting lists short, so the join does not explode the way a
+  * cross-join-based similarity pass would). At 100 TB the shingle join is the
+  * standard MinHash/LSH pre-filter + verify pipeline, partitioned by band
+  * key.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, t: array<string>) tokenized view. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+
+  /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
+    * sequence() would run backwards for <4 tokens, hence the guard.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(when(size(col("t")) >= 4,
+          expr("transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))"))
+          .otherwise(array()))).as("s"))
+
+  val queries: Map[String, Q] = Map(
+    // Token + character counts (whitespace tokenizer).
+    "text_token_count" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+    }),
+
+    // Quality scoring: alphabetic / digit / whitespace ratios + mean token
+    // length — the length/punct/stopword-ratio family.
+    "text_quality" -> ((s, d) => {
+      val len = length(col("text")).cast("double")
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+      val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+      val ws = length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+      val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
+      documents(s, d).select(
+        col("doc_id"),
+        round(alpha / len, 6).as("alpha_ratio"),
+        round(digit / len, 6).as("digit_ratio"),
+        round(ws / len, 6).as("ws_ratio"),
+        round((len - ws) / nTok, 6).as("avg_token_len"))
+    }),
+
+    // Language-ID heuristic: stopword-marker occurrence counts (replace-based
+    // counting so both engines count non-overlapping matches identically),
+    // argmax with a deterministic tie order (en > es).
+    "text_lang_id" -> ((s, d) => {
+      def occurrences(marker: String) =
+        ((length(col("text")) - length(replace(col("text"), lit(marker), lit("")))) /
+          marker.length).cast("long")
+      val sEn = (occurrences(" the ") + occurrences(" a ") + occurrences(" row "))
+      val sEs = (occurrences(" el ") + occurrences(" la ") + occurrences(" de "))
+      documents(s, d).select(
+        col("doc_id"),
+        sEn.as("score_en"),
+        sEs.as("score_es"),
+        when(sEn >= sEs, "en").otherwise("es").as("lang_pred"))
+    }),
+
+    // Document fingerprint: md5 of casefolded, whitespace-collapsed text.
+    "text_fingerprint" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
+          .as("fingerprint"))
+    }),
+
+    // Exact dedup: hash-groupBy on the fingerprint — the only shuffle ships
+    // 32-byte digests, never the documents themselves.
+    "dedup_exact" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+    }),
+
+    // Near-dedup via word 4-gram Jaccard: inverted-index join on shingles
+    // (only docs sharing a shingle are ever compared), then exact Jaccard
+    // from intersection + per-doc shingle counts. Pairs with J > 0.8.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d).cache()
+      val a = sh.select(col("doc_id").as("da"), col("s"))
+      val b = sh.select(col("doc_id").as("db"), col("s"))
+      val inter = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jaccard") > 0.8)
+        .select(col("da"), col("db"), col("jaccard"))
+    }),
+
+    // MinHash + LSH banding: 16 hash functions (lexicographic min of a seeded
+    // md5 — engine-portable), 4 bands × 4 rows; candidate pairs share ≥1
+    // band. This is the 100 TB dedup path: signatures are fixed-width, the
+    // only join key is the 4-band hash.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val mins = (0 until 16).map(i => min(md5(concat(lit(s"$i#"), col("s")))).as(s"h$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat((0 until 4).map(r => col(s"h${b * 4 + r}")): _*)).as("bk"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+      bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+    }),
+
+    // SimHash (64-bit, xxhash64 token hashes): computed entirely per-row with
+    // higher-order functions — zero shuffle, zero UDF. No DuckDB oracle
+    // (xxhash64 is Spark-specific) → rows-only check.
+    "dedup_simhash" -> ((s, d) => {
+      toks(s, d).select(
+        col("doc_id"),
+        expr("""
+          aggregate(
+            zip_with(
+              aggregate(
+                t,
+                array_repeat(0L, 64),
+                (acc, tk) -> zip_with(
+                  acc,
+                  transform(sequence(0, 63),
+                    j -> CASE WHEN (shiftright(xxhash64(tk), j) & 1L) = 1L
+                              THEN 1L ELSE -1L END),
+                  (a, b) -> a + b)),
+              sequence(0, 63),
+              (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),
+            0L, (a, x) -> a + x)
+        """).as("simhash"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_count" -> """
+      SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+             CAST(length(text) AS INTEGER) AS len_chars
+      FROM documents""",
+    "text_quality" -> """
+      SELECT doc_id,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+             round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+             round(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS ws_ratio,
+             round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS avg_token_len
+      FROM documents""",
+    "text_lang_id" -> """
+      WITH sc AS (
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                  + (length(text) - length(replace(text, ' a ', ''))) / 3
+                  + (length(text) - length(replace(text, ' row ', ''))) / 5 AS BIGINT) AS score_en,
+               CAST((length(text) - length(replace(text, ' el ', ''))) / 4
+                  + (length(text) - length(replace(text, ' la ', ''))) / 4
+                  + (length(text) - length(replace(text, ' de ', ''))) / 4 AS BIGINT) AS score_es
+        FROM documents)
+      SELECT doc_id, score_en, score_es,
+             CASE WHEN score_en >= score_es THEN 'en' ELSE 'es' END AS lang_pred
+      FROM sc""",
+    "text_fingerprint" -> """
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents""",
+    "dedup_exact" -> """
+      SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+      FROM documents GROUP BY md5(text)""",
+    "dedup_ngram_jaccard" -> """
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT da, db, round(inter / (x.n + y.n - inter), 6) AS jaccard
+      FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+      WHERE inter / (x.n + y.n - inter) > 0.8""",
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until 16)
+        .map(i => s"min(md5('$i#' || s)) AS h$i").mkString(", ")
+      val bands = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${b * 4} || h${b * 4 + 1} || h${b * 4 + 2} || h${b * 4 + 3}) AS bk FROM sig")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS ($bands)
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
+    },
+    // dedup_simhash: intentionally no oracle (engine-specific token hash).
+  )
+}

@@ -1,0 +1,46 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Every table is a single parquet file under `sfDir`. At cluster scale these
+  * would be directory-partitioned datasets; the reader call is identical
+  * (`spark.read.parquet` takes a directory just as well), so nothing here
+  * changes at 100 TB — only the path layout does.
+  */
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
+  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark only reads as
+    * long (spark.sql.legacy.parquet.nanosAsLong=true — set in every session
+    * builder we own). Normalized here to TimestampType at microsecond
+    * precision so the rest of the engine sees real timestamps.
+    */
+  private val nanosCols = Map(
+    "orders" -> Seq("o_orderdate"),
+    "events" -> Seq("ts"))
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      // integer `div`, NOT `/`: epoch-nanos longs exceed 2^53, so the
+      // double division `/` would lose microsecond precision
+      if (df.schema(c).dataType == LongType)
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else df
+    }
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
