@@ -1,0 +1,82 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.{DiannToMsstats, SampleExtract, SdrfValidator}
+
+/** CLI mirroring the reference's six commands (quantmsutilsc.py:17-27), same
+  * flags and exit-code conventions. Commands land here as their ops land:
+  * diann2msstats / openms2sample / checksamplesheet now; mzmlstats /
+  * psmconvert / dianncfg as M3-M6 arrive.
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(2, Runtime.getRuntime.availableProcessors()).toString)
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("quantmsutilsspark")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** `--flag value` and bare `--flag` parsing. */
+  private def parseArgs(args: Seq[String]): (Map[String, String], Set[String]) = {
+    var opts = Map.empty[String, String]
+    var flags = Set.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          opts += a.drop(2) -> args(i + 1); i += 2
+        } else { flags += a.drop(2); i += 1 }
+      } else i += 1
+    }
+    (opts, flags)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "Usage: graft.cli.Main <diann2msstats|openms2sample|checksamplesheet> [options]")
+      sys.exit(2)
+    }
+    val (opts, flags) = parseArgs(args.tail.toSeq)
+    val spark = session()
+    try {
+      args.head match {
+        case "diann2msstats" =>
+          val out = DiannToMsstats.run(spark,
+            reportPath = opts("report"),
+            designPath = opts("exp_design"),
+            qvalueThreshold = opts("qvalue_threshold").toDouble,
+            outDir = opts.getOrElse("out_dir", "."))
+          println(out)
+
+        case "openms2sample" =>
+          println(SampleExtract.run(spark, opts("expdesign"),
+            outDir = opts.getOrElse("out_dir", ".")))
+
+        case "checksamplesheet" =>
+          if (!flags.contains("minimal"))
+            System.err.println(
+              "note: full template validation is out of scope; running minimal checks")
+          val errors = SdrfValidator.validateMinimal(spark, opts("exp_design"))
+          errors.foreach(println)
+          if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
+
+        case other =>
+          System.err.println(s"Unknown command: $other")
+          spark.stop(); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Peptide-string functions, all built from codegen'd Spark expressions — no
+  * UDFs in any hot path.
+  *
+  * Reference semantics:
+  *  - trueStem: diann2msstats.py:133-138
+  *  - sanitizeSequence: diann2msstats.py:267-269
+  *  - normalizeSequence: diann2msstats.py:76-83 (AASequence round-trip)
+  *  - modsPosition: psm_conversion.py:41-56
+  */
+object Peptides {
+
+  private val modGroup = "\\(([^)]*)\\)"
+
+  /** Filename stem; double stem for `.d.zip` (Bruker zipped raw dirs).
+    * Also strips any directory / URL prefix, matching `pathlib.Path.stem`.
+    */
+  def trueStem(c: Column): Column = {
+    val base = element_at(split(c, "/"), -1)
+    when(base.endsWith(".d.zip"), regexp_replace(base, "\\.d\\.zip$", ""))
+      .otherwise(regexp_replace(base, "\\.[^.]*$", ""))
+  }
+
+  /** Drop the literal "(SILAC)" tag DIA-NN leaves in modified sequences. */
+  def sanitizeSequence(c: Column): Column =
+    regexp_replace(c, "\\(SILAC\\)", "")
+
+  /** The UniMod accessions DIA-NN commonly reports, and the PSI-MS names
+    * OpenMS renders them as. This is the documented subset of the
+    * AASequence.fromString(...).toString() round-trip the reference performs
+    * (diann2msstats.py:76-83): UniMod bracket tags are canonicalized to
+    * their names; anything already name-form is left untouched.
+    */
+  val unimodNames: Map[Int, String] = Map(
+    1 -> "Acetyl", 2 -> "Amidated", 4 -> "Carbamidomethyl", 5 -> "Carbamyl",
+    7 -> "Deamidated", 21 -> "Phospho", 23 -> "Dehydrated", 26 -> "Pyro-carbamidomethyl",
+    27 -> "Glu->pyro-Glu", 28 -> "Gln->pyro-Glu", 34 -> "Methyl", 35 -> "Oxidation",
+    36 -> "Dimethyl", 37 -> "Trimethyl", 121 -> "GG", 188 -> "Label:13C(6)",
+    259 -> "Label:13C(6)15N(2)", 267 -> "Label:13C(6)15N(4)", 425 -> "Dioxidation",
+    730 -> "iTRAQ8plex", 737 -> "TMT6plex", 2016 -> "TMTpro")
+
+  /** Canonicalize a peptidoform: `(UniMod:N)` → `(Name)` for the known
+    * subset, and an N-terminal leading mod gets OpenMS's `.(Mod)` rendering.
+    * A leading `^` marker survives the rewrite untouched, as in the
+    * reference's special-casing.
+    */
+  def normalizeSequence(c: Column): Column = {
+    val renamed = unimodNames.foldLeft(c) { case (acc, (id, name)) =>
+      // (?i) — DIA-NN emits both "UniMod" and "UNIMOD" casings
+      regexp_replace(acc, s"(?i)\\(UniMod:$id\\)", s"($name)")
+    }
+    val caret = renamed.startsWith("^")
+    val body = when(caret, renamed.substr(lit(2), length(renamed))).otherwise(renamed)
+    val dotted = when(body.startsWith("("), concat(lit("."), body)).otherwise(body)
+    when(caret, concat(lit("^"), dotted)).otherwise(dotted)
+  }
+
+  /** Positions of `(Mod)` groups in a peptidoform as `"pos-Name"` strings,
+    * or null when unmodified. Position 0 = N-terminal mod (leading `.`
+    * stripped first); a position counts the residues before the mod,
+    * ignoring the characters of earlier mod groups — exactly the reference's
+    * marker-walk (psm_conversion.py:41-56), done here as a split + running
+    * length fold over the residue segments.
+    */
+  def modsPosition(c: Column): Column = {
+    val stripped = when(c.startsWith("."), c.substr(lit(2), length(c))).otherwise(c)
+    val modNames = regexp_extract_all(stripped, lit(modGroup), lit(1))
+    val segs = split(stripped, modGroup)
+    // [0, len(seg1), len(seg1)+len(seg2), ...]
+    val cums = aggregate(segs, array(lit(0)),
+      (acc, seg) => concat(acc, array(element_at(acc, -1) + length(seg))))
+    val positions = slice(cums, lit(2), size(modNames))
+    when(size(modNames) === 0, lit(null).cast("array<string>"))
+      .otherwise(zip_with(positions, modNames,
+        (p, m) => concat(p.cast("string"), lit("-"), m)))
+  }
+}
