@@ -1,0 +1,193 @@
+package graft.sources.mzml
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 "mzml" source (SURVEY §2.1 S1).
+  *
+  * One InputPartition per mzML file: a file is a single XML document, so the
+  * file is the unit of parallelism — a 1000-executor job reads 1000 runs
+  * concurrently, which is exactly the reference's one-file-per-invocation
+  * model turned data-parallel. Peak arrays stream through the StAX parser
+  * with flat memory.
+  *
+  * Options:
+  *  - `path` / `paths`: file path(s); `paths` may be a JSON array (Spark's
+  *    multi-path load encoding) or comma-separated.
+  *  - `msLevels`: comma-separated MS levels to keep — filter pushdown into
+  *    the parse loop (the analog of PeakFileOptions.setMSLevels,
+  *    ms1_feature_finder.py:51-52): skipped spectra never materialize rows.
+  */
+class MzmlDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MzmlTable.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MzmlTable(new CaseInsensitiveStringMap(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object MzmlTable {
+  /** First precursor flattened into columns (the reference reads only the
+    * first: mzml_statistics.py:169-172); num_precursors preserves the
+    * has-precursors distinction for the MS1-shaped MS2 branch.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("file_name", StringType, nullable = false),
+    StructField("spectrum_index", IntegerType, nullable = false),
+    StructField("native_id", StringType, nullable = false),
+    StructField("ms_level", IntegerType, nullable = false),
+    StructField("rt", DoubleType, nullable = false),
+    StructField("mz_array", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("intensity_array", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("num_precursors", IntegerType, nullable = false),
+    StructField("precursor_mz", DoubleType),
+    StructField("precursor_charge", IntegerType),
+    StructField("precursor_intensity", DoubleType),
+    StructField("iso_window_lower", DoubleType),
+    StructField("iso_window_upper", DoubleType),
+    StructField("acquisition_datetime", StringType),
+  ))
+
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("paths")).orElse(Option(options.get("path"))).getOrElse(
+      throw new IllegalArgumentException("mzml source requires a path"))
+    val parts =
+      if (raw.trim.startsWith("["))
+        raw.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      else raw.split(",").toSeq.map(_.trim)
+    parts.filter(_.nonEmpty)
+  }
+}
+
+class MzmlTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"mzml(${MzmlTable.resolvePaths(options).mkString(",")})"
+  override def schema(): StructType = MzmlTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new MzmlScanBuilder(new CaseInsensitiveStringMap(
+      (options.asScala ++ opts.asScala).asJava))
+}
+
+class MzmlScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = MzmlTable.schema
+  private var pushedMsLevels: Option[Set[Int]] =
+    Option(options.get("msLevels")).map(_.split(",").map(_.trim.toInt).toSet)
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  /** Push `ms_level IN/=` filters into the parse loop. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val (accepted, rest) = filters.partition {
+      case EqualTo("ms_level", v) => v.isInstanceOf[Number]
+      case In("ms_level", vs) => vs.forall(_.isInstanceOf[Number])
+      case _ => false
+    }
+    val levels = accepted.toList.flatMap {
+      case EqualTo("ms_level", v: Number) => List(v.intValue)
+      case In("ms_level", vs) => vs.toList.collect { case n: Number => n.intValue }
+      case _ => Nil
+    }.toSet
+    if (levels.nonEmpty)
+      pushedMsLevels = Some(pushedMsLevels.map(_.intersect(levels)).getOrElse(levels))
+    pushed = accepted
+    // keep them in the plan too (cheap), so correctness never depends on us
+    rest ++ accepted
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new MzmlScan(
+    MzmlTable.resolvePaths(options), requiredSchema, pushedMsLevels)
+}
+
+class MzmlScan(paths: Seq[String], required: StructType, msLevels: Option[Set[Int]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => MzmlInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MzmlReaderFactory(required, msLevels)
+  override def description(): String =
+    s"mzml scan (${paths.length} files, msLevels=${msLevels.getOrElse("all")})"
+}
+
+case class MzmlInputPartition(path: String) extends InputPartition
+
+class MzmlReaderFactory(required: StructType, msLevels: Option[Set[Int]])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MzmlPartitionReader(partition.asInstanceOf[MzmlInputPartition].path, required, msLevels)
+}
+
+class MzmlPartitionReader(path: String, required: StructType, msLevels: Option[Set[Int]])
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(path)
+  private val fs = hPath.getFileSystem(new Configuration())
+  private val parser = new MzmlParser(fs.open(hPath))
+  private val fileName = UTF8String.fromString(hPath.getName)
+  private var current: MzmlSpectrum = _
+
+  // column ordinals of the pruned schema, -1 when pruned away
+  private val ord: Map[String, Int] =
+    MzmlTable.schema.fieldNames.map(n => n -> required.fieldNames.indexOf(n)).toMap
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && parser.hasNext) {
+      val s = parser.next()
+      if (msLevels.forall(_.contains(s.msLevel))) current = s
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+    val s = current
+    def set(name: String, v: Any): Unit = {
+      val i = ord(name)
+      if (i >= 0) row.update(i, v)
+    }
+    val p = s.precursors.headOption
+    set("file_name", fileName)
+    set("spectrum_index", s.index)
+    set("native_id", UTF8String.fromString(s.nativeId))
+    set("ms_level", s.msLevel)
+    set("rt", s.rt)
+    set("mz_array", ArrayData.toArrayData(s.mzArray))
+    set("intensity_array", ArrayData.toArrayData(s.intensityArray))
+    set("num_precursors", s.precursors.length)
+    set("precursor_mz", p.map(x => java.lang.Double.valueOf(x.mz)).orNull)
+    set("precursor_charge", p.map(x => java.lang.Integer.valueOf(x.charge)).orNull)
+    set("precursor_intensity", p.map(x => java.lang.Double.valueOf(x.intensity)).orNull)
+    set("iso_window_lower", p.map(x => java.lang.Double.valueOf(x.isoLowerOffset)).orNull)
+    set("iso_window_upper", p.map(x => java.lang.Double.valueOf(x.isoUpperOffset)).orNull)
+    set("acquisition_datetime",
+      parser.startTimeStamp.map(UTF8String.fromString).orNull)
+    row
+  }
+
+  override def close(): Unit = parser.close()
+}
