@@ -2,7 +2,7 @@ package graft.cli
 
 import org.apache.spark.sql.SparkSession
 
-import graft.ops.{DiannToMsstats, MzmlStats, SampleExtract, SdrfValidator}
+import graft.ops.{DiannToMsstats, MzmlStats, PsmConvert, SampleExtract, SdrfValidator}
 
 /** CLI mirroring the reference's six commands (quantmsutilsc.py:17-27), same
   * flags and exit-code conventions. Commands land here as their ops land:
@@ -46,7 +46,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "Usage: graft.cli.Main <diann2msstats|mzmlstats|openms2sample|checksamplesheet> [options]")
+        "Usage: graft.cli.Main <diann2msstats|mzmlstats|psmconvert|openms2sample|checksamplesheet> [options]")
       sys.exit(2)
     }
     val (opts, flags) = parseArgs(args.tail.toSeq)
@@ -66,6 +66,13 @@ object Main {
             msPath = opts("ms_path"),
             ms2File = flags.contains("ms2_file"),
             outDir = opts.get("out_dir")).foreach(println)
+
+        case "psmconvert" =>
+          println(PsmConvert.run(spark,
+            idxmlPath = opts("idxml"),
+            ms2Path = opts.get("ms2_file"),
+            exportDecoyPsm = flags.contains("export_decoy_psm"),
+            outputFile = opts.get("output_file")))
 
         case "openms2sample" =>
           println(SampleExtract.run(spark, opts("expdesign"),

@@ -59,6 +59,12 @@ object Peptides {
     when(caret, concat(lit("^"), dotted)).otherwise(dotted)
   }
 
+  /** Plain residue sequence: every `(Mod)` group and terminal-dot marker
+    * removed (AASequence.toUnmodifiedString, psm_conversion.py:163).
+    */
+  def unmodifiedSequence(c: Column): Column =
+    regexp_replace(regexp_replace(c, modGroup, ""), "\\.", "")
+
   /** Positions of `(Mod)` groups in a peptidoform as `"pos-Name"` strings,
     * or null when unmodified. Position 0 = N-terminal mod (leading `.`
     * stripped first); a position counts the residues before the mod,
