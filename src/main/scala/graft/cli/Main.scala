@@ -2,7 +2,7 @@ package graft.cli
 
 import org.apache.spark.sql.SparkSession
 
-import graft.ops.{DiannToMsstats, MzmlStats, PsmConvert, SampleExtract, SdrfValidator}
+import graft.ops.{DiannCfg, DiannToMsstats, FeatureDetect, MzmlStats, PsmConvert, SampleExtract, SdrfValidator}
 
 /** CLI mirroring the reference's six commands (quantmsutilsc.py:17-27), same
   * flags and exit-code conventions. Commands land here as their ops land:
@@ -66,6 +66,15 @@ object Main {
             msPath = opts("ms_path"),
             ms2File = flags.contains("ms2_file"),
             outDir = opts.get("out_dir")).foreach(println)
+          if (flags.contains("feature_detection"))
+            println(FeatureDetect.run(spark, opts("ms_path"), opts.get("out_dir")))
+
+        case "dianncfg" =>
+          println(DiannCfg.run(
+            enzyme = opts.get("enzyme"),
+            fixMod = opts.get("fix_mod"),
+            varMod = opts.get("var_mod"),
+            outDir = opts.getOrElse("out_dir", ".")))
 
         case "psmconvert" =>
           println(PsmConvert.run(spark,
