@@ -13,7 +13,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Temporal.queries
+      graft.queries.Temporal.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

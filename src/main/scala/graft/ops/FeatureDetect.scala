@@ -23,7 +23,7 @@ object FeatureDetect {
     * columns file_name, spectrum_index, scan, rt, tic, ptic.
     */
   def pticTable(ms1: DataFrame): DataFrame = {
-    val tic = aggregate(col("intensity_array"), lit(0.0), (a, x) => a + x)
+    val tic = graft.expressions.VectorExpressions.sum(col("intensity_array"))
     val wFile = Window.partitionBy(col("file_name"))
     val wPrefix = Window.partitionBy(col("file_name")).orderBy(col("spectrum_index"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -99,7 +99,7 @@ object MzmlStats {
 
     val basePeak = when(size(col("intensity_array")) > 0, array_max(col("intensity_array")))
     val summed = when(size(col("intensity_array")) > 0,
-      aggregate(col("intensity_array"), lit(0.0), (a, x) => a + x))
+      graft.expressions.VectorExpressions.sum(col("intensity_array")))
 
     withParent.select(
       scanId(col("native_id")).as("scan"),

@@ -107,7 +107,10 @@ object PsmConvert {
             collect_list(col("mz_array")).as("mz_array"),
             collect_list(col("intensity_array")).as("intensity_array"),
             count(lit(1)).cast("int").as("num_peaks"))
-        base.join(broadcast(grouped),
+        // no broadcast hint: ms2_info is the big side at scale (full peak
+        // vectors) — let Catalyst/AQE pick; at fixture scale it broadcasts
+        // anyway, at 100 TB it sort-merge-joins on scan
+        base.join(grouped,
           base("scan_number").cast("string") === grouped("scan_str"), "left")
           .drop("scan_str")
     }

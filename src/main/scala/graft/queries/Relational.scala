@@ -250,6 +250,17 @@ object Relational {
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
     }),
 
+    // F4: filename stem with .d.zip double-stem (the engine's real
+    // Peptides.trueStem over fabricated run paths; diann2msstats.py:133-138)
+    "f4_true_stem" -> ((s, d) => {
+      val path = concat(
+        lit("s3://runs/"), col("source"), lit("/doc_"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, ".d.zip").otherwise(lit(".mzML")))
+      documents(s, d).select(
+        col("doc_id"),
+        graft.functions.Peptides.trueStem(path).as("run"))
+    }),
+
     // F5: literal-pattern strip (ref: drop "(SILAC)", diann2msstats.py:267-269)
     "f5_regex_replace" -> ((s, d) => {
       part(s, d)
@@ -401,6 +412,17 @@ object Relational {
         FROM lineitem) WHERE rank <= 100""",
     "f1_regex_extract" -> """
       SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k FROM events""",
+    "f4_true_stem" -> """
+      WITH p AS (
+        SELECT doc_id,
+               's3://runs/' || source || '/doc_' || doc_id ||
+               (CASE WHEN doc_id % 3 = 0 THEN '.d.zip' ELSE '.mzML' END) AS path
+        FROM documents),
+      b AS (SELECT doc_id, regexp_extract(path, '([^/]+)$', 1) AS base FROM p)
+      SELECT doc_id,
+             CASE WHEN base LIKE '%.d.zip' THEN regexp_replace(base, '\.d\.zip$', '')
+                  ELSE regexp_replace(base, '\.[^.]*$', '') END AS run
+      FROM b""",
     "f5_regex_replace" ->
       "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants FROM part",
     "f7_label_map" -> """

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VectorExpressions
 import graft.tables.Tables._
 
 /** Vector similarity over the `embeddings` table (array<float> column).
@@ -25,8 +26,12 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  /** Native codegen'd dot product (graft.expressions.DotProduct): identical
+    * sequential fold semantics to the HOF formulation, compiled to a
+    * primitive loop.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    VectorExpressions.dot(a, b)
 
   val queries: Map[String, Q] = Map(
     // A1/A2/A3 over real vectors: per-row array max / sum / length.
@@ -35,7 +40,7 @@ object Similarity {
       embeddings(s, d).select(
         col("vec_id"),
         round(array_max(v), 6).as("vmax"),
-        round(aggregate(v, lit(0.0), (a, x) => a + x), 6).as("vsum"),
+        round(VectorExpressions.sum(v), 6).as("vsum"),
         size(col("embedding")).as("dim"))
     }),
 

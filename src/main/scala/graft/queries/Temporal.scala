@@ -93,7 +93,44 @@ object Temporal {
     }),
   )
 
+  /** Extra queries appended below keep `queries` and `oracle` aligned. */
+  val sessionQueries: Map[String, Q] = Map(
+    // Gap-based sessionization (the batch twin of
+    // flatMapGroupsWithState session windows): a >30-minute silence starts a
+    // new session; exact integer duration math via epoch micros.
+    "w3_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap",
+          when(col("us") - lag(col("us"), 1).over(wOrd) > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("gap")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
+    }),
+  )
+
   val oracle: Map[String, String] = Map(
+    "w3_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+        FROM events),
+      sess AS (
+        SELECT user_id, us,
+               CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+             (max(us) - min(us)) / 1000000.0 AS duration_sec
+      FROM sess GROUP BY user_id, session_id""",
     "j8_interpolate_asof" -> """
       WITH curve AS (
         SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, min(value) AS v
@@ -120,4 +157,6 @@ object Temporal {
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM events GROUP BY 1, 2""",
   )
+
+  val all: Map[String, Q] = queries ++ sessionQueries
 }
