@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.security.MessageDigest
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract
+  * runs batched per partition (the Scala analog of `mapInPandas` — one
+  * iterator pass, batch-shaped amortization, no per-row driver involvement).
+  *
+  * The codec itself is a STUB: no image/audio libraries ship in this
+  * environment, so `decodeStub` derives deterministic fake frame metadata
+  * (dimensions, frame count) from a CRC of the payload. The Spark-side
+  * contract — schema, partition-parallel batch processing, binary
+  * transport, content hashing — is real and tested; swapping `decodeStub`
+  * for a JNI/ffmpeg call changes no plan shape.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sha256", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** STUB decode: deterministic pseudo-metadata from the payload CRC.
+    * Replace with a real codec for production use.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val crc = new CRC32()
+    crc.update(payload)
+    val h = crc.getValue
+    (640 + (h % 1280).toInt, 360 + ((h >> 11) % 720).toInt, 1 + ((h >> 22) % 240).toInt)
+  }
+
+  private def sha256Hex(payload: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(payload)
+      .map(b => f"$b%02x").mkString
+
+  /** Attach the metadata struct to a (id, media: binary) DataFrame.
+    * Batched per partition via mapPartitions; output schema is
+    * (input columns..., meta: mediaMetaType).
+    */
+  def withMediaMeta(df: DataFrame, binaryCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("meta", mediaMetaType))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // one digest instance per batch/partition, not per row
+      val md = MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](binIdx)
+        md.reset()
+        val sha = md.digest(payload).map(b => f"$b%02x").mkString
+        val (w, h, f) = decodeStub(payload)
+        Row.fromSeq(r.toSeq :+ Row(payload.length, sha, w, h, f))
+      }
+    }
+  }
+
+  /** Frame sampling stub: every k-th frame index of the decoded stream —
+    * the batch-shape of a video pipeline without the codec.
+    */
+  def sampleFrameIndexes(nFrames: Int, every: Int): Seq[Int] =
+    (0 until nFrames by math.max(1, every)).toSeq
+}

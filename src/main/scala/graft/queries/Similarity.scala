@@ -69,6 +69,35 @@ object Similarity {
         .filter(col("rank") <= 5)
     }),
 
+    // Embedding-cosine near-duplicate pairs (brute force with precomputed
+    // norms; threshold tuned to this dataset's similarity range). The scale
+    // path bucketizes with sim_lsh_buckets first, shrinking the pair space
+    // from N² to Σ bucket².
+    "dedup_embed_cosine" -> ((s, d) => {
+      val base = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = base.select(col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("db"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("da") < col("db"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") > 0.4)
+        .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // Opaque binary media column + typed metadata (the multimodal transport
+    // contract, graft.ops.Multimodal): payload length + content hash are
+    // oracle-checked; the stubbed decode dimensions are spec-tested.
+    "mm_binary_meta" -> ((s, d) => {
+      val withMeta = graft.ops.Multimodal.withMediaMeta(
+        documents(s, d).select(col("doc_id"), col("text").cast("binary").as("media")),
+        "media")
+      withMeta.select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.sha256").as("sha256"))
+    }),
+
     // LSH-bucketed ANN: 16 deterministic hyperplanes (pseudo-random ±1
     // components from xxhash64(plane, dim)), signature = sign bits; buckets
     // join on signature. Engine-specific hash → rows-only check. This is the
@@ -112,6 +141,19 @@ object Similarity {
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
       FROM scored
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
+    "dedup_embed_cosine" -> """
+      WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS da, b.vec_id AS db,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
+    "mm_binary_meta" -> """
+      SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+             sha256(text) AS sha256
+      FROM documents""",
     // sim_lsh_buckets: intentionally no oracle (engine-specific hash).
   )
 }
