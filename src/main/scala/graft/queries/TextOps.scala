@@ -133,28 +133,14 @@ object TextOps {
         .distinct()
     }),
 
-    // SimHash (64-bit, xxhash64 token hashes): computed entirely per-row with
-    // higher-order functions — zero shuffle, zero UDF. No DuckDB oracle
-    // (xxhash64 is Spark-specific) → rows-only check.
+    // SimHash (64-bit, Murmur3 token hashes): a single-pass custom Catalyst
+    // expression (graft.expressions.SimHash64) — zero shuffle, zero UDF,
+    // whole document signature per row. No DuckDB oracle (engine-specific
+    // hash) → rows-only check.
     "dedup_simhash" -> ((s, d) => {
       toks(s, d).select(
         col("doc_id"),
-        expr("""
-          aggregate(
-            zip_with(
-              aggregate(
-                t,
-                array_repeat(0L, 64),
-                (acc, tk) -> zip_with(
-                  acc,
-                  transform(sequence(0, 63),
-                    j -> CASE WHEN (shiftright(xxhash64(tk), j) & 1L) = 1L
-                              THEN 1L ELSE -1L END),
-                  (a, b) -> a + b)),
-              sequence(0, 63),
-              (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),
-            0L, (a, x) -> a + x)
-        """).as("simhash"))
+        graft.expressions.SimHash64(col("t")).as("simhash"))
     }),
   )
 

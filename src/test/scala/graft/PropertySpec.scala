@@ -1,0 +1,114 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Peptides
+import graft.kernels.{FeatureFinder, SpecPeaks}
+import graft.ops.MzmlStats
+
+/** Property-style tests (seeded generators, batched through a single Spark
+  * pass so hundreds of cases cost one job): modsPosition against an
+  * independent position derivation, scan-id extraction fallback, simhash
+  * similarity behavior, and feature-finder noise robustness.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(20260812L)
+  private val residues = "ACDEFGHIKLMNPQRSTVWY"
+  private val modNames = Seq("Oxidation", "Carbamidomethyl", "Phospho", "Acetyl", "GG")
+
+  /** Random peptidoform + independently computed expected positions. */
+  private def genCase(): (String, Option[Seq[String]]) = {
+    val nSegs = 1 + rnd.nextInt(4)
+    val segs = Seq.fill(nSegs)(
+      Seq.fill(rnd.nextInt(6))(residues(rnd.nextInt(residues.length))).mkString)
+    val nMods = rnd.nextInt(nSegs) // mods go between segments (after seg i)
+    val modAt = rnd.shuffle(segs.indices.dropRight(1).toList).take(nMods).sorted
+    val sb = new StringBuilder
+    var residuesSoFar = 0
+    val expected = scala.collection.mutable.ArrayBuffer.empty[String]
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      sb.append(seg)
+      residuesSoFar += seg.length
+      if (modAt.contains(i)) {
+        val m = modNames(rnd.nextInt(modNames.length))
+        sb.append(s"($m)")
+        expected += s"$residuesSoFar-$m"
+      }
+    }
+    (sb.toString, if (expected.isEmpty) None else Some(expected.toSeq))
+  }
+
+  test("modsPosition matches independent derivation on 300 random peptidoforms") {
+    val cases = Seq.fill(300)(genCase()).filter(_._1.nonEmpty)
+    val got = cases.map(_._1).toDF("p")
+      .select(col("p"), Peptides.modsPosition(col("p")).as("m"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toSeq))).toMap
+    cases.foreach { case (p, expected) =>
+      assert(got(p) === expected, s"peptidoform $p")
+    }
+  }
+
+  test("scanId: extracts any scan=/spectrum= digits, falls back to full id") {
+    val cases = (1 to 100).map { i =>
+      val n = rnd.nextInt(1000000)
+      rnd.nextInt(3) match {
+        case 0 => (s"controllerType=0 controllerNumber=1 scan=$n", n.toString)
+        case 1 => (s"spectrum=$n", n.toString)
+        case _ => (s"index-only-$n", s"index-only-$n") // no match → identity
+      }
+    }
+    val got = cases.map(_._1).toDF("id")
+      .select(col("id"), MzmlStats.scanId(col("id")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, expected) => assert(got(id) === expected, id) }
+  }
+
+  test("simhash: identical token arrays hash equal; hamming grows with edits") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Seq.fill(60)(residues(rnd.nextInt(residues.length)).toString ++
+      rnd.nextInt(100).toString)
+    val oneEdit = base.updated(0, "EDITED_TOKEN")
+    val unrelated = Seq.fill(60)("zz" + rnd.nextInt(1000000).toString)
+    val df = Seq(("a", base), ("b", base), ("c", oneEdit), ("d", unrelated))
+      .toDF("k", "t")
+      .select(col("k"), graft.expressions.SimHash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("a") === df("b"))
+    assert(hamming(df("a"), df("c")) < hamming(df("a"), df("d")),
+      "near-duplicate must be closer than unrelated text")
+  }
+
+  test("feature finder: pure noise yields no features, planted envelope always found") {
+    (1 to 5).foreach { trial =>
+      val r = new Random(trial)
+      // isolated random peaks, no persistent traces
+      val noise = (0 until 15).map(i =>
+        SpecPeaks(i, i * 2.0, s"$i",
+          Array.fill(20)(300 + r.nextDouble() * 1000).sorted,
+          Array.fill(20)(100 + r.nextDouble() * 1000)))
+      assert(FeatureFinder.detect(noise).isEmpty, s"trial $trial: noise made features")
+
+      val mono = 400 + r.nextDouble() * 600
+      val z = 1 + r.nextInt(3)
+      val planted = noise.map { s =>
+        val iso = (0 until 3).map(k => mono + k * FeatureFinder.IsoDiff / z)
+        val ints = (0 until 3).map(k => 1e6 * math.pow(0.7, k))
+        val mzs = (s.mz ++ iso).sorted
+        val byMz = (s.mz.zip(s.intensity) ++ iso.zip(ints)).sortBy(_._1)
+        SpecPeaks(s.index, s.rt, s.scan, byMz.map(_._1).toArray, byMz.map(_._2).toArray)
+      }
+      val feats = FeatureFinder.detect(planted)
+      assert(feats.nonEmpty, s"trial $trial: envelope missed")
+      val f = feats.minBy(x => math.abs(x.mz - mono))
+      assert(math.abs(f.mz - mono) < 0.02, s"trial $trial")
+      assert(f.charge === z, s"trial $trial: charge")
+      assert(f.minRt <= f.rt && f.rt <= f.maxRt)
+    }
+  }
+}
