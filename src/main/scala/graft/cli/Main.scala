@@ -62,12 +62,21 @@ object Main {
           println(out)
 
         case "mzmlstats" =>
-          MzmlStats.run(spark,
-            msPath = opts("ms_path"),
-            ms2File = flags.contains("ms2_file"),
-            outDir = opts.get("out_dir")).foreach(println)
-          if (flags.contains("feature_detection"))
-            println(FeatureDetect.run(spark, opts("ms_path"), opts.get("out_dir")))
+          // --ms_paths a,b,c = the multi-run cluster path (partitioned
+          // datasets); --ms_path = the reference's one-file contract
+          opts.get("ms_paths") match {
+            case Some(paths) =>
+              MzmlStats.runMany(spark, paths.split(",").toSeq,
+                opts.getOrElse("out_dir", "."),
+                ms2File = flags.contains("ms2_file")).foreach(println)
+            case None =>
+              MzmlStats.run(spark,
+                msPath = opts("ms_path"),
+                ms2File = flags.contains("ms2_file"),
+                outDir = opts.get("out_dir")).foreach(println)
+              if (flags.contains("feature_detection"))
+                println(FeatureDetect.run(spark, opts("ms_path"), opts.get("out_dir")))
+          }
 
         case "dianncfg" =>
           println(DiannCfg.run(

@@ -151,6 +151,32 @@ object MzmlStats {
     } finally { spectra.unpersist(); () }
   }
 
+  /** Cluster-scale entry: MANY runs in one job, outputs written as
+    * `file_name`-partitioned parquet datasets (`outDir/ms_info/`,
+    * `outDir/ms2_info/`). One reference invocation = one file; this is that
+    * loop turned into a single declarative plan — the scan parallelizes per
+    * run, the window sorts stay within their partition, and the writer
+    * streams per task. This layout (not the single-file contract) is the
+    * 100 TB shape: partition pruning on file_name gives per-run access.
+    */
+  def runMany(spark: SparkSession, paths: Seq[String], outDir: String,
+              ms2File: Boolean = false): Seq[String] = {
+    val spectra = readSpectra(spark, paths)
+    val infoPath = s"$outDir/ms_info"
+    msInfo(spectra).write
+      .partitionBy("file_name")
+      .option("compression", "gzip")
+      .mode("overwrite").parquet(infoPath)
+    if (ms2File) {
+      val ms2Path = s"$outDir/ms2_info"
+      ms2Info(spectra).write
+        .partitionBy("file_name")
+        .option("compression", "gzip")
+        .mode("overwrite").parquet(ms2Path)
+      Seq(infoPath, ms2Path)
+    } else Seq(infoPath)
+  }
+
   /** Write a single gzip parquet FILE (not a directory) — the reference
     * contract (mzml_statistics.py:292-294). Keeps column order per schema.
     */

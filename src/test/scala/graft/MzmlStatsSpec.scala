@@ -97,6 +97,19 @@ class MzmlStatsSpec extends SparkSpec {
     assert(info.count() === 5)
   }
 
+  test("runMany(): file_name-partitioned dataset across runs") {
+    val f2 = MzmlFixtures.standard(dir, "runmany_b.mzML").toString
+    val out = Files.createTempDirectory("mzml-many")
+    val written = MzmlStats.runMany(spark, Seq(file, f2), out.toString, ms2File = true)
+    assert(written.length === 2)
+    val info = spark.read.parquet(written.head)
+    assert(info.select("file_name").distinct().count() === 2)
+    assert(info.count() === 10) // 5 ms_info rows per run
+    // partition pruning: one run's directory readable in isolation
+    val one = spark.read.parquet(s"${written.head}/file_name=runmany_b.mzML")
+    assert(one.count() === 5)
+  }
+
   test("multi-file read parallelizes per file and keeps file_name") {
     val f2 = MzmlFixtures.standard(dir, "second.mzML").toString
     val both = MzmlStats.readSpectra(spark, Seq(file, f2))
