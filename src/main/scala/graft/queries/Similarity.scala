@@ -98,6 +98,44 @@ object Similarity {
         col("meta.sha256").as("sha256"))
     }),
 
+    // IVF-style ANN: a 16-centroid coarse quantizer (deterministic sample —
+    // production would k-means; a fixed sample keeps the oracle exact), every
+    // vector assigned to its nearest centroid by cosine, probes search only
+    // their nprobe=2 closest clusters. The scale shape: the inverted lists
+    // partition the corpus, so each probe scans ~2/16 of it instead of all N;
+    // centroids are a broadcast table, assignment is one codegen'd pass.
+    "sim_ivf_topk" -> ((s, d) => {
+      val base = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val csim = round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_id"))
+      // inverted lists: every vector tagged with its nearest centroid
+      val assigned = base.join(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+      // probes: same quantizer, keep the 2 closest clusters each
+      val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") <= 2)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("c_id"))
+      val cos = round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+    }),
+
     // LSH-bucketed ANN: 16 deterministic hyperplanes (pseudo-random ±1
     // components from xxhash64(plane, dim)), signature = sign bits; buckets
     // join on signature. Engine-specific hash → rows-only check. This is the
@@ -150,6 +188,33 @@ object Similarity {
              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
       FROM c a JOIN c b ON a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
+    "sim_ivf_topk" -> """
+      WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, nrm, c_id FROM (
+          SELECT a.vec_id, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents) WHERE crank = 1),
+      probes AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM (
+          SELECT a.vec_id, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents WHERE a.vec_id < 10) WHERE crank <= 2),
+      scored AS (
+        SELECT q_id, s.vec_id,
+               round(list_dot_product(qv, s.v) / (qn * s.nrm), 6) AS cos
+        FROM assigned s JOIN probes p ON s.c_id = p.c_id
+        WHERE s.vec_id <> p.q_id)
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
     "mm_binary_meta" -> """
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
              sha256(text) AS sha256
