@@ -137,6 +137,21 @@ object Relational {
         .agg(count(lit(1)).as("n_in_band"))
     }),
 
+    // J7 (pure-range variant): interval join with NO equi key — the shape
+    // Spark would plan as BroadcastNestedLoopJoin (O(n*m)). Our injected
+    // RangeJoinStrategy (graft.plans) plans BroadcastRangeJoinExec instead:
+    // broadcast intervals sorted by lo + prefix-max(hi) index, binary-search
+    // per probe. Same answer, near-linear work.
+    "j7b_interval_join" -> ((s, d) => {
+      val bands = supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(min(col("s_acctbal")).as("lo"), max(col("s_acctbal")).as("hi"))
+      customer(s, d)
+        .join(broadcast(bands), col("c_acctbal").between(col("lo"), col("hi")))
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_in_band"))
+    }),
+
     // J6/W1: as-of lookup via window last(ignoreNulls) (ref: precursor
     // spectrum as-of join, mzml_statistics.py:253-260). For every non-view
     // event: value of the latest preceding 'view' event of the same user.
@@ -366,6 +381,13 @@ object Relational {
       SELECT s_nationkey AS nationkey, count(*) AS n_in_band
       FROM customer JOIN bands
         ON c_nationkey = s_nationkey AND c_acctbal BETWEEN lo AND hi
+      GROUP BY s_nationkey""",
+    "j7b_interval_join" -> """
+      WITH bands AS (
+        SELECT s_nationkey, min(s_acctbal) AS lo, max(s_acctbal) AS hi
+        FROM supplier GROUP BY s_nationkey)
+      SELECT s_nationkey AS nationkey, count(*) AS n_in_band
+      FROM customer JOIN bands ON c_acctbal BETWEEN lo AND hi
       GROUP BY s_nationkey""",
     "j6_asof_last_prev" -> """
       SELECT event_id, prev_view_value FROM (

@@ -112,10 +112,20 @@ object Temporal {
           count(lit(1)).as("n_events"),
           ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
     }),
+
+    // Stateful streaming sessionization: flatMapGroupsWithState keyed by
+    // user with custom state + event-time timeout
+    // (graft.streaming.StatefulSessionize). Oracle-checked against the SAME
+    // SQL as batch w3_sessionize — the streaming state machine must
+    // reproduce the batch answer exactly.
+    "stream_sessionize_stateful" -> ((s, d) =>
+      graft.streaming.StatefulSessionize(s, d)),
   )
 
-  val oracle: Map[String, String] = Map(
-    "w3_sessionize" -> """
+  /** The streaming sessionizer answers the identical question as the batch
+    * window version, so it shares w3's oracle SQL verbatim.
+    */
+  private val sessionizeSql = """
       WITH g AS (
         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
@@ -130,7 +140,11 @@ object Temporal {
         FROM g)
       SELECT user_id, session_id, count(*) AS n_events,
              (max(us) - min(us)) / 1000000.0 AS duration_sec
-      FROM sess GROUP BY user_id, session_id""",
+      FROM sess GROUP BY user_id, session_id"""
+
+  val oracle: Map[String, String] = Map(
+    "stream_sessionize_stateful" -> sessionizeSql,
+    "w3_sessionize" -> sessionizeSql,
     "j8_interpolate_asof" -> """
       WITH curve AS (
         SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, min(value) AS v
