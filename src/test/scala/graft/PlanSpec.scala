@@ -1,0 +1,97 @@
+package graft
+
+/** Physical-plan assertions: the properties that decide whether a query
+  * survives a 100 TB scale-up, pinned as tests so a refactor cannot silently
+  * regress them. Each assertion names the property, not the full plan text:
+  *
+  *  - filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+  *  - small dimensions broadcast; nothing degenerates to nested-loop
+  *  - aggregations are partial (map-side combine) before the shuffle
+  *  - per-group ops shuffle exactly once on the group key
+  *  - the hot path stays inside whole-stage codegen
+  *
+  * Run against sf0.001 so the suite stays fast; plan shape is data-size
+  * independent for everything asserted here (broadcast choices are forced by
+  * explicit broadcast() hints in the queries, not by size estimation).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("s3_scan_prune: filter + projection are pushed into the parquet scan") {
+    val p = plan("s3_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice,3000.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"), p)
+  }
+
+  test("p1_isin_filter: In-filter pushed to scan, two-column read schema") {
+    val p = plan("p1_isin_filter")
+    assert(p.contains("PushedFilters: [In(l_linenumber, [1,2])]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"), p)
+  }
+
+  test("q1_agg: map-side partial aggregation before the single shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    // 16-column lineitem pruned to the 4 the aggregates need
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string"), p)
+  }
+
+  test("j1_broadcast_inner: dimension join broadcasts, fact side never shuffles for the join") {
+    val p = plan("j1_broadcast_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // only the post-join aggregation shuffles (on c_mktsegment)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q5_multijoin: dims broadcast; no nested-loop or cartesian anywhere") {
+    val p = plan("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j7b pure-interval join: custom range strategy, not nested-loop") {
+    val p = plan("j7b_interval_join")
+    assert(p.contains("BroadcastRangeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j6 as-of window: exactly one shuffle, on the partition key") {
+    val p = plan("j6_asof_last_prev")
+    assert(p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("o2 head-of-group: partial aggregate + one shuffle, no window") {
+    // min(struct) buffers aren't hash-aggregable so Spark picks
+    // SortAggregate — the scale property is map-side combine + a single
+    // key shuffle, NOT a window (which would sort every group's full rows).
+    val p = plan("o2_first_per_group")
+    assert(p.contains("partial_min"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("f10 projection pipeline: whole-stage codegen, zero shuffles") {
+    val p = plan("f10_round_cast")
+    // "*(1)" is the whole-stage-codegen stage marker in executedPlan output
+    assert(p.contains("*(1)"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("dedup_exact: partial aggregation handles duplicate collapse map-side") {
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+  }
+}
