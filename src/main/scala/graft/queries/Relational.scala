@@ -152,6 +152,28 @@ object Relational {
         .agg(count(lit(1)).as("n_in_band"))
     }),
 
+    // J2 (skew variant): salted shuffle join. A hot key would send one
+    // entire join key's rows to a single reducer; salting splits each key
+    // into N deterministic sub-keys (fact side: pmod(hash(unique cols), N);
+    // dim side: exploded ×N) so the hot key spreads over N tasks. AQE's
+    // skew-join split handles this adaptively for sort-merge joins; salting
+    // is the static variant that also works under windows/aggregations.
+    // Oracle = the UNsalted join, proving the rewrite is answer-preserving.
+    "j2s_salted_skew_join" -> ((s, d) => {
+      val nsalt = 8
+      val fact = lineitem(s, d).withColumn(
+        "salt", pmod(hash(col("l_linenumber"), col("l_partkey")), lit(nsalt)))
+      val dim = orders(s, d).withColumn(
+        "dsalt", explode(array((0 until nsalt).map(lit): _*)))
+      fact
+        .join(dim, col("l_orderkey") === col("o_orderkey") &&
+          col("salt") === col("dsalt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          (centsSum(col("l_extendedprice")) / 100.0).as("sum_price"))
+    }),
+
     // J6/W1: as-of lookup via window last(ignoreNulls) (ref: precursor
     // spectrum as-of join, mzml_statistics.py:253-260). For every non-view
     // event: value of the latest preceding 'view' event of the same user.
@@ -389,6 +411,11 @@ object Relational {
       SELECT s_nationkey AS nationkey, count(*) AS n_in_band
       FROM customer JOIN bands ON c_acctbal BETWEEN lo AND hi
       GROUP BY s_nationkey""",
+    "j2s_salted_skew_join" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
     "j6_asof_last_prev" -> """
       SELECT event_id, prev_view_value FROM (
         SELECT event_id, event_type,
