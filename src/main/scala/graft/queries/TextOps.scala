@@ -125,11 +125,20 @@ object TextOps {
       }
       val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
         .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
-      bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      // Candidate pairs per LSH bucket WITHOUT a self-join: a self-join
+      // would recompute the whole shingle→signature pipeline for both
+      // sides (no reuse across plan branches) and shuffle twice. One
+      // groupBy(band, bucket) + in-bucket pair expansion via higher-order
+      // functions is a single shuffle over the band table. Bucket sizes
+      // are small by LSH construction, so the k² expansion stays tiny.
+      bands
+        .groupBy(col("band"), col("bk"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
+        .select(col("p.da"), col("p.db"))
         .distinct()
     }),
 
