@@ -59,6 +59,15 @@ case class BroadcastRangeJoinExec(
     val allOutput = output
 
     left.execute().mapPartitions { streamIter =>
+      // Spark's comparison ordering puts NaN ABOVE every other double
+      // (x <= NaN is true for all x), while Java's NaN comparisons are all
+      // false. Normalizing NaN to +inf makes the Java-compared index a
+      // superset of Spark's semantics — a NaN hi admits every probe >= lo,
+      // a NaN probe/lo only pairs with +inf-normalized counterparts — and
+      // the fullCondition recheck (Spark semantics) restores exactness.
+      def norm(d: Double): Double =
+        if (java.lang.Double.isNaN(d)) Double.PositiveInfinity else d
+
       // Build the sorted interval index once per task from the broadcast
       // rows (cheap: the build side is broadcast-small by construction).
       val buildRows = broadcastRelation.value
@@ -68,7 +77,7 @@ case class BroadcastRangeJoinExec(
         val h = hiBound.eval(r)
         // A null bound can never satisfy the join predicate — drop it here.
         if (l != null && h != null)
-          entries += ((l.asInstanceOf[Double], h.asInstanceOf[Double], r))
+          entries += ((norm(l.asInstanceOf[Double]), norm(h.asInstanceOf[Double]), r))
       }
       val sorted = entries.sortBy(_._1).toArray
       val los = sorted.map(_._1)
@@ -90,7 +99,7 @@ case class BroadcastRangeJoinExec(
         val x = probeBound.eval(streamRow)
         if (x == null || sorted.isEmpty) Iterator.empty
         else {
-          val xv = x.asInstanceOf[Double]
+          val xv = norm(x.asInstanceOf[Double])
           // last index with lo <= xv (binary search on the sorted lows)
           var a = 0
           var b = los.length

@@ -77,6 +77,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("randomized vs Spark-ordering nested loop, incl. NaN and infinities") {
+    import spark.implicits._
+    // Spark's total order puts NaN above +Infinity; mirror it for the oracle
+    def geS(a: Double, b: Double): Boolean =
+      if (a.isNaN) true else if (b.isNaN) false else a >= b
+    val rnd = new scala.util.Random(20260812L)
+    def draw(): Double = rnd.nextInt(20) match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case 2 => Double.NegativeInfinity
+      case _ => math.floor(rnd.nextDouble() * 200) / 2.0
+    }
+    val ps = (1L to 300L).map(id => (id, draw()))
+    val ivs = (1L to 60L).map(id => (id, draw(), draw()))
+
+    val got = ps.toDF("id", "x")
+      .join(broadcast(ivs.toDF("iid", "lo", "hi")),
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .select(col("id"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (id, x) <- ps
+      (iid, lo, hi) <- ivs
+      if geS(x, lo) && geS(hi, x)
+    } yield (id, iid)).toSet
+    assert(got === expected)
+  }
+
   test("residual conjuncts are applied") {
     val got = points.join(
         broadcast(intervals),
