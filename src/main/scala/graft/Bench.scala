@@ -33,10 +33,19 @@ object Bench {
       try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two timed passes, min per query: a single pass charges whichever
+    // queries run first with residual JIT/GC noise (observed 5x swings on
+    // trivial projections); the min of two passes is a stable steady-state
+    // number. The warm-up above already paid classload/codegen once.
+    val passes = (1 to 2).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val results = passes.head.map { case (name, t) =>
+      name -> passes.map(_(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
