@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,7 +80,7 @@ class MzmlTable(options: CaseInsensitiveStringMap) extends Table with SupportsRe
   override def name(): String = s"mzml(${MzmlTable.resolvePaths(options).mkString(",")})"
   override def schema(): StructType = MzmlTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new MzmlScanBuilder(new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava))
@@ -125,12 +127,83 @@ class MzmlScan(paths: Seq[String], required: StructType, msLevels: Option[Set[In
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MzmlMicroBatchStream(paths, required, msLevels)
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => MzmlInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MzmlReaderFactory(required, msLevels)
   override def description(): String =
     s"mzml scan (${paths.length} files, msLevels=${msLevels.getOrElse("all")})"
+}
+
+/** Offset = the sorted set of files already ingested. Self-describing and
+  * replayable: a restart deserializes the committed offset from the
+  * checkpoint and plans exactly the not-yet-seen files.
+  */
+case class MzmlFilesOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+}
+
+object MzmlFilesOffset {
+  def fromJson(json: String): MzmlFilesOffset = {
+    val t = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (t.isEmpty) MzmlFilesOffset(Nil)
+    else MzmlFilesOffset(
+      t.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+}
+
+/** Watch-folder ingestion of instrument runs (§2.10's natural streaming
+  * extension of the reference's one-file-per-invocation batch model): each
+  * `path` that is a directory is listed per micro-batch and files not in
+  * the start offset become one InputPartition each — the same
+  * file-is-the-parallelism-unit contract as the batch scan, driven
+  * incrementally. Works under any trigger; `Trigger.AvailableNow` drains
+  * the current listing and stops (Spark wraps non-SupportsTriggerAvailableNow
+  * streams automatically).
+  */
+class MzmlMicroBatchStream(
+    roots: Seq[String], required: StructType, msLevels: Option[Set[Int]])
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def listFiles(): Seq[String] = roots.flatMap { r =>
+    val p = new Path(r)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(_.isFile)
+        .map(_.getPath.toString)
+        .filter(_.toLowerCase.endsWith(".mzml"))
+    else Seq(p.toString)
+  }.distinct.sorted
+
+  // AvailableNow contract: freeze the target listing at query start so the
+  // run drains exactly the files present then, even across several batches
+  private var frozen: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit = { frozen = Some(listFiles()) }
+
+  override def latestOffset(): Offset =
+    MzmlFilesOffset(frozen.getOrElse(listFiles()))
+  // admission-control variant (SupportsTriggerAvailableNow extends it); we
+  // ingest whole files, so read limits don't subdivide the listing
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def initialOffset(): Offset = MzmlFilesOffset(Nil)
+  override def deserializeOffset(json: String): Offset = MzmlFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[MzmlFilesOffset].files.toSet
+    end.asInstanceOf[MzmlFilesOffset].files
+      .filterNot(seen)
+      .map(p => MzmlInputPartition(p): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MzmlReaderFactory(required, msLevels)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class MzmlInputPartition(path: String) extends InputPartition
