@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, PredicateHelper}
+  Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -35,8 +35,12 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
         e.references.nonEmpty && e.references.subsetOf(right.outputSet) && e.deterministic
       def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
 
+      // EqualNullSafe counts too: ExtractEquiJoinKeys plans hash joins for
+      // both forms, and a hash join with a range residual beats our scan
       val hasEquiKey = conjuncts.exists {
         case EqualTo(a, b) =>
+          (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+        case EqualNullSafe(a, b) =>
           (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
         case _ => false
       }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,12 +45,21 @@ object StatefulSessionize {
   private[streaming] def onGroup(
       user: Long, it: Iterator[Ev], state: GroupState[Open]): Iterator[SessionRow] = {
     if (state.hasTimedOut) {
-      // unbounded-stream path: watermark passed lastUs + gap → close. A
-      // zero-event marker (n = 0, no timeout registered) stays behind so the
-      // user's next session continues the ordinal sequence.
       val s = state.get
-      state.update(Open(0L, 0L, 0L, s.ordinal + 1))
-      Iterator.single(SessionRow(user, s.ordinal, s.n, (s.lastUs - s.startUs) / 1e6))
+      if (s.n == 0) {
+        // the ordinal-continuation marker's own TTL expired → drop the
+        // user's state entirely (bounds state-store growth on unbounded
+        // streams; a user returning later restarts at ordinal 0)
+        state.remove()
+        Iterator.empty
+      } else {
+        // watermark passed lastUs + gap → close the session. Leave a
+        // zero-event marker carrying the next ordinal, with its own
+        // gap-length TTL so churned users don't accumulate state forever.
+        state.update(Open(0L, 0L, 0L, s.ordinal + 1))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + GapUs / 1000)
+        Iterator.single(SessionRow(user, s.ordinal, s.n, (s.lastUs - s.startUs) / 1e6))
+      }
     } else {
       val evs = it.toArray.sortBy(e => (e.us, e.event_id))
       val out = new ArrayBuffer[SessionRow]
@@ -69,7 +78,16 @@ object StatefulSessionize {
             close(s)
             cur = Some(Open(e.us, e.us, 1, s.ordinal + 1))
           case Some(s) =>
-            cur = Some(s.copy(lastUs = e.us, n = s.n + 1))
+            // min/max, not lastUs = e.us: a later micro-batch may deliver
+            // an event OLDER than lastUs (watermark admits up to gap-length
+            // lateness). Any admissible late event satisfies
+            // e.us >= lastUs - gap >= startUs - gap, so merging into the
+            // open session is exactly what the batch sessionizer does with
+            // the globally sorted data — an interior insert can only merge
+            // sessions, never split them. (Events later than the watermark
+            // allows would need output retraction; Append mode can't.)
+            cur = Some(Open(
+              math.min(s.startUs, e.us), math.max(s.lastUs, e.us), s.n + 1, s.ordinal))
         }
       }
       cur match {
@@ -86,16 +104,15 @@ object StatefulSessionize {
     }
   }
 
-  /** Stage the finite input for the oracle-checked run: the real events file
-    * plus one sentinel row per user at max(ts) + 1 year, so the final
-    * sessions close deterministically. Returns the staging directory.
+  /** Stage the finite input for the oracle-checked run: the real events
+    * (file OR directory-shaped dataset — staged through Spark, not a raw
+    * file copy) plus one sentinel row per user at max(ts) + 1 year, so the
+    * final sessions close deterministically. Returns (staging dir, schema);
+    * the caller deletes the staging dir after the query drains.
     */
-  private def stageInput(spark: SparkSession, sfDir: String): Path = {
+  private def stageInput(spark: SparkSession, sfDir: String): (Path, org.apache.spark.sql.types.StructType) = {
     val stage = Files.createTempDirectory("stream-sessionize")
-    val src = Paths.get(s"$sfDir/events.parquet")
-    Files.copy(src, stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-
-    val raw = spark.read.parquet(src.toString) // ts = raw nanos long
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = raw nanos long
     val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
     val sentinelTs = maxTs + 365L * 24 * 3600 * 1000000000L
     val sentinel = raw.select(col("user_id")).distinct()
@@ -106,18 +123,22 @@ object StatefulSessionize {
         lit(null).cast("string").as("event_type"),
         lit(null).cast("double").as("value"),
         lit(null).cast("string").as("props"))
-    val tmpOut = Files.createTempDirectory("stream-sessionize-sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow()
-    Files.move(part, stage.resolve("sentinel.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    stage
+    raw.unionByName(sentinel).write.mode("overwrite").parquet(stage.toString)
+    (stage, raw.schema)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val paths = Files.walk(p)
+      try paths.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
+      finally paths.close()
+    }
   }
 
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val stage = stageInput(spark, sfDir)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val (stage, schema) = stageInput(spark, sfDir)
     val qn = s"stream_sessionize_${System.nanoTime()}"
     val sessions = spark.readStream.schema(schema)
       .parquet(stage.toString)
@@ -137,6 +158,8 @@ object StatefulSessionize {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the memory sink holds the full result; the staged input can go
+    deleteRecursively(stage)
     spark.table(qn)
       .select(col("user_id"), col("session_id"), col("n_events"), col("duration_sec"))
   }

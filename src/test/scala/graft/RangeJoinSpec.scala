@@ -77,6 +77,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("null-safe equi key also bails out to hash join") {
+    val p = points.withColumn("k", col("id") % 2)
+    val iv = intervals.withColumn("k2", col("iid") % 2)
+    val joined = p.join(broadcast(iv),
+      col("k") <=> col("k2") && col("x").between(col("lo"), col("hi")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastRangeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("randomized vs Spark-ordering nested loop, incl. NaN and infinities") {
     import spark.implicits._
     // Spark's total order puts NaN above +Infinity; mirror it for the oracle

@@ -83,6 +83,30 @@ class StatefulSessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-batch out-of-order events merge into the open session") {
+    // batch 2 delivers an event OLDER than batch 1's max (admissible under
+    // the 30-min watermark): must merge — no split, no negative duration
+    val state = new FakeState(None, timedOut = false)
+    val b1 = StatefulSessionize.onGroup(
+      7L, Iterator(ev(1, 100L * 60 * 1000000)), state)
+    assert(b1.isEmpty)
+    val b2 = StatefulSessionize.onGroup(
+      7L, Iterator(
+        ev(2, 71L * 60 * 1000000),  // 29 min older than event 1
+        ev(3, 105L * 60 * 1000000),
+        ev(-1L, 10000L * 60 * 1000000)), state)
+    // batch reference on {71,100,105}: ONE session, 3 events, 34 min
+    assert(b2.toSeq === Seq(SessionRow(7L, 0L, 3, 34 * 60.0)))
+    assert(state.opt.isEmpty)
+  }
+
+  test("marker state expires via its own timeout instead of living forever") {
+    val marker = new FakeState(Some(Open(0L, 0L, 0L, 3L)), timedOut = true)
+    val out = StatefulSessionize.onGroup(7L, Iterator.empty, marker)
+    assert(out.isEmpty)
+    assert(marker.opt.isEmpty, "expired marker must be removed")
+  }
+
   test("event-time timeout closes the open session and preserves ordinals") {
     val state = new FakeState(None, timedOut = false)
     // session 0: two events 10s apart
@@ -98,6 +122,7 @@ class StatefulSessionizeSpec extends AnyFunSuite {
     val out2 = StatefulSessionize.onGroup(7L, Iterator.empty, timedOut)
     assert(out2.toSeq === Seq(SessionRow(7L, 0L, 2, 10.0)))
     assert(timedOut.opt === Some(Open(0L, 0L, 0L, 1L)))
+    assert(timedOut.timeoutTs >= 0, "marker must register its own TTL")
 
     // later events continue with ordinal 1, flushed by a sentinel
     val cont = new FakeState(timedOut.opt, timedOut = false)
