@@ -24,13 +24,16 @@ object SimHashUtil {
     var t = 0
     while (t < n) {
       val s = tokens.getUTF8String(t)
-      val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-      val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 13)
-      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      // null elements are legal in array<string> inputs — skip, don't NPE
+      if (s != null) {
+        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 13)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       t += 1
     }

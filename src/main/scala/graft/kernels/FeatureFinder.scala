@@ -108,9 +108,20 @@ object FeatureFinder {
     * trace plus at least one RT-overlapping isotope companion. Charge is
     * chosen by the longest isotope chain (ties → lower charge).
     */
+  /** First index >= from with traces(idx).mz >= x (traces sorted by mz). */
+  private def lowerBound(traces: IndexedSeq[Trace], x: Double, from: Int): Int = {
+    var a = from
+    var b = traces.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (traces(m).mz < x) a = m + 1 else b = m
+    }
+    a
+  }
+
   def detect(spectra: Seq[SpecPeaks]): Seq[RawFeature] = {
     val ordered = spectra.sortBy(_.index)
-    val traces = buildTraces(ordered).sortBy(_.mz)
+    val traces = buildTraces(ordered).sortBy(_.mz).toIndexedSeq
     val used = new Array[Boolean](traces.length)
     val features = ArrayBuffer.empty[RawFeature]
 
@@ -127,10 +138,13 @@ object FeatureFinder {
           var continue = true
           while (continue && k <= MaxIsotopes) {
             val targetMz = mono.mz + k * IsoDiff / z
-            // binary-search-free scan: traces sorted by mz, window is tiny
+            // binary search to the ppm window's lower edge: a linear scan
+            // from i+1 would re-walk every trace between mono and the k-th
+            // isotope for all 24 (charge, isotope) probes — O(n·span·24)
+            // in dense runs
             var bestJ = -1
             var bestD = Double.MaxValue
-            var j = i + 1
+            var j = lowerBound(traces, targetMz * (1 - PpmTol), i + 1)
             while (j < traces.length && traces(j).mz <= targetMz * (1 + PpmTol)) {
               if (!used(j) && !chain.contains(j)) {
                 val d = math.abs(traces(j).mz - targetMz)

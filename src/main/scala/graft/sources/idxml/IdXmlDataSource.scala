@@ -84,26 +84,31 @@ class IdXmlTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
 }
 
 class IdXmlScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  import graft.sources.SourceEnv
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => IdXmlInputPartition(p): InputPartition).toArray
+    SourceEnv.expand(paths, ".idxml",
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      .map(p => IdXmlInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new IdXmlReaderFactory(required)
+    new IdXmlReaderFactory(required, SourceEnv.hadoopConfMap())
 }
 
 case class IdXmlInputPartition(path: String) extends InputPartition
 
-class IdXmlReaderFactory(required: StructType) extends PartitionReaderFactory {
+class IdXmlReaderFactory(required: StructType, confMap: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new IdXmlPartitionReader(partition.asInstanceOf[IdXmlInputPartition].path, required)
+    new IdXmlPartitionReader(
+      partition.asInstanceOf[IdXmlInputPartition].path, required, confMap)
 }
 
-class IdXmlPartitionReader(path: String, required: StructType)
+class IdXmlPartitionReader(path: String, required: StructType, confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(path)
-  private val fs = hPath.getFileSystem(new Configuration())
+  private val fs = hPath.getFileSystem(graft.sources.SourceEnv.toConf(confMap))
   private val parser = new IdXmlParser(fs.open(hPath))
   private val fileName = UTF8String.fromString(hPath.getName)
   private var current: IdXmlPeptideId = _
@@ -112,14 +117,19 @@ class IdXmlPartitionReader(path: String, required: StructType)
     IdXmlTable.schema.fieldNames.map(n => n -> required.fieldNames.indexOf(n)).toMap
 
   /** search_engines per the reference dispatch (psm_conversion.py:96-104):
-    * ConsensusID → its SE:* sub-engines (MS-GF+, Comet, Sage order), else
-    * the run's engine.
+    * ConsensusID → its SE:* sub-engines, else the run's engine. The three
+    * engines the reference scores (MS-GF+, Comet, Sage) keep their
+    * canonical order; any OTHER sub-engine follows in file order rather
+    * than being dropped — provenance is never silently lost.
+    * (Known divergence: files with multiple IdentificationRuns stamp every
+    * row with the first run's engine — one run per file is the reference's
+    * own contract, one idXML per search.)
     */
   private lazy val searchEngines: Seq[String] = {
     val info = parser.runInfo
     if (info.searchEngine.contains("ConsensusID")) {
-      val order = Seq("MS-GF+", "Comet", "Sage")
-      order.filter(info.consensusSubEngines.contains)
+      val known = Seq("MS-GF+", "Comet", "Sage").filter(info.consensusSubEngines.contains)
+      known ++ info.consensusSubEngines.filterNot(known.contains)
     } else Seq(info.searchEngine)
   }
 

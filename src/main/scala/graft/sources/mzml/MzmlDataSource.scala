@@ -69,8 +69,7 @@ object MzmlTable {
       throw new IllegalArgumentException("mzml source requires a path"))
     val parts =
       if (raw.trim.startsWith("["))
-        raw.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        graft.sources.SourceEnv.decodeStrings(raw.trim) // Spark's JSON multi-path encoding
       else raw.split(",").toSeq.map(_.trim)
     parts.filter(_.nonEmpty)
   }
@@ -125,16 +124,21 @@ class MzmlScanBuilder(options: CaseInsensitiveStringMap)
 
 class MzmlScan(paths: Seq[String], required: StructType, msLevels: Option[Set[Int]])
     extends Scan with Batch {
+  import graft.sources.SourceEnv
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MzmlMicroBatchStream(paths, required, msLevels)
+  // directory paths expand to their *.mzML files, same as the streaming
+  // listing — a folder of runs works identically in batch and readStream
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => MzmlInputPartition(p): InputPartition).toArray
+    SourceEnv.expand(paths, ".mzml",
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      .map(p => MzmlInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new MzmlReaderFactory(required, msLevels)
+    new MzmlReaderFactory(required, msLevels, SourceEnv.hadoopConfMap())
   override def description(): String =
-    s"mzml scan (${paths.length} files, msLevels=${msLevels.getOrElse("all")})"
+    s"mzml scan (${paths.length} paths, msLevels=${msLevels.getOrElse("all")})"
 }
 
 /** Offset = the sorted set of files already ingested. Self-describing and
@@ -142,17 +146,12 @@ class MzmlScan(paths: Seq[String], required: StructType, msLevels: Option[Set[In
   * checkpoint and plans exactly the not-yet-seen files.
   */
 case class MzmlFilesOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+  override def json(): String = graft.sources.SourceEnv.encodeStrings(files.sorted)
 }
 
 object MzmlFilesOffset {
-  def fromJson(json: String): MzmlFilesOffset = {
-    val t = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (t.isEmpty) MzmlFilesOffset(Nil)
-    else MzmlFilesOffset(
-      t.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-  }
+  def fromJson(json: String): MzmlFilesOffset =
+    MzmlFilesOffset(graft.sources.SourceEnv.decodeStrings(json))
 }
 
 /** Watch-folder ingestion of instrument runs (§2.10's natural streaming
@@ -168,16 +167,12 @@ class MzmlMicroBatchStream(
     roots: Seq[String], required: StructType, msLevels: Option[Set[Int]])
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private def listFiles(): Seq[String] = roots.flatMap { r =>
-    val p = new Path(r)
-    val fs = p.getFileSystem(new Configuration())
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).toSeq
-        .filter(_.isFile)
-        .map(_.getPath.toString)
-        .filter(_.toLowerCase.endsWith(".mzml"))
-    else Seq(p.toString)
-  }.distinct.sorted
+  import graft.sources.SourceEnv
+  // captured driver-side at stream construction; readers rebuild from it
+  private val confMap = SourceEnv.hadoopConfMap()
+
+  private def listFiles(): Seq[String] =
+    SourceEnv.expand(roots, ".mzml", SourceEnv.toConf(confMap))
 
   // AvailableNow contract: freeze the target listing at query start so the
   // run drains exactly the files present then, even across several batches
@@ -186,9 +181,16 @@ class MzmlMicroBatchStream(
 
   override def latestOffset(): Offset =
     MzmlFilesOffset(frozen.getOrElse(listFiles()))
-  // admission-control variant (SupportsTriggerAvailableNow extends it); we
-  // ingest whole files, so read limits don't subdivide the listing
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  // Admission-control variant (SupportsTriggerAvailableNow extends it); we
+  // ingest whole files, so read limits don't subdivide the listing. The
+  // returned offset is the UNION of the committed start and the current
+  // listing: offsets must be monotonic, and a file that flickers out of a
+  // listing (eventual consistency, atomic replace) must not be forgotten
+  // and re-ingested when it reappears.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[MzmlFilesOffset].files.toSet
+    MzmlFilesOffset((seen ++ frozen.getOrElse(listFiles())).toSeq.sorted)
+  }
   override def initialOffset(): Offset = MzmlFilesOffset(Nil)
   override def deserializeOffset(json: String): Offset = MzmlFilesOffset.fromJson(json)
 
@@ -201,24 +203,28 @@ class MzmlMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MzmlReaderFactory(required, msLevels)
+    new MzmlReaderFactory(required, msLevels, confMap)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class MzmlInputPartition(path: String) extends InputPartition
 
-class MzmlReaderFactory(required: StructType, msLevels: Option[Set[Int]])
+class MzmlReaderFactory(
+    required: StructType, msLevels: Option[Set[Int]], confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MzmlPartitionReader(partition.asInstanceOf[MzmlInputPartition].path, required, msLevels)
+    new MzmlPartitionReader(
+      partition.asInstanceOf[MzmlInputPartition].path, required, msLevels, confMap)
 }
 
-class MzmlPartitionReader(path: String, required: StructType, msLevels: Option[Set[Int]])
+class MzmlPartitionReader(
+    path: String, required: StructType, msLevels: Option[Set[Int]],
+    confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(path)
-  private val fs = hPath.getFileSystem(new Configuration())
+  private val fs = hPath.getFileSystem(graft.sources.SourceEnv.toConf(confMap))
   private val parser = new MzmlParser(fs.open(hPath))
   private val fileName = UTF8String.fromString(hPath.getName)
   private var current: MzmlSpectrum = _
@@ -244,6 +250,9 @@ class MzmlPartitionReader(path: String, required: StructType, msLevels: Option[S
       if (i >= 0) row.update(i, v)
     }
     val p = s.precursors.headOption
+    // isolation-only precursors (no <selectedIon>, legal in DIA mzML) have
+    // no selected m/z/charge — emit null, not a fake 0.0
+    val ion = p.filter(_.hasSelectedIon)
     set("file_name", fileName)
     set("spectrum_index", s.index)
     set("native_id", UTF8String.fromString(s.nativeId))
@@ -252,9 +261,9 @@ class MzmlPartitionReader(path: String, required: StructType, msLevels: Option[S
     set("mz_array", ArrayData.toArrayData(s.mzArray))
     set("intensity_array", ArrayData.toArrayData(s.intensityArray))
     set("num_precursors", s.precursors.length)
-    set("precursor_mz", p.map(x => java.lang.Double.valueOf(x.mz)).orNull)
-    set("precursor_charge", p.map(x => java.lang.Integer.valueOf(x.charge)).orNull)
-    set("precursor_intensity", p.map(x => java.lang.Double.valueOf(x.intensity)).orNull)
+    set("precursor_mz", ion.map(x => java.lang.Double.valueOf(x.mz)).orNull)
+    set("precursor_charge", ion.map(x => java.lang.Integer.valueOf(x.charge)).orNull)
+    set("precursor_intensity", ion.map(x => java.lang.Double.valueOf(x.intensity)).orNull)
     set("iso_window_lower", p.map(x => java.lang.Double.valueOf(x.isoLowerOffset)).orNull)
     set("iso_window_upper", p.map(x => java.lang.Double.valueOf(x.isoUpperOffset)).orNull)
     set("acquisition_datetime",

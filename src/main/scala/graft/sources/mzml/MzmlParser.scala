@@ -16,7 +16,12 @@ case class MzmlPrecursor(
     charge: Int,
     intensity: Double,
     isoLowerOffset: Double,
-    isoUpperOffset: Double)
+    isoUpperOffset: Double,
+    /** false for isolation-only precursors (no <selectedIon> — legal in
+      * DIA mzML): mz/charge/intensity are then meaningless placeholders
+      * and the reader emits null instead.
+      */
+    hasSelectedIon: Boolean = true)
 
 /** One parsed spectrum. RT in seconds (minute-unit scan times converted, as
   * OpenMS getRT does).
@@ -109,6 +114,7 @@ class MzmlParser(in: InputStream) extends Iterator[MzmlSpectrum] with AutoClosea
     var inPrecursor = false
     var inIsolation = false
     var inSelectedIon = false
+    var sawSelectedIon = false
     var pMz, pIntensity, isoLo, isoHi = 0.0
     var pCharge = 0
 
@@ -120,17 +126,21 @@ class MzmlParser(in: InputStream) extends Iterator[MzmlSpectrum] with AutoClosea
           r.getLocalName match {
             case "scan" => inScan = true
             case "precursor" =>
-              inPrecursor = true; pMz = 0; pIntensity = 0; pCharge = 0; isoLo = 0; isoHi = 0
+              inPrecursor = true; sawSelectedIon = false
+              pMz = 0; pIntensity = 0; pCharge = 0; isoLo = 0; isoHi = 0
             case "isolationWindow" => inIsolation = true
-            case "selectedIon" => inSelectedIon = true
+            case "selectedIon" => inSelectedIon = true; sawSelectedIon = true
             case "binaryDataArray" =>
               is64bit = true; isZlib = false; arrayKind = ""
             case "binary" =>
-              val data = decodeBinary(readText(), is64bit, isZlib)
+              // check the kind BEFORE decoding: extra arrays (ion mobility,
+              // noise, charge — common in timsTOF/Sciex exports) skip the
+              // base64+inflate cost entirely
+              val txt = readText()
               depth -= 1 // readText consumed the END_ELEMENT of <binary>
               arrayKind match {
-                case "mz" => mz = data
-                case "intensity" => inten = data
+                case "mz" => mz = decodeBinary(txt, is64bit, isZlib)
+                case "intensity" => inten = decodeBinary(txt, is64bit, isZlib)
                 case _ =>
               }
             case "cvParam" =>
@@ -165,7 +175,8 @@ class MzmlParser(in: InputStream) extends Iterator[MzmlSpectrum] with AutoClosea
             case "selectedIon" => inSelectedIon = false
             case "precursor" =>
               inPrecursor = false
-              precursors += MzmlPrecursor(pMz, pCharge, pIntensity, isoLo, isoHi)
+              precursors += MzmlPrecursor(
+                pMz, pCharge, pIntensity, isoLo, isoHi, sawSelectedIon)
             case _ =>
           }
         case _ =>
@@ -211,10 +222,13 @@ class MzmlParser(in: InputStream) extends Iterator[MzmlSpectrum] with AutoClosea
     while (!inflater.finished()) {
       val n = inflater.inflate(buf)
       if (n > 0) out.write(buf, 0, n)
-      // empty-payload streams report needsInput and finished together after
-      // the first call — only an unfinished stream out of input is truncated
-      else if (!inflater.finished() && inflater.needsInput())
-        throw new IllegalArgumentException("truncated zlib stream")
+      // Any zero-progress iteration of an unfinished stream is an error:
+      // needsInput = truncated; otherwise (needsDictionary / corrupt) the
+      // inflater would never progress and the loop would spin forever.
+      else if (!inflater.finished())
+        throw new IllegalArgumentException(
+          if (inflater.needsInput()) "truncated zlib stream"
+          else "unsupported or corrupt zlib stream")
     }
     inflater.end()
     out.toByteArray

@@ -48,6 +48,10 @@ object MzmlFixtures {
     out.toByteArray
   }
 
+  /** Public variant for specs crafting custom spectrum XML. */
+  def binaryArrayPublic(values: Array[Double], kind: String): String =
+    binaryArray(values, kind, is64 = true, zlib = true)
+
   private def binaryArray(values: Array[Double], kind: String, is64: Boolean,
                           zlib: Boolean): String = {
     val bits = if (is64) """<cvParam cvRef="MS" accession="MS:1000523" name="64-bit float"/>"""
