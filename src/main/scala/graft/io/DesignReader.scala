@@ -70,7 +70,10 @@ object DesignReader {
     val files =
       if (multiplexed) {
         // whole-value SILAC / mTRAQ label replacement (diann2msstats.py:182-199)
-        val labels = withRun.select(lower(col("Label"))).distinct().collect().map(_.getString(0))
+        // null-safe: an empty Label cell is null here (pandas astype(str)
+        // would have made it "nan"); it can't match either label family
+        val labels = withRun.select(lower(col("Label"))).distinct().collect()
+          .map(_.getString(0)).filter(_ != null)
         val silac = labels.exists(_.contains("silac"))
         val mtraq = labels.exists(_.contains("mtraq"))
         val silacMap = Map("SILAC light" -> "L", "SILAC medium" -> "M", "SILAC heavy" -> "H")

@@ -39,7 +39,11 @@ object DiannToMsstats {
       if (multiplexed) baseCols :+ col("Channel").as("IsotopeLabelType") else baseCols
     val projected = noDecoys.select(projCols: _*)
 
-    val nonZero = projected.filter(col("Intensity") =!= 0)
+    // pandas `df[df.Intensity != 0]` KEEPS NaN rows (NaN != 0 is True);
+    // Spark's `=!= 0` would drop null — keep nulls to match the reference
+    // (diann2msstats.py:73)
+    val nonZero = projected.filter(
+      col("Intensity").isNull || col("Intensity") =!= 0)
 
     // sanitize + AASequence-style normalization, '^' prefix preserved
     val normalized = nonZero.withColumn(
@@ -75,7 +79,9 @@ object DiannToMsstats {
         s"Design lookup is not unique on ${mergeKeys.mkString(", ")} — " +
           "merge would not be many-to-one.")
 
-    val joined = labeled.join(broadcast(lookup), mergeKeys, "left")
+    // cached: the unmatched-run diagnostic below and the caller's write
+    // both consume `joined` — without this the full scan+join runs twice
+    val joined = labeled.join(broadcast(lookup), mergeKeys, "left").cache()
 
     val unmatchedRuns = joined.filter(col("BioReplicate").isNull)
       .select("Run").distinct().collect().map(_.getString(0))

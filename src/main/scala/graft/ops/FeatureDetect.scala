@@ -72,6 +72,10 @@ object FeatureDetect {
       .withColumn("feature_id",
         abs(xxhash64(col("file_name"), col("feature_mz"), col("feature_rt"),
           col("feature_charge"))))
+      // cached: probes, the scan range join, and the final join all consume
+      // this — without it the per-file feature kernel (the dominant cost)
+      // re-reads the mzML and re-runs THREE times
+      .cache()
 
     // pTIC over the SAME filtered spectrum set the kernel sees
     // (ms1_feature_finder.py:259-272 filters before _get_ptic_data)

@@ -39,13 +39,11 @@ object Multimodal {
     (640 + (h % 1280).toInt, 360 + ((h >> 11) % 720).toInt, 1 + ((h >> 22) % 240).toInt)
   }
 
-  private def sha256Hex(payload: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-256").digest(payload)
-      .map(b => f"$b%02x").mkString
-
   /** Attach the metadata struct to a (id, media: binary) DataFrame.
     * Batched per partition via mapPartitions; output schema is
-    * (input columns..., meta: mediaMetaType).
+    * (input columns..., meta: mediaMetaType). A null payload yields a
+    * null meta struct — binary columns are nullable in real tables and a
+    * single null row must not kill the task.
     */
   def withMediaMeta(df: DataFrame, binaryCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("meta", mediaMetaType))
@@ -56,10 +54,13 @@ object Multimodal {
       val md = MessageDigest.getInstance("SHA-256")
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](binIdx)
-        md.reset()
-        val sha = md.digest(payload).map(b => f"$b%02x").mkString
-        val (w, h, f) = decodeStub(payload)
-        Row.fromSeq(r.toSeq :+ Row(payload.length, sha, w, h, f))
+        val meta = if (payload == null) null else {
+          md.reset()
+          val sha = md.digest(payload).map(b => f"$b%02x").mkString
+          val (w, h, f) = decodeStub(payload)
+          Row(payload.length, sha, w, h, f)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
       }
     }
   }
