@@ -181,18 +181,7 @@ object MzmlStats {
     * contract (mzml_statistics.py:292-294). Keeps column order per schema.
     */
   private[ops] def writeSingleParquet(df: DataFrame, target: String,
-                                      schema: org.apache.spark.sql.types.StructType): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val ordered = df.select(schema.fieldNames.map(col(_)): _*)
-    val tmp = Files.createTempDirectory("graft-pq-")
-    val tmpOut = tmp.resolve("out").toString
-    ordered.coalesce(1).write.option("compression", "gzip").parquet(tmpOut)
-    val part = Files.list(Paths.get(tmpOut)).iterator().asScala
-      .find(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmpOut"))
-    Files.move(part, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
-  }
+                                      schema: org.apache.spark.sql.types.StructType): Unit =
+    graft.io.SingleFileSink.parquetGzip(
+      df.select(schema.fieldNames.map(col(_)): _*), target)
 }
