@@ -56,7 +56,7 @@ object Similarity {
     // rank on the rounded similarity with vec_id tiebreak so ordering is
     // reproducible across engines.
     "sim_cosine_topk" -> ((s, d) => {
-      val base = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val base = fanOut(embeddings(s, d), s).select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val probes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val cos = round(
@@ -74,7 +74,7 @@ object Similarity {
     // path bucketizes with sim_lsh_buckets first, shrinking the pair space
     // from N² to Σ bucket².
     "dedup_embed_cosine" -> ((s, d) => {
-      val base = embeddings(s, d)
+      val base = fanOut(embeddings(s, d), s)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val a = base.select(col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na"))
@@ -90,7 +90,7 @@ object Similarity {
     // oracle-checked; the stubbed decode dimensions are spec-tested.
     "mm_binary_meta" -> ((s, d) => {
       val withMeta = graft.ops.Multimodal.withMediaMeta(
-        documents(s, d).select(col("doc_id"), col("text").cast("binary").as("media")),
+        fanOut(documents(s, d), s).select(col("doc_id"), col("text").cast("binary").as("media")),
         "media")
       withMeta.select(
         col("doc_id"),
@@ -105,7 +105,7 @@ object Similarity {
     // partition the corpus, so each probe scans ~2/16 of it instead of all N;
     // centroids are a broadcast table, assignment is one codegen'd pass.
     "sim_ivf_topk" -> ((s, d) => {
-      val base = embeddings(s, d)
+      val base = fanOut(embeddings(s, d), s)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val cents = base.filter(col("vec_id") < 16)
@@ -150,7 +150,7 @@ object Similarity {
             zip_with(v, sequence(lit(0), size(col("embedding")) - 1),
               (x, i) => when(xxhash64(p * 4096 + i) % 2 === 0, x).otherwise(-x)),
             lit(0.0), (acc, x) => acc + x) > 0, lit(1)).otherwise(lit(0)))
-      embeddings(s, d).select(
+      fanOut(embeddings(s, d), s).select(
         col("vec_id"),
         concat_ws("", sigBits).as("bucket"))
     }),

@@ -21,9 +21,12 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, t: array<string>) tokenized view. */
+  /** (doc_id, t: array<string>) tokenized view, fanned out to all cores —
+    * everything downstream (shingle explosion, 16× per-shingle hashing) is
+    * CPU-bound, so the single-row-group scan must not serialize it.
+    */
   private def toks(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    fanOut(documents(s, d), s).select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
 
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
@@ -53,7 +56,7 @@ object TextOps {
       val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
       val ws = length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
       val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
-      documents(s, d).select(
+      fanOut(documents(s, d), s).select(
         col("doc_id"),
         round(alpha / len, 6).as("alpha_ratio"),
         round(digit / len, 6).as("digit_ratio"),
@@ -70,7 +73,7 @@ object TextOps {
           marker.length).cast("long")
       val sEn = (occurrences(" the ") + occurrences(" a ") + occurrences(" row "))
       val sEs = (occurrences(" el ") + occurrences(" la ") + occurrences(" de "))
-      documents(s, d).select(
+      fanOut(documents(s, d), s).select(
         col("doc_id"),
         sEn.as("score_en"),
         sEs.as("score_es"),
@@ -79,7 +82,7 @@ object TextOps {
 
     // Document fingerprint: md5 of casefolded, whitespace-collapsed text.
     "text_fingerprint" -> ((s, d) => {
-      documents(s, d).select(
+      fanOut(documents(s, d), s).select(
         col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
           .as("fingerprint"))
@@ -111,17 +114,24 @@ object TextOps {
         .select(col("da"), col("db"), col("jaccard"))
     }),
 
-    // MinHash + LSH banding: 16 hash functions (lexicographic min of a seeded
-    // md5 — engine-portable), 4 bands × 4 rows; candidate pairs share ≥1
-    // band. This is the 100 TB dedup path: signatures are fixed-width, the
-    // only join key is the 4-band hash.
+    // MinHash + LSH banding: 16 hash functions, 4 bands × 4 rows; candidate
+    // pairs share ≥1 band. This is the 100 TB dedup path: signatures are
+    // fixed-width, the only join key is the 4-band hash. One md5 per shingle
+    // (not 16): the 16 permutation hashes are Kirsch-Mitzenmacher
+    // combinations h_i = (h1 + i·h2) mod 2^60 of the digest's two 60-bit
+    // halves — integer min-aggregation, engine-portable, and ~16× less
+    // hashing than seeding md5 per permutation.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = shingles(s, d)
-      val mins = (0 until 16).map(i => min(md5(concat(lit(s"$i#"), col("s")))).as(s"h$i"))
+      val md = md5(col("s"))
+      val h1 = conv(substring(md, 1, 15), 16, 10).cast("long")
+      val h2 = conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)
+      val mins = (0 until 16).map(i =>
+        min((h1 + lit(i.toLong) * h2) % lit(1L << 60)).as(s"h$i"))
       val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("band"),
-          md5(concat((0 until 4).map(r => col(s"h${b * 4 + r}")): _*)).as("bk"))
+          concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bk"))
       }
       val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
         .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
@@ -196,16 +206,22 @@ object TextOps {
       FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
       WHERE inter / (x.n + y.n - inter) > 0.8""",
     "dedup_minhash_lsh" -> {
+      val m55 = 1L << 55
+      val m60 = 1L << 60
       val mins = (0 until 16)
-        .map(i => s"min(md5('$i#' || s)) AS h$i").mkString(", ")
+        .map(i => s"min((h1 + $i * h2) % $m60) AS h$i").mkString(", ")
       val bands = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${b * 4} || h${b * 4 + 1} || h${b * 4 + 2} || h${b * 4 + 3}) AS bk FROM sig")
+        .map(b => s"SELECT doc_id, $b AS band, h${b * 4}::VARCHAR || '|' || h${b * 4 + 1}::VARCHAR || '|' || h${b * 4 + 2}::VARCHAR || '|' || h${b * 4 + 3}::VARCHAR AS bk FROM sig")
         .mkString(" UNION ALL ")
       s"""
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      hs AS (SELECT doc_id,
+                    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                    ('0x' || substr(md5(s), 17, 15))::BIGINT % $m55 AS h2
+             FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
       bands AS ($bands)
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b

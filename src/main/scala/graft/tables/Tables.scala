@@ -33,6 +33,20 @@ object Tables {
     }
   }
 
+  /** Fan a narrow scan out to the session's full parallelism before
+    * compute-heavy per-row work (shingling, per-shingle hashing, vector
+    * math). The driver test tables are single parquet files with one row
+    * group, so the scan plans exactly one partition and every downstream
+    * expression runs on one core unless we add a (cheap: the table is small
+    * by definition here) round-robin shuffle. Gated on the actual scan file
+    * count: a real multi-file dataset at cluster scale already parallelizes
+    * and skips the extra shuffle entirely.
+    */
+  def fanOut(df: DataFrame, s: SparkSession): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.inputFiles.length * 4 < target) df.repartition(target) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
