@@ -251,12 +251,24 @@ object Relational {
     }),
 
     // O1: global sort with deterministic rank (ref: features by intensity
-    // desc, ms1_feature_finder.py:213-214)
+    // desc, ms1_feature_finder.py:213-214). A Window.orderBy with no
+    // partition key would drag every row into ONE task; instead the rank is
+    // computed scale-out: range-partitioned sort (what orderBy plans) +
+    // zipWithIndex, which adds per-partition offsets in a light count pass.
+    // Two passes over sorted data, but both fully parallel — the standard
+    // global-ranking shape on a cluster.
     "o1_sort_desc_rank" -> ((s, d) => {
-      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
-      part(s, d)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.IntegerType
+      val sorted = part(s, d)
         .select(col("p_partkey"), col("p_retailprice"))
-        .withColumn("rank", row_number().over(w))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      val schema = sorted.schema.add("rank", IntegerType, nullable = false)
+      s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+        },
+        schema)
     }),
 
     // O2: head-of-group (ref: first precursor, mzml_statistics.py:169-172).
@@ -269,14 +281,18 @@ object Relational {
         .select(col("l_orderkey"), col("first.l_partkey").as("first_partkey"))
     }),
 
-    // O3: deterministic top-k (rank + filter, ties broken by unique keys)
+    // O3: deterministic top-k (ties broken by unique keys). orderBy + limit
+    // plans TakeOrderedAndProject — every partition keeps its local top-100
+    // and only those merge — instead of the single-task global-window sort a
+    // rank-then-filter formulation would. The rank window then runs over
+    // just the 100 surviving rows.
     "o3_topk" -> ((s, d) => {
-      val w = Window.orderBy(
-        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-      lineitem(s, d)
+      val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val top = lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 100)
+        .orderBy(ord: _*)
+        .limit(100)
+      top.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
     }),
 
     // F1/F2: regex extract with cast (ref: scan-id extraction, openms.py:4-24)

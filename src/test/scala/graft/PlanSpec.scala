@@ -89,6 +89,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("o3 top-k: per-partition TakeOrderedAndProject, not a global-window sort") {
+    // rank-then-filter over a no-partition window would sort EVERY row in
+    // one task; orderBy+limit keeps the reduction per-partition and the
+    // window only ever sees the 100 surviving rows.
+    val p = plan("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup_exact: partial aggregation handles duplicate collapse map-side") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
