@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Temporal.all
+      graft.queries.Temporal.all ++
+      graft.queries.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.Temporal.oracle
+      graft.queries.Temporal.oracle ++
+      graft.queries.Extended.oracle
 }

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.tables.Tables._
+
+/** Round-2 operator widening: multi-granularity aggregation (rollup), exact
+  * percentiles, set operators, connected-components dedup clustering, and
+  * streaming exact dedup. All oracle-checked against DuckDB.
+  */
+object Extended {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A12: ROLLUP — the (flag, status) aggregate at all three granularities
+    // in ONE pass (Spark expands grouping sets inside a single shuffle
+    // stage; no union of re-scans). grouping_id() disambiguates real NULL
+    // keys from rolled-up ones.
+    "a12_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // A13: exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`). Memory note at scale: exact percentile
+    // buffers each group's values on one reducer — for the 100 TB path use
+    // approx_percentile (t-digest, mergeable partial aggs); pinned here to
+    // the exact variant because the oracle must hash-match.
+    "a13_percentile" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+    }),
+
+    // Set operators (beyond the reference, which has none): nations with
+    // customers but no suppliers (EXCEPT → planned as distinct + anti join)
+    // and nations with both (INTERSECT → distinct + semi join).
+    "set_except" -> ((s, d) => {
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(supplier(s, d).select(col("s_nationkey")))
+    }),
+    "set_intersect" -> ((s, d) => {
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey")))
+    }),
+
+    // Dedup clustering: connected components over the MinHash-LSH candidate
+    // pairs — every document labeled with the min doc_id of its near-dup
+    // cluster (the canonical representative a training-data pipeline keeps).
+    // Iterative min-label propagation: each round every node takes the min
+    // label over itself and its neighbors; converges in O(component
+    // diameter) rounds. Distributed throughout — per round one shuffle join
+    // (labels ⋈ edges) + one min-aggregation, the same plan the
+    // large-star/small-star CC algorithm runs at web scale. The driver only
+    // compares one scalar (sum of labels, strictly decreasing until the
+    // fixpoint) per round.
+    "dedup_cluster_cc" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_minhash_lsh")(s, d)
+      // undirected: propagate both ways
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).cache()
+      var lastSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val prop = labels.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), col("lbl"))
+        val next = labels.select(col("node"), col("lbl")).union(prop)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+          .cache()
+        val s2 = next.agg(sum(col("lbl"))).head.getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = s2 == lastSum
+        lastSum = s2
+        rounds += 1
+      }
+      edges.unpersist()
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    }),
+
+    // Streaming exact dedup: dropDuplicates with keyed state over a file
+    // stream, drained with AvailableNow — the streaming twin of `SELECT
+    // DISTINCT`. On an unbounded stream the same plan runs with
+    // dropDuplicatesWithinWatermark to bound the state store; the finite
+    // oracle check needs the unbounded-state variant (nothing may be
+    // forgotten mid-run).
+    "stream_dedup" -> ((s, d) => {
+      val path = s"$d/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val qn = s"stream_dedup_${System.nanoTime()}"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a12_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             count(*) AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a13_percentile" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag""",
+    "set_except" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier""",
+    "set_intersect" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier""",
+    "dedup_cluster_cc" -> """
+      WITH RECURSIVE pairs AS (
+        -- same candidate-pair definition as dedup_minhash_lsh
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+               FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+        hs AS (SELECT doc_id,
+                      ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                      ('0x' || substr(md5(s), 17, 15))::BIGINT % 36028797018963968 AS h2
+               FROM sh),
+        sig AS (SELECT doc_id,
+                       min((h1 + 0 * h2) % 1152921504606846976) AS h0, min((h1 + 1 * h2) % 1152921504606846976) AS h1_,
+                       min((h1 + 2 * h2) % 1152921504606846976) AS h2_, min((h1 + 3 * h2) % 1152921504606846976) AS h3,
+                       min((h1 + 4 * h2) % 1152921504606846976) AS h4, min((h1 + 5 * h2) % 1152921504606846976) AS h5,
+                       min((h1 + 6 * h2) % 1152921504606846976) AS h6, min((h1 + 7 * h2) % 1152921504606846976) AS h7,
+                       min((h1 + 8 * h2) % 1152921504606846976) AS h8, min((h1 + 9 * h2) % 1152921504606846976) AS h9,
+                       min((h1 + 10 * h2) % 1152921504606846976) AS h10, min((h1 + 11 * h2) % 1152921504606846976) AS h11,
+                       min((h1 + 12 * h2) % 1152921504606846976) AS h12, min((h1 + 13 * h2) % 1152921504606846976) AS h13,
+                       min((h1 + 14 * h2) % 1152921504606846976) AS h14, min((h1 + 15 * h2) % 1152921504606846976) AS h15
+                FROM hs GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, h0::VARCHAR || '|' || h1_::VARCHAR || '|' || h2_::VARCHAR || '|' || h3::VARCHAR AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR FROM sig
+          UNION ALL SELECT doc_id, 2, h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR FROM sig
+          UNION ALL SELECT doc_id, 3, h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR FROM sig)
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node AS doc_id, min(lbl) AS cluster_id
+      FROM reach GROUP BY node""",
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+  )
+}

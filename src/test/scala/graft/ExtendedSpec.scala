@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-2 extended operators that the DuckDB oracle
+  * can't express directly (the oracle pins exact values; these pin the
+  * invariants that make the values right).
+  */
+class ExtendedSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("dedup_cluster_cc: labels are canonical minima and edge-consistent") {
+    val labels = graft.queries.Extended.queries("dedup_cluster_cc")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cluster label is the id of some member, and is <= every member
+    labels.foreach { case (node, lbl) =>
+      assert(lbl <= node, s"label $lbl above node $node")
+      assert(labels(lbl) == lbl, s"representative $lbl not its own label")
+    }
+    // both endpoints of every candidate pair landed in the same cluster
+    val pairs = graft.queries.TextOps.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    assert(pairs.nonEmpty, "fixture produced no candidate pairs — test is vacuous")
+  }
+
+  test("a12_rollup: grand total equals the sum of leaf groups") {
+    val rows = graft.queries.Extended.queries("a12_rollup")(spark, sf).collect()
+    val leaf = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == leaf.map(_.getLong(2)).sum)
+  }
+
+  test("set ops partition the customer nations") {
+    val ex = graft.queries.Extended.queries("set_except")(spark, sf)
+      .collect().map(_.getInt(0)).toSet
+    val in = graft.queries.Extended.queries("set_intersect")(spark, sf)
+      .collect().map(_.getInt(0)).toSet
+    assert((ex & in).isEmpty)
+  }
+}
