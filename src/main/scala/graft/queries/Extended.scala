@@ -94,6 +94,58 @@ object Extended {
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     }),
 
+    // J8 at scale: the per-series as-of interpolation. The global-curve
+    // variant (j8_interpolate_asof) mirrors the reference's per-file pTIC
+    // and sorts one merged stream; THIS is the shape a 1000-executor
+    // cluster runs — every window keyed by the series (user), so the sort
+    // shards per key and no task ever sees more than one series' rows.
+    "j8b_interpolate_per_series" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val curve = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+        .agg(min(col("value")).as("v"))
+        .select(col("user_id"), col("us"), col("v"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_probe"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(null).cast("double").as("v"), col("event_id"), lit(1).as("is_probe"))
+      val merged = curve.unionByName(probes)
+      val wFwd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wBwd = Window.partitionBy(col("user_id")).orderBy(col("us").desc, col("is_probe").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      merged
+        .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wFwd))
+        .withColumn("prev_us",
+          last(when(col("is_probe") === 0, col("us")), ignoreNulls = true).over(wFwd))
+        .withColumn("next_v", last(col("v"), ignoreNulls = true).over(wBwd))
+        .withColumn("next_us",
+          last(when(col("is_probe") === 0, col("us")), ignoreNulls = true).over(wBwd))
+        .filter(col("is_probe") === 1)
+        .select(
+          col("event_id"),
+          round(
+            when(col("prev_us").isNull, col("next_v"))
+              .when(col("next_us").isNull, col("prev_v"))
+              .otherwise(col("prev_v") +
+                (col("next_v") - col("prev_v")) * (col("us") - col("prev_us")) /
+                  (col("next_us") - col("prev_us"))), 6).as("interp_value"))
+    }),
+
+    // Multimodal frame sampling: every k-th frame index of each media
+    // payload, exploded to one row per sampled frame — the batch shape of a
+    // video pipeline (decode replaced by a deterministic frame count so the
+    // oracle can reproduce it; the real decode slots into the same plan).
+    "mm_frame_sample" -> ((s, d) => {
+      fanOut(documents(s, d), s)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .select(col("doc_id"),
+          (lit(1) + pmod(length(col("media")), lit(240))).as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
+    }),
+
     // Streaming exact dedup: dropDuplicates with keyed state over a file
     // stream, drained with AvailableNow — the streaming twin of `SELECT
     // DISTINCT`. On an unbounded stream the same plan runs with
@@ -175,5 +227,32 @@ object Extended {
       FROM reach GROUP BY node""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "j8b_interpolate_per_series" -> """
+      WITH curve AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, min(value) AS v
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      probes AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'purchase'),
+      br AS (
+        SELECT p.event_id, p.user_id, p.us,
+               (SELECT max(c.us) FROM curve c
+                WHERE c.user_id = p.user_id AND c.us <= p.us) AS pus,
+               (SELECT min(c.us) FROM curve c
+                WHERE c.user_id = p.user_id AND c.us > p.us) AS nus
+        FROM probes p)
+      SELECT b.event_id,
+             round(CASE WHEN pus IS NULL THEN nv.v
+                        WHEN nus IS NULL THEN pv.v
+                        ELSE pv.v + (nv.v - pv.v) * (b.us - pus) / (nus - pus)
+                   END, 6) AS interp_value
+      FROM br b
+      LEFT JOIN curve pv ON b.user_id = pv.user_id AND b.pus = pv.us
+      LEFT JOIN curve nv ON b.user_id = nv.user_id AND b.nus = nv.us""",
+    "mm_frame_sample" -> """
+      SELECT doc_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
+      FROM (SELECT doc_id,
+                   1 + (octet_length(CAST(text AS BLOB)) % 240) AS n_frames
+            FROM documents)""",
   )
 }
