@@ -37,11 +37,13 @@ object Extended {
     // approx_percentile (t-digest, mergeable partial aggs); pinned here to
     // the exact variant because the oracle must hash-match.
     "a13_percentile" -> ((s, d) => {
-      lineitem(s, d)
+      fanOut(lineitem(s, d), s)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p95"))
     }),
 
     // Set operators (beyond the reference, which has none): nations with
@@ -144,6 +146,43 @@ object Extended {
           (lit(1) + pmod(length(col("media")), lit(240))).as("n_frames"))
         .select(col("doc_id"), col("n_frames"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
+    }),
+
+    // Stream-stream interval join: purchases ⋈ the same user's views from
+    // the preceding 30 minutes, both sides watermarked so the state store
+    // evicts rows once the event-time range can no longer match (the
+    // condition bounds BOTH time columns — without that, stream-stream join
+    // state grows forever). Inner join + finite input ⇒ output equals the
+    // batch range join, which is the oracle.
+    "stream_join" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("tsm").as("vts"), col("value").as("v_value"))
+        .withWatermark("vts", "30 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("tsm").as("pts"))
+        .withWatermark("pts", "30 minutes")
+      val qn = s"stream_join_${System.nanoTime()}"
+      val q = purchases.join(views,
+          col("user_id") === col("v_user") &&
+            col("vts") >= col("pts") - expr("interval 30 minutes") &&
+            col("vts") <= col("pts"))
+        .select(
+          col("event_id"),
+          unix_micros(col("vts")).as("view_us"),
+          col("v_value"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
     }),
 
     // Streaming exact dedup: dropDuplicates with keyed state over a file
@@ -254,5 +293,13 @@ object Extended {
       FROM (SELECT doc_id,
                    1 + (octet_length(CAST(text AS BLOB)) % 240) AS n_frames
             FROM documents)""",
+    "stream_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+      SELECT p.event_id, v.us AS view_us, v.value AS v_value
+      FROM e p JOIN e v
+        ON p.event_type = 'purchase' AND v.event_type = 'view'
+       AND p.user_id = v.user_id
+       AND v.us BETWEEN p.us - 30 * 60 * 1000000 AND p.us""",
   )
 }

@@ -163,7 +163,7 @@ object Relational {
       val nsalt = 8
       val fact = lineitem(s, d).withColumn(
         "salt", pmod(hash(col("l_linenumber"), col("l_partkey")), lit(nsalt)))
-      val dim = orders(s, d).withColumn(
+      val dim = fanOut(orders(s, d), s).withColumn(
         "dsalt", explode(array((0 until nsalt).map(lit): _*)))
       fact
         .join(dim, col("l_orderkey") === col("o_orderkey") &&

@@ -99,11 +99,18 @@ object TextOps {
     // Near-dedup via word 4-gram Jaccard: inverted-index join on shingles
     // (only docs sharing a shingle are ever compared), then exact Jaccard
     // from intersection + per-doc shingle counts. Pairs with J > 0.8.
+    // The join key is a 60-bit integer derived from md5(shingle), not the
+    // shingle string: the shuffle ships 8 bytes per posting instead of the
+    // n-gram text, and because the oracle applies the SAME md5-derived
+    // mapping, both engines see identical equalities by construction.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d).cache()
-      val a = sh.select(col("doc_id").as("da"), col("s"))
-      val b = sh.select(col("doc_id").as("db"), col("s"))
-      val inter = a.join(b, Seq("s")).filter(col("da") < col("db"))
+      val sh = shingles(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+        .cache()
+      val a = sh.select(col("doc_id").as("da"), col("h"))
+      val b = sh.select(col("doc_id").as("db"), col("h"))
+      val inter = a.join(b, Seq("h")).filter(col("da") < col("db"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       inter
@@ -197,10 +204,11 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> """
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
-             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
       SELECT da, db, round(inter / (x.n + y.n - inter), 6) AS jaccard
       FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
