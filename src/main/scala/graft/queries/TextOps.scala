@@ -159,6 +159,38 @@ object TextOps {
         .distinct()
     }),
 
+    // Distributed word count with global top-k: explode tokens → map-side
+    // partial counts → one key shuffle → per-partition top-100 merge
+    // (TakeOrderedAndProject), never a full global sort.
+    "text_top_tokens" -> ((s, d) => {
+      val ord = Seq(col("n").desc, col("token"))
+      val top = toks(s, d)
+        .select(explode(col("t")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(ord: _*)
+        .limit(100)
+      top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+    }),
+
+    // The capstone training-data pipeline: quality gate (alpha ratio) ∧
+    // language gate (en) ∧ near-dup removal (drop the larger id of every
+    // Jaccard>0.8 pair) → the surviving corpus. Each stage is one of the
+    // oracle-checked operators above; this pins their composition.
+    "pipeline_filter_dedup" -> ((s, d) => {
+      val quality = queries("text_quality")(s, d)
+        .filter(col("alpha_ratio") >= 0.81).select(col("doc_id"))
+      val english = queries("text_lang_id")(s, d)
+        .filter(col("lang_pred") === "en").select(col("doc_id"))
+      val nearDup = queries("dedup_ngram_jaccard")(s, d)
+        .select(col("db")).distinct()
+      quality
+        .join(english, Seq("doc_id"))
+        .join(nearDup, col("doc_id") === col("db"), "left_anti")
+        .select(col("doc_id"))
+    }),
+
     // SimHash (64-bit, Murmur3 token hashes): a single-pass custom Catalyst
     // expression (graft.expressions.SimHash64) — zero shuffle, zero UDF,
     // whole document signature per row. No DuckDB oracle (engine-specific
@@ -235,6 +267,37 @@ object TextOps {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
     },
+    "text_top_tokens" -> """
+      WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                  FROM documents),
+      c AS (SELECT token, count(*) AS n FROM tk WHERE length(token) > 0 GROUP BY token)
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+      FROM c QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 100""",
+    "pipeline_filter_dedup" -> """
+      WITH toksq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+              FROM toksq, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      neardup AS (SELECT DISTINCT db FROM pairs
+                  JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+                  WHERE inter / (x.n + y.n - inter) > 0.8),
+      quality AS (SELECT doc_id FROM documents
+                  WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          / CAST(length(text) AS DOUBLE), 6) >= 0.81),
+      english AS (SELECT doc_id FROM documents
+                  WHERE CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                           + (length(text) - length(replace(text, ' a ', ''))) / 3
+                           + (length(text) - length(replace(text, ' row ', ''))) / 5 AS BIGINT)
+                     >= CAST((length(text) - length(replace(text, ' el ', ''))) / 4
+                           + (length(text) - length(replace(text, ' la ', ''))) / 4
+                           + (length(text) - length(replace(text, ' de ', ''))) / 4 AS BIGINT))
+      SELECT q.doc_id FROM quality q
+      JOIN english e ON q.doc_id = e.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)""",
     // dedup_simhash: intentionally no oracle (engine-specific token hash).
   )
 }

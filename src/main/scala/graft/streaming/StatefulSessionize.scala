@@ -105,10 +105,11 @@ object StatefulSessionize {
   }
 
   /** Stage the finite input for the oracle-checked run: the real events
-    * (file OR directory-shaped dataset — staged through Spark, not a raw
-    * file copy) plus one sentinel row per user at max(ts) + 1 year, so the
-    * final sessions close deterministically. Returns (staging dir, schema);
-    * the caller deletes the staging dir after the query drains.
+    * plus one sentinel row per user at max(ts) + 1 year, so the final
+    * sessions close deterministically. Only the (tiny) sentinel table is
+    * written; the real event files enter the staging dir as symlinks — no
+    * copy of the actual data. Returns (staging dir, schema); the caller
+    * deletes the staging dir after the query drains.
     */
   private def stageInput(spark: SparkSession, sfDir: String): (Path, org.apache.spark.sql.types.StructType) = {
     val stage = Files.createTempDirectory("stream-sessionize")
@@ -123,7 +124,23 @@ object StatefulSessionize {
         lit(null).cast("string").as("event_type"),
         lit(null).cast("double").as("value"),
         lit(null).cast("string").as("props"))
-    raw.unionByName(sentinel).write.mode("overwrite").parquet(stage.toString)
+    // a flat staging dir (no subdirectories) so the file stream's listing
+    // sees exactly two parquet files
+    val tmp = stage.resolve("_sentinel_tmp")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val paths = Files.list(tmp)
+    val partFile =
+      try paths.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally paths.close()
+    Files.move(partFile, stage.resolve("sentinel.parquet"))
+    deleteRecursively(tmp)
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet").toAbsolutePath
+    try Files.createSymbolicLink(stage.resolve("events.parquet"), src)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      // filesystems without symlink support fall back to a real copy
+      Files.copy(src, stage.resolve("events.parquet"))
+    }
     (stage, raw.schema)
   }
 
