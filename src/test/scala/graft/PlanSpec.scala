@@ -97,6 +97,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("a12 rollup: one Expand + one shuffle computes all three granularities") {
+    // ROLLUP must not union three re-scans of the fact table: Spark expands
+    // each row to its grouping sets before a single partial-agg + shuffle.
+    val p = plan("a12_rollup")
+    assert(p.contains("Expand"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("text_top_tokens: global top-k never globally sorts") {
+    val p = plan("text_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup_exact: partial aggregation handles duplicate collapse map-side") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
