@@ -185,6 +185,33 @@ object Extended {
       s.table(qn)
     }),
 
+    // Reproducible stratified sampling: ~10% of every source, chosen by a
+    // content-independent md5-derived hash of the key — the split is stable
+    // across engines, re-runs, and repartitioning (no rand() anywhere),
+    // which is what makes a training-data sample auditable.
+    "sample_stratified" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+      documents(s, d)
+        .filter(bucket < 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc"))
+    }),
+
+    // Deterministic train/val/test split (80/10/10) by the same hash
+    // family: every engine and every run assigns each doc to the same
+    // split. Output is the per-(source, split) contingency table.
+    "sample_split" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+            .as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Streaming exact dedup: dropDuplicates with keyed state over a file
     // stream, drained with AvailableNow — the streaming twin of `SELECT
     // DISTINCT`. On an unbounded stream the same plan runs with
@@ -293,6 +320,19 @@ object Extended {
       FROM (SELECT doc_id,
                    1 + (octet_length(CAST(text AS BLOB)) % 240) AS n_frames
             FROM documents)""",
+    "sample_stratified" -> """
+      SELECT source, count(*) AS n_sampled, min(doc_id) AS min_doc
+      FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+      GROUP BY source""",
+    "sample_split" -> """
+      SELECT source,
+             CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n
+      FROM (SELECT source,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 AS b
+            FROM documents)
+      GROUP BY 1, 2""",
     "stream_join" -> """
       WITH e AS (SELECT user_id, event_id, event_type, value,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)

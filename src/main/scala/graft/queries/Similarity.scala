@@ -136,6 +136,36 @@ object Similarity {
         .filter(col("rank") <= 5)
     }),
 
+    // One Lloyd iteration of k-means (k=8, cosine assignment): assign every
+    // vector to its nearest seed centroid, then recompute the centroids as
+    // per-dimension means — posexplode shards the mean over (cluster, dim)
+    // so no task ever holds a whole centroid, and the sums run in integer
+    // micro-units so the result is addition-order-independent (the property
+    // that lets the oracle match a shuffled cluster). This is the iterative
+    // step a full clustering loop (or the IVF quantizer training) repeats.
+    "sim_kmeans_update" -> ((s, d) => {
+      val base = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val csim = round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_id"))
+      val assigned = base.join(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("c_id"))
+      assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("c_id"), col("dim"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          round(sum(round(col("x") * 1000000).cast("long")) / count(lit(1)) / 1e6, 6)
+            .as("mean_x"))
+    }),
+
     // LSH-bucketed ANN: 16 deterministic hyperplanes (pseudo-random ±1
     // components from xxhash64(plane, dim)), signature = sign bits; buckets
     // join on signature. Engine-specific hash → rows-only check. This is the
@@ -219,6 +249,24 @@ object Similarity {
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
              sha256(text) AS sha256
       FROM documents""",
+    "sim_kmeans_update" -> """
+      WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, v, c_id FROM (
+          SELECT a.vec_id, a.v, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents) WHERE crank = 1),
+      ex AS (
+        SELECT c_id, i - 1 AS dim, v[i] AS x
+        FROM assigned, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r)
+      SELECT c_id, dim, count(*) AS n_members,
+             round(sum(CAST(round(x * 1000000) AS BIGINT)) / count(*) / 1e6, 6) AS mean_x
+      FROM ex GROUP BY c_id, dim""",
     // sim_lsh_buckets: intentionally no oracle (engine-specific hash).
   )
 }
