@@ -154,7 +154,7 @@ object Extended {
     // condition bounds BOTH time columns — without that, stream-stream join
     // state grows forever). Inner join + finite input ⇒ output equals the
     // batch range join, which is the oracle.
-    "stream_join" -> ((s, d) => {
+    "stream_join" -> ((s, d) => withShufflePartitions(s, 4) {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -218,7 +218,7 @@ object Extended {
     // dropDuplicatesWithinWatermark to bound the state store; the finite
     // oracle check needs the unbounded-state variant (nothing may be
     // forgotten mid-run).
-    "stream_dedup" -> ((s, d) => {
+    "stream_dedup" -> ((s, d) => withShufflePartitions(s, 4) {
       val path = s"$d/events.parquet"
       val schema = s.read.parquet(path).schema
       val qn = s"stream_dedup_${System.nanoTime()}"

@@ -62,7 +62,7 @@ object Temporal {
     // Structured Streaming: hourly tumbling-window aggregate of the events
     // table, driven to completion with Trigger.AvailableNow + a memory sink.
     // Batch parity: identical to GROUP BY date_trunc('hour', ts).
-    "stream_hourly_agg" -> ((s, d) => {
+    "stream_hourly_agg" -> ((s, d) => graft.tables.Tables.withShufflePartitions(s, 4) {
       val path = s"$d/events.parquet"
       val schema = s.read.parquet(path).schema
       val qn = s"stream_hourly_${System.nanoTime()}"

@@ -153,7 +153,12 @@ object StatefulSessionize {
     }
   }
 
-  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      applyInner(spark, sfDir)
+    }
+
+  private def applyInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (stage, schema) = stageInput(spark, sfDir)
     val qn = s"stream_sessionize_${System.nanoTime()}"

@@ -47,6 +47,20 @@ object Tables {
     if (df.inputFiles.length * 4 < target) df.repartition(target) else df
   }
 
+  /** Run `body` with a reduced shuffle-partition count, restoring the
+    * session's setting afterwards. Streaming queries pay a fixed cost per
+    * state-store partition per micro-batch (open, delta write, commit) —
+    * with the default 32 partitions that fixed cost dwarfs the actual work
+    * at test scale. A real deployment sizes this to the state volume;
+    * stateful test queries here run with a handful.
+    */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
