@@ -113,6 +113,21 @@ object Temporal {
           ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
     }),
 
+    // The same sessions via Spark's built-in session_window aggregation
+    // (dynamic-gap session windows merged inside one aggregation) — no
+    // custom state machine, works identically in batch and streaming.
+    // Output matches w3_sessionize minus the per-user ordinal (session
+    // identity here is the merged window itself).
+    "w3b_session_window" -> ((s, d) => {
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
+        .select(col("user_id"), col("n_events"), col("duration_sec"))
+    }),
+
     // Stateful streaming sessionization: flatMapGroupsWithState keyed by
     // user with custom state + event-time timeout
     // (graft.streaming.StatefulSessionize). Oracle-checked against the SAME
@@ -145,6 +160,25 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "stream_sessionize_stateful" -> sessionizeSql,
     "w3_sessionize" -> sessionizeSql,
+    // session_window merges events with gap < 30 min (a window is
+    // [start, start+gap)), so the split condition is >= — unlike w3's
+    // strict >. The two differ only on exact-30-minute gaps.
+    "w3b_session_window" -> """
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+        FROM events),
+      sess AS (
+        SELECT user_id, us,
+               sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id, count(*) AS n_events,
+             (max(us) - min(us)) / 1000000.0 AS duration_sec
+      FROM sess GROUP BY user_id, sid""",
     "j8_interpolate_asof" -> """
       WITH curve AS (
         SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, min(value) AS v
