@@ -74,8 +74,12 @@ object Extended {
       val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
         .union(pairs.select(col("db").as("src"), col("da").as("dst")))
         .cache()
+      // localCheckpoint (not cache) each round: an iterative plan's lineage
+      // otherwise doubles per round and the task binaries balloon (observed
+      // 5 MB tasks by round ~5); checkpointing truncates the DAG so every
+      // round ships a constant-size plan.
       var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).cache()
+        .withColumn("lbl", col("node")).localCheckpoint(true)
       var lastSum = labels.agg(sum(col("lbl"))).head.getLong(0)
       var converged = false
       var rounds = 0
@@ -84,9 +88,8 @@ object Extended {
           .select(col("dst").as("node"), col("lbl"))
         val next = labels.select(col("node"), col("lbl")).union(prop)
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-          .cache()
+          .localCheckpoint(true)
         val s2 = next.agg(sum(col("lbl"))).head.getLong(0)
-        labels.unpersist()
         labels = next
         converged = s2 == lastSum
         lastSum = s2

@@ -364,6 +364,31 @@ object Relational {
             floor(col("value")).cast("long").cast("string")).as("score_label"))
     }),
 
+    // TPC-H Q3 shape: filtered join + aggregation + global top-10 by
+    // revenue. Both date filters push to the scans; the final top-k is a
+    // TakeOrderedAndProject over the aggregated rows, never a global sort.
+    // Dates are emitted as formatted strings (raw timestamps don't
+    // round-trip the oracle compare).
+    "q3_topk_join" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val rev = (dmilSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 10000.0)
+      val agg = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(rev.as("revenue"))
+      val ord = Seq(col("revenue").desc, col("l_orderkey"))
+      agg
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(ord: _*)
+        .limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+    }),
+
     // TPC-H Q5 shape: the flagship multi-join — two broadcast dims, two
     // shuffle joins, exact revenue sums.
     "q5_multijoin" -> ((s, d) => {
@@ -512,6 +537,22 @@ object Relational {
                    ELSE 'Other:score:' END) ||
              CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS score_label
       FROM events""",
+    "q3_topk_join" -> """
+      WITH agg AS (
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2, 3)
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority, revenue,
+             CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS INTEGER) AS rank
+      FROM agg
+      QUALIFY row_number() OVER (ORDER BY revenue DESC, l_orderkey) <= 10""",
     "q5_multijoin" -> """
       SELECT n_name,
              sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
