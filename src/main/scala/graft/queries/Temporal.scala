@@ -117,7 +117,9 @@ object Temporal {
     // (dynamic-gap session windows merged inside one aggregation) — no
     // custom state machine, works identically in batch and streaming.
     // Output matches w3_sessionize minus the per-user ordinal (session
-    // identity here is the merged window itself).
+    // identity here is the merged window itself); boundary semantics are
+    // identical too — session_window merges an event landing exactly
+    // gap-after the previous one (end-inclusive windows, see ExtendedSpec).
     "w3b_session_window" -> ((s, d) => {
       events(s, d)
         .withColumn("us", unix_micros(col("ts")))
@@ -160,16 +162,17 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "stream_sessionize_stateful" -> sessionizeSql,
     "w3_sessionize" -> sessionizeSql,
-    // session_window merges events with gap < 30 min (a window is
-    // [start, start+gap)), so the split condition is >= — unlike w3's
-    // strict >. The two differ only on exact-30-minute gaps.
+    // session_window windows are [start, start+gap] end-inclusive for
+    // merging: an event exactly gap-after still merges (pinned by
+    // ExtendedSpec), so the split condition is strictly-greater — the SAME
+    // rule as the hand-rolled w3 sessionizer.
     "w3b_session_window" -> """
       WITH g AS (
         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                       - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+                      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
         FROM events),
       sess AS (
         SELECT user_id, us,

@@ -35,6 +35,25 @@ class ExtendedSpec extends SparkSpec {
     assert(grand.head.getLong(2) == leaf.map(_.getLong(2)).sum)
   }
 
+  test("session_window boundary: an exactly-30-minute gap still merges (strict-> split)") {
+    // session_window windows are end-inclusive for merging — an event at
+    // exactly start+gap joins the session, i.e. the split rule is
+    // strictly-greater, matching the hand-rolled w3 sessionizer. The driver
+    // tables contain no exact-boundary gaps, so this pins the semantics on
+    // a synthetic one; w3b's oracle depends on this equivalence.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val ev = Seq((1L, 0L), (1L, gapUs), (1L, 2 * gapUs + 1)).toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n")).sorted
+    // exactly-gap merges (2 events), strictly-greater splits (1 event)
+    assert(sessions.toSeq == Seq(1L, 2L), sessions.mkString(","))
+  }
+
   test("set ops partition the customer nations") {
     val ex = graft.queries.Extended.queries("set_except")(spark, sf)
       .collect().map(_.getInt(0)).toSet
