@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query profiler: `graft.Profile <sfDir> <queryName> [reps]`.
   * Prints per-rep wall seconds and the formatted physical plan, so a slow
@@ -11,16 +10,7 @@ object Profile {
     val sfDir = args(0)
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 5
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(Sessions.cpusOr("32"))
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
@@ -28,7 +18,12 @@ object Profile {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    fn(spark, sfDir).explain("formatted")
+    // streaming entries run awaitTermination inside the closure and return
+    // the drained memory sink — explaining that LocalTableScan would both
+    // re-run the stream and print a useless plan
+    if (name.startsWith("stream_"))
+      println("(streaming query: plan attribution lives in the stream's own progress, not the sink table)")
+    else fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

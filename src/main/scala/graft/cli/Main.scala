@@ -12,18 +12,8 @@ import graft.ops.{DiannCfg, DiannToMsstats, FeatureDetect, MzmlStats, PsmConvert
 object Main {
 
   private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.max(2, Runtime.getRuntime.availableProcessors()).toString)
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("quantmsutilsspark")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = graft.Sessions.local(graft.Sessions.cpusOr(
+      math.max(2, Runtime.getRuntime.availableProcessors()).toString))
     s.sparkContext.setLogLevel("WARN")
     s
   }

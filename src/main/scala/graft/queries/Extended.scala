@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+
 
 import graft.tables.Tables._
 
@@ -17,8 +17,10 @@ object Extended {
   val queries: Map[String, Q] = Map(
     // A12: ROLLUP — the (flag, status) aggregate at all three granularities
     // in ONE pass (Spark expands grouping sets inside a single shuffle
-    // stage; no union of re-scans). grouping_id() disambiguates real NULL
-    // keys from rolled-up ones.
+    // stage; no union of re-scans). The coalesce-to-'ALL' rendering relies
+    // on the group keys being non-null (true for these tables); data with
+    // real NULL keys would need grouping_id() to tell a NULL leaf from a
+    // rolled-up subtotal.
     "a12_rollup" -> ((s, d) => {
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -80,23 +82,37 @@ object Extended {
       // round ships a constant-size plan.
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint(true)
-      var lastSum = labels.agg(sum(col("lbl"))).head.getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val prop = labels.join(edges, col("node") === col("src"))
-          .select(col("dst").as("node"), col("lbl"))
-        val next = labels.select(col("node"), col("lbl")).union(prop)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        val s2 = next.agg(sum(col("lbl"))).head.getLong(0)
-        labels = next
-        converged = s2 == lastSum
-        lastSum = s2
-        rounds += 1
+      // empty graph: sum() yields one NULL row — return the empty labeling
+      // rather than NPE-ing on it (the oracle returns zero rows here too)
+      val sum0 = labels.agg(sum(col("lbl"))).head
+      if (sum0.isNullAt(0)) {
+        edges.unpersist()
+        labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      } else {
+        var lastSum = sum0.getLong(0)
+        var converged = false
+        var rounds = 0
+        // convergence needs <= component-diameter rounds; the cap exists
+        // only to bound a logic bug and FAILS LOUDLY — a silent cap would
+        // ship partially-propagated (wrong) cluster labels
+        val maxRounds = 1000
+        while (!converged && rounds < maxRounds) {
+          val prop = labels.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), col("lbl"))
+          val next = labels.select(col("node"), col("lbl")).union(prop)
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+          val s2 = next.agg(sum(col("lbl"))).head.getLong(0)
+          labels = next
+          converged = s2 == lastSum
+          lastSum = s2
+          rounds += 1
+        }
+        require(converged,
+          s"connected-components did not converge in $maxRounds rounds")
+        edges.unpersist()
+        labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       }
-      edges.unpersist()
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     }),
 
     // J8 at scale: the per-series as-of interpolation. The global-curve
@@ -169,23 +185,15 @@ object Extended {
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("tsm").as("pts"))
         .withWatermark("pts", "30 minutes")
-      val qn = s"stream_join_${System.nanoTime()}"
-      val q = purchases.join(views,
-          col("user_id") === col("v_user") &&
-            col("vts") >= col("pts") - expr("interval 30 minutes") &&
-            col("vts") <= col("pts"))
-        .select(
-          col("event_id"),
-          unix_micros(col("vts")).as("view_us"),
-          col("v_value"))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(qn)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn)
+      graft.streaming.Drain.toMemory(s, "stream_join",
+        purchases.join(views,
+            col("user_id") === col("v_user") &&
+              col("vts") >= col("pts") - expr("interval 30 minutes") &&
+              col("vts") <= col("pts"))
+          .select(
+            col("event_id"),
+            unix_micros(col("vts")).as("view_us"),
+            col("v_value")))
     }),
 
     // Reproducible stratified sampling: ~10% of every source, chosen by a
@@ -222,22 +230,13 @@ object Extended {
     // oracle check needs the unbounded-state variant (nothing may be
     // forgotten mid-run).
     "stream_dedup" -> ((s, d) => withShufflePartitions(s, 4) {
-      val path = s"$d/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val qn = s"stream_dedup_${System.nanoTime()}"
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .select(col("user_id"), col("event_type"))
-        .dropDuplicates("user_id", "event_type")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(qn)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      graft.streaming.Drain.toMemory(s, "stream_dedup",
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"))
     }),
   )
 
@@ -259,33 +258,10 @@ object Extended {
     "set_intersect" -> """
       SELECT c_nationkey AS nationkey FROM customer
       INTERSECT SELECT s_nationkey FROM supplier""",
-    "dedup_cluster_cc" -> """
-      WITH RECURSIVE pairs AS (
-        -- same candidate-pair definition as dedup_minhash_lsh
-        WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
-               FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-        hs AS (SELECT doc_id,
-                      ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-                      ('0x' || substr(md5(s), 17, 15))::BIGINT % 36028797018963968 AS h2
-               FROM sh),
-        sig AS (SELECT doc_id,
-                       min((h1 + 0 * h2) % 1152921504606846976) AS h0, min((h1 + 1 * h2) % 1152921504606846976) AS h1_,
-                       min((h1 + 2 * h2) % 1152921504606846976) AS h2_, min((h1 + 3 * h2) % 1152921504606846976) AS h3,
-                       min((h1 + 4 * h2) % 1152921504606846976) AS h4, min((h1 + 5 * h2) % 1152921504606846976) AS h5,
-                       min((h1 + 6 * h2) % 1152921504606846976) AS h6, min((h1 + 7 * h2) % 1152921504606846976) AS h7,
-                       min((h1 + 8 * h2) % 1152921504606846976) AS h8, min((h1 + 9 * h2) % 1152921504606846976) AS h9,
-                       min((h1 + 10 * h2) % 1152921504606846976) AS h10, min((h1 + 11 * h2) % 1152921504606846976) AS h11,
-                       min((h1 + 12 * h2) % 1152921504606846976) AS h12, min((h1 + 13 * h2) % 1152921504606846976) AS h13,
-                       min((h1 + 14 * h2) % 1152921504606846976) AS h14, min((h1 + 15 * h2) % 1152921504606846976) AS h15
-                FROM hs GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, 0 AS band, h0::VARCHAR || '|' || h1_::VARCHAR || '|' || h2_::VARCHAR || '|' || h3::VARCHAR AS bk FROM sig
-          UNION ALL SELECT doc_id, 1, h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR FROM sig
-          UNION ALL SELECT doc_id, 2, h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR FROM sig
-          UNION ALL SELECT doc_id, 3, h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR FROM sig)
-        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+    // the edge set IS dedup_minhash_lsh's oracle — referenced, not copied,
+    // so the hash scheme has exactly one SQL definition
+    "dedup_cluster_cc" -> s"""
+      WITH RECURSIVE pairs AS (${TextOps.minhashPairsSql}),
       edges AS (SELECT da AS src, db AS dst FROM pairs
                 UNION SELECT db, da FROM pairs),
       reach(node, lbl) AS (

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+
 
 import graft.tables.Tables._
 
@@ -63,9 +63,7 @@ object Temporal {
     // table, driven to completion with Trigger.AvailableNow + a memory sink.
     // Batch parity: identical to GROUP BY date_trunc('hour', ts).
     "stream_hourly_agg" -> ((s, d) => graft.tables.Tables.withShufflePartitions(s, 4) {
-      val path = s"$d/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val qn = s"stream_hourly_${System.nanoTime()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
       // FileStreamSource wants a directory: stream the sf dir with a glob
       // filter selecting just the events file. Integer `div` for the
       // nanos→micros conversion (see Tables.nanosCols).
@@ -78,18 +76,12 @@ object Temporal {
         .agg(
           count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(qn)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn).select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
-        col("event_type"),
-        col("n"),
-        (col("value_cents") / 100.0).as("value_sum"))
+      graft.streaming.Drain.toMemory(s, "stream_hourly", agg, mode = "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+          col("event_type"),
+          col("n"),
+          (col("value_cents") / 100.0).as("value_sum"))
     }),
   )
 

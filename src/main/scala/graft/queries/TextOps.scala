@@ -202,6 +202,50 @@ object TextOps {
     }),
   )
 
+  /** Canonical DuckDB SQL for the n-gram Jaccard pairs — the single source
+    * for dedup_ngram_jaccard AND the near-dup stage of
+    * pipeline_filter_dedup, so a change to the shingle/hash scheme cannot
+    * leave a stale copy behind.
+    */
+  private val ngramJaccardSql: String = """
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT da, db, round(inter / (x.n + y.n - inter), 6) AS jaccard
+      FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+      WHERE inter / (x.n + y.n - inter) > 0.8"""
+
+  /** Canonical DuckDB SQL for the MinHash-LSH candidate pairs — the single
+    * source for dedup_minhash_lsh AND the edge set of
+    * Extended.dedup_cluster_cc's oracle.
+    */
+  private[queries] val minhashPairsSql: String = {
+    val m55 = 1L << 55
+    val m60 = 1L << 60
+    val mins = (0 until 16)
+      .map(i => s"min((h1 + $i * h2) % $m60) AS h$i").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, h${b * 4}::VARCHAR || '|' || h${b * 4 + 1}::VARCHAR || '|' || h${b * 4 + 2}::VARCHAR || '|' || h${b * 4 + 3}::VARCHAR AS bk FROM sig")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      hs AS (SELECT doc_id,
+                    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                    ('0x' || substr(md5(s), 17, 15))::BIGINT % $m55 AS h2
+             FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+      bands AS ($bands)
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "text_token_count" -> """
       SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
@@ -234,39 +278,8 @@ object TextOps {
     "dedup_exact" -> """
       SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
       FROM documents GROUP BY md5(text)""",
-    "dedup_ngram_jaccard" -> """
-      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
-              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
-      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-      SELECT da, db, round(inter / (x.n + y.n - inter), 6) AS jaccard
-      FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
-      WHERE inter / (x.n + y.n - inter) > 0.8""",
-    "dedup_minhash_lsh" -> {
-      val m55 = 1L << 55
-      val m60 = 1L << 60
-      val mins = (0 until 16)
-        .map(i => s"min((h1 + $i * h2) % $m60) AS h$i").mkString(", ")
-      val bands = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, h${b * 4}::VARCHAR || '|' || h${b * 4 + 1}::VARCHAR || '|' || h${b * 4 + 2}::VARCHAR || '|' || h${b * 4 + 3}::VARCHAR AS bk FROM sig")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
-             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      hs AS (SELECT doc_id,
-                    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-                    ('0x' || substr(md5(s), 17, 15))::BIGINT % $m55 AS h2
-             FROM sh),
-      sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
-      bands AS ($bands)
-      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
-    },
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashPairsSql,
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),
@@ -274,17 +287,8 @@ object TextOps {
       SELECT token, n,
              CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
       FROM c QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 100""",
-    "pipeline_filter_dedup" -> """
-      WITH toksq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
-              FROM toksq, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
-      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      neardup AS (SELECT DISTINCT db FROM pairs
-                  JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
-                  WHERE inter / (x.n + y.n - inter) > 0.8),
+    "pipeline_filter_dedup" -> s"""
+      WITH neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
       quality AS (SELECT doc_id FROM documents
                   WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                           / CAST(length(text) AS DOUBLE), 6) >= 0.81),

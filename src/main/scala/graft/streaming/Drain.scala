@@ -1,0 +1,24 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Shared scaffold for the finite streaming queries: write the stream to a
+  * uniquely-named memory sink, drain it with Trigger.AvailableNow, and
+  * return the sink table. Every oracle-checked stream_* query funnels
+  * through here so the drain mechanics have one definition.
+  */
+object Drain {
+  def toMemory(s: SparkSession, prefix: String, df: DataFrame,
+               mode: String = "append"): DataFrame = {
+    val qn = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+}

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -135,12 +135,23 @@ object StatefulSessionize {
       finally paths.close()
     Files.move(partFile, stage.resolve("sentinel.parquet"))
     deleteRecursively(tmp)
+    def stageFile(f: Path, name: String): Unit =
+      try Files.createSymbolicLink(stage.resolve(name), f)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        // filesystems without symlink support fall back to a real copy
+        Files.copy(f, stage.resolve(name))
+      }
     val src = java.nio.file.Paths.get(sfDir, "events.parquet").toAbsolutePath
-    try Files.createSymbolicLink(stage.resolve("events.parquet"), src)
-    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-      // filesystems without symlink support fall back to a real copy
-      Files.copy(src, stage.resolve("events.parquet"))
-    }
+    if (Files.isDirectory(src)) {
+      // directory-shaped dataset (the cluster-scale layout): flat-link each
+      // part file so the staging dir stays a single-level file listing
+      val ps = Files.list(src)
+      try ps.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex
+        .foreach { case (p, i) => stageFile(p, f"events_$i%05d.parquet") }
+      finally ps.close()
+    } else stageFile(src, "events.parquet")
     (stage, raw.schema)
   }
 
@@ -161,7 +172,6 @@ object StatefulSessionize {
   private def applyInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (stage, schema) = stageInput(spark, sfDir)
-    val qn = s"stream_sessionize_${System.nanoTime()}"
     val sessions = spark.readStream.schema(schema)
       .parquet(stage.toString)
       .select(
@@ -173,16 +183,10 @@ object StatefulSessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val drained = Drain.toMemory(spark, "stream_sessionize", sessions.toDF())
     // the memory sink holds the full result; the staged input can go
     deleteRecursively(stage)
-    spark.table(qn)
+    drained
       .select(col("user_id"), col("session_id"), col("n_events"), col("duration_sec"))
   }
 }
