@@ -65,7 +65,7 @@ object DesignReader {
     val withRun = df.withColumn("run", Peptides.trueStem(col("Filename")))
 
     val multiplexed = df.columns.contains("Label") &&
-      withRun.agg(countDistinct(col("Label"))).head.getLong(0) > 1
+      withRun.agg(countDistinct(col("Label"))).head().getLong(0) > 1
 
     val files =
       if (multiplexed) {

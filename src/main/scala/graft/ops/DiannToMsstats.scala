@@ -23,7 +23,7 @@ object DiannToMsstats {
   /** Run the conversion and return the MSstats rows (not yet written). */
   def convert(report: DataFrame, design: DesignTables): DataFrame = {
     val multiplexed = report.columns.contains("Channel") &&
-      report.agg(countDistinct(col("Channel"))).head.getLong(0) > 1
+      report.agg(countDistinct(col("Channel"))).head().getLong(0) > 1
 
     val noDecoys =
       if (report.columns.contains("Decoy")) report.filter(col("Decoy") =!= 1 || col("Decoy").isNull)

@@ -133,7 +133,7 @@ object FeatureDetect {
       .withColumn("feature_scans",
         coalesce(col("feature_scans"), array().cast("array<string>")))
       .withColumn("feature_num_scans", coalesce(col("feature_num_scans"), lit(0)))
-      .select((Schemas.ms1Features.fieldNames.map(col(_)) :+ col("file_name")): _*)
+      .select((Schemas.ms1Features.fieldNames.toIndexedSeq.map(col(_)) :+ col("file_name")): _*)
       .orderBy(col("feature_intensity").desc)
   }
 

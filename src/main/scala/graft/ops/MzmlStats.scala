@@ -183,5 +183,5 @@ object MzmlStats {
   private[ops] def writeSingleParquet(df: DataFrame, target: String,
                                       schema: org.apache.spark.sql.types.StructType): Unit =
     graft.io.SingleFileSink.parquetGzip(
-      df.select(schema.fieldNames.map(col(_)): _*), target)
+      df.select(schema.fieldNames.toIndexedSeq.map(col(_)): _*), target)
 }

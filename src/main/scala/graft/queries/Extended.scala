@@ -84,7 +84,7 @@ object Extended {
         .withColumn("lbl", col("node")).localCheckpoint(true)
       // empty graph: sum() yields one NULL row — return the empty labeling
       // rather than NPE-ing on it (the oracle returns zero rows here too)
-      val sum0 = labels.agg(sum(col("lbl"))).head
+      val sum0 = labels.agg(sum(col("lbl"))).head()
       if (sum0.isNullAt(0)) {
         edges.unpersist()
         labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
@@ -102,7 +102,7 @@ object Extended {
           val next = labels.select(col("node"), col("lbl")).union(prop)
             .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
             .localCheckpoint(true)
-          val s2 = next.agg(sum(col("lbl"))).head.getLong(0)
+          val s2 = next.agg(sum(col("lbl"))).head().getLong(0)
           labels = next
           converged = s2 == lastSum
           lastSum = s2

@@ -265,7 +265,7 @@ object Relational {
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
       val schema = sorted.schema.add("rank", IntegerType, nullable = false)
       s.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) =>
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ (i + 1).toInt)
         },
         schema)

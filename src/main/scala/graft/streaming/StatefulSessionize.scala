@@ -114,7 +114,7 @@ object StatefulSessionize {
   private def stageInput(spark: SparkSession, sfDir: String): (Path, org.apache.spark.sql.types.StructType) = {
     val stage = Files.createTempDirectory("stream-sessionize")
     val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = raw nanos long
-    val maxTs = raw.agg(max(col("ts"))).head.getLong(0)
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
     val sentinelTs = maxTs + 365L * 24 * 3600 * 1000000000L
     val sentinel = raw.select(col("user_id")).distinct()
       .select(
