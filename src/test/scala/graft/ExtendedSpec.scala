@@ -54,6 +54,24 @@ class ExtendedSpec extends SparkSpec {
     assert(sessions.toSeq == Seq(1L, 2L), sessions.mkString(","))
   }
 
+  test("approx aggregates (the 100 TB path) stay within advertised error of exact") {
+    // a13_percentile and a6_count_distinct are pinned to EXACT variants
+    // because the oracle must hash-match; at cluster scale the mergeable
+    // sketches replace them (t-digest / HLL++). This pins that swap's
+    // accuracy contract so "use approx at scale" stays an honest claim.
+    import org.apache.spark.sql.functions._
+    val li = graft.tables.Tables.lineitem(spark, sf)
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("p_exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p_approx"),
+      countDistinct(col("l_partkey")).as("d_exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("d_approx")).head()
+    val pRel = math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0)
+    assert(pRel < 0.01, s"approx_percentile off by ${pRel * 100}%")
+    val dRel = math.abs(r.getLong(3).toDouble - r.getLong(2)) / r.getLong(2)
+    assert(dRel < 0.05, s"approx_count_distinct off by ${dRel * 100}%")
+  }
+
   test("set ops partition the customer nations") {
     val ex = graft.queries.Extended.queries("set_except")(spark, sf)
       .collect().map(_.getInt(0)).toSet
