@@ -39,7 +39,10 @@ object Extended {
     // approx_percentile (t-digest, mergeable partial aggs); pinned here to
     // the exact variant because the oracle must hash-match.
     "a13_percentile" -> ((s, d) => {
-      fanOut(lineitem(s, d), s)
+      // 8-way, not full, fan-out: every partition materializes a
+      // per-group value buffer that the final aggregation must merge, so
+      // more map parallelism past a point just means more buffer merging
+      fanOut(lineitem(s, d), s, partitions = 8)
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
         .select(

@@ -42,8 +42,9 @@ object Tables {
     * count: a real multi-file dataset at cluster scale already parallelizes
     * and skips the extra shuffle entirely.
     */
-  def fanOut(df: DataFrame, s: SparkSession): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
+  def fanOut(df: DataFrame, s: SparkSession, partitions: Int = 0): DataFrame = {
+    val target =
+      if (partitions > 0) partitions else s.sparkContext.defaultParallelism
     if (df.inputFiles.length * 4 < target) df.repartition(target) else df
   }
 
