@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 import graft.ops.{DiannCfg, DiannToMsstats, FeatureDetect, MzmlStats, PsmConvert, SampleExtract, SdrfValidator}
 
 /** CLI mirroring the reference's six commands (quantmsutilsc.py:17-27), same
-  * flags and exit-code conventions. Commands land here as their ops land:
-  * diann2msstats / openms2sample / checksamplesheet now; mzmlstats /
-  * psmconvert / dianncfg as M3-M6 arrive.
+  * flags and exit-code conventions. `dispatch` does all the work and returns
+  * the process exit code so tests can drive every command in-process against
+  * a shared session; `main` owns the session lifecycle and the actual
+  * sys.exit.
   */
 object Main {
 
@@ -19,7 +20,7 @@ object Main {
   }
 
   /** `--flag value` and bare `--flag` parsing. */
-  private def parseArgs(args: Seq[String]): (Map[String, String], Set[String]) = {
+  private[cli] def parseArgs(args: Seq[String]): (Map[String, String], Set[String]) = {
     var opts = Map.empty[String, String]
     var flags = Set.empty[String]
     var i = 0
@@ -34,71 +35,83 @@ object Main {
     (opts, flags)
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Run one command; returns the exit code (0 ok, 1 validation errors,
+    * 2 usage). Does NOT stop the session or call sys.exit — that is main's
+    * job, so tests can call this directly.
+    */
+  def dispatch(spark: SparkSession, args: Array[String]): Int = {
     if (args.isEmpty) {
       System.err.println(
-        "Usage: graft.cli.Main <diann2msstats|mzmlstats|psmconvert|openms2sample|checksamplesheet> [options]")
-      sys.exit(2)
+        "Usage: graft.cli.Main <diann2msstats|mzmlstats|psmconvert|openms2sample|checksamplesheet|dianncfg> [options]")
+      return 2
     }
     val (opts, flags) = parseArgs(args.tail.toSeq)
+    args.head match {
+      case "diann2msstats" =>
+        val out = DiannToMsstats.run(spark,
+          reportPath = opts("report"),
+          designPath = opts("exp_design"),
+          qvalueThreshold = opts("qvalue_threshold").toDouble,
+          outDir = opts.getOrElse("out_dir", "."))
+        println(out)
+        0
+
+      case "mzmlstats" =>
+        // --ms_paths a,b,c = the multi-run cluster path (partitioned
+        // datasets); --ms_path = the reference's one-file contract
+        opts.get("ms_paths") match {
+          case Some(paths) =>
+            MzmlStats.runMany(spark, paths.split(",").toSeq,
+              opts.getOrElse("out_dir", "."),
+              ms2File = flags.contains("ms2_file")).foreach(println)
+          case None =>
+            MzmlStats.run(spark,
+              msPath = opts("ms_path"),
+              ms2File = flags.contains("ms2_file"),
+              outDir = opts.get("out_dir")).foreach(println)
+            if (flags.contains("feature_detection"))
+              println(FeatureDetect.run(spark, opts("ms_path"), opts.get("out_dir")))
+        }
+        0
+
+      case "dianncfg" =>
+        println(DiannCfg.run(
+          enzyme = opts.get("enzyme"),
+          fixMod = opts.get("fix_mod"),
+          varMod = opts.get("var_mod"),
+          outDir = opts.getOrElse("out_dir", ".")))
+        0
+
+      case "psmconvert" =>
+        println(PsmConvert.run(spark,
+          idxmlPath = opts("idxml"),
+          ms2Path = opts.get("ms2_file"),
+          exportDecoyPsm = flags.contains("export_decoy_psm"),
+          outputFile = opts.get("output_file")))
+        0
+
+      case "openms2sample" =>
+        println(SampleExtract.run(spark, opts("expdesign"),
+          outDir = opts.getOrElse("out_dir", ".")))
+        0
+
+      case "checksamplesheet" =>
+        if (!flags.contains("minimal"))
+          System.err.println(
+            "note: full template validation is out of scope; running minimal checks")
+        val errors = SdrfValidator.validateMinimal(spark, opts("exp_design"))
+        errors.foreach(println)
+        if (errors.nonEmpty) 1 else 0
+
+      case other =>
+        System.err.println(s"Unknown command: $other")
+        2
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
     val spark = session()
-    try {
-      args.head match {
-        case "diann2msstats" =>
-          val out = DiannToMsstats.run(spark,
-            reportPath = opts("report"),
-            designPath = opts("exp_design"),
-            qvalueThreshold = opts("qvalue_threshold").toDouble,
-            outDir = opts.getOrElse("out_dir", "."))
-          println(out)
-
-        case "mzmlstats" =>
-          // --ms_paths a,b,c = the multi-run cluster path (partitioned
-          // datasets); --ms_path = the reference's one-file contract
-          opts.get("ms_paths") match {
-            case Some(paths) =>
-              MzmlStats.runMany(spark, paths.split(",").toSeq,
-                opts.getOrElse("out_dir", "."),
-                ms2File = flags.contains("ms2_file")).foreach(println)
-            case None =>
-              MzmlStats.run(spark,
-                msPath = opts("ms_path"),
-                ms2File = flags.contains("ms2_file"),
-                outDir = opts.get("out_dir")).foreach(println)
-              if (flags.contains("feature_detection"))
-                println(FeatureDetect.run(spark, opts("ms_path"), opts.get("out_dir")))
-          }
-
-        case "dianncfg" =>
-          println(DiannCfg.run(
-            enzyme = opts.get("enzyme"),
-            fixMod = opts.get("fix_mod"),
-            varMod = opts.get("var_mod"),
-            outDir = opts.getOrElse("out_dir", ".")))
-
-        case "psmconvert" =>
-          println(PsmConvert.run(spark,
-            idxmlPath = opts("idxml"),
-            ms2Path = opts.get("ms2_file"),
-            exportDecoyPsm = flags.contains("export_decoy_psm"),
-            outputFile = opts.get("output_file")))
-
-        case "openms2sample" =>
-          println(SampleExtract.run(spark, opts("expdesign"),
-            outDir = opts.getOrElse("out_dir", ".")))
-
-        case "checksamplesheet" =>
-          if (!flags.contains("minimal"))
-            System.err.println(
-              "note: full template validation is out of scope; running minimal checks")
-          val errors = SdrfValidator.validateMinimal(spark, opts("exp_design"))
-          errors.foreach(println)
-          if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
-
-        case other =>
-          System.err.println(s"Unknown command: $other")
-          spark.stop(); sys.exit(2)
-      }
-    } finally spark.stop()
+    val code = try dispatch(spark, args) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

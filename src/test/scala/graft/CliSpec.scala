@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** In-process e2e over the CLI dispatcher: real commands, real fixture
+  * files, asserted exit codes and output artifacts — the layer SURVEY §8
+  * credits as "CLI e2e". dispatch() leaves the session alive, so these run
+  * against the shared test session like every other suite.
+  */
+class CliSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("diann2msstats writes the MSstats CSV and exits 0") {
+    val out = tmpDir("cli-msstats")
+    // the same synthesized report recipe as DiannToMsstatsSpec
+    val report = {
+      val rows = Seq(
+        "Run\tProtein.Names\tModified.Sequence\tPrecursor.Charge\tPrecursor.Quantity\tQ.Value\tDecoy",
+        "RD139_Narrow_UPS1_0_1fmol_inj1\tP02768;ALBU_HUMAN\tAAC(UniMod:4)LLPK\t2\t1500.5\t0.001\t0",
+        "RD139_Narrow_UPS1_0_25fmol_inj1\tP00330;ADH1_YEAST\tVLDALDSIK\t2\t95.75\t0.002\t0")
+      val f = Files.createTempFile("cli_report", ".tsv")
+      Files.writeString(f, rows.mkString("\n") + "\n")
+      f.toString
+    }
+    val code = cli.Main.dispatch(spark, Array(
+      "diann2msstats",
+      "--report", report,
+      "--exp_design", resource("designs/PXD026600.sdrf_openms_design.tsv"),
+      "--qvalue_threshold", "0.01",
+      "--out_dir", out))
+    assert(code == 0)
+    val csv = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith("_msstats_in.csv"))
+    assert(csv.length == 1, s"expected one MSstats csv in $out")
+    val lines = Files.readAllLines(Paths.get(csv.head))
+    assert(lines.get(0).startsWith("ProteinName,PeptideSequence"))
+    assert(lines.size > 1)
+  }
+
+  test("checksamplesheet exits 0 on a valid design and 1 on a broken one") {
+    val valid = Files.createTempFile("cli_ok_design", ".sdrf.tsv")
+    Files.writeString(valid,
+      "source name\tassay name\tcomment[data file]\tcomment[label]\t" +
+        "comment[instrument]\tcomment[proteomics data acquisition method]\t" +
+        "technology type\tcomment[cleavage agent details]\t" +
+        "comment[modification parameters]\n" +
+        "S1\trun1\tfile1.raw\tlabel free sample\tOrbitrap\t" +
+        "Data-Independent Acquisition\tMS\tTrypsin\tOxidation\n")
+    val ok = cli.Main.dispatch(spark, Array(
+      "checksamplesheet", "--minimal", "--exp_design", valid.toString))
+    assert(ok == 0)
+    val broken = Files.createTempFile("cli_bad_design", ".tsv")
+    Files.writeString(broken, "NotAColumn\tAlsoWrong\nx\ty\n")
+    val bad = cli.Main.dispatch(spark, Array(
+      "checksamplesheet", "--minimal", "--exp_design", broken.toString))
+    assert(bad == 1)
+  }
+
+  test("dianncfg writes the config file and exits 0") {
+    val out = tmpDir("cli-dianncfg")
+    val code = cli.Main.dispatch(spark, Array(
+      "dianncfg",
+      "--enzyme", "Trypsin",
+      "--fix_mod", "Carbamidomethyl (C)",
+      "--out_dir", out))
+    assert(code == 0)
+    val cfg = Paths.get(out, "diann_config.cfg")
+    assert(Files.exists(cfg))
+    val txt = Files.readString(cfg)
+    assert(txt.contains("--cut"))
+  }
+
+  test("unknown command and empty args exit 2") {
+    assert(cli.Main.dispatch(spark, Array("nonsense")) == 2)
+    assert(cli.Main.dispatch(spark, Array.empty[String]) == 2)
+  }
+}
