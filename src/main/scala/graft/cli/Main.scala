@@ -35,18 +35,36 @@ object Main {
     (opts, flags)
   }
 
+  private val commands = Set(
+    "diann2msstats", "mzmlstats", "psmconvert",
+    "openms2sample", "checksamplesheet", "dianncfg")
+
+  private def usage(): Int = {
+    System.err.println(
+      "Usage: graft.cli.Main <" + commands.toSeq.sorted.mkString("|") + "> [options]")
+    2
+  }
+
   /** Run one command; returns the exit code (0 ok, 1 validation errors,
-    * 2 usage). Does NOT stop the session or call sys.exit — that is main's
-    * job, so tests can call this directly.
+    * 2 usage — including a missing required option). Does NOT stop the
+    * session or call sys.exit — that is main's job, so tests can call this
+    * directly.
     */
   def dispatch(spark: SparkSession, args: Array[String]): Int = {
-    if (args.isEmpty) {
-      System.err.println(
-        "Usage: graft.cli.Main <diann2msstats|mzmlstats|psmconvert|openms2sample|checksamplesheet|dianncfg> [options]")
-      return 2
-    }
+    if (args.isEmpty) return usage()
     val (opts, flags) = parseArgs(args.tail.toSeq)
-    args.head match {
+    try dispatchParsed(spark, args.head, opts, flags)
+    catch {
+      case e: NoSuchElementException =>
+        System.err.println(s"Missing required option (${e.getMessage})")
+        usage()
+    }
+  }
+
+  private def dispatchParsed(
+      spark: SparkSession, command: String,
+      opts: Map[String, String], flags: Set[String]): Int = {
+    command match {
       case "diann2msstats" =>
         val out = DiannToMsstats.run(spark,
           reportPath = opts("report"),
@@ -105,11 +123,16 @@ object Main {
 
       case other =>
         System.err.println(s"Unknown command: $other")
-        2
+        usage()
     }
   }
 
   def main(args: Array[String]): Unit = {
+    // usage errors exit before any Spark startup cost
+    if (args.isEmpty || !commands(args.head)) {
+      if (args.nonEmpty) System.err.println(s"Unknown command: ${args.head}")
+      sys.exit(usage())
+    }
     val spark = session()
     val code = try dispatch(spark, args) finally spark.stop()
     if (code != 0) sys.exit(code)

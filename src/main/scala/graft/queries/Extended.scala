@@ -39,9 +39,12 @@ object Extended {
     // approx_percentile (t-digest, mergeable partial aggs); pinned here to
     // the exact variant because the oracle must hash-match.
     "a13_percentile" -> ((s, d) => {
-      // 8-way, not full, fan-out: every partition materializes a
-      // per-group value buffer that the final aggregation must merge, so
-      // more map parallelism past a point just means more buffer merging
+      // expand the single-file scan to only 8 ways (not the full 32):
+      // every map partition materializes a per-group value buffer the
+      // final aggregation must merge, so extra map parallelism past a
+      // point is spent merging buffers. (A multi-file dataset skips the
+      // expansion and keeps its native scan parallelism — fanOut never
+      // repartitions downward.)
       fanOut(lineitem(s, d), s, partitions = 8)
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))

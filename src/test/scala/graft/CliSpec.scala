@@ -31,8 +31,10 @@ class CliSpec extends SparkSpec {
       "--qvalue_threshold", "0.01",
       "--out_dir", out))
     assert(code == 0)
-    val csv = Files.list(Paths.get(out)).toArray.map(_.toString)
-      .filter(_.endsWith("_msstats_in.csv"))
+    val listing = Files.list(Paths.get(out))
+    val csv =
+      try listing.toArray.map(_.toString).filter(_.endsWith("_msstats_in.csv"))
+      finally listing.close()
     assert(csv.length == 1, s"expected one MSstats csv in $out")
     val lines = Files.readAllLines(Paths.get(csv.head))
     assert(lines.get(0).startsWith("ProteinName,PeptideSequence"))

@@ -41,7 +41,6 @@ class ExtendedSpec extends SparkSpec {
     // strictly-greater, matching the hand-rolled w3 sessionizer. The driver
     // tables contain no exact-boundary gaps, so this pins the semantics on
     // a synthetic one; w3b's oracle depends on this equivalence.
-    import org.apache.spark.sql.functions._
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000
     val ev = Seq((1L, 0L), (1L, gapUs), (1L, 2 * gapUs + 1)).toDF("user_id", "us")
@@ -59,7 +58,6 @@ class ExtendedSpec extends SparkSpec {
     // because the oracle must hash-match; at cluster scale the mergeable
     // sketches replace them (t-digest / HLL++). This pins that swap's
     // accuracy contract so "use approx at scale" stays an honest claim.
-    import org.apache.spark.sql.functions._
     val li = graft.tables.Tables.lineitem(spark, sf)
     val r = li.agg(
       expr("percentile(l_extendedprice, 0.5)").as("p_exact"),
