@@ -54,6 +54,37 @@ object Extended {
           round(element_at(col("ps"), 2), 4).as("p95"))
     }),
 
+    // A14: per-group statistical mode — count + windowed argmax with a
+    // deterministic value tie-break; the shape any "most frequent value"
+    // profiling query takes (two hash aggregations + one per-group rank,
+    // never a global sort).
+    "a14_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n_occurrences"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n_occurrences").desc, col("l_linenumber"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"),
+          col("l_linenumber").as("mode_linenumber"), col("n_occurrences"))
+    }),
+
+    // F16: date-part extraction + aggregation (year/month histograms of
+    // order dates). Day-of-week is deliberately left out: Spark and DuckDB
+    // number weekdays differently, and a portable query should not depend
+    // on an engine-specific calendar convention.
+    "f16_date_parts" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
+    }),
+
     // Set operators (beyond the reference, which has none): nations with
     // customers but no suppliers (EXCEPT → planned as distinct + anti join)
     // and nations with both (INTERSECT → distinct + semi join).
@@ -258,6 +289,20 @@ object Extended {
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
       FROM lineitem GROUP BY l_returnflag""",
+    "a14_mode" -> """
+      SELECT l_returnflag, l_linenumber AS mode_linenumber, n_occurrences
+      FROM (
+        SELECT l_returnflag, l_linenumber, count(*) AS n_occurrences,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY count(*) DESC, l_linenumber) AS rn
+        FROM lineitem GROUP BY 1, 2)
+      WHERE rn = 1""",
+    "f16_date_parts" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS m,
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+      FROM orders GROUP BY 1, 2""",
     "set_except" -> """
       SELECT c_nationkey AS nationkey FROM customer
       EXCEPT SELECT s_nationkey FROM supplier""",
