@@ -37,10 +37,20 @@ object Bench {
       }
       name -> reps.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line short: full double repr made the
+    // one-line contract ~2.6 KB and the driver's tail capture truncated it
+    // (BENCH_r02.json parsed: null). ~1.5 KB fits; the same JSON is also
+    // persisted to a file so no capture window can ever lose queries.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () } // file copy is best-effort; stdout is the contract
+    println(line)
     spark.stop()
   }
 }

@@ -88,10 +88,15 @@ object Relational {
     }),
 
     // J1: broadcast inner join with a small dimension (ref: sample ⋈ file
-    // design join, diann2msstats.py:103-106). customer is the broadcast side.
+    // design join, diann2msstats.py:103-106). No broadcast() hint: customer
+    // scales with sf, so the choice belongs to AQE — it broadcasts while the
+    // side fits (which the plan test pins at test scale) and degrades to a
+    // shuffle join instead of an executor OOM at 100×. The reference's
+    // genuinely-bounded broadcast (the design table, bounded by run count)
+    // is pinned where that contract actually holds: DiannToMsstats.
     "j1_broadcast_inner" -> ((s, d) => {
       orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n"),
@@ -99,10 +104,14 @@ object Relational {
     }),
 
     // J2: left many-to-one join (ref: report ⋈ design on Run,
-    // diann2msstats.py:92-98,117); right side unique on key.
+    // diann2msstats.py:92-98,117); right side unique on key. NO broadcast
+    // hint: orders grows with scale factor, so pinning it broadcast would
+    // OOM an executor at 100× — AQE picks broadcast only while the side
+    // actually fits (the reference's design lookup, which IS bounded, lives
+    // in DiannToMsstats where the broadcast contract holds by construction).
     "j2_left_m2one" -> ((s, d) => {
       lineitem(s, d)
-        .join(broadcast(orders(s, d)), col("l_orderkey") === col("o_orderkey"), "left")
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"), "left")
         .groupBy(coalesce(col("o_orderpriority"), lit("UNMATCHED")).as("priority"))
         .agg(count(lit(1)).as("n"))
     }),

@@ -21,25 +21,30 @@ object Temporal {
     // curve and probes are merged into one ordered stream and bracketed with
     // two window passes (forward for the preceding point, backward for the
     // following), then linearly interpolated and clamped at the ends — one
-    // sort each way, no join. At scale the window would be partitioned by a
-    // series key (here the curve is global, as in the reference's per-file
-    // pTIC).
+    // sort each way, no join. The windows are KEYED by the UTC calendar day
+    // — the events analogue of the reference's per-FILE pTIC curve
+    // (ms1_feature_finder.py:104-142: one curve per mzML run, never a global
+    // one) — so every sort shards per key and no task ever sees more than
+    // one day's rows. An unpartitioned Window.orderBy here would funnel the
+    // whole events table through ONE task at 100×. Interpolation clamps at
+    // each day's edges, exactly as the reference clamps at each file's.
     "j8_interpolate_asof" -> ((s, d) => {
       val ev = events(s, d)
       val curve = ev.filter(col("event_type") === "view")
-        .groupBy(unix_micros(col("ts")).as("us"))
+        .groupBy(to_date(col("ts")).as("day"), unix_micros(col("ts")).as("us"))
         .agg(min(col("value")).as("v"))
-        .select(col("us"), col("v"), lit(null).cast("long").as("event_id"), lit(0).as("is_probe"))
+        .select(col("day"), col("us"), col("v"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_probe"))
       val probes = ev.filter(col("event_type") === "purchase")
-        .select(unix_micros(col("ts")).as("us"), lit(null).cast("double").as("v"),
-          col("event_id"), lit(1).as("is_probe"))
+        .select(to_date(col("ts")).as("day"), unix_micros(col("ts")).as("us"),
+          lit(null).cast("double").as("v"), col("event_id"), lit(1).as("is_probe"))
       val merged = curve.unionByName(probes)
       // forward pass: curve point at or before the probe (curve sorts first
       // on ties so an exact-ts point is picked up)
-      val wFwd = Window.orderBy(col("us"), col("is_probe"))
+      val wFwd = Window.partitionBy(col("day")).orderBy(col("us"), col("is_probe"))
         .rowsBetween(Window.unboundedPreceding, 0)
       // backward pass: curve point strictly after (probe sorts first on ties)
-      val wBwd = Window.orderBy(col("us").desc, col("is_probe").desc)
+      val wBwd = Window.partitionBy(col("day")).orderBy(col("us").desc, col("is_probe").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       val prevV = last(col("v"), ignoreNulls = true).over(wFwd)
       val prevUs = last(when(col("is_probe") === 0, col("us")), ignoreNulls = true).over(wFwd)
@@ -176,15 +181,17 @@ object Temporal {
       FROM sess GROUP BY user_id, sid""",
     "j8_interpolate_asof" -> """
       WITH curve AS (
-        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, min(value) AS v
-        FROM events WHERE event_type = 'view' GROUP BY 1),
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, min(value) AS v
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
       probes AS (
-        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
         FROM events WHERE event_type = 'purchase'),
       br AS (
-        SELECT p.event_id, p.us,
-               (SELECT max(c.us) FROM curve c WHERE c.us <= p.us) AS pus,
-               (SELECT min(c.us) FROM curve c WHERE c.us > p.us) AS nus
+        SELECT p.event_id, p.day, p.us,
+               (SELECT max(c.us) FROM curve c WHERE c.day = p.day AND c.us <= p.us) AS pus,
+               (SELECT min(c.us) FROM curve c WHERE c.day = p.day AND c.us > p.us) AS nus
         FROM probes p)
       SELECT b.event_id,
              round(CASE WHEN pus IS NULL THEN nv.v
@@ -192,8 +199,8 @@ object Temporal {
                         ELSE pv.v + (nv.v - pv.v) * (b.us - pus) / (nus - pus)
                    END, 6) AS interp_value
       FROM br b
-      LEFT JOIN curve pv ON b.pus = pv.us
-      LEFT JOIN curve nv ON b.nus = nv.us""",
+      LEFT JOIN curve pv ON b.day = pv.day AND b.pus = pv.us
+      LEFT JOIN curve nv ON b.day = nv.day AND b.nus = nv.us""",
     "stream_hourly_agg" -> """
       SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour_start,
              event_type, count(*) AS n,

@@ -10,9 +10,12 @@ package graft
   *  - per-group ops shuffle exactly once on the group key
   *  - the hot path stays inside whole-stage codegen
   *
-  * Run against sf0.001 so the suite stays fast; plan shape is data-size
-  * independent for everything asserted here (broadcast choices are forced by
-  * explicit broadcast() hints in the queries, not by size estimation).
+  * Run against sf0.001 so the suite stays fast. Plan shape is data-size
+  * independent for everything asserted here except the broadcast choices:
+  * genuinely-bounded sides (nation/region, probe sets, centroid tables)
+  * carry explicit broadcast() hints, while sf-scaled sides (customer,
+  * orders) carry NO hint — AQE broadcasts them at test scale (asserted) and
+  * degrades to shuffle joins at 100× instead of OOMing an executor.
   */
 class PlanSpec extends SparkSpec {
 
@@ -80,6 +83,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
     assert(!p.contains("Window"), p)
+  }
+
+  test("j2_left_m2one: no hard-broadcast of a table that scales with sf") {
+    // orders grows with scale factor; a broadcast() hint would pin an
+    // executor-OOM plan at 100×. The analyzed plan must carry NO broadcast
+    // hint — whatever join AQE then picks is a size-based, scale-safe choice.
+    val analyzed = SparkEntry.queries("j2_left_m2one")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
+  }
+
+  test("j1_broadcast_inner: AQE (not a hint) picks the broadcast; no hint in plan") {
+    val qe = SparkEntry.queries("j1_broadcast_inner")(spark, sf).queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"), qe.analyzed.toString)
+    // at test scale the size estimate still yields a broadcast join — the
+    // property asserted in the earlier j1 test — but it is now AQE's choice
+  }
+
+  test("j8 interpolation: windows are keyed — no single-partition exchange") {
+    // an unpartitioned Window.orderBy would drag the whole events table
+    // through ONE task; both interpolation variants must shard their sorts
+    for (q <- Seq("j8_interpolate_asof", "j8b_interpolate_per_series")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+      assert(p.contains("Window"), s"$q:\n$p")
+    }
   }
 
   test("f10 projection pipeline: whole-stage codegen, zero shuffles") {
