@@ -33,6 +33,65 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     VectorExpressions.dot(a, b)
 
+  /** 16×dim random-hyperplane matrix with ±1 components derived from
+    * md5("p_i") — the same portable-hash rule the MinHash pipeline uses, so
+    * the DuckDB oracle rebuilds the IDENTICAL matrix in SQL
+    * (`('0x'||substr(md5(p||'_'||i),1,15))::BIGINT % 2`). Computed once on
+    * the driver (a 16×64 constant — at cluster scale this is the literal the
+    * plan broadcasts for free), never per row.
+    */
+  private def planeMatrix(dim: Int): Array[Array[Long]] =
+    Array.tabulate(16) { p =>
+      Array.tabulate(dim) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** (vec_id, bucket) — the 16-bit random-hyperplane signature of every
+    * vector as a bit string. Sign sums run in integer micro-units
+    * (`round(x·1e6)·(±1)` summed as BIGINT) so the bit is
+    * addition-order-independent and both engines agree even when a
+    * projection lands near zero. One codegen'd pass per row, zero shuffle;
+    * the bucket key (16 bits), not the vector, is all that downstream joins
+    * ever ship.
+    */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    // dim probe: one-row action; the table contract is fixed-width vectors
+    val dim = embeddings(s, d).select(size(col("embedding")).as("n")).head().getInt(0)
+    val planes = planeMatrix(dim)
+    val v = asDouble(col("embedding"))
+    val bits = (0 until 16).map { p =>
+      val w = typedLit(planes(p))
+      when(
+        aggregate(
+          zip_with(v, w, (x, wi) => round(x * 1000000).cast("long") * wi),
+          lit(0L), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+    }
+    fanOut(embeddings(s, d), s)
+      .select(col("vec_id"), concat(bits: _*).as("bucket"))
+  }
+
+  /** Shared DuckDB CTEs rebuilding the hyperplane signature: `sig` holds
+    * (vec_id, p, bit), `buckets` the 16-char bit string — the ONE canonical
+    * SQL both LSH oracles compose, so the plane/hash rule can never drift
+    * between them.
+    */
+  private val lshSigSql: String = """
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      w AS (SELECT p, i,
+                   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS w
+            FROM (SELECT unnest(range(0, 16)) AS p), (SELECT DISTINCT i FROM ex)),
+      sig AS (SELECT e.vec_id, w.p, CASE WHEN sum(e.xu * w.w) > 0 THEN 1 ELSE 0 END AS bit
+              FROM ex e JOIN w ON e.i = w.i GROUP BY 1, 2),
+      buckets AS (SELECT vec_id, string_agg(bit::VARCHAR, '' ORDER BY p) AS bucket
+                  FROM sig GROUP BY vec_id)"""
+
   val queries: Map[String, Q] = Map(
     // A1/A2/A3 over real vectors: per-row array max / sum / length.
     "arr_stats" -> ((s, d) => {
@@ -166,23 +225,49 @@ object Similarity {
             .as("mean_x"))
     }),
 
-    // LSH-bucketed ANN: 16 deterministic hyperplanes (pseudo-random ±1
-    // components from xxhash64(plane, dim)), signature = sign bits; buckets
-    // join on signature. Engine-specific hash → rows-only check. This is the
-    // plan shape that scales: the join key is a 16-bit bucket, not the
-    // vector.
-    "sim_lsh_buckets" -> ((s, d) => {
-      val v = asDouble(col("embedding"))
-      // plane p component for dim i: +1 if xxhash64(p * 4096 + i) even
-      val sigBits = transform(sequence(lit(0), lit(15)), p =>
-        when(
-          aggregate(
-            zip_with(v, sequence(lit(0), size(col("embedding")) - 1),
-              (x, i) => when(xxhash64(p * 4096 + i) % 2 === 0, x).otherwise(-x)),
-            lit(0.0), (acc, x) => acc + x) > 0, lit(1)).otherwise(lit(0)))
-      fanOut(embeddings(s, d), s).select(
-        col("vec_id"),
-        concat_ws("", sigBits).as("bucket"))
+    // LSH bucketing: 16 deterministic md5-derived hyperplanes, signature =
+    // sign bits. The portable plane rule (see planeMatrix) graduates this
+    // from a rows-only check to a full hash-matched oracle. This is the plan
+    // shape that scales: the join key is a 16-bit bucket, not the vector.
+    "sim_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
+
+    // Embedding near-dup dedup AT SCALE: the LSH-bucketed composition that
+    // replaces dedup_embed_cosine's all-pairs O(N²) BroadcastNestedLoopJoin.
+    // Stage 1: 16-bit hyperplane signatures, split 4 bands × 4 bits (banding
+    // trades one long signature for 4 chances to collide — the same
+    // recall/precision lever as MinHash banding). Stage 2: candidate pairs
+    // per (band, key) bucket WITHOUT a self-join (the TextOps in-bucket
+    // expansion pattern: one groupBy + k² HOF expansion over small buckets).
+    // Stage 3: exact-cosine verification of candidates only. Work is
+    // Σ bucket² + |candidates|, not N² — the 100 TB shape. Semantics: pairs
+    // that share ≥1 band AND cos > 0.4; the oracle replicates the identical
+    // pipeline, so the (documented) LSH recall loss vs the brute-force
+    // baseline is pinned, not hidden. dedup_embed_cosine remains the
+    // small-N/recall-100% baseline.
+    "dedup_embed_lsh" -> ((s, d) => {
+      val base = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .cache() // reused by both join sides; avoids recomputing the scan branch
+      val bands = lshBuckets(s, d).select(col("vec_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          substring(col("bucket"), b * 4 + 1, 4).as("bk"))): _*)).as("x"))
+        .select(col("vec_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+      val cand = bands
+        .groupBy(col("band"), col("bk"))
+        .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
+        .select(col("p.da"), col("p.db"))
+        .distinct()
+      cand
+        .join(base.select(col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na")), "da")
+        .join(base.select(col("vec_id").as("db"), col("v").as("vb"), col("nrm").as("nb")), "db")
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") > 0.4)
+        .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
     }),
   )
 
@@ -267,6 +352,20 @@ object Similarity {
       SELECT c_id, dim, count(*) AS n_members,
              round(sum(CAST(round(x * 1000000) AS BIGINT)) / count(*) / 1e6, 6) AS mean_x
       FROM ex GROUP BY c_id, dim""",
-    // sim_lsh_buckets: intentionally no oracle (engine-specific hash).
+    "sim_lsh_buckets" -> s"""
+      WITH $lshSigSql
+      SELECT vec_id, bucket FROM buckets""",
+    "dedup_embed_lsh" -> s"""
+      WITH $lshSigSql,
+      bands AS (SELECT vec_id, b AS band, substr(bucket, b * 4 + 1, 4) AS bk
+                FROM buckets, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c)
+      SELECT da, db,
+             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+      FROM cand JOIN n x ON da = x.vec_id JOIN n y ON db = y.vec_id
+      WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > 0.4""",
   )
 }
