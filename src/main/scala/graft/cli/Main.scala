@@ -45,19 +45,34 @@ object Main {
     2
   }
 
-  /** Run one command; returns the exit code (0 ok, 1 validation errors,
-    * 2 usage — including a missing required option). Does NOT stop the
-    * session or call sys.exit — that is main's job, so tests can call this
-    * directly.
+  /** A missing required option — usage error, exit 2. Raised only by
+    * [[required]] so a genuine NoSuchElementException from inside an op
+    * (empty iterator, Option.get) propagates instead of being mislabeled.
+    */
+  private final case class UsageError(option: String)
+    extends RuntimeException(s"--$option")
+
+  private def required(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, throw UsageError(key))
+
+  /** Run one command; returns the exit code (0 ok, 1 validation/runtime
+    * errors such as an unresolvable input path, 2 usage — including a
+    * missing required option). Does NOT stop the session or call sys.exit —
+    * that is main's job, so tests can call this directly.
     */
   def dispatch(spark: SparkSession, args: Array[String]): Int = {
     if (args.isEmpty) return usage()
     val (opts, flags) = parseArgs(args.tail.toSeq)
     try dispatchParsed(spark, args.head, opts, flags)
     catch {
-      case e: NoSuchElementException =>
-        System.err.println(s"Missing required option (${e.getMessage})")
+      case UsageError(opt) =>
+        System.err.println(s"Missing required option ($opt)")
         usage()
+      case e: java.io.FileNotFoundException =>
+        // resolve_ms_path contract (mzml_statistics.py:448): no unique
+        // input file is a runtime error, not a usage error
+        System.err.println(e.getMessage)
+        1
     }
   }
 
@@ -67,9 +82,9 @@ object Main {
     command match {
       case "diann2msstats" =>
         val out = DiannToMsstats.run(spark,
-          reportPath = opts("report"),
-          designPath = opts("exp_design"),
-          qvalueThreshold = opts("qvalue_threshold").toDouble,
+          reportPath = required(opts, "report"),
+          designPath = required(opts, "exp_design"),
+          qvalueThreshold = required(opts, "qvalue_threshold").toDouble,
           outDir = opts.getOrElse("out_dir", "."))
         println(out)
         0
@@ -79,16 +94,19 @@ object Main {
         // datasets); --ms_path = the reference's one-file contract
         opts.get("ms_paths") match {
           case Some(paths) =>
-            MzmlStats.runMany(spark, paths.split(",").toSeq,
+            MzmlStats.runMany(spark,
+              paths.split(",").toSeq.map(MzmlStats.resolveMsPath(spark, _)),
               opts.getOrElse("out_dir", "."),
               ms2File = flags.contains("ms2_file")).foreach(println)
           case None =>
+            // S9 stem-glob resolution (mzml_statistics.py:412-448)
+            val msPath = MzmlStats.resolveMsPath(spark, required(opts, "ms_path"))
             MzmlStats.run(spark,
-              msPath = opts("ms_path"),
+              msPath = msPath,
               ms2File = flags.contains("ms2_file"),
               outDir = opts.get("out_dir")).foreach(println)
             if (flags.contains("feature_detection"))
-              println(FeatureDetect.run(spark, opts("ms_path"), opts.get("out_dir")))
+              println(FeatureDetect.run(spark, msPath, opts.get("out_dir")))
         }
         0
 
@@ -102,14 +120,14 @@ object Main {
 
       case "psmconvert" =>
         println(PsmConvert.run(spark,
-          idxmlPath = opts("idxml"),
+          idxmlPath = required(opts, "idxml"),
           ms2Path = opts.get("ms2_file"),
           exportDecoyPsm = flags.contains("export_decoy_psm"),
           outputFile = opts.get("output_file")))
         0
 
       case "openms2sample" =>
-        println(SampleExtract.run(spark, opts("expdesign"),
+        println(SampleExtract.run(spark, required(opts, "expdesign"),
           outDir = opts.getOrElse("out_dir", ".")))
         0
 
@@ -117,7 +135,7 @@ object Main {
         if (!flags.contains("minimal"))
           System.err.println(
             "note: full template validation is out of scope; running minimal checks")
-        val errors = SdrfValidator.validateMinimal(spark, opts("exp_design"))
+        val errors = SdrfValidator.validateMinimal(spark, required(opts, "exp_design"))
         errors.foreach(println)
         if (errors.nonEmpty) 1 else 0
 

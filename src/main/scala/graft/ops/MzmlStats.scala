@@ -20,6 +20,37 @@ object MzmlStats {
   /** C13-C12 mass difference (isotope spacing), public physical constant. */
   private val IsoDiff = 1.0033548378
 
+  /** S9 path resolution (mzml_statistics.py:412-448, `resolve_ms_path`):
+    * an existing path is used verbatim; otherwise the parent directory is
+    * globbed for `<stem>*` and candidates are kept when their extension is
+    * `.mzml`/`.mzML` (the reference's suffix whitelist, case-insensitive
+    * after `.lower()`). Exactly one candidate resolves; zero or more than
+    * one raises `FileNotFoundException` — the reference's
+    * `FileNotFoundError("No unique file found")`. Uses the Hadoop
+    * FileSystem API so the same resolution works against HDFS/S3 paths on
+    * a cluster, not just `java.io.File`.
+    */
+  def resolveMsPath(spark: SparkSession, msPath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(msPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return msPath
+    val parent = Option(p.getParent).getOrElse(new Path("."))
+    val name = p.getName
+    val stem = { val i = name.lastIndexOf('.'); if (i > 0) name.substring(0, i) else name }
+    val candidates = Option(fs.globStatus(new Path(parent, stem + "*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath)
+      .filter(_.getName.toLowerCase.endsWith(".mzml"))
+    candidates match {
+      case Seq(one) => one.toString
+      case many =>
+        if (many.size > 1)
+          System.err.println(s"Multiple candidates found for $msPath: ${many.mkString(", ")}")
+        throw new java.io.FileNotFoundException(s"No unique file found for $msPath")
+    }
+  }
+
   def readSpectra(spark: SparkSession, paths: Seq[String],
                   msLevels: Option[Seq[Int]] = None): DataFrame = {
     val reader = spark.read.format("graft.sources.mzml.MzmlDataSource")

@@ -100,56 +100,13 @@ object Extended {
     // Dedup clustering: connected components over the MinHash-LSH candidate
     // pairs — every document labeled with the min doc_id of its near-dup
     // cluster (the canonical representative a training-data pipeline keeps).
-    // Iterative min-label propagation: each round every node takes the min
-    // label over itself and its neighbors; converges in O(component
-    // diameter) rounds. Distributed throughout — per round one shuffle join
-    // (labels ⋈ edges) + one min-aggregation, the same plan the
-    // large-star/small-star CC algorithm runs at web scale. The driver only
-    // compares one scalar (sum of labels, strictly decreasing until the
-    // fixpoint) per round.
+    // Large-star/small-star (see [[connectedComponents]]): O(log² n) rounds
+    // instead of the O(component-diameter) of naive min-label propagation —
+    // the difference between 5 and 50 shuffles on a web-scale chain.
     "dedup_cluster_cc" -> ((s, d) => {
       val pairs = TextOps.queries("dedup_minhash_lsh")(s, d)
-      // undirected: propagate both ways
-      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-        .cache()
-      // localCheckpoint (not cache) each round: an iterative plan's lineage
-      // otherwise doubles per round and the task binaries balloon (observed
-      // 5 MB tasks by round ~5); checkpointing truncates the DAG so every
-      // round ships a constant-size plan.
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint(true)
-      // empty graph: sum() yields one NULL row — return the empty labeling
-      // rather than NPE-ing on it (the oracle returns zero rows here too)
-      val sum0 = labels.agg(sum(col("lbl"))).head()
-      if (sum0.isNullAt(0)) {
-        edges.unpersist()
-        labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      } else {
-        var lastSum = sum0.getLong(0)
-        var converged = false
-        var rounds = 0
-        // convergence needs <= component-diameter rounds; the cap exists
-        // only to bound a logic bug and FAILS LOUDLY — a silent cap would
-        // ship partially-propagated (wrong) cluster labels
-        val maxRounds = 1000
-        while (!converged && rounds < maxRounds) {
-          val prop = labels.join(edges, col("node") === col("src"))
-            .select(col("dst").as("node"), col("lbl"))
-          val next = labels.select(col("node"), col("lbl")).union(prop)
-            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-            .localCheckpoint(true)
-          val s2 = next.agg(sum(col("lbl"))).head().getLong(0)
-          labels = next
-          converged = s2 == lastSum
-          lastSum = s2
-          rounds += 1
-        }
-        require(converged,
-          s"connected-components did not converge in $maxRounds rounds")
-        edges.unpersist()
-        labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      }
+      connectedComponents(s,
+        pairs.select(col("da").as("src"), col("db").as("dst")))._1
     }),
 
     // J8 at scale: the per-series as-of interpolation. The global-curve
@@ -209,7 +166,11 @@ object Extended {
     // evicts rows once the event-time range can no longer match (the
     // condition bounds BOTH time columns — without that, stream-stream join
     // state grows forever). Inner join + finite input ⇒ output equals the
-    // batch range join, which is the oracle.
+    // batch range join, which is the oracle. NOTE: that equivalence assumes
+    // the single-file test input lands in ONE micro-batch; a multi-file
+    // dataset processed across micro-batches could evict join state at the
+    // 30-minute watermark and drop late cross-batch matches the batch
+    // oracle keeps — the price of bounded state on an unbounded stream.
     "stream_join" -> ((s, d) => withShufflePartitions(s, 4) {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       def src = s.readStream.schema(schema)
@@ -276,6 +237,97 @@ object Extended {
           .dropDuplicates("user_id", "event_type"))
     }),
   )
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (the MapReduce CC algorithm of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): converges in O(log² n) rounds on
+    * ANY graph — component diameter does not matter, unlike naive min-label
+    * propagation. Each round is two grouped min-aggregations + joins, all
+    * shuffle-parallel; no step ever materializes a neighborhood list, so a
+    * web-scale hub node costs a min-aggregate, not a collect_set.
+    *
+    * Per round the edge set is `localCheckpoint(true)`ed (iterative lineage
+    * otherwise balloons task binaries) and the PREVIOUS round's checkpoint
+    * blocks are explicitly unpersisted once the new round has materialized —
+    * peak storage is two edge sets, not O(rounds). The final round's blocks
+    * back the returned (lazy) frame and are freed by the ContextCleaner
+    * when the caller drops it.
+    *
+    * @param edges (src, dst) long pairs, undirected semantics
+    * @return (labels frame (doc_id, cluster_id = component min), rounds run)
+    */
+  def connectedComponents(s: SparkSession, edges: DataFrame): (DataFrame, Int) = {
+    val sc = s.sparkContext
+    def persisted(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = persisted()
+      val out = df.localCheckpoint(true)
+      (out, persisted() -- pre)
+    }
+
+    // large-star: every node u sends its strictly-larger neighbors to
+    // m(u) = min(Γ(u) ∪ {u}) — hangs big nodes under small ones
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      und.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: orient (big → small); every node u re-points its smaller
+    // neighbors (and itself) at m(u) = min of them — flattens into stars
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = o.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      o.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    // order-insensitive set fingerprint (edges are distinct): fixpoint ⇔
+    // edge set unchanged. bit_xor, not sum — no ANSI overflow at any n.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var (cur, held) = checkpoint(
+      edges.filter(col("src") =!= col("dst")).distinct())
+    // nodes to label = every endpoint of the ORIGINAL edges; checkpointed
+    // eagerly because round 1 frees cur's blocks out from under a lazy plan
+    val (nodes, _) = checkpoint(
+      cur.select(col("src").as("node"))
+        .union(cur.select(col("dst").as("node"))).distinct())
+    var (cnt, sig) = fingerprint(cur)
+    var converged = cnt == 0L
+    var rounds = 0
+    // log²(n) rounds suffice; the cap bounds only a logic bug and FAILS
+    // LOUDLY — a silent cap would ship partially-merged (wrong) clusters
+    val maxRounds = 100
+    while (!converged && rounds < maxRounds) {
+      val (next, newIds) = checkpoint(smallStar(largeStar(cur)))
+      val (c2, s2) = fingerprint(next)
+      converged = c2 == cnt && s2 == sig
+      free(held) // previous round's blocks — next is already materialized
+      cur = next; held = newIds; cnt = c2; sig = s2
+      rounds += 1
+    }
+    require(converged, s"connected-components did not converge in $maxRounds rounds")
+    // converged star graph: each non-root has exactly one (node → root)
+    // edge; roots label themselves
+    val labels = nodes
+      .join(cur.select(col("src").as("node"), col("dst").as("root")), Seq("node"), "left")
+      .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
+    (labels, rounds)
+  }
 
   val oracle: Map[String, String] = Map(
     "a12_rollup" -> """

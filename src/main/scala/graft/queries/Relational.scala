@@ -268,14 +268,15 @@ object Relational {
     // global-ranking shape on a cluster.
     "o1_sort_desc_rank" -> ((s, d) => {
       import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.IntegerType
+      import org.apache.spark.sql.types.LongType
       val sorted = part(s, d)
         .select(col("p_partkey"), col("p_retailprice"))
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
-      val schema = sorted.schema.add("rank", IntegerType, nullable = false)
+      // rank is Long: zipWithIndex counts past 2^31-1 rows at cluster scale
+      val schema = sorted.schema.add("rank", LongType, nullable = false)
       s.createDataFrame(
         sorted.rdd.zipWithIndex().map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+          Row.fromSeq(r.toSeq :+ (i + 1L))
         },
         schema)
     }),
@@ -499,7 +500,7 @@ object Relational {
       "SELECT c_custkey, 'negative_acctbal' AS error FROM customer WHERE c_acctbal < 0",
     "o1_sort_desc_rank" -> """
       SELECT p_partkey, p_retailprice,
-             CAST(row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rank
+             CAST(row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rank
       FROM part""",
     "o2_first_per_group" -> """
       SELECT l_orderkey, l_partkey AS first_partkey FROM lineitem

@@ -262,12 +262,21 @@ object Similarity {
             "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
         .select(col("p.da"), col("p.db"))
         .distinct()
-      cand
+      val result = cand
         .join(base.select(col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na")), "da")
         .join(base.select(col("vec_id").as("db"), col("v").as("vb"), col("nrm").as("nb")), "db")
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") > 0.4)
         .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
+        .persist()
+      // materialize the (small, ≤|candidates|) pair set, then release the
+      // full-corpus base cache — repeated invocations in a long session no
+      // longer accumulate its blocks. A lost result block recomputes from
+      // the scan (slower, still correct); the result cache itself is freed
+      // by the ContextCleaner once the caller drops the frame.
+      result.count()
+      base.unpersist()
+      result
     }),
   )
 

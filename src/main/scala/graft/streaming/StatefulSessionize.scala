@@ -143,14 +143,19 @@ object StatefulSessionize {
       }
     val src = java.nio.file.Paths.get(sfDir, "events.parquet").toAbsolutePath
     if (Files.isDirectory(src)) {
-      // directory-shaped dataset (the cluster-scale layout): flat-link each
-      // part file so the staging dir stays a single-level file listing
-      val ps = Files.list(src)
-      try ps.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .zipWithIndex
+      // directory-shaped dataset (the cluster-scale layout): walk
+      // RECURSIVELY (hive-partitioned layouts nest part files) and flat-link
+      // each part file so the staging dir stays a single-level file listing
+      val ps = Files.walk(src)
+      val parts =
+        try ps.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .toVector
+        finally ps.close()
+      require(parts.nonEmpty,
+        s"no *.parquet part files found under $src — cannot stage streaming input")
+      parts.zipWithIndex
         .foreach { case (p, i) => stageFile(p, f"events_$i%05d.parquet") }
-      finally ps.close()
     } else stageFile(src, "events.parquet")
     (stage, raw.schema)
   }

@@ -78,4 +78,31 @@ class CliSpec extends SparkSpec {
     assert(cli.Main.dispatch(spark, Array("nonsense")) == 2)
     assert(cli.Main.dispatch(spark, Array.empty[String]) == 2)
   }
+
+  test("missing required option exits 2") {
+    assert(cli.Main.dispatch(spark, Array("diann2msstats")) == 2)
+    assert(cli.Main.dispatch(spark, Array("checksamplesheet", "--minimal")) == 2)
+  }
+
+  // S9 resolve_ms_path (mzml_statistics.py:412-448): unique stem match
+  // resolves, zero or multiple candidates exit non-zero
+  test("mzmlstats resolves a renamed --ms_path by stem glob") {
+    val dir = Paths.get(tmpDir("cli-resolve"))
+    MzmlFixtures.standard(dir, "run1.mzML")
+    val out = tmpDir("cli-resolve-out")
+    val code = cli.Main.dispatch(spark, Array(
+      "mzmlstats", "--ms_path", s"$dir/run1.raw", "--out_dir", out))
+    assert(code == 0)
+    assert(Files.exists(Paths.get(out, "run1_ms_info.parquet")))
+  }
+
+  test("mzmlstats exits 1 when stem glob is ambiguous or empty") {
+    val dir = Paths.get(tmpDir("cli-resolve-multi"))
+    MzmlFixtures.standard(dir, "run2.mzML")
+    MzmlFixtures.standard(dir, "run2x.mzML")
+    assert(cli.Main.dispatch(spark, Array(
+      "mzmlstats", "--ms_path", s"$dir/run2.raw")) == 1)
+    assert(cli.Main.dispatch(spark, Array(
+      "mzmlstats", "--ms_path", s"$dir/absent.raw")) == 1)
+  }
 }

@@ -27,6 +27,25 @@ class ExtendedSpec extends SparkSpec {
     assert(pairs.nonEmpty, "fixture produced no candidate pairs — test is vacuous")
   }
 
+  test("connectedComponents: long chain converges in O(log² n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // path graph 0-1-2-…-63: diameter 63. Min-label propagation needs ~63
+    // rounds; large-star/small-star must land well under that.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = graft.queries.Extended.connectedComponents(spark, chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    assert(got.values.forall(_ == 0L), s"chain not fully merged: ${got.filter(_._2 != 0L)}")
+    assert(rounds <= 10, s"expected O(log² n) rounds on the chain, got $rounds")
+  }
+
+  test("connectedComponents: empty edge set yields empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (labels, rounds) = graft.queries.Extended.connectedComponents(spark, empty)
+    assert(labels.count() == 0 && rounds == 0)
+  }
+
   test("a12_rollup: grand total equals the sum of leaf groups") {
     val rows = graft.queries.Extended.queries("a12_rollup")(spark, sf).collect()
     val leaf = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
