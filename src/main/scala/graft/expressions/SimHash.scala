@@ -7,30 +7,45 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel shared by interpreted eval and generated code (Scala
   * objects emit static forwarders, so codegen calls it directly).
   *
-  * 64-bit SimHash: each token hashes to 64 bits (two 32-bit Murmur3 halves
-  * with different seeds — the same primitive Spark's `hash()` uses); bit j
-  * votes ±1 per token; the sign vector packs into a long.
+  * 60-bit SimHash: each token hashes to the TOP 60 bits of its md5 digest —
+  * exactly the engine-portable `('0x' || substr(md5(t), 1, 15))::BIGINT`
+  * rule the other dedup oracles use, so a DuckDB query reproduces the
+  * signature bit-for-bit (the Murmur3 variant this replaces was
+  * engine-internal and could only be rows-checked). Bit j votes ±1 per
+  * token; the sign vector (count > 0 ⇒ 1) packs into a long.
   */
 object SimHashUtil {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(bytes) == ('0x' || substr(md5(s), 1, 15))::BIGINT. */
+  def md5Top60(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(bytes)
+    var first = 0L
+    var i = 0
+    while (i < 8) { first = (first << 8) | (digest(i) & 0xffL); i += 1 }
+    first >>> 4
+  }
+
   def compute(tokens: ArrayData): Long = {
     val n = tokens.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var t = 0
     while (t < n) {
       val s = tokens.getUTF8String(t)
       // null elements are legal in array<string> inputs — skip, don't NPE
       if (s != null) {
-        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 13)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        val h = md5Top60(s.getBytes)
         var j = 0
-        while (j < 64) {
+        while (j < 60) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
           j += 1
         }
@@ -39,7 +54,7 @@ object SimHashUtil {
     }
     var out = 0L
     var j = 0
-    while (j < 64) {
+    while (j < 60) {
       if (counts(j) > 0) out |= (1L << j)
       j += 1
     }

@@ -54,6 +54,31 @@ object Extended {
           round(element_at(col("ps"), 2), 4).as("p95"))
     }),
 
+    // A13b: the 100 TB percentile path — approx_percentile (KLL-style
+    // sketch: bounded-size MERGEABLE partials, map-side combine, no
+    // per-group value buffer on any reducer; see [[percentileApprox]],
+    // whose partial aggregation PlanSpec pins). An approximate value can't
+    // hash-match DuckDB, so the oracled output is the sketch's accuracy
+    // CONTRACT: per group, the approx p50/p95 must land inside the exact
+    // [q−ε, q+ε] interpolated-quantile bracket (rank error ≤ 1/accuracy =
+    // 1e-4; ε = 1e-3 gives 10× slack). The oracle asserts `true` for every
+    // group — any contract violation hash-mismatches the row.
+    "a13b_percentile_approx" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val approx = percentileApprox(li)
+      val eps = 0.001
+      val bracket = fanOut(li, s, partitions = 8)
+        .groupBy(col("l_returnflag"))
+        .agg(expr(s"percentile(l_extendedprice, array(${0.5 - eps}D, ${0.5 + eps}D, " +
+          s"${0.95 - eps}D, ${0.95 + eps}D))").as("ps"))
+      approx.join(bracket, "l_returnflag").select(
+        col("l_returnflag"),
+        col("a50").between(element_at(col("ps"), 1), element_at(col("ps"), 2))
+          .as("p50_within"),
+        col("a95").between(element_at(col("ps"), 3), element_at(col("ps"), 4))
+          .as("p95_within"))
+    }),
+
     // A14: per-group statistical mode — count + windowed argmax with a
     // deterministic value tie-break; the shape any "most frequent value"
     // profiling query takes (two hash aggregations + one per-group rank,
@@ -238,6 +263,19 @@ object Extended {
     }),
   )
 
+  /** The pure approx-percentile aggregation a 100 TB job runs in place of
+    * exact `percentile`: fixed-size quantile sketches as partial aggregates
+    * (partial → shuffle of sketches, not values → merge), accuracy 10⁴ ⇒
+    * rank error ≤ 1e-4·N per group. PlanSpec asserts the partial/final
+    * split so a regression to buffer-everything is caught in CI.
+    */
+  def percentileApprox(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"))
+
   /** Connected components by alternating large-star/small-star rounds
     * (the MapReduce CC algorithm of Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SoCC'14): converges in O(log² n) rounds on
@@ -340,6 +378,9 @@ object Extended {
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag""",
+    "a13b_percentile_approx" -> """
+      SELECT l_returnflag, true AS p50_within, true AS p95_within
       FROM lineitem GROUP BY l_returnflag""",
     "a14_mode" -> """
       SELECT l_returnflag, l_linenumber AS mode_linenumber, n_occurrences

@@ -28,6 +28,16 @@ object TextOps {
   private def toks(s: SparkSession, d: String): DataFrame =
     fanOut(documents(s, d), s).select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
 
+  /** Hot-shingle document-frequency cap, shared by dedup_ngram_jaccard,
+    * dedup_minhash_lsh, and their DuckDB oracles: a shingle in more than
+    * this many documents is boilerplate — no dedup signal, quadratic
+    * posting-list cost — and is dropped before any join. Far above the
+    * observed max df at the verification scale (≤ corpus size 500 at
+    * sf0.01), so the gate answers are unchanged; at 100 TB it is the line
+    * between a skewed O(df²) reducer and a bounded one.
+    */
+  private[queries] val HotShingleDfCap = 1000
+
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
     */
@@ -104,10 +114,21 @@ object TextOps {
     // n-gram text, and because the oracle applies the SAME md5-derived
     // mapping, both engines see identical equalities by construction.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
+      val raw = shingles(s, d)
         .select(col("doc_id"),
           conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
         .cache()
+      // Hot-shingle df-cap: a shingle appearing in > HotShingleDfCap docs
+      // produces an O(df²) posting-list bucket on ONE reducer in the
+      // inverted-index join — the classic near-dedup scale killer. Such
+      // shingles are boilerplate (they carry no dedup signal), so both
+      // engines drop them BEFORE the join: one map-side-combinable count
+      // per hash, then a broadcast anti-join of the (tiny) hot set. The
+      // oracle SQL applies the identical cap, so results stay hash-equal
+      // at every scale; at sf0.01 max df < the cap and nothing drops.
+      val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > HotShingleDfCap).select(col("h"))
+      val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
       val a = sh.select(col("doc_id").as("da"), col("h"))
       val b = sh.select(col("doc_id").as("db"), col("h"))
       val inter = a.join(b, Seq("h")).filter(col("da") < col("db"))
@@ -129,12 +150,21 @@ object TextOps {
     // halves — integer min-aggregation, engine-portable, and ~16× less
     // hashing than seeding md5 per permutation.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = shingles(s, d)
       val md = md5(col("s"))
-      val h1 = conv(substring(md, 1, 15), 16, 10).cast("long")
-      val h2 = conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)
+      val hashed = shingles(s, d).select(
+        col("doc_id"),
+        conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
+        .cache() // consumed by the df-count pass and the signature pass
+      // same hot-shingle df-cap as dedup_ngram_jaccard (see there): a
+      // boilerplate shingle in every doc otherwise drags every signature
+      // toward the same minima AND its posting list is a skew key; the
+      // oracle applies the identical cap
+      val hot = hashed.groupBy(col("h1")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > HotShingleDfCap).select(col("h1"))
+      val sh = hashed.join(broadcast(hot), Seq("h1"), "left_anti")
       val mins = (0 until 16).map(i =>
-        min((h1 + lit(i.toLong) * h2) % lit(1L << 60)).as(s"h$i"))
+        min((col("h1") + lit(i.toLong) * col("h2")) % lit(1L << 60)).as(s"h$i"))
       val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -191,10 +221,11 @@ object TextOps {
         .select(col("doc_id"))
     }),
 
-    // SimHash (64-bit, Murmur3 token hashes): a single-pass custom Catalyst
-    // expression (graft.expressions.SimHash64) — zero shuffle, zero UDF,
-    // whole document signature per row. No DuckDB oracle (engine-specific
-    // hash) → rows-only check.
+    // SimHash (60-bit, md5-derived token hashes): a single-pass custom
+    // Catalyst expression (graft.expressions.SimHash64) — zero shuffle,
+    // zero UDF, whole document signature per row. The token hash is the
+    // portable ('0x'||substr(md5(t),1,15))::BIGINT rule, so the signature
+    // is fully oracle-checked (bit-for-bit) in DuckDB.
     "dedup_simhash" -> ((s, d) => {
       toks(s, d).select(
         col("doc_id"),
@@ -207,11 +238,14 @@ object TextOps {
     * pipeline_filter_dedup, so a change to the shingle/hash scheme cannot
     * leave a stale copy behind.
     */
-  private val ngramJaccardSql: String = """
-      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+  private val ngramJaccardSql: String = s"""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
       sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
               FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+      sh_all AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+      sh AS (SELECT * FROM sh_all
+             WHERE h NOT IN (SELECT h FROM sh_all GROUP BY h
+                             HAVING count(*) > $HotShingleDfCap)),
       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
                 FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
@@ -235,15 +269,33 @@ object TextOps {
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      hs AS (SELECT doc_id,
-                    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-                    ('0x' || substr(md5(s), 17, 15))::BIGINT % $m55 AS h2
-             FROM sh),
+      hs0 AS (SELECT doc_id,
+                     ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5(s), 17, 15))::BIGINT % $m55 AS h2
+              FROM sh),
+      hs AS (SELECT * FROM hs0
+             WHERE h1 NOT IN (SELECT h1 FROM hs0 GROUP BY h1
+                              HAVING count(*) > $HotShingleDfCap)),
       sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
       bands AS ($bands)
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
+  }
+
+  /** DuckDB replica of the 60-bit SimHash: same md5-top-60 token hash, same
+    * ±1 bit votes, same count>0 sign rule — the signature must match the
+    * custom expression bit-for-bit.
+    */
+  private val simhashSql: String = {
+    val bits = (0 until 60).map(j =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN 1::BIGINT << $j ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                    FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks)
+      SELECT doc_id, $bits AS simhash FROM hs GROUP BY doc_id"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -280,6 +332,7 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_simhash" -> simhashSql,
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),

@@ -111,6 +111,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_embed_lsh: equi-joins only — no nested-loop/cartesian, bounded shuffles") {
+    // the bucketed dedup path exists to avoid the all-pairs plan; a
+    // regression to BroadcastNestedLoopJoin or CartesianProduct would be
+    // O(N²) at scale regardless of how fast it looks at test size
+    val p = plan("dedup_embed_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // band shuffle + candidate-pair distinct + two join sides — anything
+    // beyond 8 hash exchanges means a plan branch stopped being reused
+    assert(countOf(p, "Exchange hashpartitioning") <= 8, p)
+  }
+
+  test("a13b approx percentile: sketch partials merge map-side before the shuffle") {
+    // the 100 TB percentile path must ship fixed-size sketches, not
+    // per-group value buffers: partial_percentile_approx below the
+    // exchange, the final merge above it
+    val p = graft.queries.Extended
+      .percentileApprox(graft.tables.Tables.lineitem(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_percentile_approx"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("f10 projection pipeline: whole-stage codegen, zero shuffles") {
     val p = plan("f10_round_cast")
     // "*(1)" is the whole-stage-codegen stage marker in executedPlan output
