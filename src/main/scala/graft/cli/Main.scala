@@ -132,10 +132,18 @@ object Main {
         0
 
       case "checksamplesheet" =>
-        if (!flags.contains("minimal"))
-          System.err.println(
-            "note: full template validation is out of scope; running minimal checks")
-        val errors = SdrfValidator.validateMinimal(spark, required(opts, "exp_design"))
+        val design = required(opts, "exp_design")
+        val errors =
+          if (flags.contains("minimal")) SdrfValidator.validateMinimal(spark, design)
+          else {
+            // template structural validation; ontology (OLS) checks are a
+            // documented divergence — no term service in a zero-egress job
+            System.err.println(
+              "note: ontology term validation is skipped (no OLS service); " +
+                "validating template structure")
+            SdrfValidator.validateTemplate(spark, design,
+              opts.getOrElse("template", "ms-proteomics"))
+          }
         errors.foreach(println)
         if (errors.nonEmpty) 1 else 0
 

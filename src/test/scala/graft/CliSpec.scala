@@ -60,6 +60,27 @@ class CliSpec extends SparkSpec {
     assert(bad == 1)
   }
 
+  test("checksamplesheet template mode validates structure and exits by result") {
+    import graft.ops.SdrfValidator
+    val cols = SdrfValidator.templates("ms-proteomics")
+    val ok = Files.createTempFile("cli_tpl_ok", ".sdrf.tsv")
+    Files.writeString(ok,
+      cols.mkString("\t") + "\n" + cols.map(_ => "v").mkString("\t") + "\n")
+    assert(cli.Main.dispatch(spark, Array(
+      "checksamplesheet", "--exp_design", ok.toString)) == 0)
+    // minimal-valid but template-invalid: no characteristics[organism]
+    // (dia-acquisition columns so the minimal acquisition-method need is met)
+    val noOrg = Files.createTempFile("cli_tpl_bad", ".sdrf.tsv")
+    val kept = SdrfValidator.templates("dia-acquisition")
+      .filterNot(_ == "characteristics[organism]")
+    Files.writeString(noOrg,
+      kept.mkString("\t") + "\n" + kept.map(_ => "v").mkString("\t") + "\n")
+    assert(cli.Main.dispatch(spark, Array(
+      "checksamplesheet", "--exp_design", noOrg.toString)) == 1)
+    assert(cli.Main.dispatch(spark, Array(
+      "checksamplesheet", "--minimal", "--exp_design", noOrg.toString)) == 0)
+  }
+
   test("dianncfg writes the config file and exits 0") {
     val out = tmpDir("cli-dianncfg")
     val code = cli.Main.dispatch(spark, Array(

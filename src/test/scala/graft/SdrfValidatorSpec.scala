@@ -44,4 +44,41 @@ class SdrfValidatorSpec extends SparkSpec {
     val errors = SdrfValidator.validateMinimal(spark, f.toString)
     assert(errors === Seq("ERROR: SDRF file contains a header but no data rows."))
   }
+
+  // --- template mode (check_samplesheet.py:100-125 minus ontology/OLS) ---
+
+  private def templateSdrf(drop: Set[String] = Set.empty,
+                           blank: Set[String] = Set.empty): String = {
+    val cols = SdrfValidator.templates("dia-acquisition").filterNot(drop)
+    val row = cols.map(c => if (blank(c)) "" else "v")
+    val f = Files.createTempFile("tpl", ".sdrf.tsv")
+    Files.writeString(f, cols.mkString("\t") + "\n" + row.mkString("\t") + "\n")
+    f.toString
+  }
+
+  test("template mode: complete dia-acquisition sheet passes all templates") {
+    val path = templateSdrf()
+    for (t <- SdrfValidator.templates.keys)
+      assert(SdrfValidator.validateTemplate(spark, path, t).isEmpty, t)
+  }
+
+  test("template mode: missing organism fails the template but not minimal") {
+    val path = templateSdrf(drop = Set("characteristics[organism]"))
+    val errors = SdrfValidator.validateTemplate(spark, path, "ms-proteomics")
+    assert(errors.exists(_.contains("characteristics[organism]")), errors)
+    // minimal mode doesn't ask for sample metadata — same file passes it
+    assert(SdrfValidator.validateMinimal(spark, path).isEmpty)
+  }
+
+  test("template mode: empty cell in a required column fails") {
+    val path = templateSdrf(blank = Set("comment[instrument]"))
+    val errors = SdrfValidator.validateTemplate(spark, path, "default")
+    assert(errors.exists(e =>
+      e.contains("comment[instrument]") && e.contains("empty cell")), errors)
+  }
+
+  test("template mode: unknown template is an error") {
+    val errors = SdrfValidator.validateTemplate(spark, templateSdrf(), "nope")
+    assert(errors.exists(_.contains("Unknown template 'nope'")), errors)
+  }
 }
