@@ -231,7 +231,42 @@ object TextOps {
         col("doc_id"),
         graft.expressions.SimHash64(col("t")).as("simhash"))
     }),
+
+    // SimHash near-dup PAIRS: band the 60-bit signature into 4×15-bit
+    // chunks; candidates share ≥1 band; keep pairs with Hamming distance ≤
+    // 3. The banding is EXACT for that threshold (pigeonhole: 3 differing
+    // bits touch at most 3 of 4 bands, so one band always survives
+    // untouched) — this is bucketed dedup with zero recall loss, unlike
+    // LSH. Same single-shuffle in-bucket expansion as dedup_minhash_lsh;
+    // the Hamming filter is codegen'd bit_count(xor). 8 bytes of signature
+    // per doc is the whole shuffle payload — the 100 TB-friendliest of the
+    // near-dup family.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sig = queries("dedup_simhash")(s, d)
+      val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)).as("bk"))): _*)).as("x"))
+        .select(col("doc_id"), col("simhash"),
+          col("x.band").as("band"), col("x.bk").as("bk"))
+      bands
+        .groupBy(col("band"), col("bk"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(expr(
+          "flatten(transform(xs, (x, i) -> transform(slice(xs, i + 2, size(xs)), " +
+            "y -> struct(x.doc_id AS da, x.simhash AS sa, y.doc_id AS db, y.simhash AS sb))))"))
+          .as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"),
+          bit_count(col("p.sa").bitwiseXOR(col("p.sb"))).as("hamming"))
+        .filter(col("hamming") <= SimhashHammingMax)
+        .distinct()
+    }),
   )
+
+  /** Max Hamming distance for dedup_simhash_pairs; must stay < the band
+    * count (4) for the banding to be recall-exact.
+    */
+  private val SimhashHammingMax = 3
 
   /** Canonical DuckDB SQL for the n-gram Jaccard pairs — the single source
     * for dedup_ngram_jaccard AND the near-dup stage of
@@ -285,18 +320,30 @@ object TextOps {
 
   /** DuckDB replica of the 60-bit SimHash: same md5-top-60 token hash, same
     * ±1 bit votes, same count>0 sign rule — the signature must match the
-    * custom expression bit-for-bit.
+    * custom expression bit-for-bit. One CTE chain, shared by the signature
+    * oracle and the banded-pair oracle (single source, like minhashPairsSql).
     */
-  private val simhashSql: String = {
+  private val simhashCtes: String = {
     val bits = (0 until 60).map(j =>
       s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
         s"THEN 1::BIGINT << $j ELSE 0 END)").mkString(" + ")
-    s"""
-      WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-                    FROM documents),
-      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks)
-      SELECT doc_id, $bits AS simhash FROM hs GROUP BY doc_id"""
+    s"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                 FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      sig AS (SELECT doc_id, $bits AS simhash FROM hs GROUP BY doc_id)"""
   }
+
+  private val simhashSql: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM sig"
+
+  private val simhashPairsSql: String = s"""
+      WITH $simhashCtes,
+      bands AS (SELECT doc_id, simhash, band, (simhash >> (15 * band)) & 32767 AS bk
+                FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS band) r)
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashHammingMax"""
 
   val oracle: Map[String, String] = Map(
     "text_token_count" -> """
@@ -333,6 +380,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),
@@ -355,6 +403,5 @@ object TextOps {
       SELECT q.doc_id FROM quality q
       JOIN english e ON q.doc_id = e.doc_id
       WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)""",
-    // dedup_simhash: intentionally no oracle (engine-specific token hash).
   )
 }

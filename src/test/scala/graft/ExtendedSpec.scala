@@ -39,6 +39,21 @@ class ExtendedSpec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log² n) rounds on the chain, got $rounds")
   }
 
+  test("dedup_simhash_pairs: banding is recall-exact for Hamming <= 3") {
+    // the pigeonhole claim (3 flipped bits leave one of 4 bands clean) is
+    // the operator's whole point — verify against the brute-force answer
+    val sigs = graft.queries.TextOps.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (da, sa) <- sigs; (db, sb) <- sigs if da < db
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (da, db)).toSet
+    val banded = graft.queries.TextOps.queries("dedup_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(banded.nonEmpty, "fixture produced no simhash pairs — test is vacuous")
+  }
+
   test("connectedComponents: empty edge set yields empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
