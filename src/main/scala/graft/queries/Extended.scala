@@ -299,14 +299,20 @@ object Extended {
     def persisted(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // LAZY checkpoint: registration happens now (so the id diff is exact),
+    // the blocks materialize on the NEXT action — which is always the
+    // fingerprint below, so each round runs ONE job, not checkpoint-count
+    // plus fingerprint
     def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
       val pre = persisted()
-      val out = df.localCheckpoint(true)
+      val out = df.localCheckpoint(false)
       (out, persisted() -- pre)
     }
 
     // large-star: every node u sends its strictly-larger neighbors to
-    // m(u) = min(Γ(u) ∪ {u}) — hangs big nodes under small ones
+    // m(u) = min(Γ(u) ∪ {u}) — hangs big nodes under small ones. The
+    // distinct is load-bearing: LSH cliques otherwise feed O(k²) duplicate
+    // (v, m) edges into smallStar (measured 3-5× slower without it)
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = und.groupBy(col("src"))
@@ -332,6 +338,7 @@ object Extended {
     }
     // order-insensitive set fingerprint (edges are distinct): fixpoint ⇔
     // edge set unchanged. bit_xor, not sum — no ANSI overflow at any n.
+    // Doubles as the materializing action for the round's lazy checkpoint.
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -339,12 +346,16 @@ object Extended {
 
     var (cur, held) = checkpoint(
       edges.filter(col("src") =!= col("dst")).distinct())
-    // nodes to label = every endpoint of the ORIGINAL edges; checkpointed
-    // eagerly because round 1 frees cur's blocks out from under a lazy plan
-    val (nodes, _) = checkpoint(
-      cur.select(col("src").as("node"))
-        .union(cur.select(col("dst").as("node"))).distinct())
-    var (cnt, sig) = fingerprint(cur)
+    var (cnt, sig) = fingerprint(cur) // materializes cur's checkpoint
+    // nodes to label = every endpoint of the ORIGINAL edges; its own eager
+    // checkpoint because round 1 frees cur's blocks out from under it
+    val (nodes, _) = {
+      val pre = persisted()
+      val out = cur.select(col("src").as("node"))
+        .union(cur.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true)
+      (out, persisted() -- pre)
+    }
     var converged = cnt == 0L
     var rounds = 0
     // log²(n) rounds suffice; the cap bounds only a logic bug and FAILS
@@ -352,7 +363,7 @@ object Extended {
     val maxRounds = 100
     while (!converged && rounds < maxRounds) {
       val (next, newIds) = checkpoint(smallStar(largeStar(cur)))
-      val (c2, s2) = fingerprint(next)
+      val (c2, s2) = fingerprint(next) // materializes next's checkpoint
       converged = c2 == cnt && s2 == sig
       free(held) // previous round's blocks — next is already materialized
       cur = next; held = newIds; cnt = c2; sig = s2

@@ -114,26 +114,31 @@ object TextOps {
     // n-gram text, and because the oracle applies the SAME md5-derived
     // mapping, both engines see identical equalities by construction.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val raw = shingles(s, d)
+      // ONE groupBy over the postings builds the per-shingle doc list; the
+      // hot-shingle df-cap (> HotShingleDfCap docs ⇒ boilerplate, no dedup
+      // signal, O(df²) pair cost) is a filter on that SAME aggregation —
+      // zero extra passes — and in-bucket pair expansion replaces the
+      // posting self-join (which would re-shuffle both sides and hand any
+      // skewed key a quadratic reducer; bucket size is now bounded by the
+      // cap, so the k² expansion is bounded too). The oracle SQL applies
+      // the identical cap, so results stay hash-equal at every scale; at
+      // sf0.01 max df < the cap and nothing drops.
+      val grp = shingles(s, d)
         .select(col("doc_id"),
           conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-        .cache()
-      // Hot-shingle df-cap: a shingle appearing in > HotShingleDfCap docs
-      // produces an O(df²) posting-list bucket on ONE reducer in the
-      // inverted-index join — the classic near-dedup scale killer. Such
-      // shingles are boilerplate (they carry no dedup signal), so both
-      // engines drop them BEFORE the join: one map-side-combinable count
-      // per hash, then a broadcast anti-join of the (tiny) hot set. The
-      // oracle SQL applies the identical cap, so results stay hash-equal
-      // at every scale; at sf0.01 max df < the cap and nothing drops.
-      val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > HotShingleDfCap).select(col("h"))
-      val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
-      val a = sh.select(col("doc_id").as("da"), col("h"))
-      val b = sh.select(col("doc_id").as("db"), col("h"))
-      val inter = a.join(b, Seq("h")).filter(col("da") < col("db"))
+        .groupBy(col("h"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= HotShingleDfCap)
+        .cache() // consumed by the pair expansion and the per-doc sizes
+      val inter = grp.filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"))
+        .filter(col("da") < col("db")) // md5-collision twin postings of one doc
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val sizes = grp.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
         .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
