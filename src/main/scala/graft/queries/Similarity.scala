@@ -128,6 +128,22 @@ object Similarity {
         .filter(col("rank") <= 5)
     }),
 
+    // k-NN majority-label voting: classify each probe by the mode label of
+    // its top-5 cosine neighbors — similarity search applied to weak
+    // labeling, the standard ANN-assisted annotation pass over a training
+    // corpus. Composes the oracled top-k with the labels table; the argmax
+    // is min(struct(-n, label)) — a hash aggregate with a deterministic
+    // min-label tie-break, no window, no global sort.
+    "sim_knn_label" -> ((s, d) => {
+      val topk = queries("sim_cosine_topk")(s, d)
+      val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+      topk.join(lbl, "vec_id")
+        .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("q_id"))
+        .agg(min(struct((-col("n")).as("nn"), col("label").as("lbl"))).as("w"))
+        .select(col("q_id"), col("w.lbl").as("knn_label"), (-col("w.nn")).as("n_votes"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (brute force with precomputed
     // norms; threshold tuned to this dataset's similarity range). The scale
     // path bucketizes with sim_lsh_buckets first, shrinking the pair space
@@ -280,6 +296,22 @@ object Similarity {
     }),
   )
 
+  /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
+    * for sim_cosine_topk AND the neighbor set of sim_knn_label.
+    */
+  private val cosineTopkSql: String = """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, vec_id,
+               round(list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+        FROM c CROSS JOIN p WHERE vec_id <> q_id)
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5"""
+
   val oracle: Map[String, String] = Map(
     "arr_stats" -> """
       SELECT vec_id,
@@ -291,18 +323,14 @@ object Similarity {
       SELECT vec_id,
              round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
       FROM embeddings""",
-    "sim_cosine_topk" -> """
-      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      p AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
-      scored AS (
-        SELECT q_id, vec_id,
-               round(list_dot_product(qv, v)
-                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
-        FROM c CROSS JOIN p WHERE vec_id <> q_id)
-      SELECT q_id, vec_id, cos,
-             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
+    "sim_cosine_topk" -> cosineTopkSql,
+    "sim_knn_label" -> s"""
+      WITH knn AS ($cosineTopkSql),
+      votes AS (SELECT q_id, label, count(*) AS n
+                FROM knn JOIN embeddings e ON knn.vec_id = e.vec_id
+                GROUP BY 1, 2)
+      SELECT q_id, label AS knn_label, n AS n_votes FROM votes
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1""",
     "dedup_embed_cosine" -> """
       WITH c AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -98,6 +98,23 @@ object TextOps {
           .as("fingerprint"))
     }),
 
+    // Repetition ratio (the Gopher-family duplicate-bigram quality rule):
+    // 1 − distinct(bigrams)/|bigrams| per doc — high values mean looping /
+    // boilerplate text a training pipeline drops. Pure per-row HOF math
+    // (sequence → transform → array_distinct), zero shuffle, codegen'd.
+    "text_repetition" -> ((s, d) => {
+      val bg = expr("transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+      fanOut(documents(s, d), s)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"),
+          // sequence(1, 0) would run BACKWARDS for <2 tokens — guard first
+          when(size(col("t")) >= 2,
+            round(lit(1.0) - size(array_distinct(bg)).cast("double") /
+              size(bg).cast("double"), 6))
+            .otherwise(0.0).as("rep_ratio"))
+    }),
+
     // Exact dedup: hash-groupBy on the fingerprint — the only shuffle ships
     // 32-byte digests, never the documents themselves.
     "dedup_exact" -> ((s, d) => {
@@ -385,6 +402,16 @@ object TextOps {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,
+    "text_repetition" -> """
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      bg AS (SELECT doc_id,
+                    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS b
+             FROM toks)
+      SELECT doc_id,
+             CASE WHEN len(b) > 0
+                  THEN round(1.0 - len(list_distinct(b)) / CAST(len(b) AS DOUBLE), 6)
+                  ELSE 0.0 END AS rep_ratio
+      FROM bg""",
     "dedup_simhash_pairs" -> simhashPairsSql,
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
