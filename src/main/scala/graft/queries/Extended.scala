@@ -79,6 +79,23 @@ object Extended {
           .as("p95_within"))
     }),
 
+    // A6b: the 100 TB distinct-count path — approx_count_distinct (HLL++,
+    // fixed-size mergeable sketch, rsd 2%) with the same boolean
+    // accuracy-contract oracle as a13b: per group the approx count must be
+    // within 5% of the exact one (2.5× the advertised rsd). Any contract
+    // violation hash-mismatches its row.
+    "a6b_count_distinct_approx" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val ex = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      ex.join(ap, "l_returnflag").select(
+        col("l_returnflag"),
+        (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
+          .as("within_5pct"))
+    }),
+
     // A14: per-group statistical mode — count + windowed argmax with a
     // deterministic value tie-break; the shape any "most frequent value"
     // profiling query takes (two hash aggregations + one per-group rank,
@@ -392,6 +409,9 @@ object Extended {
       FROM lineitem GROUP BY l_returnflag""",
     "a13b_percentile_approx" -> """
       SELECT l_returnflag, true AS p50_within, true AS p95_within
+      FROM lineitem GROUP BY l_returnflag""",
+    "a6b_count_distinct_approx" -> """
+      SELECT l_returnflag, true AS within_5pct
       FROM lineitem GROUP BY l_returnflag""",
     "a14_mode" -> """
       SELECT l_returnflag, l_linenumber AS mode_linenumber, n_occurrences

@@ -92,6 +92,30 @@ object Temporal {
 
   /** Extra queries appended below keep `queries` and `oracle` aligned. */
   val sessionQueries: Map[String, Q] = Map(
+    // Conversion funnel: per user, the first 'view' and whether a
+    // 'purchase' follows within 30 minutes. The equi key (user_id) keeps
+    // this a hash join — the time-range predicate is a post-join filter,
+    // never a nested loop — and first-view is a partial-aggregated min.
+    // Exact integer micros end-to-end (no double division), so the
+    // conversion latency hash-matches DuckDB bit-for-bit.
+    "w4_funnel" -> ((s, d) => {
+      val winUs = 30L * 60 * 1000000
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("us").as("p_us"))
+      firstView.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_us") >= col("v_us") && col("p_us") <= col("v_us") + winUs,
+          "left")
+        .groupBy(col("user_id"), col("v_us"))
+        .agg(min(col("p_us")).as("p_us"))
+        .select(
+          col("user_id"),
+          col("p_us").isNotNull.as("converted"),
+          (col("p_us") - col("v_us")).as("us_to_convert"))
+    }),
     // Gap-based sessionization (the batch twin of
     // flatMapGroupsWithState session windows): a >30-minute silence starts a
     // new session; exact integer duration math via epoch micros.
@@ -159,6 +183,18 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "stream_sessionize_stateful" -> sessionizeSql,
     "w3_sessionize" -> sessionizeSql,
+    "w4_funnel" -> """
+      WITH fv AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+                  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT fv.user_id, fv.v_us, min(p.p_us) AS p_us
+            FROM fv LEFT JOIN p
+              ON fv.user_id = p.user_id
+             AND p.p_us >= fv.v_us AND p.p_us <= fv.v_us + 1800000000
+            GROUP BY 1, 2)
+      SELECT user_id, p_us IS NOT NULL AS converted, p_us - v_us AS us_to_convert
+      FROM j""",
     // session_window windows are [start, start+gap] end-inclusive for
     // merging: an event exactly gap-after still merges (pinned by
     // ExtendedSpec), so the split condition is strictly-greater — the SAME
