@@ -134,6 +134,24 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("text_repetition: pure per-row HOF math — zero shuffles") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("dedup_simhash_pairs: one band shuffle + pair distinct, no nested loop") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("w4_funnel: the time-range predicate rides the user equi-join, no nested loop") {
+    val p = plan("w4_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("f10 projection pipeline: whole-stage codegen, zero shuffles") {
     val p = plan("f10_round_cast")
     // "*(1)" is the whole-stage-codegen stage marker in executedPlan output
