@@ -38,6 +38,36 @@ object TextOps {
     */
   private[queries] val HotShingleDfCap = 1000
 
+  /** MinHash band keys per document — 16 Kirsch-Mitzenmacher permutation
+    * hashes (h_i = (h1 + i·h2) mod 2^60 from ONE md5 per shingle) folded to
+    * 4 bands × 4 rows; two docs are near-dup candidates iff they share a
+    * (band, bk). Single source for dedup_minhash_lsh (in-bucket pair
+    * expansion) and dedup_incremental (batch-vs-corpus semi join). Applies
+    * the same hot-shingle df-cap as dedup_ngram_jaccard: a boilerplate
+    * shingle in every doc drags every signature toward the same minima AND
+    * its posting list is a skew key.
+    */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val md = md5(col("s"))
+    val hashed = shingles(s, d).select(
+      col("doc_id"),
+      conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
+      (conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
+      .cache() // consumed by the df-count pass and the signature pass
+    val hot = hashed.groupBy(col("h1")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleDfCap).select(col("h1"))
+    val sh = hashed.join(broadcast(hot), Seq("h1"), "left_anti")
+    val mins = (0 until 16).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % lit(1L << 60)).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bk"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+  }
+
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
     */
@@ -172,35 +202,13 @@ object TextOps {
     // halves — integer min-aggregation, engine-portable, and ~16× less
     // hashing than seeding md5 per permutation.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val md = md5(col("s"))
-      val hashed = shingles(s, d).select(
-        col("doc_id"),
-        conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
-        (conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
-        .cache() // consumed by the df-count pass and the signature pass
-      // same hot-shingle df-cap as dedup_ngram_jaccard (see there): a
-      // boilerplate shingle in every doc otherwise drags every signature
-      // toward the same minima AND its posting list is a skew key; the
-      // oracle applies the identical cap
-      val hot = hashed.groupBy(col("h1")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > HotShingleDfCap).select(col("h1"))
-      val sh = hashed.join(broadcast(hot), Seq("h1"), "left_anti")
-      val mins = (0 until 16).map(i =>
-        min((col("h1") + lit(i.toLong) * col("h2")) % lit(1L << 60)).as(s"h$i"))
-      val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      val bandCols = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bk"))
-      }
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
-        .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
       // Candidate pairs per LSH bucket WITHOUT a self-join: a self-join
       // would recompute the whole shingle→signature pipeline for both
       // sides (no reuse across plan branches) and shuffle twice. One
       // groupBy(band, bucket) + in-bucket pair expansion via higher-order
       // functions is a single shuffle over the band table. Bucket sizes
       // are small by LSH construction, so the k² expansion stays tiny.
-      bands
+      minhashBands(s, d)
         .groupBy(col("band"), col("bk"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
@@ -241,6 +249,37 @@ object TextOps {
         .join(english, Seq("doc_id"))
         .join(nearDup, col("doc_id") === col("db"), "left_anti")
         .select(col("doc_id"))
+    }),
+
+    // Incremental ingestion dedup: screen a NEW batch (a reproducible
+    // md5-derived ~10% of doc_ids, the sample_stratified rule) against the
+    // already-ingested corpus without recomputing corpus-internal pairs —
+    // the shape every continuously-fed training pipeline runs. A batch doc
+    // is flagged exact_dup if its text fingerprint exists in the corpus,
+    // near_dup if any of its MinHash band keys does; both probes are
+    // LEFT SEMI joins (corpus side never moves to the output, no pair
+    // explosion at all), so the cost is |batch| probes against corpus-side
+    // hash sets regardless of corpus duplicate structure.
+    "dedup_incremental" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+      val isBatch = bucket < 10
+      val fp = documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"), isBatch.as("b"))
+      val exact = fp.filter(col("b"))
+        .join(fp.filter(!col("b")).select(col("fp")), Seq("fp"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val bands = minhashBands(s, d).withColumn("b", isBatch)
+      val near = bands.filter(col("b"))
+        .join(bands.filter(!col("b")).select(col("band"), col("bk")), Seq("band", "bk"),
+          "left_semi")
+        .select(col("doc_id")).distinct()
+      exact.select(col("doc_id"), lit(1).as("k"))
+        .union(near.select(col("doc_id"), lit(0).as("k")))
+        .groupBy(col("doc_id"))
+        .agg(
+          (sum(when(col("k") === 1, 1).otherwise(0)) > 0).as("exact_dup"),
+          (sum(when(col("k") === 0, 1).otherwise(0)) > 0).as("near_dup"))
     }),
 
     // SimHash (60-bit, md5-derived token hashes): a single-pass custom
@@ -314,7 +353,10 @@ object TextOps {
     * source for dedup_minhash_lsh AND the edge set of
     * Extended.dedup_cluster_cc's oracle.
     */
-  private[queries] val minhashPairsSql: String = {
+  /** The CTE chain ending in `bands(doc_id, band, bk)` — shared by the
+    * pairs oracle and the incremental-dedup oracle.
+    */
+  private val minhashBandCtes: String = {
     val m55 = 1L << 55
     val m60 = 1L << 60
     val mins = (0 until 16)
@@ -322,8 +364,7 @@ object TextOps {
     val bands = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, h${b * 4}::VARCHAR || '|' || h${b * 4 + 1}::VARCHAR || '|' || h${b * 4 + 2}::VARCHAR || '|' || h${b * 4 + 3}::VARCHAR AS bk FROM sig")
       .mkString(" UNION ALL ")
-    s"""
-      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
       hs0 AS (SELECT doc_id,
@@ -334,11 +375,33 @@ object TextOps {
              WHERE h1 NOT IN (SELECT h1 FROM hs0 GROUP BY h1
                               HAVING count(*) > $HotShingleDfCap)),
       sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
-      bands AS ($bands)
+      bands AS ($bands)"""
+  }
+
+  private[queries] val minhashPairsSql: String = s"""
+      WITH $minhashBandCtes
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
-  }
+
+  private val incrementalSql: String = s"""
+      WITH $minhashBandCtes,
+      fp AS (SELECT doc_id, md5(text) AS fp,
+                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10 AS b
+             FROM documents),
+      bb AS (SELECT bands.*,
+                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10 AS b
+             FROM bands),
+      exact AS (SELECT DISTINCT f.doc_id FROM fp f
+                WHERE f.b AND EXISTS (SELECT 1 FROM fp c WHERE NOT c.b AND c.fp = f.fp)),
+      near AS (SELECT DISTINCT x.doc_id FROM bb x
+               WHERE x.b AND EXISTS (SELECT 1 FROM bb c
+                                     WHERE NOT c.b AND c.band = x.band AND c.bk = x.bk)),
+      u AS (SELECT doc_id, 1 AS k FROM exact UNION ALL SELECT doc_id, 0 AS k FROM near)
+      SELECT doc_id,
+             sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) > 0 AS exact_dup,
+             sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) > 0 AS near_dup
+      FROM u GROUP BY doc_id"""
 
   /** DuckDB replica of the 60-bit SimHash: same md5-top-60 token hash, same
     * ±1 bit votes, same count>0 sign rule — the signature must match the
@@ -401,6 +464,7 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_incremental" -> incrementalSql,
     "dedup_simhash" -> simhashSql,
     "text_repetition" -> """
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
