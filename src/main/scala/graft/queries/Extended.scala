@@ -127,6 +127,16 @@ object Extended {
           (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
     }),
 
+    // F17: JSON field extraction from a semi-structured string column via a
+    // real JSON path (get_json_object — Jackson-backed, codegen-friendly),
+    // not the regex shortcut f1 takes; missing keys become NULL, and the
+    // per-key histogram pins parse parity with DuckDB's JSON extension.
+    "f17_json_field" -> ((s, d) => {
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
     // Set operators (beyond the reference, which has none): nations with
     // customers but no suppliers (EXCEPT → planned as distinct + anti join)
     // and nations with both (INTERSECT → distinct + semi join).
@@ -413,6 +423,9 @@ object Extended {
     "a6b_count_distinct_approx" -> """
       SELECT l_returnflag, true AS within_5pct
       FROM lineitem GROUP BY l_returnflag""",
+    "f17_json_field" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+      FROM events GROUP BY 1""",
     "a14_mode" -> """
       SELECT l_returnflag, l_linenumber AS mode_linenumber, n_occurrences
       FROM (
