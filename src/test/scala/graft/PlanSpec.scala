@@ -152,6 +152,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("plan sweep: NO query plans a cartesian/nested-loop join except declared baselines") {
+    // the whole-suite guard: any new query that silently degenerates to an
+    // all-pairs join fails CI here, not in a 100 TB run. The allowlist
+    // names the queries where a broadcast nested loop is the documented
+    // intent (brute-force baselines against which the bucketed variants
+    // are justified, and the tiny-probe top-k).
+    val intentional = Set(
+      "sim_cosine_topk", // broadcast 10-probe brute-force baseline
+      "sim_knn_label", // composes sim_cosine_topk
+      "dedup_embed_cosine", // the recall-100% small-N baseline
+      // quantizers: every vector × a BOUNDED broadcast centroid table
+      // (16 rows) — linear work, the canonical IVF/k-means shape
+      "sim_ivf_topk", "sim_kmeans_update")
+    val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
+    for ((name, fn) <- SparkEntry.queries
+         if !intentional(name) && !skipped.exists(_ == name)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin:\n$p")
+    }
+  }
+
   test("f10 projection pipeline: whole-stage codegen, zero shuffles") {
     val p = plan("f10_round_cast")
     // "*(1)" is the whole-stage-codegen stage marker in executedPlan output
