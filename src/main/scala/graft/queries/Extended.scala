@@ -161,6 +161,79 @@ object Extended {
         pairs.select(col("da").as("src"), col("db").as("dst")))._1
     }),
 
+    // The dedup pipeline's last mile: clusters alone don't tell a pipeline
+    // WHICH copy to train on. Labels every document (singletons included,
+    // via the left join + coalesce) with its cluster, the cluster's
+    // canonical representative — longest text, tie-broken by min doc_id,
+    // i.e. min(struct(-n_chars, doc_id)) with no window — and a keep flag.
+    // Filtering `keep` yields the training corpus; the canonical choice is
+    // one partial-aggregated groupBy over the (doc, cluster) labels, and
+    // the labels themselves come from the O(log² n) large-star/small-star
+    // CC, so the whole path is bucketed end-to-end.
+    "dedup_canonical" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_minhash_lsh")(s, d)
+      val labels = connectedComponents(s,
+        pairs.select(col("da").as("src"), col("db").as("dst")))._1
+      val lab = documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("n_chars"))
+      val canon = lab.groupBy(col("cluster_id"))
+        .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id"))).as("c"))
+        .select(col("cluster_id"), col("c.id").as("canonical_id"))
+      lab.join(canon, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+    }),
+
+    // Batch-packing planner: assign every document to a power-of-two token-
+    // length tier and account the padding a fixed-shape training batch would
+    // waste per tier. Pure integer per-row math + one partial-aggregated
+    // groupBy — nothing here changes shape at any scale. The tiers are
+    // explicit CASE bounds (not pow(2, ceil(log2 n)): exact-power inputs sit
+    // on a float boundary where engines' log2 may disagree by an ulp and
+    // ceil would then disagree by a whole tier).
+    "sample_length_buckets" -> ((s, d) => {
+      val n = size(split(trim(col("text")), "\\s+")).cast("long")
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+        .when(n <= 128, 128L).when(n <= 256, 256L).otherwise(512L)
+      documents(s, d)
+        .select(col("doc_id"), n.as("n_tokens"), bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("bucket") - col("n_tokens")).as("padding_waste"))
+    }),
+
+    // Data-mixing rebalance: compute, per language, the deterministic
+    // Bernoulli threshold that downsamples over-represented languages to a
+    // uniform target share (min(1, (N/k)/n_g) in integer basis-points —
+    // integer `div` end-to-end, so both engines compute the identical
+    // threshold), then count the docs the md5-bucket rule actually keeps.
+    // The per-group stats are a tiny post-aggregation frame (|langs| rows):
+    // the unpartitioned window over it is bounded by the group count, never
+    // by the data, and the join back to documents broadcasts it.
+    "sample_mix_weights" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val thr = counts
+        .withColumn("n_total", sum(col("n_docs")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select(col("lang"), col("n_docs"),
+          least(lit(10000L),
+            expr("(10000 * n_total) div (k * n_docs)")).as("thr"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+      documents(s, d).select(col("doc_id"), col("lang"), bucket.as("b"))
+        .join(broadcast(thr), "lang")
+        .groupBy(col("lang"), col("n_docs"), col("thr"))
+        .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // J8 at scale: the per-series as-of interpolation. The global-curve
     // variant (j8_interpolate_asof) mirrors the reference's per-file pTIC
     // and sorts one merged stream; THIS is the shape a 1000-executor
@@ -458,6 +531,50 @@ object Extended {
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
       SELECT node AS doc_id, min(lbl) AS cluster_id
       FROM reach GROUP BY node""",
+    "dedup_canonical" -> s"""
+      WITH RECURSIVE pairs AS (${TextOps.minhashPairsSql}),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+      lab AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+              FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+      canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+                  SELECT cluster_id, doc_id,
+                         row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM lab) WHERE rn = 1)
+      SELECT l.doc_id, l.cluster_id, c.canonical_id,
+             l.doc_id = c.canonical_id AS keep
+      FROM lab l JOIN canon c ON l.cluster_id = c.cluster_id""",
+    "sample_length_buckets" -> """
+      WITH b AS (
+        SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+               CAST(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 16 THEN 16
+                         WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 32 THEN 32
+                         WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 64 THEN 64
+                         WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 128 THEN 128
+                         WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 256 THEN 256
+                         ELSE 512 END AS BIGINT) AS bucket
+        FROM documents)
+      SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(bucket - n) AS BIGINT) AS padding_waste
+      FROM b GROUP BY bucket""",
+    "sample_mix_weights" -> """
+      WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      t AS (SELECT lang, n_docs,
+                   CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
+                                     // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
+            FROM c)
+      SELECT t.lang, t.n_docs, t.thr,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                                % 10000 < t.thr
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN t ON d.lang = t.lang
+      GROUP BY 1, 2, 3""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "j8b_interpolate_per_series" -> """

@@ -282,6 +282,64 @@ object TextOps {
           (sum(when(col("k") === 0, 1).otherwise(0)) > 0).as("near_dup"))
     }),
 
+    // Benchmark decontamination: the other direction of incremental dedup —
+    // instead of flagging NEW docs against the corpus, score every TRAINING
+    // doc by how much of it appears in a held-out benchmark split (the
+    // md5-derived ~10% of doc_ids). A training pipeline drops or audits docs
+    // whose 4-gram shingles overlap the eval set. Shape: the benchmark
+    // shingle set is DISTINCT (bounded by the benchmark corpus, not the
+    // training corpus) and probed with a LEFT SEMI join, so every training
+    // posting matches at most once — no pair explosion, no df-cap needed.
+    // The join key is the 60-bit md5-derived shingle hash: 8 bytes shuffled
+    // per posting, and the oracle applies the identical mapping.
+    "text_decontaminate" -> ((s, d) => {
+      val bench = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < 10
+      val sh = shingles(s, d).select(
+        col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"),
+        bench.as("bench"))
+      val benchSet = sh.filter(col("bench")).select(col("h")).distinct()
+      val train = sh.filter(!col("bench"))
+      val hits = train.join(benchSet, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+      train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_shingles"),
+          coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+          round(coalesce(col("nc"), lit(0L)) / col("n_shingles"), 6)
+            .as("contamination"))
+    }),
+
+    // tf-idf keyword extraction: per-doc top-3 terms by tf·ln(N/df). The
+    // corpus statistics (df per term, N docs) are a TINY aggregate —
+    // broadcast to the tf table, so the big side never shuffles for the
+    // join; the top-3 is a window keyed by doc_id (shards per doc, no
+    // global sort). Ranking happens on the ROUNDED score: ln() may differ
+    // in the last ulp between engines, and a tie must break the same way on
+    // both sides (then by term, deterministically).
+    "text_tfidf_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = toks(s, d).select(col("doc_id"), explode(col("t")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      // 1-row scalar × |vocab|-row dim table: the one nested-loop join in
+      // the file, and it is constant-size — the fact side joins by hash
+      val dfN = df.crossJoin(broadcast(total))
+      val scored = tf.join(broadcast(dfN), "term")
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rank"))
+    }),
+
     // SimHash (60-bit, md5-derived token hashes): a single-pass custom
     // Catalyst expression (graft.expressions.SimHash64) — zero shuffle,
     // zero UDF, whole document signature per row. The token hash is the
@@ -477,6 +535,36 @@ object TextOps {
                   ELSE 0.0 END AS rep_ratio
       FROM bg""",
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "text_decontaminate" -> """
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h,
+                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10 AS bench
+             FROM sh0),
+      train AS (SELECT doc_id, h FROM sh WHERE NOT bench),
+      hits AS (SELECT doc_id, count(*) AS nc FROM train
+               WHERE h IN (SELECT DISTINCT h FROM sh WHERE bench) GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles,
+             coalesce(h.nc, 0) AS n_contaminated,
+             round(coalesce(h.nc, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination
+      FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""",
+    "text_tfidf_topk" -> """
+      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                  FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+             WHERE length(term) > 0 GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term,
+                    round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS score
+             FROM tf JOIN df USING (term) CROSS JOIN n)
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+                  AS INTEGER) AS rank
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3""",
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),

@@ -164,7 +164,10 @@ class PlanSpec extends SparkSpec {
       "dedup_embed_cosine", // the recall-100% small-N baseline
       // quantizers: every vector × a BOUNDED broadcast centroid table
       // (16 rows) — linear work, the canonical IVF/k-means shape
-      "sim_ivf_topk", "sim_kmeans_update")
+      "sim_ivf_topk", "sim_kmeans_update",
+      // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
+      // the fact-side tf join is broadcast-hash
+      "text_tfidf_topk")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
