@@ -111,4 +111,100 @@ class ExtendedSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert((ex & in).isEmpty)
   }
+
+  test("dedup_canonical: every doc labeled, exactly one keeper per cluster, keeper is argmax") {
+    val rows = graft.queries.Extended.queries("dedup_canonical")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "some document lost its cluster label")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate doc rows")
+    // per cluster: exactly one keep, it IS the canonical, and canonical is
+    // shared by all members
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid members disagree on the canonical")
+      assert(keepers.head._1 == keepers.head._3,
+        s"cluster $cid keeper is not its own canonical")
+    }
+    // the canonical really is the longest doc (tie: min id) of its cluster
+    val len = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val best = members.map(_._1).minBy(id => (-len(id), id))
+      assert(members.head._3 == best,
+        s"cluster $cid canonical ${members.head._3} != argmax $best")
+    }
+    // clusters with >1 member exist at this sf, else the test is vacuous
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
+
+  test("sample_mix_weights: thresholds rebalance toward uniform and never upsample") {
+    val rows = graft.queries.Extended.queries("sample_mix_weights")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val k = rows.length
+    rows.foreach { case (lang, n, thr, kept) =>
+      assert(thr <= 10000, s"$lang threshold upsamples")
+      assert(kept <= n, s"$lang kept more than it has")
+      // under-represented languages keep everything
+      if (n * k <= total) assert(thr == 10000, s"$lang under target but thr=$thr")
+      // over-represented ones are cut roughly to the uniform share: the
+      // md5 buckets are ~uniform, so kept/n ≈ thr/10000 within 3 pp
+      else assert(math.abs(kept.toDouble / n - thr / 10000.0) < 0.03,
+        s"$lang kept ratio ${kept.toDouble / n} far from thr ${thr / 10000.0}")
+    }
+    assert(rows.exists(_._3 < 10000), "no language was downsampled — vacuous fixture")
+  }
+
+  test("text_decontaminate: train-only output, ratios in [0,1], count consistency") {
+    val rows = graft.queries.TextOps.queries("text_decontaminate")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the benchmark split must never appear in the scored output
+    val benchIds = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < 10)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, n, nc, ratio) =>
+      assert(!benchIds(id), s"benchmark doc $id leaked into the training scores")
+      assert(n > 0 && nc >= 0 && nc <= n, s"doc $id counts out of range")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id ratio $ratio")
+      assert(math.abs(ratio - nc.toDouble / n) < 1e-6, s"doc $id ratio != nc/n")
+    }
+    assert(rows.exists(_._3 > 0), "no contamination found — vacuous fixture")
+  }
+
+  test("text_tfidf_topk: dense ranks 1..3 per doc, scores non-increasing") {
+    val rows = graft.queries.TextOps.queries("text_tfidf_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (doc, terms) =>
+      val byRank = terms.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to terms.length),
+        s"doc $doc ranks not dense: ${byRank.map(_._4).toSeq}")
+      assert(terms.length <= 3, s"doc $doc has ${terms.length} keywords")
+      assert(byRank.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"doc $doc scores increase down the ranking")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("sample_length_buckets: tiers cover all docs and padding is consistent") {
+    val rows = graft.queries.Extended.queries("sample_length_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs)
+    rows.foreach { case (bucket, n, tokens, waste) =>
+      assert((bucket & (bucket - 1)) == 0, s"tier $bucket not a power of two")
+      assert(waste == bucket * n - tokens, s"tier $bucket padding identity broken")
+      assert(waste >= 0 && waste < bucket * n, s"tier $bucket waste out of range")
+    }
+  }
 }
