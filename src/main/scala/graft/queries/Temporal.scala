@@ -88,6 +88,32 @@ object Temporal {
           col("n"),
           (col("value_cents") / 100.0).as("value_sum"))
     }),
+
+    // Structured Streaming, SLIDING windows: one-hour windows advancing
+    // every 15 minutes — each event lands in exactly 4 overlapping windows
+    // (Spark assigns starts floor(t/slide)·slide − k·slide, k = 0..3; the
+    // oracle replays the same rule with an explicit range(0,4) fan-out).
+    // This is the moving-rate shape (events/hour updated every quarter
+    // hour) that a tumbling window can't express; state is one aggregate
+    // row per (window, type), merged map-side like any hash aggregate.
+    "stream_sliding_agg" -> ((s, d) => graft.tables.Tables.withShufflePartitions(s, 4) {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      graft.streaming.Drain.toMemory(s, "stream_sliding", agg, mode = "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"),
+          col("n"),
+          (col("value_cents") / 100.0).as("value_sum"))
+    }),
   )
 
   /** Extra queries appended below keep `queries` and `oracle` aligned. */
@@ -242,6 +268,16 @@ object Temporal {
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM events GROUP BY 1, 2""",
+    "stream_sliding_agg" -> """
+      WITH e AS (SELECT event_type, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      w AS (SELECT event_type, value,
+                   (us // 900000000) * 900000000 - k * 900000000 AS start_us
+            FROM e, LATERAL (SELECT unnest(range(0, 4)) AS k) r)
+      SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M') AS win_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+      FROM w GROUP BY 1, 2""",
   )
 
   val all: Map[String, Q] = queries ++ sessionQueries
