@@ -234,6 +234,29 @@ object TextOps {
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
     }),
 
+    // Frequent-items sketch (Misra-Gries family via DataFrame stat.freqItems,
+    // the Karp/Shenker/Papadimitriou one-pass algorithm: bounded counter map
+    // per partition, mergeable — the 100 TB heavy-hitter path; an exact
+    // groupBy would be fine for counts but the sketch needs no full
+    // token->count table). Like the other approx operators the value can't
+    // hash-match an oracle, so the oracled output is the sketch's CONTRACT:
+    // every token with frequency > 2% of the stream (computed exactly) MUST
+    // appear in the support=1% sketch — the algorithm's coverage guarantee,
+    // independent of partitioning. Any miss hash-mismatches its row.
+    "text_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = toks(s, d).select(explode(col("t")).as("token"))
+        .filter(length(col("token")) > 0)
+      val sketch = tok.stat.freqItems(Array("token"), 0.01)
+        .collect()(0).getSeq[String](0).toSet
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(w))
+        .filter(col("n") > col("tot") * 0.02)
+        .select(col("token"),
+          col("token").isin(sketch.toSeq: _*).as("in_sketch"))
+    }),
+
     // The capstone training-data pipeline: quality gate (alpha ratio) ∧
     // language gate (en) ∧ near-dup removal (drop the larger id of every
     // Jaccard>0.8 pair) → the surviving corpus. Each stage is one of the
@@ -565,6 +588,12 @@ object TextOps {
                   AS INTEGER) AS rank
       FROM sc
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3""",
+    "text_heavy_hitters" -> """
+      WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                  FROM documents),
+      c AS (SELECT token, count(*) AS n FROM tk WHERE length(token) > 0 GROUP BY token)
+      SELECT token, true AS in_sketch
+      FROM c WHERE n > 0.02 * (SELECT sum(n) FROM c)""",
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),
