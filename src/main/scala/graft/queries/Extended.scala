@@ -164,13 +164,17 @@ object Extended {
     // The dedup pipeline's last mile: clusters alone don't tell a pipeline
     // WHICH copy to train on. Labels every document (singletons included,
     // via the left join + coalesce) with its cluster, the cluster's
-    // canonical representative — longest text, tie-broken by min doc_id,
-    // i.e. min(struct(-n_chars, doc_id)) with no window — and a keep flag.
-    // Filtering `keep` yields the training corpus; the canonical choice is
-    // one partial-aggregated groupBy over the (doc, cluster) labels, and
-    // the labels themselves come from the O(log² n) large-star/small-star
-    // CC, so the whole path is bucketed end-to-end.
+    // canonical representative — longest text, tie-broken by min doc_id —
+    // and a keep flag. Filtering `keep` yields the training corpus. Every
+    // OUTPUT row needs the canonical, so this is a cluster-keyed window
+    // (first over (n_chars desc, doc_id)), NOT a groupBy + join-back: the
+    // join-back shape re-computes the whole labeled-docs subtree for both
+    // consumers and shuffles it twice (verified in the captured plan); the
+    // window is one shuffle + one per-cluster sort, sharded by cluster.
+    // The labels come from the O(log² n) large-star/small-star CC, so the
+    // path is bucketed end-to-end.
     "dedup_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val pairs = TextOps.queries("dedup_minhash_lsh")(s, d)
       val labels = connectedComponents(s,
         pairs.select(col("da").as("src"), col("db").as("dst")))._1
@@ -179,10 +183,9 @@ object Extended {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
           col("n_chars"))
-      val canon = lab.groupBy(col("cluster_id"))
-        .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id"))).as("c"))
-        .select(col("cluster_id"), col("c.id").as("canonical_id"))
-      lab.join(canon, "cluster_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      lab.withColumn("canonical_id", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
           (col("doc_id") === col("canonical_id")).as("keep"))
     }),
