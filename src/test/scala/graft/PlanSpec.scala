@@ -152,6 +152,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_decontaminate: the benchmark probe is a LEFT SEMI join") {
+    // the no-pair-explosion claim: the benchmark set is probed semi-style
+    // (each training posting matches at most once), never expanded
+    val p = plan("text_decontaminate")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_canonical: canonical selection is one keyed window, no join-back") {
+    // groupBy + join-back would re-compute the labeled-docs subtree twice;
+    // the window shape scans documents exactly once
+    val p = plan("dedup_canonical")
+    assert(p.contains("Window"), p)
+    assert(countOf(p, "documents\\.parquet") <= 1,
+      "documents scanned more than once:\n" + p)
+  }
+
   test("plan sweep: NO query plans a cartesian/nested-loop join except declared baselines") {
     // the whole-suite guard: any new query that silently degenerates to an
     // all-pairs join fails CI here, not in a 100 TB run. The allowlist
