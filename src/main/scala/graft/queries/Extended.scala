@@ -237,6 +237,69 @@ object Extended {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // Sequence-packing planner: training pipelines concatenate documents
+    // into fixed-length (here 512-token) sequences in a deterministic order
+    // and need the bin accounting — docs per sequence, tokens per sequence,
+    // and how many docs straddle a boundary (get split across two training
+    // sequences). Order is the md5(doc_id) shuffle rule (reproducible across
+    // engines/runs, like every sample in this file); the running offset is a
+    // window cumsum KEYED BY SOURCE — the per-shard packing a real pipeline
+    // runs, so the sort shards per key and no task ever sees more than one
+    // source's docs (an unpartitioned global pack would funnel the corpus
+    // through one task). All integer math: bin = start div 512.
+    "pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 512L
+      val doc = documents(s, d).select(
+        col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      val w = Window.partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val placed = doc
+        .withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"start div $B"))
+        .withColumn("crosses", expr(s"(start + n - 1) div $B") > col("bin"))
+      placed.groupBy(col("source"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          sum(col("crosses").cast("long")).as("n_crossing"))
+    }),
+
+    // Numerically-exact distributed correlation (quantity vs price per
+    // return flag): the naive corr() accumulates doubles whose value depends
+    // on partition merge order — unacceptable where a pipeline gates on the
+    // statistic. Instead the five moments (Σx, Σy, Σxy, Σx², Σy²) run in
+    // integer cents — BIGINT for the sums, DECIMAL(38,0) for the products
+    // (cents-squared exceeds a long's range around 10⁹ rows; decimal
+    // partials are exact AND mergeable at any N) — and the closed form
+    // divides the same exact integers in both engines. This is the pattern
+    // for ANY exact second-order statistic at 100 TB: ship mergeable integer
+    // moments, form the float once at the end.
+    "a15_corr" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val cents = lineitem(s, d).select(
+        col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qx"),
+        round(col("l_extendedprice") * 100).cast("long").as("px"))
+      val m = cents.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qx")).as("sx"), sum(col("px")).as("sy"),
+          sum(col("qx").cast(dec) * col("px")).as("sxy"),
+          sum(col("qx").cast(dec) * col("qx")).as("sxx"),
+          sum(col("px").cast(dec) * col("px")).as("syy"))
+      m.select(
+        col("l_returnflag"), col("n"),
+        round(
+          (col("n") * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy").cast(dec) * col("sy")).cast("double"))),
+          6).as("corr_qty_price"))
+    }),
+
     // J8 at scale: the per-series as-of interpolation. The global-curve
     // variant (j8_interpolate_asof) mirrors the reference's per-file pTIC
     // and sorts one merged stream; THIS is the shape a 1000-executor
@@ -553,6 +616,41 @@ object Extended {
       SELECT l.doc_id, l.cluster_id, c.canonical_id,
              l.doc_id = c.canonical_id AS keep
       FROM lab l JOIN canon c ON l.cluster_id = c.cluster_id""",
+    "pack_sequences" -> """
+      WITH doc AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+               md5(doc_id::VARCHAR) AS ord
+        FROM documents),
+      placed AS (
+        SELECT source, n,
+               CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        FROM doc)
+      SELECT source, start // 512 AS bin, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN (start + n - 1) // 512 > start // 512
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+      FROM placed GROUP BY 1, 2""",
+    "a15_corr" -> """
+      WITH cents AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS px
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(qx) AS sx, sum(px) AS sy,
+               sum(CAST(qx AS HUGEINT) * px) AS sxy,
+               sum(CAST(qx AS HUGEINT) * qx) AS sxx,
+               sum(CAST(px AS HUGEINT) * px) AS syy
+        FROM cents GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                   (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+                    sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+               AS corr_qty_price
+      FROM m""",
     "sample_length_buckets" -> """
       WITH b AS (
         SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,

@@ -241,6 +241,60 @@ object Similarity {
             .as("mean_x"))
     }),
 
+    // Per-dimension corpus statistics (count / mean / std / min / max) — the
+    // profiling pass every embedding pipeline runs before normalization or
+    // quantization. Shape: posexplode to (dim, x) narrow rows, ONE partial-
+    // aggregated groupBy(dim) — the shuffle carries 6 numbers per (partition,
+    // dim), never a vector. Sums run exactly: means in integer micro-units
+    // (BIGINT), second moments in DECIMAL(38,0) (micro² units overflow a
+    // 64-bit long around 10⁷ rows — decimal partials stay exact AND mergeable
+    // at any N, and both engines cast the identical integer to double at the
+    // end, so the rounded std matches bit-for-bit).
+    "emb_dim_stats" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ex = fanOut(embeddings(s, d), s)
+        .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .select(col("dim"), col("x"),
+          round(col("x") * 1000000).cast("long").as("xu"))
+      val dec = DecimalType(38, 0)
+      ex.groupBy(col("dim"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xu")).as("su"),
+          sum(col("xu").cast(dec) * col("xu")).as("sq"),
+          round(min(col("x")), 6).as("min_x"),
+          round(max(col("x")), 6).as("max_x"))
+        .select(
+          col("dim"), col("n"),
+          round(col("su").cast("double") / 1000000.0 / col("n"), 6).as("mean_x"),
+          round(sqrt(
+            col("sq").cast("double") / 1000000000000.0 / col("n") -
+              pow(col("su").cast("double") / 1000000.0 / col("n"), 2)), 6).as("std_x"),
+          col("min_x"), col("max_x"))
+    }),
+
+    // Symmetric int8 quantization (the embedding-compression pass that cuts
+    // ANN index storage 4×): per-dimension scale = 127/max|x|, q = round-half-
+    // away-from-zero(x·127/scale) — computed ENTIRELY in integer arithmetic
+    // ((|xu|·254 + m) div (2m), xu = micro-units, m = per-dim max|xu|), so
+    // there is no float rounding boundary for engines to disagree on. The
+    // per-dim scales are a |dim|-row aggregate broadcast back to the fact
+    // side — the big table never shuffles. Output exploded as (vec_id, dim,
+    // q8): the same rows a quantized index would store.
+    "emb_quantize_int8" -> ((s, d) => {
+      val ex = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          round(col("x") * 1000000).cast("long").as("xu"))
+      val scales = ex.groupBy(col("dim")).agg(max(abs(col("xu"))).as("m"))
+      ex.join(broadcast(scales), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("m") === 0, lit(0))
+            .otherwise((signum(col("xu")).cast("long") *
+              expr("(abs(xu) * 254 + m) div (2 * m)")).cast("int"))
+            .as("q8"))
+    }),
+
     // LSH bucketing: 16 deterministic md5-derived hyperplanes, signature =
     // sign bits. The portable plane rule (see planeMatrix) graduates this
     // from a rows-only check to a full hash-matched oracle. This is the plan
@@ -392,6 +446,32 @@ object Similarity {
     "sim_lsh_buckets" -> s"""
       WITH $lshSigSql
       SELECT vec_id, bucket FROM buckets""",
+    "emb_dim_stats" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT i - 1 AS dim, v[i] AS x,
+                    CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      a AS (SELECT dim, count(*) AS n, CAST(sum(xu) AS BIGINT) AS su,
+                   sum(CAST(xu AS HUGEINT) * xu) AS sq,
+                   round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+            FROM ex GROUP BY dim)
+      SELECT CAST(dim AS INTEGER) AS dim, n,
+             round(CAST(su AS DOUBLE) / 1000000.0 / n, 6) AS mean_x,
+             round(sqrt(CAST(sq AS DOUBLE) / 1000000000000.0 / n
+                        - pow(CAST(su AS DOUBLE) / 1000000.0 / n, 2)), 6) AS std_x,
+             min_x, max_x
+      FROM a""",
+    "emb_quantize_int8" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT vec_id, i - 1 AS dim,
+                    CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      sc AS (SELECT dim, max(abs(xu)) AS m FROM ex GROUP BY dim)
+      SELECT vec_id, CAST(ex.dim AS INTEGER) AS dim,
+             CAST(CASE WHEN m = 0 THEN 0
+                       ELSE CAST(sign(xu) AS BIGINT) * ((abs(xu) * 254 + m) // (2 * m))
+                  END AS INTEGER) AS q8
+      FROM ex JOIN sc ON ex.dim = sc.dim""",
     "dedup_embed_lsh" -> s"""
       WITH $lshSigSql,
       bands AS (SELECT vec_id, b AS band, substr(bucket, b * 4 + 1, 4) AS bk

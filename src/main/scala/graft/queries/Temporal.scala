@@ -177,6 +177,25 @@ object Temporal {
         .select(col("user_id"), col("n_events"), col("duration_sec"))
     }),
 
+    // Cohort retention: users grouped by first-active day, counted again at
+    // every later day-offset — the activity-retention matrix behind any
+    // "day-N retention" product metric. Two hash aggregations + one join
+    // against the per-user cohort table (|users| rows — AQE broadcasts it at
+    // this scale, degrades to a shuffle join at 100×, both correct); dates
+    // render as strings because raw date columns are an engine-comparison
+    // hazard the other temporal queries also avoid.
+    "w5_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      ev.join(cohorts, "user_id")
+        .select(col("user_id"),
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Stateful streaming sessionization: flatMapGroupsWithState keyed by
     // user with custom state + event-time timeout
     // (graft.streaming.StatefulSessionize). Oracle-checked against the SAME
@@ -241,6 +260,16 @@ object Temporal {
       SELECT user_id, count(*) AS n_events,
              (max(us) - min(us)) / 1000000.0 AS duration_sec
       FROM sess GROUP BY user_id, sid""",
+    "w5_retention" -> """
+      WITH ev AS (SELECT DISTINCT user_id,
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                  FROM events),
+      c AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+      SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+             CAST(date_diff('day', c.cohort, ev.day) AS INTEGER) AS day_offset,
+             count(DISTINCT ev.user_id) AS n_users
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      GROUP BY 1, 2""",
     "j8_interpolate_asof" -> """
       WITH curve AS (
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

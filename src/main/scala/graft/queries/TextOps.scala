@@ -363,6 +363,35 @@ object TextOps {
         .select(col("doc_id"), col("term"), col("score"), col("rank"))
     }),
 
+    // Unigram-LM perplexity proxy (the KenLM-style quality filter every
+    // pretraining pipeline runs: drop documents whose average token
+    // negative-log-probability under a corpus LM is an outlier). The LM here
+    // is the corpus's own unigram distribution: p(t) = count(t)/total. The
+    // count table is |vocab|-bounded — broadcast to the token stream, so the
+    // big side never shuffles for the join; per-doc scores aggregate
+    // log-probs in integer MICRO-UNITS (round(ln·10⁶) as BIGINT) because a
+    // double sum's value depends on addition order across partitions — the
+    // integer sum is exact and order-free, and both engines divide the same
+    // integer at the end. The unpartitioned window computing `total` runs
+    // over the vocab-bounded count table, never the corpus.
+    "text_unigram_logprob" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = toks(s, d).select(col("doc_id"), explode(col("t")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("tt", sum(col("c")).over(w))
+        .select(col("tok"),
+          round(log(col("c").cast("double") / col("tt")) * 1000000).cast("long")
+            .as("lpu"))
+      tok.join(broadcast(lm), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lpu")).as("slp"))
+        .select(col("doc_id"), col("n_tokens"),
+          round((-col("slp")).cast("double") / 1000000.0 / col("n_tokens"), 6)
+            .as("avg_neg_logprob"))
+    }),
+
     // SimHash (60-bit, md5-derived token hashes): a single-pass custom
     // Catalyst expression (graft.expressions.SimHash64) — zero shuffle,
     // zero UDF, whole document signature per row. The token hash is the
@@ -594,6 +623,19 @@ object TextOps {
       c AS (SELECT token, count(*) AS n FROM tk WHERE length(token) > 0 GROUP BY token)
       SELECT token, true AS in_sketch
       FROM c WHERE n > 0.02 * (SELECT sum(n) FROM c)""",
+    "text_unigram_logprob" -> """
+      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM documents),
+      tk2 AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 0),
+      lm AS (SELECT tok,
+                    CAST(round(ln(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE))
+                               * 1000000) AS BIGINT) AS lpu
+             FROM tk2 GROUP BY tok),
+      sc AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lpu) AS BIGINT) AS slp
+             FROM tk2 JOIN lm USING (tok) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             round(CAST(-slp AS DOUBLE) / 1000000.0 / n_tokens, 6) AS avg_neg_logprob
+      FROM sc""",
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),

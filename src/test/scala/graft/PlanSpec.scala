@@ -169,6 +169,42 @@ class PlanSpec extends SparkSpec {
       "documents scanned more than once:\n" + p)
   }
 
+  test("emb_dim_stats: moments aggregate partially before the one dim shuffle") {
+    // the shuffle must carry per-partition (dim, moments) partials — 6
+    // numbers per dim per map task — never the exploded (dim, x) rows
+    val p = plan("emb_dim_stats")
+    assert(p.contains("partial_sum"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("emb_quantize_int8: per-dim scales broadcast; fact side never shuffles for the join") {
+    val p = plan("emb_quantize_int8")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_unigram_logprob: the vocab LM broadcasts to the token stream") {
+    // the corpus-sized token stream must join the |vocab|-bounded LM table
+    // by broadcast — a shuffle join here would re-shuffle every token
+    val p = plan("text_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pack_sequences: the packing window is keyed, never a single global sort") {
+    val p = plan("pack_sequences")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "global unpartitioned window:\n" + p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("a15_corr: all five moments partial-aggregate in one pass, one shuffle") {
+    val p = plan("a15_corr")
+    assert(p.contains("partial_sum"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("plan sweep: NO query plans a cartesian/nested-loop join except declared baselines") {
     // the whole-suite guard: any new query that silently degenerates to an
     // all-pairs join fails CI here, not in a 100 TB run. The allowlist
