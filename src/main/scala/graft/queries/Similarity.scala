@@ -295,6 +295,59 @@ object Similarity {
             .as("q8"))
     }),
 
+    // Upper-triangle covariance matrix of the embedding dimensions — the
+    // second-order statistic behind PCA / whitening / decorrelation of an
+    // embedding corpus. NO self-join: each row expands to its d(d+1)/2
+    // dimension pairs with one higher-order transform (the products are
+    // per-row local), then ONE partial-aggregated groupBy(i,j) — the shuffle
+    // carries (i,j,Σp) partials, 2080 cells for d=64, regardless of N.
+    // Products of micro-unit integers sum exactly in DECIMAL(38,0); the
+    // d-row mean table broadcasts back twice for the E[x]E[y] term. At
+    // 100 TB this is the textbook outer-product aggregation — linear scan,
+    // constant-size output.
+    "emb_covariance" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val vu = fanOut(embeddings(s, d), s).select(
+        transform(asDouble(col("embedding")), x => round(x * 1000000).cast("long"))
+          .as("vu"))
+      val pairs = vu.select(explode(expr(
+        "flatten(transform(vu, (x, i) -> transform(slice(vu, i + 1, size(vu) - i), " +
+          "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))")).as("q"))
+        .groupBy(col("q.i").as("i"), col("q.j").as("j"))
+        .agg(sum(col("q.p").cast(dec)).as("sp"), count(lit(1)).as("n"))
+      val means = vu.select(posexplode(col("vu")).as(Seq("di", "xu")))
+        .groupBy(col("di")).agg(sum(col("xu")).as("su"), count(lit(1)).as("nm"))
+      val ma = means.select(col("di").as("i"), col("su").as("sua"), col("nm").as("na"))
+      val mb = means.select(col("di").as("j"), col("su").as("sub"), col("nm").as("nb"))
+      pairs.join(broadcast(ma), "i").join(broadcast(mb), "j")
+        .select(col("i"), col("j"),
+          // + 0.0 canonicalizes IEEE negative zero (a near-zero covariance
+          // rounds to -0.0 in one engine and 0.0 in the other otherwise)
+          (round(
+            col("sp").cast("double") / 1000000000000.0 / col("n") -
+              (col("sua").cast("double") / 1000000.0 / col("na")) *
+                (col("sub").cast("double") / 1000000.0 / col("nb")), 6) + 0.0).as("cov"))
+    }),
+
+    // ANN quality gate: per-probe recall@5 of the IVF index against the
+    // exact brute-force top-5 — the accuracy audit every production ANN
+    // deployment runs before swapping the exact path out. Both inputs are
+    // oracled queries; the join is a tiny (50-row) equi join, and the oracle
+    // recomputes the identical composition, so the recall is hash-matched
+    // exactly, not just contract-checked.
+    "sim_ivf_recall" -> ((s, d) => {
+      val exact = queries("sim_cosine_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val approx = queries("sim_ivf_topk")(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / 5.0, 6).as("recall"))
+    }),
+
     // LSH bucketing: 16 deterministic md5-derived hyperplanes, signature =
     // sign bits. The portable plane rule (see planeMatrix) graduates this
     // from a rows-only check to a full hash-matched oracle. This is the plan
@@ -366,6 +419,37 @@ object Similarity {
       FROM scored
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5"""
 
+  /** Canonical DuckDB SQL for the IVF top-5 — single source for
+    * sim_ivf_topk AND the approximate side of sim_ivf_recall.
+    */
+  private val ivfTopkSql: String = """
+      WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, nrm, c_id FROM (
+          SELECT a.vec_id, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents) WHERE crank = 1),
+      probes AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM (
+          SELECT a.vec_id, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents WHERE a.vec_id < 10) WHERE crank <= 2),
+      scored AS (
+        SELECT q_id, s.vec_id,
+               round(list_dot_product(qv, s.v) / (qn * s.nrm), 6) AS cos
+        FROM assigned s JOIN probes p ON s.c_id = p.c_id
+        WHERE s.vec_id <> p.q_id)
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5"""
+
   val oracle: Map[String, String] = Map(
     "arr_stats" -> """
       SELECT vec_id,
@@ -394,33 +478,28 @@ object Similarity {
              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
       FROM c a JOIN c b ON a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
-    "sim_ivf_topk" -> """
-      WITH c AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        FROM embeddings),
-      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 16),
-      assigned AS (
-        SELECT vec_id, v, nrm, c_id FROM (
-          SELECT a.vec_id, a.v, a.nrm, cents.c_id,
-                 row_number() OVER (PARTITION BY a.vec_id
-                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
-          FROM c a CROSS JOIN cents) WHERE crank = 1),
-      probes AS (
-        SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM (
-          SELECT a.vec_id, a.v, a.nrm, cents.c_id,
-                 row_number() OVER (PARTITION BY a.vec_id
-                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
-          FROM c a CROSS JOIN cents WHERE a.vec_id < 10) WHERE crank <= 2),
-      scored AS (
-        SELECT q_id, s.vec_id,
-               round(list_dot_product(qv, s.v) / (qn * s.nrm), 6) AS cos
-        FROM assigned s JOIN probes p ON s.c_id = p.c_id
-        WHERE s.vec_id <> p.q_id)
-      SELECT q_id, vec_id, cos,
-             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-      FROM scored
-      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
+    "sim_ivf_topk" -> ivfTopkSql,
+    "emb_covariance" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT vec_id, i - 1 AS di, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      p AS (SELECT a.di AS i, b.di AS j,
+                   sum(CAST(a.xu AS HUGEINT) * b.xu) AS sp, count(*) AS n
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.di >= a.di
+            GROUP BY 1, 2),
+      m AS (SELECT di, CAST(sum(xu) AS BIGINT) AS su, count(*) AS nm FROM ex GROUP BY di)
+      SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+             round(CAST(sp AS DOUBLE) / 1000000000000.0 / p.n
+                   - (CAST(ma.su AS DOUBLE) / 1000000.0 / ma.nm)
+                     * (CAST(mb.su AS DOUBLE) / 1000000.0 / mb.nm), 6) + 0.0 AS cov
+      FROM p JOIN m ma ON p.i = ma.di JOIN m mb ON p.j = mb.di""",
+    "sim_ivf_recall" -> s"""
+      WITH x AS ($cosineTopkSql),
+      a AS ($ivfTopkSql)
+      SELECT x.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             round(count(a.vec_id) / 5.0, 6) AS recall
+      FROM x LEFT JOIN a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY x.q_id""",
     "mm_binary_meta" -> """
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
              sha256(text) AS sha256

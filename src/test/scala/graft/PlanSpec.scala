@@ -218,6 +218,7 @@ class PlanSpec extends SparkSpec {
       // quantizers: every vector × a BOUNDED broadcast centroid table
       // (16 rows) — linear work, the canonical IVF/k-means shape
       "sim_ivf_topk", "sim_kmeans_update",
+      "sim_ivf_recall", // composes the two baselines above; the join it ADDS is equi-key
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk")
