@@ -237,6 +237,26 @@ object Extended {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // Join-key skew profiler: the diagnostic a pipeline runs BEFORE deciding
+    // to salt a join (j2s_salted_skew_join is the cure; this is the
+    // detector). Per-key cardinalities are one partial-aggregated groupBy;
+    // the heaviest 10 keys surface via orderBy+limit (TakeOrderedAndProject
+    // — per-partition top-k merge, never a global sort) and their share of
+    // the total comes from a window over the 10 surviving rows. At 100 TB
+    // the full key histogram never materializes anywhere.
+    "diag_key_skew" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("tot"))
+      val top = counts.orderBy(col("n").desc, col("user_id")).limit(10)
+      top.join(broadcast(total))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+        .select(col("rank"), col("user_id"), col("n"),
+          round(col("n") / col("tot").cast("double"), 6).as("share"))
+    }),
+
     // Sequence-packing planner: training pipelines concatenate documents
     // into fixed-length (here 512-token) sequences in a deterministic order
     // and need the bin accounting — docs per sequence, tokens per sequence,
@@ -616,6 +636,16 @@ object Extended {
       SELECT l.doc_id, l.cluster_id, c.canonical_id,
              l.doc_id = c.canonical_id AS keep
       FROM lab l JOIN canon c ON l.cluster_id = c.cluster_id""",
+    "diag_key_skew" -> """
+      WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+      top AS (SELECT user_id, n,
+                     CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank
+              FROM c
+              QUALIFY row_number() OVER (ORDER BY n DESC, user_id) <= 10)
+      SELECT top.rank, top.user_id, top.n,
+             round(top.n / CAST(t.tot AS DOUBLE), 6) AS share
+      FROM top CROSS JOIN t""",
     "pack_sequences" -> """
       WITH doc AS (
         SELECT doc_id, source,

@@ -88,6 +88,24 @@ object TextOps {
         length(col("text")).as("len_chars"))
     }),
 
+    // BPE-style subword token estimate: the pre-tokenization regex every
+    // byte-pair tokenizer applies before merges (letter runs | digit runs |
+    // single punctuation marks — the portable subset of the GPT-2 pattern,
+    // identical under Java regex and RE2), counted per document next to the
+    // whitespace count. Training pipelines budget corpora in BPE tokens, not
+    // whitespace words; the ratio column is the doc-level conversion factor.
+    // Pure per-row regexp_extract_all — codegen'd, zero shuffle.
+    "text_token_count_bpe" -> ((s, d) => {
+      val pieces = expr(
+        """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)""")
+      val nWs = size(split(trim(col("text")), "\\s+"))
+      fanOut(documents(s, d), s).select(
+        col("doc_id"),
+        size(pieces).as("n_bpe_pieces"),
+        nWs.as("n_ws_tokens"),
+        round(size(pieces).cast("double") / nWs, 6).as("pieces_per_word"))
+    }),
+
     // Quality scoring: alphabetic / digit / whitespace ratios + mean token
     // length — the length/punct/stopword-ratio family.
     "text_quality" -> ((s, d) => {
@@ -544,6 +562,15 @@ object TextOps {
     "text_token_count" -> """
       SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
              CAST(length(text) AS INTEGER) AS len_chars
+      FROM documents""",
+    "text_token_count_bpe" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)
+               AS n_bpe_pieces,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+             round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+               AS pieces_per_word
       FROM documents""",
     "text_quality" -> """
       SELECT doc_id,

@@ -221,7 +221,9 @@ class PlanSpec extends SparkSpec {
       "sim_ivf_recall", // composes the two baselines above; the join it ADDS is equi-key
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
-      "text_tfidf_topk")
+      "text_tfidf_topk",
+      // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
+      "diag_key_skew")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
