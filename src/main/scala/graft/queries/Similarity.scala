@@ -311,23 +311,25 @@ object Similarity {
       val vu = fanOut(embeddings(s, d), s).select(
         transform(asDouble(col("embedding")), x => round(x * 1000000).cast("long"))
           .as("vu"))
-      val pairs = vu.select(explode(expr(
+      // the pair struct carries the two FACTORS next to the product, so the
+      // E[x]E[y] term's Σx and Σy aggregate in the SAME pass as Σxy — one
+      // scan, one shuffle, no separate means table joined back (which would
+      // re-scan and re-explode the corpus twice more, verified in the plan)
+      vu.select(explode(expr(
         "flatten(transform(vu, (x, i) -> transform(slice(vu, i + 1, size(vu) - i), " +
-          "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))")).as("q"))
+          "(y, j) -> struct(i AS i, i + j AS j, x * y AS p, x AS xa, y AS xb))))")).as("q"))
         .groupBy(col("q.i").as("i"), col("q.j").as("j"))
-        .agg(sum(col("q.p").cast(dec)).as("sp"), count(lit(1)).as("n"))
-      val means = vu.select(posexplode(col("vu")).as(Seq("di", "xu")))
-        .groupBy(col("di")).agg(sum(col("xu")).as("su"), count(lit(1)).as("nm"))
-      val ma = means.select(col("di").as("i"), col("su").as("sua"), col("nm").as("na"))
-      val mb = means.select(col("di").as("j"), col("su").as("sub"), col("nm").as("nb"))
-      pairs.join(broadcast(ma), "i").join(broadcast(mb), "j")
+        .agg(
+          sum(col("q.p").cast(dec)).as("sp"),
+          sum(col("q.xa")).as("sua"), sum(col("q.xb")).as("sub"),
+          count(lit(1)).as("n"))
         .select(col("i"), col("j"),
           // + 0.0 canonicalizes IEEE negative zero (a near-zero covariance
           // rounds to -0.0 in one engine and 0.0 in the other otherwise)
           (round(
             col("sp").cast("double") / 1000000000000.0 / col("n") -
-              (col("sua").cast("double") / 1000000.0 / col("na")) *
-                (col("sub").cast("double") / 1000000.0 / col("nb")), 6) + 0.0).as("cov"))
+              (col("sua").cast("double") / 1000000.0 / col("n")) *
+                (col("sub").cast("double") / 1000000.0 / col("n")), 6) + 0.0).as("cov"))
     }),
 
     // ANN quality gate: per-probe recall@5 of the IVF index against the
@@ -484,15 +486,17 @@ object Similarity {
       ex AS (SELECT vec_id, i - 1 AS di, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
              FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
       p AS (SELECT a.di AS i, b.di AS j,
-                   sum(CAST(a.xu AS HUGEINT) * b.xu) AS sp, count(*) AS n
+                   sum(CAST(a.xu AS HUGEINT) * b.xu) AS sp,
+                   CAST(sum(a.xu) AS BIGINT) AS sua,
+                   CAST(sum(b.xu) AS BIGINT) AS sub,
+                   count(*) AS n
             FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.di >= a.di
-            GROUP BY 1, 2),
-      m AS (SELECT di, CAST(sum(xu) AS BIGINT) AS su, count(*) AS nm FROM ex GROUP BY di)
-      SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
-             round(CAST(sp AS DOUBLE) / 1000000000000.0 / p.n
-                   - (CAST(ma.su AS DOUBLE) / 1000000.0 / ma.nm)
-                     * (CAST(mb.su AS DOUBLE) / 1000000.0 / mb.nm), 6) + 0.0 AS cov
-      FROM p JOIN m ma ON p.i = ma.di JOIN m mb ON p.j = mb.di""",
+            GROUP BY 1, 2)
+      SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+             round(CAST(sp AS DOUBLE) / 1000000000000.0 / n
+                   - (CAST(sua AS DOUBLE) / 1000000.0 / n)
+                     * (CAST(sub AS DOUBLE) / 1000000.0 / n), 6) + 0.0 AS cov
+      FROM p""",
     "sim_ivf_recall" -> s"""
       WITH x AS ($cosineTopkSql),
       a AS ($ivfTopkSql)

@@ -177,6 +177,16 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("emb_covariance: one scan, one shuffle, no join — all moments in one pass") {
+    // Σxy, Σx, Σy, n aggregate together from the per-row pair expansion; a
+    // separate means table would re-scan and re-explode the corpus twice
+    val p = plan("emb_covariance")
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("emb_quantize_int8: per-dim scales broadcast; fact side never shuffles for the join") {
     val p = plan("emb_quantize_int8")
     assert(p.contains("BroadcastHashJoin"), p)
