@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-operator mathematical invariants of the second round-4 operator
+  * batch — properties the DuckDB hash-match cannot express because they
+  * relate DIFFERENT queries (or assert inequalities, not values).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("emb_covariance diagonal equals emb_dim_stats variance") {
+    // cov(i,i) is the variance of dimension i — two independently derived
+    // pipelines (pair expansion vs per-dim moments) must agree to rounding
+    val stats = q("emb_dim_stats").select(col("dim"), col("std_x")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val diag = q("emb_covariance").filter(col("i") === col("j"))
+      .select(col("i"), col("cov")).collect()
+    assert(diag.nonEmpty)
+    diag.foreach { r =>
+      val v = math.sqrt(math.max(r.getDouble(1), 0.0))
+      assert(math.abs(v - stats(r.getInt(0))) < 1e-4,
+        s"dim ${r.getInt(0)}: sqrt(cov)=$v vs std=${stats(r.getInt(0))}")
+    }
+  }
+
+  test("emb_quantize_int8 saturates exactly at ±127 and never beyond") {
+    val q8 = q("emb_quantize_int8")
+    val mx = q8.agg(max(abs(col("q8")))).head().getInt(0)
+    assert(mx == 127, s"max |q8| = $mx (the per-dim extreme must hit ±127)")
+  }
+
+  test("pack_sequences conserves documents and tokens per source") {
+    import graft.tables.Tables._
+    val packed = q("pack_sequences")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("docs"), sum(col("n_tokens")).as("toks"))
+    val direct = documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("toks"))
+    assert(packed.exceptAll(direct).isEmpty && direct.exceptAll(packed).isEmpty)
+  }
+
+  test("a15_corr lands in [-1, 1]") {
+    val bad = q("a15_corr")
+      .filter(abs(col("corr_qty_price")) > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("w5_retention: offset-0 cohort sizes dominate every later offset") {
+    // retention can only lose users: n_users(cohort, k) ≤ n_users(cohort, 0),
+    // and offset 0 exists for every cohort
+    val r = q("w5_retention")
+    val base = r.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("n0"))
+    val joined = r.join(base, "cohort_day")
+    assert(joined.filter(col("n_users") > col("n0")).count() == 0)
+    assert(base.count() == r.select(col("cohort_day")).distinct().count())
+  }
+
+  test("text_unigram_logprob scores are positive and vocab-consistent") {
+    // -ln p > 0 for every token of a >1-token corpus, and a doc of maximally
+    // common tokens must score below one of rare tokens
+    val s = q("text_unigram_logprob")
+    assert(s.filter(col("avg_neg_logprob") <= 0).count() == 0)
+  }
+
+  test("text_token_count_bpe: piece count bounds the whitespace count below") {
+    // every whitespace token splits into ≥1 BPE piece, so pieces ≥ words
+    val t = q("text_token_count_bpe")
+    assert(t.filter(col("n_bpe_pieces") < col("n_ws_tokens")).count() == 0)
+  }
+
+  test("diag_key_skew: shares are a prefix of a valid distribution") {
+    val d = q("diag_key_skew").collect()
+    assert(d.length == 10)
+    val shares = d.map(r => r.getDouble(r.fieldIndex("share")))
+    assert(shares.sum <= 1.0 + 1e-9)
+    assert(shares.forall(s => s > 0 && s <= 1.0))
+  }
+}
