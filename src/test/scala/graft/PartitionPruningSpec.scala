@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Directory-partitioned layout + partition pruning: at 100 TB the events
+  * table is written `partitionBy(<predicate column>)` and a filtered scan
+  * must read ONLY the matching directories — pruning happens at planning
+  * from the file index, before any I/O. This is the other half of the
+  * layout story next to bucketing (BucketedJoinSpec): bucketing kills join
+  * shuffles, partitioning kills scan volume.
+  */
+class PartitionPruningSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filtered scan over a partitioned layout reads only matching partitions") {
+    import graft.tables.Tables._
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events"
+    events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts"))) // plain long partitions cleanly
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+
+    val q = spark.read.parquet(dir)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+
+    // the filter must appear as a PartitionFilter (planning-time, on the
+    // file index), NOT as a PushedFilter (row-group-time, after opening
+    // files) and NOT as a post-scan Filter
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(p.contains("(event_type#"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p)
+
+    // answers match the unpartitioned read
+    val expected = events(spark, sf).filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted
+    assert(q.collect().map(_.toString).sorted.sameElements(expected))
+
+    // and the scan touched exactly the files under event_type=view — the
+    // numFiles metric counts post-pruning selection
+    def parquetFiles(sub: String) = {
+      val f = new java.io.File(dir + sub)
+      Option(f.listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    }
+    val viewFiles = parquetFiles("/event_type=view")
+    val allFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type="))
+      .map(d => parquetFiles("/" + d.getName)).sum
+    val numFiles = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+      }.sum
+    assert(viewFiles > 0 && allFiles > viewFiles, s"$viewFiles / $allFiles")
+    assert(numFiles == viewFiles, s"scan read $numFiles files, expected $viewFiles")
+  }
+}
