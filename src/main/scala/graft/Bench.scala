@@ -37,20 +37,30 @@ object Bench {
       }
       name -> reps.min
     }
-    // Millisecond precision keeps the line short: full double repr made the
-    // one-line contract ~2.6 KB and the driver's tail capture truncated it
-    // (BENCH_r02.json parsed: null). ~1.5 KB fits; the same JSON is also
-    // persisted to a file so no capture window can ever lose queries.
+    // Stdout contract: the driver captures only the LAST ~2.2 KB of stdout,
+    // so a 95-query map (~2.4 KB) printed as one line gets FRONT-truncated
+    // and the leading `"metric":"total"` field is lost (BENCH_r02..r04
+    // parsed: null). The full per-query line therefore goes to
+    // BENCH_LOCAL.json, and the FINAL stdout line is a compact totals-only
+    // object (plus a handful of headline queries, well under the window)
+    // that always survives the tail capture whole.
     def fmt(v: Double): String = f"$v%.3f"
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // file copy is best-effort; stdout is the contract
-    println(line)
+    val headline = Seq("q1_agg", "q5_multijoin", "dedup_minhash_lsh",
+      "dedup_cluster_cc", "sim_ivf_topk", "text_tfidf_topk",
+      "stream_hourly_agg", "j7_range_join")
+    val hq = headline.flatMap(k => results.get(k).map(v => s"\"$k\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    val shortLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$hq,"sf":"$sfDir"}"""
+    println(shortLine)
     spark.stop()
   }
 }

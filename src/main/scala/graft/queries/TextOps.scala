@@ -262,14 +262,19 @@ object TextOps {
     // appear in the support=1% sketch — the algorithm's coverage guarantee,
     // independent of partitioning. Any miss hash-mismatches its row.
     "text_heavy_hitters" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val tok = toks(s, d).select(explode(col("t")).as("token"))
         .filter(length(col("token")) > 0)
       val sketch = tok.stat.freqItems(Array("token"), 0.01)
         .collect()(0).getSeq[String](0).toSet
-      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .withColumn("tot", sum(col("n")).over(w))
+      val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      // Stream total as a SCALAR aggregate (partial sums per partition →
+      // one-row result) broadcast back onto the histogram — NOT an
+      // unpartitioned window over the full token->count table, which would
+      // funnel a billions-of-rows histogram through one task at web scale
+      // (Exchange SinglePartition). Same 1-row × dim-table shape as
+      // text_tfidf_topk's n_docs join below.
+      val total = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(total))
         .filter(col("n") > col("tot") * 0.02)
         .select(col("token"),
           col("token").isin(sketch.toSeq: _*).as("in_sketch"))
@@ -393,12 +398,14 @@ object TextOps {
     // integer at the end. The unpartitioned window computing `total` runs
     // over the vocab-bounded count table, never the corpus.
     "text_unigram_logprob" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val tok = toks(s, d).select(col("doc_id"), explode(col("t")).as("tok"))
         .filter(length(col("tok")) > 0)
-      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .withColumn("tt", sum(col("c")).over(w))
+      // corpus token total as a scalar aggregate broadcast onto the vocab
+      // histogram — never an unpartitioned window over it (a web-scale
+      // vocab table through one task); see text_heavy_hitters
+      val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("tt"))
+      val lm = counts.crossJoin(broadcast(total))
         .select(col("tok"),
           round(log(col("c").cast("double") / col("tt")) * 1000000).cast("long")
             .as("lpu"))

@@ -48,10 +48,19 @@ class PartitionPruningSpec extends SparkSpec {
     val allFiles = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("event_type="))
       .map(d => parquetFiles("/" + d.getName)).sum
-    val numFiles = q.queryExecution.executedPlan.collectLeaves()
-      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.metrics("numFiles").value
-      }.sum
+    // with AQE on, the executedPlan's leaf is the AdaptiveSparkPlanExec
+    // wrapper — recurse through it (and materialized query stages) to reach
+    // the real FileSourceScanExec before reading its metrics
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(plan: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec       => scans(qs.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val numFiles = scans(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
     assert(viewFiles > 0 && allFiles > viewFiles, s"$viewFiles / $allFiles")
     assert(numFiles == viewFiles, s"scan read $numFiles files, expected $viewFiles")
   }

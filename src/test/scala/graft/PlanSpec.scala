@@ -232,6 +232,10 @@ class PlanSpec extends SparkSpec {
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",
+      // 1-row scalar(total) × the token histogram / vocab LM — the
+      // broadcast side is exactly one row, so the "nested loop" is a
+      // linear annotate-with-constant pass (same shape as tfidf's n_docs)
+      "text_heavy_hitters", "text_unigram_logprob",
       // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
       "diag_key_skew")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
@@ -241,6 +245,63 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a BroadcastNestedLoopJoin:\n$p")
+    }
+  }
+
+  test("plan sweep: NO query funnels unbounded rows through a SinglePartition exchange") {
+    // the heavy-hitters class of scale-killer: an unpartitioned window (or
+    // global sort step) that drags a corpus-sized intermediate through ONE
+    // task. An `Exchange SinglePartition` is legitimate only when the rows
+    // entering it are bounded:
+    //  - its child is a KEYLESS partial aggregate (scalar agg: one row per
+    //    map partition crosses the wire), or
+    //  - the query is declared below because the exchanged frame is a
+    //    provably tiny post-aggregation/top-k result.
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec, InputAdapter}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    val tinyFrame = Set(
+      "sample_mix_weights", // window over the |langs|-row post-agg frame
+      "diag_key_skew",      // window over the 10-row per-partition top-k
+      "text_top_tokens"     // rank window over the 100-row TakeOrdered result
+    )
+
+    def unAqe(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unAqe(a.executedPlan)
+      case q: QueryStageExec        => unAqe(q.plan)
+      case other                    => other
+    }
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter          => unwrap(i.child)
+      case other                    => other
+    }
+    def scalarPartial(p: SparkPlan): Boolean = unwrap(p) match {
+      case h: HashAggregateExec       => h.groupingExpressions.isEmpty
+      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case s: SortAggregateExec       => s.groupingExpressions.isEmpty
+      case _                          => false
+    }
+    def offenders(p: SparkPlan): Seq[SparkPlan] = {
+      val here = unAqe(p) match {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition && !scalarPartial(unAqe(e.child)) =>
+          Seq(e)
+        case _ => Nil
+      }
+      here ++ unAqe(p).children.flatMap(offenders)
+    }
+
+    val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
+    for ((name, fn) <- SparkEntry.queries
+         if !tinyFrame(name) && !skipped.exists(_ == name)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val bad = offenders(plan)
+      if (bad.nonEmpty)
+        fail(s"$name funnels unbounded rows through Exchange SinglePartition:\n${bad.head}\nfull plan:\n$plan")
     }
   }
 
