@@ -92,11 +92,90 @@ object SdrfValidator {
       "comment[modification parameters]",
       "comment[proteomics data acquisition method]")))
 
+  /** Ontology snapshot for term-accession validation: the reference's full
+    * mode validates every `AC=<accession>` against OLS (check_samplesheet
+    * .py:52-56 via sdrf-pipelines; `--use_ols_cache_only` swaps the live
+    * service for a local cache). This sandbox has zero egress, so we ship
+    * the cache: a bundled subset of the public PSI-MS CV and NCBI taxonomy
+    * (src/main/resources/ontology_snapshot.tsv) plus the full Unimod
+    * snapshot already bundled for S10/J9. accession(upper) → canonical
+    * label.
+    */
+  lazy val ontologySnapshot: Map[String, String] = {
+    val in = getClass.getClassLoader.getResourceAsStream("ontology_snapshot.tsv")
+    require(in != null, "ontology_snapshot.tsv missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val fromTsv =
+      try src.getLines().drop(1).filter(_.nonEmpty).map { l =>
+        val Array(acc, label, _) = l.split("\t")
+        acc.toUpperCase -> label
+      }.toMap
+      finally src.close()
+    fromTsv ++ DiannCfg.unimod.map(e => e.accession.toUpperCase -> e.name)
+  }
+
+  /** Ontology prefixes the snapshot covers: an accession under one of these
+    * that is absent from the snapshot is an ERROR; any other prefix is
+    * logged and skipped (the documented zero-egress divergence — the
+    * reference would ask OLS).
+    */
+  val coveredOntologies: Set[String] = Set("MS", "UNIMOD", "NCBITAXON")
+
+  /** Term-accession validation over every `comment[...]`/
+    * `characteristics[...]` column: cells carrying SDRF key-value terms
+    * (`NT=<name>;AC=<accession>`) must name an accession the snapshot
+    * knows, and the `NT=` name must match the ontology's canonical label
+    * (case-insensitive) — the two checks sdrf-pipelines runs per term.
+    *
+    * Scale shape: ONE projection pass extracts (column, AC, NT) for all
+    * term columns, then a distinct on that tiny projection — the result is
+    * bounded by the CV size (distinct terms used in the design), never the
+    * row count — and the bounded set is checked on the driver against the
+    * in-memory snapshot, the same broadcast-lookup shape as S10.
+    */
+  def validateTerms(spark: SparkSession, sdrfPath: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.option("sep", "\t").option("header", true).csv(sdrfPath)
+    val termCols = df.columns.filter { c =>
+      val l = c.toLowerCase
+      l.startsWith("comment[") || l.startsWith("characteristics[")
+    }
+    if (termCols.isEmpty) return Nil
+    val terms = df.select(explode(array(termCols.map(c =>
+        struct(
+          lit(c).as("col"),
+          regexp_extract(col(s"`$c`"), "(?i)(?:^|;)\\s*AC=([^;]+)", 1).as("ac"),
+          regexp_extract(col(s"`$c`"), "(?i)(?:^|;)\\s*NT=([^;]+)", 1).as("nt"))): _*))
+        .as("t"))
+      .select(col("t.*"))
+      .filter(col("ac") =!= "")
+      .distinct()
+      .collect()
+    terms.toSeq.flatMap { r =>
+      val (column, ac, nt) = (r.getString(0), r.getString(1).trim, r.getString(2).trim)
+      val prefix = ac.split(":")(0).toUpperCase
+      if (!coveredOntologies.contains(prefix)) {
+        this.log.warn(s"Term '$ac' (column '$column') uses ontology '$prefix' not in the " +
+          "bundled snapshot; skipping (the reference would query OLS here).")
+        Nil
+      } else ontologySnapshot.get(ac.toUpperCase) match {
+        case None =>
+          Seq(s"ERROR: Term accession '$ac' (column '$column') not found in ontology '$prefix'.")
+        case Some(label) if nt.nonEmpty && label.toLowerCase != nt.toLowerCase =>
+          Seq(s"ERROR: Term name '$nt' (column '$column') does not match the " +
+            s"ontology label '$label' for accession '$ac'.")
+        case _ => Nil
+      }
+    }
+  }
+
   /** Template-mode validation: required columns of the named template must
     * be present (case-insensitive) and have no empty cells ("not available"
     * / "not applicable" are valid SDRF values, an empty string is not).
     * The empty-cell scan is ONE distributed aggregation over all required
     * columns — a single pass whatever the row count, no per-column jobs.
+    * Cells carrying `AC=` term accessions are additionally validated
+    * against the bundled ontology snapshot (validateTerms above).
     * Returns error strings (empty = valid).
     */
   def validateTemplate(spark: SparkSession, sdrfPath: String,
@@ -130,6 +209,6 @@ object SdrfValidator {
         }
       }
 
-    missing ++ emptyErrors
+    missing ++ emptyErrors ++ validateTerms(spark, sdrfPath)
   }
 }

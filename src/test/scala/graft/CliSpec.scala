@@ -81,6 +81,26 @@ class CliSpec extends SparkSpec {
       "checksamplesheet", "--minimal", "--exp_design", noOrg.toString)) == 0)
   }
 
+  test("checksamplesheet template mode rejects a bogus ontology accession") {
+    // the use_ols_cache_only path e2e: a structurally-complete sheet whose
+    // cleavage agent names a nonexistent PSI-MS accession must exit 1
+    import graft.ops.SdrfValidator
+    val cols = SdrfValidator.templates("ms-proteomics")
+    def sheet(cleavage: String) = {
+      val f = Files.createTempFile("cli_tpl_terms", ".sdrf.tsv")
+      val row = cols.map {
+        case "comment[cleavage agent details]" => cleavage
+        case _ => "v"
+      }
+      Files.writeString(f, cols.mkString("\t") + "\n" + row.mkString("\t") + "\n")
+      f.toString
+    }
+    assert(cli.Main.dispatch(spark, Array(
+      "checksamplesheet", "--exp_design", sheet("NT=Trypsin;AC=MS:1001251"))) == 0)
+    assert(cli.Main.dispatch(spark, Array(
+      "checksamplesheet", "--exp_design", sheet("NT=Trypsin;AC=MS:9999999"))) == 1)
+  }
+
   test("dianncfg writes the config file and exits 0") {
     val out = tmpDir("cli-dianncfg")
     val code = cli.Main.dispatch(spark, Array(

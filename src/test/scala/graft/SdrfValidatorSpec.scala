@@ -81,4 +81,57 @@ class SdrfValidatorSpec extends SparkSpec {
     val errors = SdrfValidator.validateTemplate(spark, templateSdrf(), "nope")
     assert(errors.exists(_.contains("Unknown template 'nope'")), errors)
   }
+
+  // --- ontology-snapshot term validation (check_samplesheet.py:52-56;
+  //     the use_ols_cache_only path with the cache bundled as a resource) ---
+
+  private def termSdrf(cleavage: String, organism: String = "Homo sapiens",
+                       mods: String = "NT=Oxidation;MT=Variable;TA=M;AC=UNIMOD:35"): String = {
+    val cols = Seq("source name", "characteristics[organism]", "assay name",
+      "comment[data file]", "comment[label]", "comment[instrument]",
+      "comment[cleavage agent details]", "comment[modification parameters]",
+      "technology type")
+    val row = Seq("S1", organism, "run1", "f.raw",
+      "NT=label free sample;AC=MS:1002038",
+      "NT=Orbitrap Fusion Lumos;AC=MS:1002732", cleavage, mods, "MS")
+    val f = Files.createTempFile("terms", ".sdrf.tsv")
+    Files.writeString(f, cols.mkString("\t") + "\n" + row.mkString("\t") + "\n")
+    f.toString
+  }
+
+  test("terms: known MS/UNIMOD accessions with matching names pass") {
+    val path = termSdrf("NT=Trypsin;AC=MS:1001251")
+    assert(SdrfValidator.validateTerms(spark, path).isEmpty)
+  }
+
+  test("terms: bogus accession fails, and fails the whole template validation") {
+    val path = termSdrf("NT=Trypsin;AC=MS:9999999")
+    val errors = SdrfValidator.validateTerms(spark, path)
+    assert(errors.exists(e => e.contains("MS:9999999") && e.contains("not found")), errors)
+    // end-to-end: template mode surfaces it too (the CLI exit-code path)
+    assert(SdrfValidator.validateTemplate(spark, path, "default")
+      .exists(_.contains("MS:9999999")))
+  }
+
+  test("terms: name/accession mismatch fails") {
+    val path = termSdrf("NT=Chymotrypsin;AC=MS:1001251")
+    val errors = SdrfValidator.validateTerms(spark, path)
+    assert(errors.exists(e =>
+      e.contains("Chymotrypsin") && e.contains("Trypsin") && e.contains("does not match")), errors)
+  }
+
+  test("terms: uncovered ontology prefixes are skipped, not failed") {
+    // EFO isn't in the bundled snapshot — the reference would ask OLS; we
+    // log and skip (documented divergence), never spuriously fail
+    val path = termSdrf("NT=Trypsin;AC=MS:1001251",
+      mods = "NT=something;AC=EFO:0009736")
+    assert(SdrfValidator.validateTerms(spark, path).isEmpty)
+  }
+
+  test("terms: unimod accession with wrong name fails against the unimod snapshot") {
+    val path = termSdrf("NT=Trypsin;AC=MS:1001251",
+      mods = "NT=Phospho;MT=Variable;TA=M;AC=UNIMOD:35")
+    val errors = SdrfValidator.validateTerms(spark, path)
+    assert(errors.exists(e => e.contains("Phospho") && e.contains("Oxidation")), errors)
+  }
 }
