@@ -33,6 +33,24 @@ object Relational {
   private def dmilSum(c: Column): Column =
     sum(round(c * 10000).cast("long"))
 
+  /** Stage-once events copy written `partitionBy(event_type)` for S11.
+    * Keyed by the sfDir (md5) so sf0.01 verify and sf0.1 bench each get
+    * their own layout; the `_SUCCESS` marker makes re-runs a no-op. The
+    * nanos ts column is written as a plain long (micros) — partitioned
+    * rewrites shouldn't depend on timestamp logical-type handling.
+    */
+  private def partitionedEventsDir(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_events_by_type_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      events(s, d)
+        .withColumn("ts", unix_micros(col("ts")))
+        .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, Q] = Map(
     // S3: parquet scan with projection + filter — Catalyst pushes both into
     // the scan (check: PushedFilters + 3-column ReadSchema in explain).
@@ -40,6 +58,19 @@ object Relational {
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .filter(col("l_extendedprice") > 3000.0)
+    }),
+
+    // S11: directory-partitioned layout + partition pruning, IN the bench
+    // path (not only PartitionPruningSpec): the events table is staged once
+    // per sfDir as `partitionBy(event_type)` — the 100 TB layout where a
+    // predicate on the partition column prunes whole directories at
+    // planning time, before any I/O — and the query's event_type filter
+    // must show up as a PartitionFilter (PlanSpec pin), never a row filter.
+    "s11_partition_pruned_scan" -> ((s, d) => {
+      val dir = partitionedEventsDir(s, d)
+      s.read.parquet(dir)
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     }),
 
     // P1: isin filter (ref: ms_level ∈ {1,2}, mzml_statistics.py:141-143)
@@ -418,6 +449,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "s3_scan_prune" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice > 3000.0",
+    "s11_partition_pruned_scan" ->
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events WHERE event_type = 'view' GROUP BY user_id",
     "p1_isin_filter" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber IN (1, 2)",
     "p2_threshold_filter" ->

@@ -33,6 +33,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"), p)
   }
 
+  test("s11_partition_pruned_scan: the event_type predicate is a PartitionFilter") {
+    // planning-time directory pruning (file index), NOT a pushed row filter
+    // and NOT a post-scan Filter — the predicate must never open a
+    // non-matching file at all
+    val p = plan("s11_partition_pruned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(p.contains("(event_type#"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p)
+    // and the aggregation on top still partial-aggregates before its shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
   test("p1_isin_filter: In-filter pushed to scan, two-column read schema") {
     val p = plan("p1_isin_filter")
     assert(p.contains("PushedFilters: [In(l_linenumber, [1,2])]"), p)
