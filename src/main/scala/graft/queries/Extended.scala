@@ -156,7 +156,10 @@ object Extended {
     // instead of the O(component-diameter) of naive min-label propagation —
     // the difference between 5 and 50 shuffles on a web-scale chain.
     "dedup_cluster_cc" -> ((s, d) => {
-      val pairs = TextOps.queries("dedup_minhash_lsh")(s, d)
+      // shared, session-cached pair frame: dedup_canonical starts from the
+      // same pairs, so the expensive shingle→signature pass runs once per
+      // session (TextOps.minhashPairsShared)
+      val pairs = TextOps.minhashPairsShared(s, d)
       connectedComponents(s,
         pairs.select(col("da").as("src"), col("db").as("dst")))._1
     }),
@@ -175,7 +178,7 @@ object Extended {
     // path is bucketed end-to-end.
     "dedup_canonical" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = TextOps.queries("dedup_minhash_lsh")(s, d)
+      val pairs = TextOps.minhashPairsShared(s, d)
       val labels = connectedComponents(s,
         pairs.select(col("da").as("src"), col("db").as("dst")))._1
       val lab = documents(s, d).select(col("doc_id"), col("n_chars"))

