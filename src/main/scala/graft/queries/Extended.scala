@@ -421,6 +421,24 @@ object Extended {
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc"))
     }),
 
+    // Deterministic fixed-k per-stratum sample (a "frozen reservoir"): the
+    // k smallest md5-ranks per language. Unlike the Bernoulli stratified
+    // sample above (rate × N_g rows, variance included), this yields
+    // EXACTLY min(k, N_g) rows per group whatever the group sizes — the
+    // eval-set construction shape — and the md5 rank makes the choice
+    // reproducible across engines, runs, and partitionings. rank-then-
+    // filter over the keyed window compiles to WindowGroupLimit: each map
+    // partition keeps only its local top-k BEFORE the group shuffle, so
+    // the full corpus is never sorted (plan-pinned in PlanSpec).
+    "sample_reservoir" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+    }),
+
     // Deterministic train/val/test split (80/10/10) by the same hash
     // family: every engine and every run assigns each doc to the same
     // split. Output is the per-(source, split) contingency table.
@@ -743,6 +761,13 @@ object Extended {
       FROM documents
       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
       GROUP BY source""",
+    "sample_reservoir" -> """
+      SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+      FROM (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+            FROM documents)
+      WHERE rk <= 100""",
     "sample_split" -> """
       SELECT source,
              CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,

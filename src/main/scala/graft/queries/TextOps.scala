@@ -189,6 +189,29 @@ object TextOps {
             .otherwise(0.0).as("rep_ratio"))
     }),
 
+    // Character-level Shannon entropy (the low-entropy gibberish/boilerplate
+    // quality gate): -Σ p(c)·log2 p(c) over each document's character
+    // histogram. Pure per-row HOF math — zero shuffle, corpus-linear. The
+    // per-character cost is O(len × |alphabet|) via nested filter (no map
+    // type needed); |alphabet| is bounded, so the row cost stays linear in
+    // practice. Each p·log2(p) term is rounded to integer MICRO-units
+    // BEFORE the sum: libm log2 may differ between engines in the last
+    // ulp, the rounded integer terms cannot (the unigram-LM rule).
+    "text_entropy" -> ((s, d) => {
+      val cs = expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+      val termsExpr = expr(
+        "transform(array_distinct(cs), ch -> " +
+          "cast(round((size(filter(cs, c -> c = ch)) / cast(size(cs) as double)) * " +
+          "log2(size(filter(cs, c -> c = ch)) / cast(size(cs) as double)) * 1000000) as bigint))")
+      fanOut(documents(s, d), s)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), cs.as("cs"))
+        .select(col("doc_id"),
+          round(lit(0.0) -
+            aggregate(termsExpr, lit(0L), (acc, x) => acc + x).cast("double") / 1e6,
+            6).as("char_entropy"))
+    }),
+
     // Exact dedup: hash-groupBy on the fingerprint — the only shuffle ships
     // 32-byte digests, never the documents themselves.
     "dedup_exact" -> ((s, d) => {
@@ -647,6 +670,20 @@ object TextOps {
                   ELSE 0.0 END AS rep_ratio
       FROM bg""",
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "text_entropy" -> """
+      WITH c AS (SELECT doc_id,
+                        list_transform(range(1, length(text) + 1),
+                                       i -> substr(text, CAST(i AS INTEGER), 1)) AS cs
+                 FROM documents
+                 WHERE length(text) > 0)
+      SELECT doc_id,
+             round(0.0 - CAST(list_aggregate(
+               list_transform(list_distinct(cs), ch ->
+                 CAST(round((len(list_filter(cs, x -> x = ch)) / CAST(len(cs) AS DOUBLE)) *
+                            log2(len(list_filter(cs, x -> x = ch)) / CAST(len(cs) AS DOUBLE)) *
+                            1000000) AS BIGINT)),
+               'sum') AS DOUBLE) / 1000000.0, 6) AS char_entropy
+      FROM c""",
     "text_decontaminate" -> """
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
       sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s

@@ -221,6 +221,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), p)
   }
 
+  test("sample_reservoir: per-group top-k prunes map-side via WindowGroupLimit") {
+    // rank-then-filter over the keyed window must not sort whole groups:
+    // WindowGroupLimit(Partial) keeps each map partition's local top-100
+    // before the lang shuffle, so shuffle volume is ≤ 100×partitions rows
+    val p = plan("sample_reservoir")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning(lang"), p)
+  }
+
+  test("text_entropy: per-row HOF math — no key shuffle, no window") {
+    // the entropy is computed entirely inside the row (sequence → filter →
+    // aggregate); the only allowed exchange is the small-input fan-out
+    val p = plan("text_entropy")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("a15_corr: all five moments partial-aggregate in one pass, one shuffle") {
     val p = plan("a15_corr")
     assert(p.contains("partial_sum"), p)
