@@ -10,10 +10,13 @@ import org.slf4j.LoggerFactory
   *    actually needs to run.
   *  - template mode (check_samplesheet.py:100-125, delegating to the
   *    public sdrf-pipelines schemas): required-column and empty-cell rules
-  *    of the named template. The reference's third layer — OLS ontology
-  *    term validation — needs a live ontology service (or its cache) and
-  *    is a DOCUMENTED DIVERGENCE: this sandbox has zero egress, so
-  *    template mode validates structure, not term accessions.
+  *    of the named template, PLUS term-accession validation against a
+  *    bundled ontology snapshot (validateTerms) — the equivalent of the
+  *    reference's `--use_ols_cache_only` mode (check_samplesheet.py:52-56),
+  *    with the OLS cache replaced by src/main/resources/ontology_snapshot
+  *    .tsv + the Unimod snapshot. The remaining zero-egress divergence is
+  *    narrow: accessions under an ontology prefix the snapshot does not
+  *    cover at all are logged and skipped (the reference would ask OLS).
   *
   * The CLI turns a non-empty error list into a nonzero exit code.
   */
@@ -106,9 +109,14 @@ object SdrfValidator {
     require(in != null, "ontology_snapshot.tsv missing from classpath")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val fromTsv =
-      try src.getLines().drop(1).filter(_.nonEmpty).map { l =>
-        val Array(acc, label, _) = l.split("\t")
-        acc.toUpperCase -> label
+      try src.getLines().drop(1).filter(_.nonEmpty).zipWithIndex.map { case (l, i) =>
+        // split with limit -1: a trailing empty field (label present, third
+        // column empty) must not change the arity and MatchError the load
+        val f = l.split("\t", -1)
+        require(f.length >= 2,
+          s"ontology_snapshot.tsv line ${i + 2}: expected >=2 tab-separated " +
+            s"fields (accession, label[, source]), got ${f.length}: '$l'")
+        f(0).toUpperCase -> f(1)
       }.toMap
       finally src.close()
     fromTsv ++ DiannCfg.unimod.map(e => e.accession.toUpperCase -> e.name)
@@ -133,9 +141,14 @@ object SdrfValidator {
     * row count — and the bounded set is checked on the driver against the
     * in-memory snapshot, the same broadcast-lookup shape as S10.
     */
-  def validateTerms(spark: SparkSession, sdrfPath: String): Seq[String] = {
+  def validateTerms(spark: SparkSession, sdrfPath: String): Seq[String] =
+    validateTerms(spark.read.option("sep", "\t").option("header", true).csv(sdrfPath))
+
+  /** Same, over an already-loaded SDRF frame — validateTemplate passes its
+    * own scan through instead of re-reading the file.
+    */
+  def validateTerms(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions._
-    val df = spark.read.option("sep", "\t").option("header", true).csv(sdrfPath)
     val termCols = df.columns.filter { c =>
       val l = c.toLowerCase
       l.startsWith("comment[") || l.startsWith("characteristics[")
@@ -209,6 +222,6 @@ object SdrfValidator {
         }
       }
 
-    missing ++ emptyErrors ++ validateTerms(spark, sdrfPath)
+    missing ++ emptyErrors ++ validateTerms(df)
   }
 }

@@ -495,8 +495,11 @@ object Extended {
     * otherwise balloons task binaries) and the PREVIOUS round's checkpoint
     * blocks are explicitly unpersisted once the new round has materialized —
     * peak storage is two edge sets, not O(rounds). The final round's blocks
-    * back the returned (lazy) frame and are freed by the ContextCleaner
-    * when the caller drops it.
+    * back the returned (lazy) frame; they are registered in
+    * [[liveCcCheckpoints]] so [[releaseCcCheckpoints]] can free them
+    * DETERMINISTICALLY once the consumer has materialized (the
+    * ContextCleaner would get there eventually via GC, but a bounded
+    * pipeline frees its own state between stages).
     *
     * @param edges (src, dst) long pairs, undirected semantics
     * @return (labels frame (doc_id, cluster_id = component min), rounds run)
@@ -556,7 +559,7 @@ object Extended {
     var (cnt, sig) = fingerprint(cur) // materializes cur's checkpoint
     // nodes to label = every endpoint of the ORIGINAL edges; its own eager
     // checkpoint because round 1 frees cur's blocks out from under it
-    val (nodes, _) = {
+    val (nodes, nodesIds) = {
       val pre = persisted()
       val out = cur.select(col("src").as("node"))
         .union(cur.select(col("dst").as("node"))).distinct()
@@ -582,7 +585,29 @@ object Extended {
     val labels = nodes
       .join(cur.select(col("src").as("node"), col("dst").as("root")), Seq("node"), "left")
       .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
+    // the blocks that outlive this call (they back `labels`): registered
+    // for deterministic release once the consumer is done
+    liveCcCheckpoints.synchronized {
+      liveCcCheckpoints ++= (held ++ persisted().intersect(nodesIds))
+    }
     (labels, rounds)
+  }
+
+  /** Checkpoint RDD ids created by [[connectedComponents]] that outlive the
+    * call (converged edge set + node list — they back the returned labels
+    * frame, so the function cannot free them itself).
+    */
+  private val liveCcCheckpoints = scala.collection.mutable.Set[Int]()
+
+  /** Free any still-persisted CC checkpoint blocks. Call after the consuming
+    * query has materialized — a released labels frame cannot be re-executed
+    * (localCheckpoint truncates lineage).
+    */
+  def releaseCcCheckpoints(s: SparkSession): Unit = liveCcCheckpoints.synchronized {
+    val live = s.sparkContext.getPersistentRDDs
+    liveCcCheckpoints.foreach(id =>
+      live.get(id).foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () }))
+    liveCcCheckpoints.clear()
   }
 
   val oracle: Map[String, String] = Map(

@@ -34,14 +34,32 @@ object Relational {
     sum(round(c * 10000).cast("long"))
 
   /** Stage-once events copy written `partitionBy(event_type)` for S11.
-    * Keyed by the sfDir (md5) so sf0.01 verify and sf0.1 bench each get
-    * their own layout; the `_SUCCESS` marker makes re-runs a no-op. The
-    * nanos ts column is written as a plain long (micros) — partitioned
-    * rewrites shouldn't depend on timestamp logical-type handling.
+    * Keyed by the sfDir path AND a content fingerprint of the source files
+    * (name, size, mtime of every data file under the events table): the
+    * tmpdir survives JVM restarts, so a path-only key would silently serve
+    * a STALE layout after the events dataset is regenerated at the same
+    * path (new round, new seed) while the DuckDB oracle reads the live
+    * table. A content change flips the key, which re-stages; the
+    * `_SUCCESS` marker makes same-content re-runs a no-op. The nanos ts
+    * column is written as a plain long (micros) — partitioned rewrites
+    * shouldn't depend on timestamp logical-type handling.
     */
   private def partitionedEventsDir(s: SparkSession, d: String): String = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val stamp =
+      if (!java.nio.file.Files.exists(src)) "missing"
+      else {
+        val walk = java.nio.file.Files.walk(src)
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${src.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("\n")
+        finally walk.close()
+      }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$d\n$stamp".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = s"${sys.props("java.io.tmpdir")}/graft_events_by_type_$key"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
       events(s, d)

@@ -179,6 +179,15 @@ object Similarity {
     // their nprobe=2 closest clusters. The scale shape: the inverted lists
     // partition the corpus, so each probe scans ~2/16 of it instead of all N;
     // centroids are a broadcast table, assignment is one codegen'd pass.
+    //
+    // HONESTY NOTE on the codebook: `vec_id < 16` is an ARBITRARY FIXED
+    // quantizer, not a trained one — a fixture that keeps the DuckDB oracle
+    // bit-exact (both engines pick the same 16 vectors by id). The IVF plan
+    // shape, inverted-list partitioning, and the recall audit
+    // (sim_ivf_recall) are exactly what a production build uses; the one
+    // thing production changes is feeding the codebook from k-means
+    // (iterate `sim_kmeans_update` to convergence) instead of `vec_id < 16`.
+    // Do not read these centroids as a recall-tuned codebook.
     "sim_ivf_topk" -> ((s, d) => {
       val base = fanOut(embeddings(s, d), s)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))

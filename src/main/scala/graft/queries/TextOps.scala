@@ -81,18 +81,71 @@ object TextOps {
     * `dedup_minhash_lsh` itself stays uncached: it IS the oracled pair
     * query and its plan shape (one band shuffle, no self-join) is what
     * PlanSpec pins.
+    *
+    * Lifecycle (bounded — a long-lived multi-tenant session must not grow
+    * an unbounded map of persisted frames):
+    *  - keyed by a weak-ref per-session UUID ([[sessionId]]) + data dir.
+    *    The UUID is stable and never reused, unlike
+    *    `System.identityHashCode`, which the JVM may hand to a NEW session
+    *    after the old one is collected — a collision would serve blocks
+    *    bound to a stopped context.
+    *  - LRU-capped at [[MaxSharedPairEntries]]; the evicted frame is
+    *    unpersisted as it leaves.
+    *  - [[releaseSharedPairs]] unpersists and drops every entry of a
+    *    session, for pipelines that want the blocks back between stages
+    *    (Bench and Verify call it after the query sweep; the spec asserts
+    *    nothing stays persisted).
+    * Assumes the data dir's contents are immutable within a session — the
+    * same assumption Spark's own SQL cache makes for any cached scan.
     */
+  /** Stable, never-reused id per live session: a WeakHashMap entry dies with
+    * the session (no strong ref pinning stopped sessions), and the UUID can
+    * never collide the way a recycled identityHashCode can.
+    */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionId(s: SparkSession): String = sessionIds.synchronized {
+    Option(sessionIds.get(s)).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      sessionIds.put(s, id)
+      id
+    }
+  }
+
+  private val MaxSharedPairEntries = 4
   private val sharedPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > MaxSharedPairEntries
+        // stopped-session frames can't unpersist; eviction must still happen
+        if (evict) try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+        evict
+      }
+    }
   def minhashPairsShared(s: SparkSession, d: String): DataFrame =
-    sharedPairsCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + d,
-      _ => {
+    sharedPairsCache.synchronized {
+      val key = sessionId(s) + "|" + d
+      Option(sharedPairsCache.get(key)).getOrElse {
         val df = queries("dedup_minhash_lsh")(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
+        df.count() // materialize now so reuse never re-plans the upstream pass
+        sharedPairsCache.put(key, df)
         df
-      })
+      }
+    }
+
+  /** Unpersist and drop every shared pair frame belonging to session `s`. */
+  def releaseSharedPairs(s: SparkSession): Unit = sharedPairsCache.synchronized {
+    val it = sharedPairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(sessionId(s) + "|")) {
+        try e.getValue.unpersist(blocking = true) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
@@ -191,21 +244,36 @@ object TextOps {
 
     // Character-level Shannon entropy (the low-entropy gibberish/boilerplate
     // quality gate): -Σ p(c)·log2 p(c) over each document's character
-    // histogram. Pure per-row HOF math — zero shuffle, corpus-linear. The
-    // per-character cost is O(len × |alphabet|) via nested filter (no map
-    // type needed); |alphabet| is bounded, so the row cost stays linear in
-    // practice. Each p·log2(p) term is rounded to integer MICRO-units
-    // BEFORE the sum: libm log2 may differ between engines in the last
-    // ulp, the rounded integer terms cannot (the unigram-LM rule).
+    // histogram. Pure per-row HOF math — zero shuffle, corpus-linear.
+    // The histogram is a SORTED RUN-LENGTH pass: array_sort groups equal
+    // chars into runs, run boundaries are the positions where
+    // sorted[i] != sorted[i+1] (a '' sentinel keeps i+1 in bounds — no
+    // 1-char string equals the empty string), and the gap between
+    // consecutive boundaries is that char's count. Per-row cost is
+    // O(len·log len) REGARDLESS of alphabet size — the nested-filter
+    // alternative (count each distinct char by re-scanning) is
+    // O(len × |alphabet|), which degrades to ~quadratic on large-alphabet
+    // (CJK) web documents where |alphabet| ~ len. Each p·log2(p) term is
+    // rounded to integer MICRO-units BEFORE the sum: libm log2 may differ
+    // between engines in the last ulp, the rounded integer terms cannot
+    // (the unigram-LM rule) — and the integer sum makes the total
+    // independent of char order, so the oracle's per-distinct-char
+    // formulation matches this run-length one term for term.
     "text_entropy" -> ((s, d) => {
       val cs = expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
       val termsExpr = expr(
-        "transform(array_distinct(cs), ch -> " +
-          "cast(round((size(filter(cs, c -> c = ch)) / cast(size(cs) as double)) * " +
-          "log2(size(filter(cs, c -> c = ch)) / cast(size(cs) as double)) * 1000000) as bigint))")
+        "transform(ends, (e, j) -> cast(round(" +
+          "(if(j = 0, e, e - element_at(ends, j)) / nd) * " +
+          "log2(if(j = 0, e, e - element_at(ends, j)) / nd) * 1000000) as bigint))")
       fanOut(documents(s, d), s)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), cs.as("cs"))
+        .select(col("doc_id"),
+          expr("concat(array_sort(cs), array(''))").as("sw"),
+          size(col("cs")).cast("double").as("nd"))
+        .select(col("doc_id"), col("nd"),
+          expr("filter(sequence(1, size(sw) - 1), " +
+            "i -> element_at(sw, i) <> element_at(sw, i + 1))").as("ends"))
         .select(col("doc_id"),
           round(lit(0.0) -
             aggregate(termsExpr, lit(0L), (acc, x) => acc + x).cast("double") / 1e6,

