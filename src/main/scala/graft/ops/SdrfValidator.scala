@@ -99,10 +99,11 @@ object SdrfValidator {
     * mode validates every `AC=<accession>` against OLS (check_samplesheet
     * .py:52-56 via sdrf-pipelines; `--use_ols_cache_only` swaps the live
     * service for a local cache). This sandbox has zero egress, so we ship
-    * the cache: a bundled subset of the public PSI-MS CV and NCBI taxonomy
-    * (src/main/resources/ontology_snapshot.tsv) plus the full Unimod
-    * snapshot already bundled for S10/J9. accession(upper) → canonical
-    * label.
+    * the cache: a bundled subset of the public PSI-MS CV (instrument
+    * models, cleavage agents, dissociation methods, mzML/scan terms),
+    * the PRIDE CV dissociation subset, and NCBI taxonomy
+    * (src/main/resources/ontology_snapshot.tsv) plus the Unimod snapshot
+    * already bundled for S10/J9. accession(upper) → canonical label.
     */
   lazy val ontologySnapshot: Map[String, String] = {
     val in = getClass.getClassLoader.getResourceAsStream("ontology_snapshot.tsv")
@@ -127,7 +128,7 @@ object SdrfValidator {
     * logged and skipped (the documented zero-egress divergence — the
     * reference would ask OLS).
     */
-  val coveredOntologies: Set[String] = Set("MS", "UNIMOD", "NCBITAXON")
+  val coveredOntologies: Set[String] = Set("MS", "UNIMOD", "NCBITAXON", "PRIDE")
 
   /** Term-accession validation over every `comment[...]`/
     * `characteristics[...]` column: cells carrying SDRF key-value terms
@@ -166,6 +167,14 @@ object SdrfValidator {
       .collect()
     terms.toSeq.flatMap { r =>
       val (column, ac, nt) = (r.getString(0), r.getString(1).trim, r.getString(2).trim)
+      if (!ac.contains(":")) {
+        // Not an ontology CURIE at all: SDRF reuses the AC= key for plain
+        // database accessions (e.g. the UniProt protein in
+        // characteristics[spiked compound] — P00924 in the PXD000001
+        // fixture). sdrf-pipelines doesn't send those to OLS either.
+        this.log.debug(s"AC '$ac' (column '$column') is not an ontology CURIE; skipping.")
+        Nil
+      } else {
       val prefix = ac.split(":")(0).toUpperCase
       if (!coveredOntologies.contains(prefix)) {
         this.log.warn(s"Term '$ac' (column '$column') uses ontology '$prefix' not in the " +
@@ -178,6 +187,7 @@ object SdrfValidator {
           Seq(s"ERROR: Term name '$nt' (column '$column') does not match the " +
             s"ontology label '$label' for accession '$ac'.")
         case _ => Nil
+      }
       }
     }
   }

@@ -128,6 +128,33 @@ class SdrfValidatorSpec extends SparkSpec {
     assert(SdrfValidator.validateTerms(spark, path).isEmpty)
   }
 
+  test("terms: PXD000001 — every prefix covered, one genuine legacy mis-annotation") {
+    // With the expanded snapshot (PSI-MS branches + PRIDE dissociation +
+    // NCBITaxon + Unimod incl. Methylthio), every ontology CURIE in the
+    // reference fixture resolves: MS:1001742, UNIMOD:35/39/737,
+    // PRIDE:0000590, MS:1001313. The UniProt AC=P00924 in
+    // characteristics[spiked compound] is not a CURIE and is skipped
+    // silently. The ONLY finding is real: the legacy file pairs
+    // AC=MS:1001313 (canonical label 'Trypsin/P') with NT=Trypsin —
+    // exactly what OLS-backed validation would flag.
+    val errors = SdrfValidator.validateTerms(spark, resource("designs/PXD000001.sdrf.tsv"))
+    assert(errors.size === 1, errors)
+    assert(errors.head.contains("MS:1001313") && errors.head.contains("Trypsin/P"), errors)
+  }
+
+  test("terms: PRIDE is a covered prefix — bogus PRIDE accession fails") {
+    val path = termSdrf("NT=Trypsin;AC=MS:1001251",
+      mods = "NT=HCD;AC=PRIDE:9999999")
+    val errors = SdrfValidator.validateTerms(spark, path)
+    assert(errors.exists(e => e.contains("PRIDE:9999999") && e.contains("not found")), errors)
+  }
+
+  test("terms: colon-less AC values (plain database accessions) are skipped") {
+    val path = termSdrf("NT=Trypsin;AC=MS:1001251",
+      mods = "SP=Yeast;CT=protein;AC=P00924;QY=10")
+    assert(SdrfValidator.validateTerms(spark, path).isEmpty)
+  }
+
   test("terms: unimod accession with wrong name fails against the unimod snapshot") {
     val path = termSdrf("NT=Trypsin;AC=MS:1001251",
       mods = "NT=Phospho;MT=Variable;TA=M;AC=UNIMOD:35")
