@@ -35,6 +35,14 @@ object Bench {
     // returned to cold code paths 50 queries later. The warm-up above
     // already paid classload/codegen once.
     val results = ordered.map { case (name, fn) =>
+      // Full collection BEFORE each query: otherwise a query's timing
+      // inherits whatever garbage the previous 50 queries left, and which
+      // query eats the resulting GC pause shuffles run-to-run (the r05
+      // "unexplained >=2x regressions" were exactly this — all five landed
+      // at steady state when profiled in their own JVM). ~0.1-0.3 s per
+      // query of non-timed collection buys per-query numbers that compare
+      // across rounds.
+      System.gc()
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
