@@ -69,6 +69,38 @@ object Relational {
     dir
   }
 
+  /** Stage-once (per session) bucketed `orders`/`customer` tables for the
+    * q3b co-located join: both sides written `bucketBy(8, custkey)` +
+    * per-bucket sorted, so every subsequent orders⋈customer join reads the
+    * two sides pre-co-partitioned and plans ZERO join exchanges — the
+    * bucketing shuffle is paid once at write time and amortized over every
+    * run (the 100 TB layout for a recurring large×large join; BucketedJoinSpec
+    * pins the same property at spec scale). The session catalog is
+    * in-memory, so the tables are re-staged per JVM — which also means a
+    * regenerated testdata dir can never serve a stale layout. coalesce(1)
+    * keeps one file per bucket (Spark only trusts the on-disk sort for
+    * single-file buckets); a production multi-task write simply adds a
+    * linear per-task re-sort, still no exchange.
+    */
+  private def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val (o, c) = (s"orders_bck_$key", s"customer_bck_$key")
+    if (!s.catalog.tableExists(o) || !s.catalog.tableExists(c)) synchronized {
+      if (!s.catalog.tableExists(o)) {
+        orders(s, d).coalesce(1).write
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable(o)
+      }
+      if (!s.catalog.tableExists(c)) {
+        customer(s, d).coalesce(1).write
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable(c)
+      }
+    }
+    (o, c)
+  }
+
   val queries: Map[String, Q] = Map(
     // S3: parquet scan with projection + filter — Catalyst pushes both into
     // the scan (check: PushedFilters + 3-column ReadSchema in explain).
@@ -448,6 +480,28 @@ object Relational {
         .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
     }),
 
+    // Q3B: the q3 orders⋈customer join served by the BUCKETED layout in the
+    // bench/oracle path (not only BucketedJoinSpec). Both scans come out
+    // pre-co-partitioned by custkey (bucketBy(8) at write), the merge hint
+    // keeps the planner on the co-located SortMergeJoin even where the dim
+    // would broadcast at test scale, and the groupBy is on the SAME key, so
+    // the whole query — scan, join, aggregate — plans zero hash exchanges;
+    // the only data movement is the constant-size TakeOrdered top-k gather.
+    // The trailing rank window runs over the already-limited 10-row frame.
+    "q3b_bucketed_topk" -> ((s, d) => {
+      val (o, c) = bucketedOrdersCustomer(s, d)
+      val ord = Seq(col("revenue").desc, col("c_custkey"))
+      s.table(o).hint("merge")
+        .join(s.table(c), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_custkey"))
+        .agg((centsSum(col("o_totalprice")) / 100.0).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(ord: _*)
+        .limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+    }),
+
     // TPC-H Q5 shape: the flagship multi-join — two broadcast dims, two
     // shuffle joins, exact revenue sums.
     "q5_multijoin" -> ((s, d) => {
@@ -614,6 +668,18 @@ object Relational {
              CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS INTEGER) AS rank
       FROM agg
       QUALIFY row_number() OVER (ORDER BY revenue DESC, l_orderkey) <= 10""",
+    "q3b_bucketed_topk" -> """
+      WITH agg AS (
+        SELECT c_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1)
+      SELECT c_custkey, revenue, n_orders,
+             CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rank
+      FROM agg
+      QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 10""",
     "q5_multijoin" -> """
       SELECT n_name,
              sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue

@@ -240,6 +240,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q3b_bucketed_topk: bucketed join + same-key agg plan ZERO hash exchanges") {
+    // The bucketed-layout contract in the bench/oracle path: both scans are
+    // pre-co-partitioned by custkey (bucketBy(8) at write), the join is a
+    // co-located SortMergeJoin, and the aggregation is on the same key — so
+    // NO hash exchange appears anywhere in the plan. The only movement is
+    // the constant-size TakeOrdered top-k gather.
+    val p = plan("q3b_bucketed_topk")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      "bucketed layout shuffled anyway:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("a15_corr: all five moments partial-aggregate in one pass, one shuffle") {
     val p = plan("a15_corr")
     assert(p.contains("partial_sum"), p)
