@@ -86,13 +86,30 @@ object Relational {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val (o, c) = (s"orders_bck_$key", s"customer_bck_$key")
+    // the catalog is in-memory but the warehouse DIRECTORY outlives the JVM:
+    // a table absent from the catalog whose location survives from a prior
+    // session would fail CREATE with LOCATION_ALREADY_EXISTS — clear the
+    // orphan before staging
+    def clearOrphan(table: String): Unit = {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+    }
     if (!s.catalog.tableExists(o) || !s.catalog.tableExists(c)) synchronized {
       if (!s.catalog.tableExists(o)) {
+        clearOrphan(o)
         orders(s, d).coalesce(1).write
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .mode("overwrite").saveAsTable(o)
       }
       if (!s.catalog.tableExists(c)) {
+        clearOrphan(c)
         customer(s, d).coalesce(1).write
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
           .mode("overwrite").saveAsTable(c)
@@ -121,6 +138,23 @@ object Relational {
       s.read.parquet(dir)
         .filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    }),
+
+    // S1B: the many-runs mzML scan as a BENCHED query — one DSv2 scan over
+    // 32 synthesized runs, one input partition per file (the shape
+    // MzmlManyFilesSpec pins at N=6), aggregated per run. On a cluster this
+    // is the "1000 runs on 1000 cores" path: per-file parallelism with no
+    // driver loop, map-side partial aggregation, one tiny 32-row shuffle.
+    // Not DuckDB-expressible (mzML source) → rows-only correctness check;
+    // the per-spectrum semantics are oracled via the fixture specs instead.
+    "s1b_mzml_many_runs" -> ((s, d) => {
+      val paths = graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
+      graft.ops.MzmlStats.readSpectra(s, paths)
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_spectra"),
+          sum(when(col("ms_level") === 1, 1L).otherwise(0L)).as("n_ms1"),
+          sum(expr("aggregate(intensity_array, 0D, (a, x) -> a + x)"))
+            .cast("long").as("tic_units"))
     }),
 
     // P1: isin filter (ref: ms_level ∈ {1,2}, mzml_statistics.py:141-143)
