@@ -229,6 +229,29 @@ object TextOps {
     // 1 − distinct(bigrams)/|bigrams| per doc — high values mean looping /
     // boilerplate text a training pipeline drops. Pure per-row HOF math
     // (sequence → transform → array_distinct), zero shuffle, codegen'd.
+    // PII scrub (emails / IPv4 / phone → typed tokens): the standard
+    // pre-training redaction pass, all codegen regexp_replace, zero
+    // shuffle. The synthetic corpus carries no PII, so the query first
+    // APPENDS a deterministic doc_id-derived contact tail — both engines
+    // build the identical string with the same integer arithmetic — and
+    // then redacts it away, so the hash-match oracle checks real
+    // substitutions on every row, not a no-op. Patterns stay inside the
+    // Java-regex ∩ RE2 common subset (no lookaround, no backrefs).
+    "text_pii_redact" -> ((s, d) => {
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" tel 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val red = regexp_replace(
+        regexp_replace(
+          regexp_replace(pii,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+        "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+      fanOut(documents(s, d), s).select(col("doc_id"), red.as("red_text"))
+    }),
+
     "text_repetition" -> ((s, d) => {
       val bg = expr("transform(sequence(1, size(t) - 1), " +
         "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
@@ -727,6 +750,19 @@ object TextOps {
     "dedup_minhash_lsh" -> minhashPairsSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_simhash" -> simhashSql,
+    "text_pii_redact" -> """
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+                     '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+                     ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red_text
+      FROM documents""",
     "text_repetition" -> """
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
       bg AS (SELECT doc_id,
