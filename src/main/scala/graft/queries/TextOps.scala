@@ -68,84 +68,24 @@ object TextOps {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
   }
 
-  /** Session-scoped cache of the MinHash-LSH candidate pair frame.
+  /** Session-scoped cache of the MinHash-LSH candidate pair frame
+    * (lifecycle: [[SessionFrameCache]]).
     *
     * `dedup_cluster_cc` and `dedup_canonical` both start from the same pair
     * set, and a pipeline session running both (the driver does, back to
     * back) would otherwise run the full shingle→signature→band pass twice.
     * The pair OUTPUT is tiny (near-dup pairs, not postings), so it persists
     * once and every later consumer in the same session reads the cached
-    * blocks — the materialized-intermediate pattern a production dedup DAG
-    * uses. Keyed by (session identity, data dir); the eager count()
-    * materializes the blocks so reuse never re-plans the upstream pass.
-    * `dedup_minhash_lsh` itself stays uncached: it IS the oracled pair
-    * query and its plan shape (one band shuffle, no self-join) is what
+    * blocks. `dedup_minhash_lsh` itself stays uncached: it IS the oracled
+    * pair query and its plan shape (one band shuffle, no self-join) is what
     * PlanSpec pins.
-    *
-    * Lifecycle (bounded — a long-lived multi-tenant session must not grow
-    * an unbounded map of persisted frames):
-    *  - keyed by a weak-ref per-session UUID ([[sessionId]]) + data dir.
-    *    The UUID is stable and never reused, unlike
-    *    `System.identityHashCode`, which the JVM may hand to a NEW session
-    *    after the old one is collected — a collision would serve blocks
-    *    bound to a stopped context.
-    *  - LRU-capped at [[MaxSharedPairEntries]]; the evicted frame is
-    *    unpersisted as it leaves.
-    *  - [[releaseSharedPairs]] unpersists and drops every entry of a
-    *    session, for pipelines that want the blocks back between stages
-    *    (Bench and Verify call it after the query sweep; the spec asserts
-    *    nothing stays persisted).
-    * Assumes the data dir's contents are immutable within a session — the
-    * same assumption Spark's own SQL cache makes for any cached scan.
     */
-  /** Stable, never-reused id per live session: a WeakHashMap entry dies with
-    * the session (no strong ref pinning stopped sessions), and the UUID can
-    * never collide the way a recycled identityHashCode can.
-    */
-  private val sessionIds =
-    new java.util.WeakHashMap[SparkSession, String]()
-  private def sessionId(s: SparkSession): String = sessionIds.synchronized {
-    Option(sessionIds.get(s)).getOrElse {
-      val id = java.util.UUID.randomUUID().toString
-      sessionIds.put(s, id)
-      id
-    }
-  }
-
-  private val MaxSharedPairEntries = 4
-  private val sharedPairsCache =
-    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
-        val evict = size() > MaxSharedPairEntries
-        // stopped-session frames can't unpersist; eviction must still happen
-        if (evict) try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
-        evict
-      }
-    }
+  private val sharedPairs = new SessionFrameCache(4)
   def minhashPairsShared(s: SparkSession, d: String): DataFrame =
-    sharedPairsCache.synchronized {
-      val key = sessionId(s) + "|" + d
-      Option(sharedPairsCache.get(key)).getOrElse {
-        val df = queries("dedup_minhash_lsh")(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize now so reuse never re-plans the upstream pass
-        sharedPairsCache.put(key, df)
-        df
-      }
-    }
+    sharedPairs.getOrBuild(s, d)(queries("dedup_minhash_lsh")(s, d))
 
   /** Unpersist and drop every shared pair frame belonging to session `s`. */
-  def releaseSharedPairs(s: SparkSession): Unit = sharedPairsCache.synchronized {
-    val it = sharedPairsCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey.startsWith(sessionId(s) + "|")) {
-        try e.getValue.unpersist(blocking = true) catch { case _: Throwable => () }
-        it.remove()
-      }
-    }
-  }
+  def releaseSharedPairs(s: SparkSession): Unit = sharedPairs.release(s)
 
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.

@@ -42,4 +42,21 @@ class SharedCacheLifecycleSpec extends SparkSpec {
     assert(rebuilt.count() == first.count())
     graft.queries.SessionCaches.releaseAll(spark)
   }
+
+  test("shared CC labels: one components run feeds dedup_canonical, released clean") {
+    import graft.queries.Extended
+    val first = Extended.ccLabelsShared(spark, sf)
+    // dedup_canonical must consume the SAME converged frame, not re-iterate
+    val again = Extended.ccLabelsShared(spark, sf)
+    assert(first eq again, "same session+dir must return the cached labels")
+    val canonical = SparkEntry.queries("dedup_canonical")(spark, sf)
+    assert(canonical.count() > 0)
+    // labels agree with the oracled CC query run raw
+    val raw = SparkEntry.queries("dedup_cluster_cc")(spark, sf)
+    assert(raw.exceptAll(first).isEmpty && first.exceptAll(raw).isEmpty,
+      "shared labels must equal the uncached dedup_cluster_cc result")
+    graft.queries.SessionCaches.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "label release must leave zero persisted blocks")
+  }
 }
