@@ -184,6 +184,26 @@ object Temporal {
     // this scale, degrades to a shuffle join at 100×, both correct); dates
     // render as strings because raw date columns are an engine-comparison
     // hazard the other temporal queries also avoid.
+    // Markov transition matrix over the per-user event stream: counts and
+    // row-normalized probabilities of consecutive (event_type → next_type)
+    // steps — the behavioral-model building block next to funnels and
+    // retention. The corpus-sized pass is lead() over the SAME keyed
+    // (user_id, ts) window sessionization uses — one user shuffle; the
+    // probability normalization windows over the |types|² matrix, which is
+    // constant-bounded at any corpus scale.
+    "w6_transitions" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(wOrd))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("event_type"))), 6).as("p"))
+    }),
+
     "w5_retention" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
@@ -228,6 +248,17 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "stream_sessionize_stateful" -> sessionizeSql,
     "w3_sessionize" -> sessionizeSql,
+    "w6_transitions" -> """
+      WITH st AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_type
+        FROM events),
+      c AS (SELECT event_type, next_type, count(*) AS n
+            FROM st WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, next_type, n,
+             round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
+      FROM c""",
     "w4_funnel" -> """
       WITH fv AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
                   FROM events WHERE event_type = 'view' GROUP BY user_id),

@@ -497,6 +497,31 @@ object TextOps {
             .as("avg_neg_logprob"))
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    // corpus into head/middle/tail thirds by the unigram-LM score, the
+    // standard quality-stratification step before mixing pretraining data.
+    // The cutoffs are EXACT terciles computed as one scalar aggregate over
+    // the per-doc score table and broadcast back — never an ntile() global
+    // window, which would funnel the whole corpus through one task. Both
+    // engines interpolate percentiles identically (a13 precedent); cutoffs
+    // round to 6dp before the comparison so the bucket boundary is the
+    // same literal double on both sides.
+    "text_ppl_bucket" -> ((s, d) => {
+      val scores = queries("text_unigram_logprob")(s, d)
+        .select(col("doc_id"), col("avg_neg_logprob")).cache()
+      val cuts = scores
+        .agg(expr(
+          "percentile(avg_neg_logprob, array(cast(1 as double)/3, cast(2 as double)/3))")
+          .as("ps"))
+        .select(round(element_at(col("ps"), 1), 6).as("c1"),
+          round(element_at(col("ps"), 2), 6).as("c2"))
+      scores.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("avg_neg_logprob"),
+          when(col("avg_neg_logprob") <= col("c1"), lit("head"))
+            .when(col("avg_neg_logprob") <= col("c2"), lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
+    }),
+
     // SimHash (60-bit, md5-derived token hashes): a single-pass custom
     // Catalyst expression (graft.expressions.SimHash64) — zero shuffle,
     // zero UDF, whole document signature per row. The token hash is the
@@ -645,6 +670,23 @@ object TextOps {
       FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashHammingMax"""
 
+  /** Shared by text_unigram_logprob (verbatim) and text_ppl_bucket (as the
+    * score subquery the tercile cutoffs are computed over).
+    */
+  private val unigramScoreSql: String = """
+      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM documents),
+      tk2 AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 0),
+      lm AS (SELECT tok,
+                    CAST(round(ln(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE))
+                               * 1000000) AS BIGINT) AS lpu
+             FROM tk2 GROUP BY tok),
+      sc AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lpu) AS BIGINT) AS slp
+             FROM tk2 JOIN lm USING (tok) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             round(CAST(-slp AS DOUBLE) / 1000000.0 / n_tokens, 6) AS avg_neg_logprob
+      FROM sc"""
+
   val oracle: Map[String, String] = Map(
     "text_token_count" -> """
       SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
@@ -764,19 +806,17 @@ object TextOps {
       c AS (SELECT token, count(*) AS n FROM tk WHERE length(token) > 0 GROUP BY token)
       SELECT token, true AS in_sketch
       FROM c WHERE n > 0.02 * (SELECT sum(n) FROM c)""",
-    "text_unigram_logprob" -> """
-      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-                  FROM documents),
-      tk2 AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 0),
-      lm AS (SELECT tok,
-                    CAST(round(ln(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE))
-                               * 1000000) AS BIGINT) AS lpu
-             FROM tk2 GROUP BY tok),
-      sc AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lpu) AS BIGINT) AS slp
-             FROM tk2 JOIN lm USING (tok) GROUP BY doc_id)
-      SELECT doc_id, n_tokens,
-             round(CAST(-slp AS DOUBLE) / 1000000.0 / n_tokens, 6) AS avg_neg_logprob
-      FROM sc""",
+    "text_unigram_logprob" -> unigramScoreSql,
+    "text_ppl_bucket" -> s"""
+      WITH sc AS (SELECT * FROM ($unigramScoreSql)),
+      cuts AS (SELECT round(quantile_cont(avg_neg_logprob, CAST(1 AS DOUBLE)/3), 6) AS c1,
+                      round(quantile_cont(avg_neg_logprob, CAST(2 AS DOUBLE)/3), 6) AS c2
+               FROM sc)
+      SELECT doc_id, avg_neg_logprob,
+             CASE WHEN avg_neg_logprob <= c1 THEN 'head'
+                  WHEN avg_neg_logprob <= c2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM sc CROSS JOIN cuts""",
     "text_top_tokens" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),

@@ -280,6 +280,8 @@ class PlanSpec extends SparkSpec {
       // broadcast side is exactly one row, so the "nested loop" is a
       // linear annotate-with-constant pass (same shape as tfidf's n_docs)
       "text_heavy_hitters", "text_unigram_logprob",
+      // 1-row tercile-cutoff scalar × the per-doc score table
+      "text_ppl_bucket",
       // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
       "diag_key_skew")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
