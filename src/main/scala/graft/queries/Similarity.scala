@@ -341,6 +341,45 @@ object Similarity {
                 (col("sub").cast("double") / 1000000.0 / col("n")), 6) + 0.0).as("cov"))
     }),
 
+    // PCA projection to the top-k principal components — the embedding-
+    // compression / whitening step a training pipeline runs before
+    // clustering or visualizing a corpus. The distributed work is two
+    // constant-size-output corpus scans (the covariance pass above and the
+    // per-dim means) plus one zero-shuffle projection pass; the
+    // eigendecomposition itself is a d×d driver problem (graft.functions
+    // .Eigen, deterministic cyclic Jacobi), bounded by model geometry, not
+    // N — the d(d+1)/2-cell collect is the same bounded driver-collect
+    // class as the freqItems sketch. pc_j = dot(x, v_j) - dot(mean, v_j),
+    // with the second term folded into a driver-side scalar so centering
+    // never touches the corpus. Rows-only oracle (no eigensolver in SQL);
+    // the algebraic contract — orthonormal basis, descending eigenvalues,
+    // trace preservation, Var(pc1) = λ1 — is spec-pinned instead.
+    "emb_pca_topk" -> ((s, d) => {
+      val k = 4
+      val cells = queries("emb_covariance")(s, d).collect()
+      val dim = cells.iterator.map(_.getInt(1)).max + 1
+      val cov = Array.ofDim[Double](dim, dim)
+      cells.foreach { r =>
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        cov(i)(j) = c
+        cov(j)(i) = c
+      }
+      val mean = new Array[Double](dim)
+      queries("emb_dim_stats")(s, d).select(col("dim"), col("mean_x")).collect()
+        .foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+      val (_, vecs) = graft.functions.Eigen.symmetric(cov)
+      val pcs = (0 until k).map { j =>
+        val vj = vecs(j)
+        val offset = (0 until dim).map(i => mean(i) * vj(i)).sum
+        val vLit = array(vj.toSeq.map(lit): _*)
+        // + 0.0 canonicalizes IEEE negative zero after rounding
+        (round(aggregate(
+          zip_with(asDouble(col("embedding")), vLit, (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x) - offset, 6) + 0.0).as(s"pc${j + 1}")
+      }
+      embeddings(s, d).select(col("vec_id") +: pcs: _*)
+    }),
+
     // ANN quality gate: per-probe recall@5 of the IVF index against the
     // exact brute-force top-5 — the accuracy audit every production ANN
     // deployment runs before swapping the exact path out. Both inputs are

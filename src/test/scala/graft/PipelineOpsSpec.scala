@@ -82,4 +82,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shares.sum <= 1.0 + 1e-9)
     assert(shares.forall(s => s > 0 && s <= 1.0))
   }
+
+  test("Eigen.symmetric: orthonormal basis, A·v = λ·v, descending, deterministic") {
+    import graft.functions.Eigen
+    // a fixed symmetric matrix with distinct eigenvalues
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.25, 0.1),
+      Array(0.5, 0.25, 2.0, 0.3),
+      Array(0.0, 0.1, 0.3, 1.0))
+    val (vals, vecs) = Eigen.symmetric(a)
+    assert(vals.sliding(2).forall(p => p(0) >= p(1)), "eigenvalues must descend")
+    assert(math.abs(vals.sum - (4.0 + 3.0 + 2.0 + 1.0)) < 1e-9, "trace preserved")
+    for (i <- vecs.indices; j <- vecs.indices) {
+      val dot = vecs(i).zip(vecs(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"v${i}.v${j} = $dot (basis must be orthonormal)")
+    }
+    for (i <- vecs.indices) {
+      val av = a.map(row => row.zip(vecs(i)).map { case (x, y) => x * y }.sum)
+      av.zip(vecs(i)).foreach { case (x, y) =>
+        assert(math.abs(x - vals(i) * y) < 1e-9, s"A.v${i} must equal lambda${i}.v${i}")
+      }
+    }
+    val (vals2, vecs2) = Eigen.symmetric(a)
+    assert(vals.sameElements(vals2) &&
+      vecs.zip(vecs2).forall { case (x, y) => x.sameElements(y) },
+      "repeated runs must be bit-identical")
+  }
+
+  test("emb_pca_topk: Var(pc1) equals the top eigenvalue of the covariance") {
+    // the defining property of PCA: the first component captures the
+    // largest-variance direction, and its sample variance IS λ1
+    import graft.functions.Eigen
+    val cells = q("emb_covariance").collect()
+    val dim = cells.iterator.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    val (vals, _) = Eigen.symmetric(cov)
+    val pca = q("emb_pca_topk")
+    assert(pca.columns.toSeq == Seq("vec_id", "pc1", "pc2", "pc3", "pc4"))
+    val (n, s1, sq1) = pca.agg(count(lit(1)), sum(col("pc1")),
+      sum(col("pc1") * col("pc1"))).head() match {
+      case r => (r.getLong(0).toDouble, r.getDouble(1), r.getDouble(2))
+    }
+    val varPc1 = sq1 / n - (s1 / n) * (s1 / n)
+    // population variance vs λ1 of the 6dp-rounded covariance: agree to ~1e-3
+    assert(math.abs(varPc1 - vals(0)) < 1e-3 * math.max(1.0, vals(0)),
+      s"Var(pc1)=$varPc1 vs λ1=${vals(0)}")
+    // components are uncorrelated: |corr(pc1, pc2)| ≈ 0
+    val r2 = pca.agg(corr(col("pc1"), col("pc2"))).head().getDouble(0)
+    assert(math.abs(r2) < 1e-2, s"corr(pc1,pc2)=$r2 (components must be uncorrelated)")
+  }
 }
