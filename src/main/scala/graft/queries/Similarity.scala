@@ -33,6 +33,48 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     VectorExpressions.dot(a, b)
 
+  /** The corpus with vectors cast to double and the L2 norm precomputed —
+    * the common scan every IVF participant starts from.
+    */
+  private def ivfBase(s: SparkSession, d: String): DataFrame =
+    fanOut(embeddings(s, d), s)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** The IVF probe shape shared by the fixture and trained codebooks:
+    * build inverted lists by nearest-centroid assignment, probe the 2
+    * closest lists per query vector, exact-rescore within the probed
+    * lists, keep the top-5. `cents` must carry (c_id, cv, cn) and be
+    * centroid-count-bounded — it broadcasts to both the corpus assignment
+    * and the probes, so the corpus never shuffles for the quantizer.
+    */
+  private def ivfProbe(base: DataFrame, cents: DataFrame): DataFrame = {
+    val csim = round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("c_id"))
+    // inverted lists: every vector tagged with its nearest centroid
+    val assigned = base.join(broadcast(cents))
+      .withColumn("csim", csim)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    // probes: same quantizer, keep the 2 closest clusters each
+    val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+      .withColumn("csim", csim)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_id"))
+    val cos = round(
+      dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+  }
+
   /** 16×dim random-hyperplane matrix with ±1 components derived from
     * md5("p_i") — the same portable-hash rule the MinHash pipeline uses, so
     * the DuckDB oracle rebuilds the IDENTICAL matrix in SQL
@@ -189,35 +231,31 @@ object Similarity {
     // (iterate `sim_kmeans_update` to convergence) instead of `vec_id < 16`.
     // Do not read these centroids as a recall-tuned codebook.
     "sim_ivf_topk" -> ((s, d) => {
-      val base = fanOut(embeddings(s, d), s)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val base = ivfBase(s, d)
+      // fixed vec_id<16 codebook: an oracle-determinism fixture, not a
+      // trained quantizer — sim_ivf_trained runs the same shape over the
+      // Lloyd-trained centroids
       val cents = base.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val csim = round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("c_id"))
-      // inverted lists: every vector tagged with its nearest centroid
-      val assigned = base.join(broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
-      // probes: same quantizer, keep the 2 closest clusters each
-      val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") <= 2)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("c_id"))
-      val cos = round(
-        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("c_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), cos.as("cos"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
+      ivfProbe(base, cents)
+    }),
+
+    // IVF over a TRAINED codebook: the quantizer is the centroid set one
+    // Lloyd iteration (sim_kmeans_update) produces, not the fixed-fixture
+    // ids — the production training loop's read side. The k×d centroid
+    // table reassembles into ordered vectors with one tiny groupBy
+    // (centroid-count-bounded, broadcast); everything downstream is the
+    // identical bucketed IVF shape, and the oracle recomputes the same
+    // codebook from the same oracled Lloyd SQL, so the end-to-end
+    // train→index→probe path is hash-matched.
+    "sim_ivf_trained" -> ((s, d) => {
+      val km = queries("sim_kmeans_update")(s, d)
+      val cents = km.groupBy(col("c_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("mean_x")))),
+          x => x.getField("mean_x")).as("cv"))
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      ivfProbe(ivfBase(s, d), cents)
     }),
 
     // One Lloyd iteration of k-means (k=8, cosine assignment): assign every
@@ -472,6 +510,25 @@ object Similarity {
   /** Canonical DuckDB SQL for the IVF top-5 — single source for
     * sim_ivf_topk AND the approximate side of sim_ivf_recall.
     */
+  private val kmeansSql: String = """
+      WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, v, c_id FROM (
+          SELECT a.vec_id, a.v, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents) WHERE crank = 1),
+      ex AS (
+        SELECT c_id, i - 1 AS dim, v[i] AS x
+        FROM assigned, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r)
+      SELECT c_id, dim, count(*) AS n_members,
+             round(sum(CAST(round(x * 1000000) AS BIGINT)) / count(*) / 1e6, 6) AS mean_x
+      FROM ex GROUP BY c_id, dim"""
+
   private val ivfTopkSql: String = """
       WITH c AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -556,24 +613,36 @@ object Similarity {
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
              sha256(text) AS sha256
       FROM documents""",
-    "sim_kmeans_update" -> """
-      WITH c AS (
+    "sim_kmeans_update" -> kmeansSql,
+    "sim_ivf_trained" -> s"""
+      WITH km AS (SELECT * FROM ($kmeansSql)),
+      tc0 AS (SELECT c_id, list(mean_x ORDER BY dim) AS cv FROM km GROUP BY c_id),
+      tc AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM tc0),
+      c AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings),
-      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 8),
       assigned AS (
-        SELECT vec_id, v, c_id FROM (
-          SELECT a.vec_id, a.v, cents.c_id,
+        SELECT vec_id, v, nrm, c_id FROM (
+          SELECT a.vec_id, a.v, a.nrm, tc.c_id,
                  row_number() OVER (PARTITION BY a.vec_id
                    ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
-          FROM c a CROSS JOIN cents) WHERE crank = 1),
-      ex AS (
-        SELECT c_id, i - 1 AS dim, v[i] AS x
-        FROM assigned, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r)
-      SELECT c_id, dim, count(*) AS n_members,
-             round(sum(CAST(round(x * 1000000) AS BIGINT)) / count(*) / 1e6, 6) AS mean_x
-      FROM ex GROUP BY c_id, dim""",
+          FROM c a CROSS JOIN tc) WHERE crank = 1),
+      probes AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM (
+          SELECT a.vec_id, a.v, a.nrm, tc.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN tc WHERE a.vec_id < 10) WHERE crank <= 2),
+      scored AS (
+        SELECT q_id, s.vec_id,
+               round(list_dot_product(qv, s.v) / (qn * s.nrm), 6) AS cos
+        FROM assigned s JOIN probes p ON s.c_id = p.c_id
+        WHERE s.vec_id <> p.q_id)
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
     "sim_lsh_buckets" -> s"""
       WITH $lshSigSql
       SELECT vec_id, bucket FROM buckets""",

@@ -497,6 +497,39 @@ object TextOps {
             .as("avg_neg_logprob"))
     }),
 
+    // Exact-substring duplication profile (the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better" signal,
+    // reduced to its per-document read-out): hash every 16-token span with
+    // the portable md5 rule and report, per document, how many of its
+    // spans also occur in ANOTHER document — the duplicated-text fraction
+    // a pipeline thresholds to cut boilerplate and copy-paste. Plan: one
+    // span explode (O(tokens) rows), distinct + groupBy(hash) for the
+    // span document-frequency (partial-aggregated), one keyed join back,
+    // one groupBy(doc). NO pair expansion anywhere — this is the linear,
+    // scale-friendly read of the exact-substring signal (pairwise overlap
+    // is dedup_ngram_jaccard's job). Documents shorter than 16 tokens
+    // have no spans and no duplicated-text signal; they are absent here
+    // and pass the filter by definition.
+    "dedup_exact_substring" -> ((s, d) => {
+      val spans = toks(s, d)
+        .select(col("doc_id"),
+          explode(when(size(col("t")) >= 16,
+            expr("transform(sequence(1, size(t) - 15), i -> " +
+              "conv(substr(md5(array_join(slice(t, i, 16), ' ')), 1, 15), 16, 10))"))
+            .otherwise(array())).as("hs"))
+        .select(col("doc_id"), col("hs").cast("long").as("h"))
+      val df = spans.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      spans.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+            .as("dup_fraction"))
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     // corpus into head/middle/tail thirds by the unigram-LM score, the
     // standard quality-stratification step before mixing pretraining data.
@@ -806,6 +839,21 @@ object TextOps {
       c AS (SELECT token, count(*) AS n FROM tk WHERE length(token) > 0 GROUP BY token)
       SELECT token, true AS in_sketch
       FROM c WHERE n > 0.02 * (SELECT sum(n) FROM c)""",
+    "dedup_exact_substring" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+      sp AS (SELECT doc_id,
+                    ('0x' || substr(md5(array_to_string(t[i:i+15], ' ')), 1, 15))::BIGINT AS h
+             FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 14)) AS i) r
+             WHERE len(t) >= 16),
+      df AS (SELECT h, count(*) AS n_docs
+             FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h)
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+             round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+      FROM sp JOIN df USING (h)
+      GROUP BY doc_id""",
     "text_unigram_logprob" -> unigramScoreSql,
     "text_ppl_bucket" -> s"""
       WITH sc AS (SELECT * FROM ($unigramScoreSql)),

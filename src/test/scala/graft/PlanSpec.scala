@@ -270,8 +270,9 @@ class PlanSpec extends SparkSpec {
       "sim_knn_label", // composes sim_cosine_topk
       "dedup_embed_cosine", // the recall-100% small-N baseline
       // quantizers: every vector × a BOUNDED broadcast centroid table
-      // (16 rows) — linear work, the canonical IVF/k-means shape
-      "sim_ivf_topk", "sim_kmeans_update",
+      // (8-16 rows, fixture or Lloyd-trained) — linear work, the canonical
+      // IVF/k-means shape
+      "sim_ivf_topk", "sim_kmeans_update", "sim_ivf_trained",
       "sim_ivf_recall", // composes the two baselines above; the join it ADDS is equi-key
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
