@@ -245,6 +245,28 @@ object Extended {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // Temperature-based mixing weights (α = 0.5, the multilingual-LM
+    // standard: p_g ∝ n_g^α flattens the language distribution without
+    // going fully uniform — sample_mix_weights' uniform target is the
+    // α → 0 limit). Each language's sqrt(n) rounds to integer micro-units
+    // BEFORE the normalizing sums, so both engines add exact integers in
+    // any order and divide the same two numbers at the end. The window
+    // runs over the |langs|-row post-agg frame — bounded by group count,
+    // never by data.
+    "sample_temperature" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("su", round(sqrt(col("n_docs")) * 1000000).cast("long"))
+        .withColumn("n_total", sum(col("n_docs")).over(w))
+        .withColumn("su_total", sum(col("su")).over(w))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("natural_share"),
+          round(col("su").cast("double") / col("su_total"), 6).as("temp_share"),
+          round((col("su").cast("double") / col("su_total")) /
+            (col("n_docs").cast("double") / col("n_total")), 6).as("boost"))
+    }),
+
     // Join-key skew profiler: the diagnostic a pipeline runs BEFORE deciding
     // to salt a join (j2s_salted_skew_join is the cure; this is the
     // detector). Per-key cardinalities are one partial-aggregated groupBy;
@@ -787,6 +809,19 @@ object Extended {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents d JOIN t ON d.lang = t.lang
       GROUP BY 1, 2, 3""",
+    "sample_temperature" -> """
+      WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      t AS (SELECT lang, n_docs,
+                   CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS su,
+                   CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
+                   sum(CAST(round(sqrt(n_docs) * 1000000) AS BIGINT)) OVER () AS su_total
+            FROM c)
+      SELECT lang, n_docs,
+             round(CAST(n_docs AS DOUBLE) / n_total, 6) AS natural_share,
+             round(CAST(su AS DOUBLE) / su_total, 6) AS temp_share,
+             round((CAST(su AS DOUBLE) / su_total)
+                   / (CAST(n_docs AS DOUBLE) / n_total), 6) AS boost
+      FROM t""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "j8b_interpolate_per_series" -> """

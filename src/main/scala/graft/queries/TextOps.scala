@@ -503,28 +503,33 @@ object TextOps {
     // the portable md5 rule and report, per document, how many of its
     // spans also occur in ANOTHER document — the duplicated-text fraction
     // a pipeline thresholds to cut boilerplate and copy-paste. Plan: one
-    // span explode (O(tokens) rows), distinct + groupBy(hash) for the
-    // span document-frequency (partial-aggregated), one keyed join back,
-    // one groupBy(doc). NO pair expansion anywhere — this is the linear,
+    // span explode (O(tokens) rows) collapsed map-side by (doc, hash)
+    // BEFORE the first wire — within-doc repeats ride as a count — then
+    // the span document-frequency is a keyed window over the distinct
+    // (doc, hash) pairs (no join-back: the window reuses the hash
+    // partitioning the df needs anyway), and one groupBy(doc) folds the
+    // read-out. NO pair expansion anywhere — this is the linear,
     // scale-friendly read of the exact-substring signal (pairwise overlap
     // is dedup_ngram_jaccard's job). Documents shorter than 16 tokens
     // have no spans and no duplicated-text signal; they are absent here
     // and pass the filter by definition.
     "dedup_exact_substring" -> ((s, d) => {
-      val spans = toks(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = toks(s, d)
         .select(col("doc_id"),
           explode(when(size(col("t")) >= 16,
             expr("transform(sequence(1, size(t) - 15), i -> " +
               "conv(substr(md5(array_join(slice(t, i, 16), ' ')), 1, 15), 16, 10))"))
             .otherwise(array())).as("hs"))
         .select(col("doc_id"), col("hs").cast("long").as("h"))
-      val df = spans.select(col("doc_id"), col("h")).distinct()
-        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      spans.join(df, "h")
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
+      perDoc
+        // (doc, h) is unique here, so the per-h row count IS the span df
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
         .groupBy(col("doc_id"))
         .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+          sum(col("k")).as("n_spans"),
+          sum(when(col("n_docs") >= 2, col("k")).otherwise(0L)).as("n_dup_spans"))
         .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
           round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
             .as("dup_fraction"))
