@@ -245,6 +245,36 @@ object Extended {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // PageRank over the near-dup candidate graph (3 fixed power
+    // iterations, d = 0.85, the unnormalized r = 0.15 + 0.85·Σ r_u/deg_u
+    // formulation) — the link-centrality signal web-corpus pipelines rank
+    // documents by, and the second iterative graph operator next to
+    // connected components. ALL rank arithmetic is integer micro-units
+    // with integer division, so the per-node in-neighbor sum is
+    // addition-order-free and the oracle (the same math unrolled in SQL)
+    // matches bit-for-bit at any parallelism. The degree-annotated edge
+    // list builds once from the shared session pair frame and is cached;
+    // each iteration moves only the small, changing rank table to it —
+    // two keyed shuffles per iteration, bounded plan depth, no
+    // checkpointing needed at 3 rounds.
+    "graph_pagerank" -> ((s, d) => {
+      val pairs = TextOps.minhashPairsShared(s, d)
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val withDeg = edges.join(deg, "src").cache()
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = withDeg.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("(85 * sc) div 100")).as("r"))
+      }
+      ranks.select(col("node").as("doc_id"),
+        round(col("r").cast("double") / 1000000.0, 6).as("pagerank"))
+    }),
+
     // Temperature-based mixing weights (α = 0.5, the multilingual-LM
     // standard: p_g ∝ n_g^α flattens the language distribution without
     // going fully uniform — sample_mix_weights' uniform target is the
@@ -809,6 +839,26 @@ object Extended {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents d JOIN t ON d.lang = t.lang
       GROUP BY 1, 2, 3""",
+    "graph_pagerank" -> s"""
+      WITH pairs AS (${TextOps.minhashPairsSql}),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+      it1 AS (SELECT e.dst AS node,
+                     CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+              FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+              GROUP BY e.dst),
+      it2 AS (SELECT e.dst AS node,
+                     CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+              FROM edges e JOIN deg d ON e.src = d.src JOIN it1 r ON r.node = e.src
+              GROUP BY e.dst),
+      it3 AS (SELECT e.dst AS node,
+                     CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+              FROM edges e JOIN deg d ON e.src = d.src JOIN it2 r ON r.node = e.src
+              GROUP BY e.dst)
+      SELECT node AS doc_id, round(CAST(r AS DOUBLE) / 1000000, 6) AS pagerank
+      FROM it3""",
     "sample_temperature" -> """
       WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
       t AS (SELECT lang, n_docs,

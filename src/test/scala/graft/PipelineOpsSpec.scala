@@ -83,6 +83,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shares.forall(s => s > 0 && s <= 1.0))
   }
 
+  test("graph_pagerank: teleport floor, full node coverage") {
+    val pr = q("graph_pagerank")
+    // every rank carries at least the teleport mass
+    assert(pr.filter(col("pagerank") < 0.15).count() == 0)
+    // every endpoint of the pair graph is ranked (undirected edges:
+    // nothing can dangle)
+    val pairs = q("dedup_minhash_lsh")
+    val nodes = pairs.select(col("da").as("n"))
+      .union(pairs.select(col("db").as("n"))).distinct().count()
+    assert(pr.count() == nodes, s"ranked ${pr.count()} of $nodes nodes")
+  }
+
   test("Eigen.symmetric: orthonormal basis, A·v = λ·v, descending, deterministic") {
     import graft.functions.Eigen
     // a fixed symmetric matrix with distinct eigenvalues
