@@ -259,6 +259,34 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("w6_transitions: the lead window is user-keyed, the norm window type-keyed") {
+    // both windows partition on a key — the corpus pass shuffles once on
+    // user_id, the probability pass on the bounded |types|² matrix; no
+    // global window anywhere
+    val p = plan("w6_transitions")
+    assert(countOf(p, "Exchange SinglePartition") == 0, p)
+    assert(p.contains("lead("), p)
+  }
+
+  test("dedup_exact_substring: span df via keyed window, exactly three exchanges") {
+    // the rewrite's contract: map-side (doc, hash) collapse -> df window on
+    // hash -> per-doc fold. Three keyed hash exchanges, no join, and the
+    // raw span stream crosses the wire once (partial-aggregated).
+    val p = plan("dedup_exact_substring")
+    assert(countOf(p, "Exchange hashpartitioning") == 3,
+      s"expected exactly 3 keyed exchanges:\n$p")
+    assert(countOf(p, "Exchange SinglePartition") == 0, p)
+    assert(!p.contains("Join"), "the df join-back should be gone:\n" + p)
+  }
+
+  test("emb_pca_topk: the projection pass is scan -> project, zero shuffles") {
+    // training happens in the two bounded-output passes (covariance,
+    // means) and on the driver; the returned plan — the pass that touches
+    // every row at 100 TB — must be a pure per-row projection
+    val p = plan("emb_pca_topk")
+    assert(countOf(p, "Exchange") == 0, s"projection pass shuffles:\n$p")
+  }
+
   test("plan sweep: NO query plans a cartesian/nested-loop join except declared baselines") {
     // the whole-suite guard: any new query that silently degenerates to an
     // all-pairs join fails CI here, not in a 100 TB run. The allowlist
