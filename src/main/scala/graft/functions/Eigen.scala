@@ -36,10 +36,24 @@ object Eigen {
       s
     }
 
+    // convergence is RELATIVE to the matrix's scale (Frobenius norm): an
+    // absolute floor would be unreachable for large-norm inputs (rounding
+    // noise scales with ‖A‖²) and every call would burn the full sweep cap
+    val fro = {
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) { sum += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sum
+    }
+    val threshold = 1e-28 * fro
     var sweep = 0
     // 100 sweeps bounds only a logic bug: cyclic Jacobi converges
     // quadratically, d=64 needs ~8
-    while (offDiag() > 1e-20 && sweep < 100) {
+    while (offDiag() > threshold && sweep < 100) {
       var p = 0
       while (p < n) {
         var q = p + 1

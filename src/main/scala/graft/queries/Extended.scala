@@ -643,28 +643,33 @@ object Extended {
       .join(cur.select(col("src").as("node"), col("dst").as("root")), Seq("node"), "left")
       .select(col("node").as("doc_id"), coalesce(col("root"), col("node")).as("cluster_id"))
     // the blocks that outlive this call (they back `labels`): registered
-    // for deterministic release once the consumer is done
+    // PER SESSION for deterministic release once the consumer is done
     liveCcCheckpoints.synchronized {
-      liveCcCheckpoints ++= (held ++ persisted().intersect(nodesIds))
+      liveCcCheckpoints.getOrElseUpdate(s, scala.collection.mutable.Set[Int]()) ++=
+        (held ++ persisted().intersect(nodesIds))
     }
     (labels, rounds)
   }
 
   /** Checkpoint RDD ids created by [[connectedComponents]] that outlive the
     * call (converged edge set + node list — they back the returned labels
-    * frame, so the function cannot free them itself).
+    * frame, so the function cannot free them itself). Keyed by session:
+    * one session's releaseAll must never free the checkpoint blocks that
+    * back ANOTHER session's still-cached [[ccLabelsShared]] frame — a
+    * truncated-lineage frame cannot recompute them. The weak keys let a
+    * stopped session's entry die with it.
     */
-  private val liveCcCheckpoints = scala.collection.mutable.Set[Int]()
+  private val liveCcCheckpoints =
+    new scala.collection.mutable.WeakHashMap[SparkSession, scala.collection.mutable.Set[Int]]()
 
-  /** Free any still-persisted CC checkpoint blocks. Call after the consuming
-    * query has materialized — a released labels frame cannot be re-executed
-    * (localCheckpoint truncates lineage).
+  /** Free session `s`'s still-persisted CC checkpoint blocks. Call after
+    * the consuming query has materialized — a released labels frame cannot
+    * be re-executed (localCheckpoint truncates lineage).
     */
   def releaseCcCheckpoints(s: SparkSession): Unit = liveCcCheckpoints.synchronized {
     val live = s.sparkContext.getPersistentRDDs
-    liveCcCheckpoints.foreach(id =>
-      live.get(id).foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () }))
-    liveCcCheckpoints.clear()
+    liveCcCheckpoints.remove(s).foreach(_.foreach(id =>
+      live.get(id).foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })))
   }
 
   /** Session-scoped cache of the CONVERGED component labels over the

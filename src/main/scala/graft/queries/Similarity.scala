@@ -41,6 +41,65 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** The raw covariance moments (i, j, Σxy, Σx, Σy, n) over the upper
+    * triangle — ONE corpus scan, one shuffle, d(d+1)/2 output cells. The
+    * pair struct carries the two FACTORS next to the product, so the
+    * E[x]E[y] term's Σx and Σy aggregate in the SAME pass as Σxy — no
+    * separate means table joined back (which would re-scan and re-explode
+    * the corpus, verified in the plan). Feeds the oracled emb_covariance
+    * cells AND the driver-side [[covarianceMatrix]] assembly.
+    */
+  private def covMoments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val vu = fanOut(embeddings(s, d), s).select(
+      transform(asDouble(col("embedding")), x => round(x * 1000000).cast("long"))
+        .as("vu"))
+    vu.select(explode(expr(
+      "flatten(transform(vu, (x, i) -> transform(slice(vu, i + 1, size(vu) - i), " +
+        "(y, j) -> struct(i AS i, i + j AS j, x * y AS p, x AS xa, y AS xb))))")).as("q"))
+      .groupBy(col("q.i").as("i"), col("q.j").as("j"))
+      .agg(
+        sum(col("q.p").cast(dec)).as("sp"),
+        sum(col("q.xa")).as("sua"), sum(col("q.xb")).as("sub"),
+        count(lit(1)).as("n"))
+  }
+
+  /** The rounded covariance cell over [[covMoments]] columns. + 0.0
+    * canonicalizes IEEE negative zero (a near-zero covariance rounds to
+    * -0.0 in one engine and 0.0 in the other otherwise).
+    */
+  private def covCol: Column =
+    (round(
+      col("sp").cast("double") / 1000000000000.0 / col("n") -
+        (col("sua").cast("double") / 1000000.0 / col("n")) *
+          (col("sub").cast("double") / 1000000.0 / col("n")), 6) + 0.0).as("cov")
+
+  /** Driver-side assembly of the full symmetric covariance matrix (6dp
+    * cells, identical to the oracled emb_covariance output) plus per-dim
+    * means — both read from the moments of ONE corpus pass (the diagonal
+    * cell's Σx over n is the mean of dimension i). d(d+1)/2 cells: bounded
+    * by embedding dimensionality, independent of N — the same bounded
+    * driver-collect class as the freqItems sketch. Shared by the
+    * emb_pca_topk builder and its spec so both assemble the matrix the
+    * same way.
+    */
+  private[graft] def covarianceMatrix(
+      s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
+    val rows = covMoments(s, d)
+      .select(col("i"), col("j"), covCol, col("sua"), col("n")).collect()
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](dim, dim)
+    val mean = new Array[Double](dim)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c
+      cov(j)(i) = c
+      if (i == j) mean(i) = r.getLong(3).toDouble / 1000000.0 / r.getLong(4)
+    }
+    (cov, mean)
+  }
+
   /** The IVF probe shape shared by the fixture and trained codebooks:
     * build inverted lists by nearest-centroid assignment, probe the 2
     * closest lists per query vector, exact-rescore within the probed
@@ -352,59 +411,24 @@ object Similarity {
     // d-row mean table broadcasts back twice for the E[x]E[y] term. At
     // 100 TB this is the textbook outer-product aggregation — linear scan,
     // constant-size output.
-    "emb_covariance" -> ((s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
-      val vu = fanOut(embeddings(s, d), s).select(
-        transform(asDouble(col("embedding")), x => round(x * 1000000).cast("long"))
-          .as("vu"))
-      // the pair struct carries the two FACTORS next to the product, so the
-      // E[x]E[y] term's Σx and Σy aggregate in the SAME pass as Σxy — one
-      // scan, one shuffle, no separate means table joined back (which would
-      // re-scan and re-explode the corpus twice more, verified in the plan)
-      vu.select(explode(expr(
-        "flatten(transform(vu, (x, i) -> transform(slice(vu, i + 1, size(vu) - i), " +
-          "(y, j) -> struct(i AS i, i + j AS j, x * y AS p, x AS xa, y AS xb))))")).as("q"))
-        .groupBy(col("q.i").as("i"), col("q.j").as("j"))
-        .agg(
-          sum(col("q.p").cast(dec)).as("sp"),
-          sum(col("q.xa")).as("sua"), sum(col("q.xb")).as("sub"),
-          count(lit(1)).as("n"))
-        .select(col("i"), col("j"),
-          // + 0.0 canonicalizes IEEE negative zero (a near-zero covariance
-          // rounds to -0.0 in one engine and 0.0 in the other otherwise)
-          (round(
-            col("sp").cast("double") / 1000000000000.0 / col("n") -
-              (col("sua").cast("double") / 1000000.0 / col("n")) *
-                (col("sub").cast("double") / 1000000.0 / col("n")), 6) + 0.0).as("cov"))
-    }),
+    "emb_covariance" -> ((s, d) => covMoments(s, d).select(col("i"), col("j"), covCol)),
 
     // PCA projection to the top-k principal components — the embedding-
     // compression / whitening step a training pipeline runs before
-    // clustering or visualizing a corpus. The distributed work is two
-    // constant-size-output corpus scans (the covariance pass above and the
-    // per-dim means) plus one zero-shuffle projection pass; the
-    // eigendecomposition itself is a d×d driver problem (graft.functions
-    // .Eigen, deterministic cyclic Jacobi), bounded by model geometry, not
-    // N — the d(d+1)/2-cell collect is the same bounded driver-collect
-    // class as the freqItems sketch. pc_j = dot(x, v_j) - dot(mean, v_j),
-    // with the second term folded into a driver-side scalar so centering
-    // never touches the corpus. Rows-only oracle (no eigensolver in SQL);
-    // the algebraic contract — orthonormal basis, descending eigenvalues,
+    // clustering or visualizing a corpus. The distributed work is ONE
+    // constant-size-output corpus scan (covMoments: covariance cells AND
+    // per-dim means in the same pass) plus one zero-shuffle projection
+    // pass; the eigendecomposition itself is a d×d driver problem
+    // (graft.functions.Eigen, deterministic cyclic Jacobi), bounded by
+    // model geometry, not N. pc_j = dot(x, v_j) - dot(mean, v_j), with
+    // the second term folded into a driver-side scalar so centering never
+    // touches the corpus. Rows-only oracle (no eigensolver in SQL); the
+    // algebraic contract — orthonormal basis, descending eigenvalues,
     // trace preservation, Var(pc1) = λ1 — is spec-pinned instead.
     "emb_pca_topk" -> ((s, d) => {
       val k = 4
-      val cells = queries("emb_covariance")(s, d).collect()
-      val dim = cells.iterator.map(_.getInt(1)).max + 1
-      val cov = Array.ofDim[Double](dim, dim)
-      cells.foreach { r =>
-        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-        cov(i)(j) = c
-        cov(j)(i) = c
-      }
-      val mean = new Array[Double](dim)
-      queries("emb_dim_stats")(s, d).select(col("dim"), col("mean_x")).collect()
-        .foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+      val (cov, mean) = covarianceMatrix(s, d)
+      val dim = cov.length
       val (_, vecs) = graft.functions.Eigen.symmetric(cov)
       val pcs = (0 until k).map { j =>
         val vj = vecs(j)

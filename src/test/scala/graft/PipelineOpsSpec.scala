@@ -127,13 +127,8 @@ class PipelineOpsSpec extends SparkSpec {
     // the defining property of PCA: the first component captures the
     // largest-variance direction, and its sample variance IS λ1
     import graft.functions.Eigen
-    val cells = q("emb_covariance").collect()
-    val dim = cells.iterator.map(_.getInt(1)).max + 1
-    val cov = Array.ofDim[Double](dim, dim)
-    cells.foreach { r =>
-      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
-    }
+    // the SAME matrix assembly the builder uses — one shared code path
+    val (cov, _) = graft.queries.Similarity.covarianceMatrix(spark, sf)
     val (vals, _) = Eigen.symmetric(cov)
     val pca = q("emb_pca_topk")
     assert(pca.columns.toSeq == Seq("vec_id", "pc1", "pc2", "pc3", "pc4"))

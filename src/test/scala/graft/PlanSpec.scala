@@ -287,6 +287,20 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange") == 0, s"projection pass shuffles:\n$p")
   }
 
+  test("graph_pagerank: every iteration reads the cached degree-annotated edges") {
+    // the iterative contract: the edge list joins degrees ONCE and is
+    // cached; all 3 iterations reuse the in-memory copy instead of
+    // re-scanning and re-aggregating the pair frame. An exact exchange
+    // count would be brittle (AQE broadcasts the tiny rank side at spec
+    // scale and nests adaptive subplans), but losing the cache — the
+    // regression that triples the per-iteration work — is visible as
+    // missing InMemoryTableScans.
+    val p = plan("graph_pagerank")
+    assert(countOf(p, "InMemoryTableScan") >= 3,
+      s"expected >=3 cached-edge reads (one per iteration):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("plan sweep: NO query plans a cartesian/nested-loop join except declared baselines") {
     // the whole-suite guard: any new query that silently degenerates to an
     // all-pairs join fails CI here, not in a 100 TB run. The allowlist
