@@ -560,6 +560,37 @@ object TextOps {
             .otherwise(lit("tail")).as("ppl_bucket"))
     }),
 
+    // Bigram conditional-LM scoring — the step up from the unigram proxy:
+    // avg -ln P(w2 | w1) with P = c(w1,w2)/c(w1→·), the strongest cheap
+    // fluency signal before a real KenLM. Same integer micro-unit
+    // discipline as text_unigram_logprob (exact, order-free sums). Unlike
+    // the |vocab|-bounded unigram LM, the bigram table scales with the
+    // corpus's bigram vocabulary, so the LM join is a KEYED (w1, w2)
+    // shuffle join — no broadcast assumption anywhere; counts partial-
+    // aggregate map-side. Documents shorter than 2 tokens have no bigrams
+    // and are absent, like the <16-token docs of dedup_exact_substring.
+    "text_bigram_logprob" -> ((s, d) => {
+      val bg = toks(s, d)
+        .select(col("doc_id"), explode(when(size(col("t")) >= 2,
+          expr("transform(sequence(1, size(t) - 1), i -> " +
+            "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+          .otherwise(array())).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("n")).as("nctx"))
+      val lm = c2.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          round(log(col("n").cast("double") / col("nctx")) * 1000000)
+            .cast("long").as("lpu"))
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lpu")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round((-col("slp")).cast("double") / 1000000.0 / col("n_bigrams"), 6)
+            .as("avg_neg_logprob2"))
+    }),
+
     // SimHash (60-bit, md5-derived token hashes): a single-pass custom
     // Catalyst expression (graft.expressions.SimHash64) — zero shuffle,
     // zero UDF, whole document signature per row. The token hash is the
@@ -859,6 +890,22 @@ object TextOps {
                    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
       FROM sp JOIN df USING (h)
       GROUP BY doc_id""",
+    "text_bigram_logprob" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+      bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+             FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+             WHERE len(t) >= 2 AND length(t[i]) > 0 AND length(t[i+1]) > 0),
+      c2 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS nctx FROM c2 GROUP BY w1),
+      lm AS (SELECT w1, w2,
+                    CAST(round(ln(n / CAST(nctx AS DOUBLE)) * 1000000) AS BIGINT) AS lpu
+             FROM c2 JOIN c1 USING (w1)),
+      sc AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lpu) AS BIGINT) AS slp
+             FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+             round(CAST(-slp AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS avg_neg_logprob2
+      FROM sc""",
     "text_unigram_logprob" -> unigramScoreSql,
     "text_ppl_bucket" -> s"""
       WITH sc AS (SELECT * FROM ($unigramScoreSql)),
