@@ -11,7 +11,8 @@ import graft.ops.MzmlStats
 /** Property-style tests (seeded generators, batched through a single Spark
   * pass so hundreds of cases cost one job): modsPosition against an
   * independent position derivation, scan-id extraction fallback, simhash
-  * similarity behavior, and feature-finder noise robustness.
+  * similarity behavior, feature-finder noise robustness, and the Jacobi
+  * eigensolver on random symmetric matrices.
   */
 class PropertySpec extends SparkSpec {
   import spark.implicits._
@@ -109,6 +110,37 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(f.mz - mono) < 0.02, s"trial $trial")
       assert(f.charge === z, s"trial $trial: charge")
       assert(f.minRt <= f.rt && f.rt <= f.maxRt)
+    }
+  }
+
+  test("Eigen.symmetric: random matrices — reconstruction, orthonormality, scale invariance") {
+    import graft.functions.Eigen
+    for (trial <- 1 to 40) {
+      val n = 2 + rnd.nextInt(7)
+      // random symmetric with entries across scales (1e-3 .. 1e3): the
+      // relative Frobenius convergence must hold at every magnitude
+      val scale = math.pow(10.0, rnd.nextInt(7) - 3)
+      val a = Array.ofDim[Double](n, n)
+      for (i <- 0 until n; j <- i until n) {
+        val x = (rnd.nextDouble() * 2 - 1) * scale
+        a(i)(j) = x
+        a(j)(i) = x
+      }
+      val (vals, vecs) = Eigen.symmetric(a)
+      val tol = 1e-9 * math.max(scale, 1e-12)
+      assert(vals.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), s"trial $trial: order")
+      val trace = (0 until n).map(i => a(i)(i)).sum
+      assert(math.abs(vals.sum - trace) < tol * n, s"trial $trial: trace")
+      for (i <- 0 until n; j <- 0 until n) {
+        val dot = vecs(i).zip(vecs(j)).map { case (x, y) => x * y }.sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"trial $trial: basis")
+      }
+      for (i <- 0 until n) {
+        val av = a.map(row => row.zip(vecs(i)).map { case (x, y) => x * y }.sum)
+        av.zip(vecs(i)).foreach { case (x, y) =>
+          assert(math.abs(x - vals(i) * y) < tol * n, s"trial $trial: A.v=lambda.v")
+        }
+      }
     }
   }
 }
