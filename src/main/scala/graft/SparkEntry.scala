@@ -24,4 +24,13 @@ object SparkEntry {
       graft.queries.Similarity.oracle ++
       graft.queries.Temporal.oracle ++
       graft.queries.Extended.oracle
+
+  /** [[oracleSql]] plus the data-dependent oracles that can only be
+    * generated against a concrete data dir (emb_pca_topk embeds its
+    * eigenbasis as SQL literals). Verify dumps THIS map, so the driver's
+    * DuckDB gate sees every query fully oracled.
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql +
+      ("emb_pca_topk" -> graft.queries.Similarity.pcaOracleSql(spark, sfDir))
 }

@@ -8,7 +8,8 @@ package graft.functions
   * covariance pass that produced it.
   *
   * Determinism is load-bearing (the projected output is oracle-dumped):
-  * fixed row-cyclic sweep order, fixed absolute convergence threshold,
+  * fixed row-cyclic sweep order, fixed relative (Frobenius-scaled)
+  * convergence threshold,
   * ties in the eigenvalue sort broken by original index, and a fixed sign
   * convention — each eigenvector's largest-magnitude component (first on
   * ties) is made positive — so repeated runs produce bit-identical bases.

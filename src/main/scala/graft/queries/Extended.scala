@@ -253,17 +253,15 @@ object Extended {
     // with integer division, so the per-node in-neighbor sum is
     // addition-order-free and the oracle (the same math unrolled in SQL)
     // matches bit-for-bit at any parallelism. The degree-annotated edge
-    // list builds once from the shared session pair frame and is cached;
-    // each iteration moves only the small, changing rank table to it —
-    // two keyed shuffles per iteration, bounded plan depth, no
-    // checkpointing needed at 3 rounds.
+    // list builds once from the shared session pair frame and is session-
+    // cached ([[pagerankEdgesShared]], SessionFrameCache lifecycle); each
+    // iteration moves only the small, changing rank table to it — two
+    // keyed shuffles per iteration, bounded plan depth, no checkpointing
+    // needed at 3 rounds.
     "graph_pagerank" -> ((s, d) => {
-      val pairs = TextOps.minhashPairsShared(s, d)
-      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val withDeg = edges.join(deg, "src").cache()
-      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      val withDeg = pagerankEdgesShared(s, d)
+      var ranks = withDeg.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
         ranks = withDeg.join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("c"))
@@ -701,6 +699,26 @@ object Extended {
 
   /** Unpersist and drop every shared label frame belonging to session `s`. */
   def releaseCcLabels(s: SparkSession): Unit = sharedCcLabels.release(s)
+
+  /** Session-scoped cache of the degree-annotated edge list PageRank
+    * iterates over (lifecycle: [[SessionFrameCache]] — previously a bare
+    * per-invocation `.cache()` that only `catalog.clearCache()` freed).
+    * Built once from the shared pair frame; each power iteration joins the
+    * small changing rank table against these cached blocks, so only the
+    * rank table ever moves.
+    */
+  private val sharedPagerankEdges = new SessionFrameCache(4)
+  def pagerankEdgesShared(s: SparkSession, d: String): DataFrame =
+    sharedPagerankEdges.getOrBuild(s, d) {
+      val pairs = TextOps.minhashPairsShared(s, d)
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      edges.join(deg, "src")
+    }
+
+  /** Unpersist and drop every shared PageRank edge frame of session `s`. */
+  def releasePagerankEdges(s: SparkSession): Unit = sharedPagerankEdges.release(s)
 
   val oracle: Map[String, String] = Map(
     "a12_rollup" -> """

@@ -88,6 +88,7 @@ object Similarity {
       s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
     val rows = covMoments(s, d)
       .select(col("i"), col("j"), covCol, col("sua"), col("n")).collect()
+    require(rows.nonEmpty, s"embeddings corpus under $d is empty — no covariance moments")
     val dim = rows.iterator.map(_.getInt(1)).max + 1
     val cov = Array.ofDim[Double](dim, dim)
     val mean = new Array[Double](dim)
@@ -98,6 +99,34 @@ object Similarity {
       if (i == j) mean(i) = r.getLong(3).toDouble / 1000000.0 / r.getLong(4)
     }
     (cov, mean)
+  }
+
+  /** DuckDB SQL for emb_pca_topk with the eigenbasis embedded as literals —
+    * generated at Verify time (the basis depends on the data dir, so it
+    * cannot be a static string). Both engines then run the IDENTICAL
+    * computation: a sequential dot product against the same double
+    * literals, minus the same mean-offset scalar, rounded to 6dp —
+    * `java.lang.Double.toString` prints the shortest round-tripping
+    * representation, so DuckDB parses back the exact same doubles and the
+    * projection hash-matches bit-for-bit. The eigensolve itself is
+    * deterministic (Eigen.symmetric: fixed sweep order, sign convention,
+    * tie-broken sort), so generating the oracle from the same covariance
+    * moments the query uses is a re-derivation, not a copy of the answer:
+    * the distributed work under test — the moments pass and the projection
+    * pass — is recomputed independently by DuckDB from the raw parquet.
+    */
+  def pcaOracleSql(s: SparkSession, d: String): String = {
+    val k = 4
+    val (cov, mean) = covarianceMatrix(s, d)
+    val dim = cov.length
+    val (_, vecs) = graft.functions.Eigen.symmetric(cov)
+    val pcCols = (0 until k).map { j =>
+      val vj = vecs(j)
+      val offset = (0 until dim).map(i => mean(i) * vj(i)).sum
+      val arr = vj.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"round(list_dot_product(embedding::DOUBLE[], $arr) - (${java.lang.Double.toString(offset)}), 6) + 0.0 AS pc${j + 1}"
+    }
+    s"SELECT vec_id,\n  ${pcCols.mkString(",\n  ")}\nFROM embeddings"
   }
 
   /** The IVF probe shape shared by the fixture and trained codebooks:
@@ -422,9 +451,12 @@ object Similarity {
     // (graft.functions.Eigen, deterministic cyclic Jacobi), bounded by
     // model geometry, not N. pc_j = dot(x, v_j) - dot(mean, v_j), with
     // the second term folded into a driver-side scalar so centering never
-    // touches the corpus. Rows-only oracle (no eigensolver in SQL); the
+    // touches the corpus. No eigensolver exists in SQL, so the DuckDB
+    // oracle is GENERATED at Verify time ([[pcaOracleSql]]): the same
+    // deterministic eigenbasis is embedded as SQL literals and DuckDB
+    // re-projects the corpus — a full hash-match, not rows-only. The
     // algebraic contract — orthonormal basis, descending eigenvalues,
-    // trace preservation, Var(pc1) = λ1 — is spec-pinned instead.
+    // trace preservation, Var(pc1) = λ1 — stays spec-pinned on top.
     "emb_pca_topk" -> ((s, d) => {
       val k = 4
       val (cov, mean) = covarianceMatrix(s, d)

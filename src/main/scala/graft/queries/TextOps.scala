@@ -87,6 +87,22 @@ object TextOps {
   /** Unpersist and drop every shared pair frame belonging to session `s`. */
   def releaseSharedPairs(s: SparkSession): Unit = sharedPairs.release(s)
 
+  /** Session-scoped cache of the per-doc unigram-LM score table
+    * (lifecycle: [[SessionFrameCache]] — previously a bare per-invocation
+    * `.cache()` that only `catalog.clearCache()` freed). text_ppl_bucket
+    * reads it twice (tercile cutoffs + the bucketed projection), and any
+    * pipeline stage stratifying by quality starts from the same table.
+    */
+  private val sharedUnigramScores = new SessionFrameCache(4)
+  def unigramScoresShared(s: SparkSession, d: String): DataFrame =
+    sharedUnigramScores.getOrBuild(s, d) {
+      queries("text_unigram_logprob")(s, d)
+        .select(col("doc_id"), col("avg_neg_logprob"))
+    }
+
+  /** Unpersist and drop every shared unigram-score frame of session `s`. */
+  def releaseUnigramScores(s: SparkSession): Unit = sharedUnigramScores.release(s)
+
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
     */
@@ -141,21 +157,12 @@ object TextOps {
         round((len - ws) / nTok, 6).as("avg_token_len"))
     }),
 
-    // Language-ID heuristic: stopword-marker occurrence counts (replace-based
-    // counting so both engines count non-overlapping matches identically),
-    // argmax with a deterministic tie order (en > es).
-    "text_lang_id" -> ((s, d) => {
-      def occurrences(marker: String) =
-        ((length(col("text")) - length(replace(col("text"), lit(marker), lit("")))) /
-          marker.length).cast("long")
-      val sEn = (occurrences(" the ") + occurrences(" a ") + occurrences(" row "))
-      val sEs = (occurrences(" el ") + occurrences(" la ") + occurrences(" de "))
-      fanOut(documents(s, d), s).select(
-        col("doc_id"),
-        sEn.as("score_en"),
-        sEs.as("score_es"),
-        when(sEn >= sEs, "en").otherwise("es").as("lang_pred"))
-    }),
+    // Language ID: char-bigram Naive Bayes over a bundled 6-language model
+    // (graft.functions.LangId — integer micro-nat log-probs, dense
+    // alphabet, broadcast model join, argmax in one hash aggregate). The
+    // margin column is the confidence a mixing pipeline thresholds on.
+    "text_lang_id" -> ((s, d) =>
+      graft.functions.LangId.classify(fanOut(documents(s, d), s))),
 
     // Document fingerprint: md5 of casefolded, whitespace-collapsed text.
     "text_fingerprint" -> ((s, d) => {
@@ -545,8 +552,7 @@ object TextOps {
     // round to 6dp before the comparison so the bucket boundary is the
     // same literal double on both sides.
     "text_ppl_bucket" -> ((s, d) => {
-      val scores = queries("text_unigram_logprob")(s, d)
-        .select(col("doc_id"), col("avg_neg_logprob")).cache()
+      val scores = unigramScoresShared(s, d)
       val cuts = scores
         .agg(expr(
           "percentile(avg_neg_logprob, array(cast(1 as double)/3, cast(2 as double)/3))")
@@ -778,19 +784,7 @@ object TextOps {
              round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
                    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS avg_token_len
       FROM documents""",
-    "text_lang_id" -> """
-      WITH sc AS (
-        SELECT doc_id,
-               CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-                  + (length(text) - length(replace(text, ' a ', ''))) / 3
-                  + (length(text) - length(replace(text, ' row ', ''))) / 5 AS BIGINT) AS score_en,
-               CAST((length(text) - length(replace(text, ' el ', ''))) / 4
-                  + (length(text) - length(replace(text, ' la ', ''))) / 4
-                  + (length(text) - length(replace(text, ' de ', ''))) / 4 AS BIGINT) AS score_es
-        FROM documents)
-      SELECT doc_id, score_en, score_es,
-             CASE WHEN score_en >= score_es THEN 'en' ELSE 'es' END AS lang_pred
-      FROM sc""",
+    "text_lang_id" -> graft.functions.LangId.langIdSql,
     "text_fingerprint" -> """
       SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""",
@@ -929,13 +923,9 @@ object TextOps {
       quality AS (SELECT doc_id FROM documents
                   WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                           / CAST(length(text) AS DOUBLE), 6) >= 0.81),
-      english AS (SELECT doc_id FROM documents
-                  WHERE CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-                           + (length(text) - length(replace(text, ' a ', ''))) / 3
-                           + (length(text) - length(replace(text, ' row ', ''))) / 5 AS BIGINT)
-                     >= CAST((length(text) - length(replace(text, ' el ', ''))) / 4
-                           + (length(text) - length(replace(text, ' la ', ''))) / 4
-                           + (length(text) - length(replace(text, ' de ', ''))) / 4 AS BIGINT))
+      english AS (SELECT doc_id
+                  FROM (${graft.functions.LangId.langIdSql})
+                  WHERE lang_pred = 'en')
       SELECT q.doc_id FROM quality q
       JOIN english e ON q.doc_id = e.doc_id
       WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)""",

@@ -18,19 +18,66 @@ import java.util.zip.Deflater
   */
 object MzmlSynth {
 
-  /** Stage (once) and return the paths of `n` synthetic runs. */
+  /** Stage (once) and return the paths of `n` synthetic runs.
+    *
+    * Cross-JVM safe: the runs are written into a process-unique temp dir
+    * and atomically renamed into place, so two concurrent JVMs sharing
+    * java.io.tmpdir can never interleave writes or scan half-written files
+    * — whichever rename lands first wins, the loser discards its copy
+    * (content is deterministic, so both copies are byte-identical anyway).
+    */
   def stagedRuns(n: Int, spectraPerRun: Int, peaks: Int): Seq[String] = synchronized {
+    import scala.jdk.CollectionConverters._
+    def deleteTree(p: Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_mzml_runs_${n}_${spectraPerRun}_$peaks")
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
-      Files.createDirectories(dir)
+    def complete: Boolean =
+      (1 to n).forall(r => Files.exists(dir.resolve(f"run$r%02d.mzML")))
+    if (!complete) {
+      // a dir staged by THIS protocol is always complete (the rename is
+      // atomic); an incomplete one is a legacy/crashed remnant — clear it
+      if (Files.isDirectory(dir)) deleteTree(dir)
+      val tmp = Files.createTempDirectory(
+        Paths.get(sys.props("java.io.tmpdir")), "graft_mzml_stage_")
       (1 to n).foreach { r =>
-        Files.writeString(dir.resolve(f"run$r%02d.mzML"), runXml(r, spectraPerRun, peaks))
+        Files.writeString(tmp.resolve(f"run$r%02d.mzML"), runXml(r, spectraPerRun, peaks))
       }
-      Files.writeString(dir.resolve("_SUCCESS"), "")
+      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.AccessDeniedException =>
+          // another JVM won the race with identical content — drop ours
+          deleteTree(tmp)
+      }
     }
     (1 to n).map(r => dir.resolve(f"run$r%02d.mzML").toString)
   }
+
+  /** The per-run (file_name, n_spectra, n_ms1, tic_units) table the
+    * `s1b_mzml_many_runs` aggregation must produce, computed from the SAME
+    * closed-form arithmetic that generates the peak arrays — no disk, no
+    * parser. This is what lets the mzML query graduate from a rows-only
+    * check to a full DuckDB oracle: the expected table is emitted as a
+    * VALUES literal. Intensities are integers ≤ 97, so the double sums the
+    * engine computes are exact and the long cast is engine-independent.
+    */
+  def expectedRunStats(n: Int, spectraPerRun: Int, peaks: Int): Seq[(String, Long, Long, Long)] =
+    (1 to n).map { r =>
+      var tic = 0L
+      var i = 0
+      while (i < spectraPerRun) {
+        var k = 0
+        while (k < peaks) { tic += (r + i + k) % 97 + 1; k += 1 }
+        i += 1
+      }
+      (f"run$r%02d.mzML", spectraPerRun.toLong, ((spectraPerRun + 1) / 2).toLong, tic)
+    }
 
   private def b64zlib(values: Array[Double]): String = {
     val buf = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)

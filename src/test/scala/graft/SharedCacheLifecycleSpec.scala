@@ -43,6 +43,46 @@ class SharedCacheLifecycleSpec extends SparkSpec {
     graft.queries.SessionCaches.releaseAll(spark)
   }
 
+  test("every cache-backed query + release leaves zero persisted blocks") {
+    // the four queries whose plans read session-cached frames: pagerank
+    // (edge list), ppl bucketing (score table), and the two dedup consumers
+    // (pair frame + CC labels) — after releaseAll, zero residency
+    for (q <- Seq("graph_pagerank", "text_ppl_bucket",
+        "dedup_canonical", "dedup_incremental"))
+      SparkEntry.queries(q)(spark, sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    graft.queries.SessionCaches.releaseAll(spark)
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.isEmpty,
+      s"persisted RDDs left after release: ${left.keySet.toSeq.sorted}")
+  }
+
+  test("content stamp: regenerating a dir in place forces a rebuild") {
+    import graft.queries.SessionFrameCache
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp_spec")
+    val f = dir.resolve("part-0.txt")
+    java.nio.file.Files.writeString(f, "v1")
+    var builds = 0
+    val cache = new SessionFrameCache(4)
+    def build() = cache.getOrBuild(spark, dir.toString) {
+      builds += 1
+      spark.read.textFile(f.toString).toDF("v")
+    }
+    val first = build()
+    assert(first.head().getString(0) == "v1" && builds == 1)
+    assert(build() eq first, "unchanged dir must serve the cached frame")
+    // regenerate the file at the same path (new size => new stamp even on
+    // coarse-mtime filesystems)
+    java.nio.file.Files.writeString(f, "v2-regenerated")
+    val rebuilt = build()
+    assert(builds == 2, "stamp change must trigger a rebuild")
+    assert(!(rebuilt eq first))
+    assert(rebuilt.head().getString(0) == "v2-regenerated",
+      "rebuilt frame must read the LIVE file, not stale blocks")
+    cache.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("shared CC labels: one components run feeds dedup_canonical, released clean") {
     import graft.queries.Extended
     val first = Extended.ccLabelsShared(spark, sf)
