@@ -42,18 +42,23 @@ object TextOps {
     * hashes (h_i = (h1 + i·h2) mod 2^60 from ONE md5 per shingle) folded to
     * 4 bands × 4 rows; two docs are near-dup candidates iff they share a
     * (band, bk). Single source for dedup_minhash_lsh (in-bucket pair
-    * expansion) and dedup_incremental (batch-vs-corpus semi join). Applies
+    * expansion) and dedup_incremental (windowed corpus-membership probe). Applies
     * the same hot-shingle df-cap as dedup_ngram_jaccard: a boilerplate
     * shingle in every doc drags every signature toward the same minima AND
     * its posting list is a skew key.
     */
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
     val md = md5(col("s"))
+    // NOT cached: the df-count pass and the signature pass each re-run this
+    // scan+md5 map. At corpus scale a per-shingle stream is terabytes —
+    // recomputing a map-only pass is the right trade (and locally, caching
+    // it was pure GC ballast: ~120 MB of deserialized rows pinned across
+    // every consumer, the likeliest driver of multi-second GC spikes in
+    // dedup_incremental's profiled reps).
     val hashed = shingles(s, d).select(
       col("doc_id"),
       conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
       (conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
-      .cache() // consumed by the df-count pass and the signature pass
     val hot = hashed.groupBy(col("h1")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleDfCap).select(col("h1"))
     val sh = hashed.join(broadcast(hot), Seq("h1"), "left_anti")
@@ -389,23 +394,31 @@ object TextOps {
     // already-ingested corpus without recomputing corpus-internal pairs —
     // the shape every continuously-fed training pipeline runs. A batch doc
     // is flagged exact_dup if its text fingerprint exists in the corpus,
-    // near_dup if any of its MinHash band keys does; both probes are
-    // LEFT SEMI joins (corpus side never moves to the output, no pair
-    // explosion at all), so the cost is |batch| probes against corpus-side
-    // hash sets regardless of corpus duplicate structure.
+    // near_dup if any of its MinHash band keys does. Both probes are ONE
+    // pass: a window keyed on the probe key (fp / band+bk) marks whether
+    // any corpus row shares it — one shuffle on the key, the same exchange
+    // a semi join would pay, but the signature aggregation upstream of the
+    // band stream runs ONCE instead of once per join side (the previous
+    // two-sided LEFT SEMI formulation recomputed the 16-min signature
+    // pass for both sides, the dominant cost of the query). Corpus rows
+    // never reach the output; partition sizes are bounded by per-key
+    // duplicate-cluster sizes, the same bound the semi join's build side
+    // had.
     "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100
       val isBatch = bucket < 10
+      val corpusHit = max(when(!col("b"), 1).otherwise(0))
       val fp = documents(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"), isBatch.as("b"))
-      val exact = fp.filter(col("b"))
-        .join(fp.filter(!col("b")).select(col("fp")), Seq("fp"), "left_semi")
+      val exact = fp
+        .withColumn("hit", corpusHit.over(Window.partitionBy(col("fp"))))
+        .filter(col("b") && col("hit") === 1)
         .select(col("doc_id")).distinct()
-      val bands = minhashBands(s, d).withColumn("b", isBatch)
-      val near = bands.filter(col("b"))
-        .join(bands.filter(!col("b")).select(col("band"), col("bk")), Seq("band", "bk"),
-          "left_semi")
+      val near = minhashBands(s, d).withColumn("b", isBatch)
+        .withColumn("hit", corpusHit.over(Window.partitionBy(col("band"), col("bk"))))
+        .filter(col("b") && col("hit") === 1)
         .select(col("doc_id")).distinct()
       exact.select(col("doc_id"), lit(1).as("k"))
         .union(near.select(col("doc_id"), lit(0).as("k")))

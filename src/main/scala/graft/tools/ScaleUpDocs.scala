@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for dedup-family profiling:
+  * `graft.tools.ScaleUpDocs <srcSfDir> <outDir> <k>` writes a documents
+  * table k× the source's row count.
+  *
+  * Replica 0 is the source verbatim; replica i > 0 rewrites every
+  * whitespace token with an `r<i>_` marker and offsets doc_ids by
+  * i·10^8. Marking every TOKEN (not appending a suffix to the doc) makes
+  * each replica's shingle space disjoint from every other replica's, so
+  * the duplicate-cluster STRUCTURE of the source corpus is preserved
+  * exactly, per replica: cluster count scales ×k while the cluster-size
+  * distribution — the thing that stresses LSH bucket widths and
+  * connected-components round counts — stays what the source had. A naive
+  * row-replicate would instead weld all k copies of every doc into one
+  * mega-clique and profile a corpus no pipeline ever sees.
+  */
+object ScaleUpDocs {
+  def main(args: Array[String]): Unit = {
+    val (src, out, k) = (args(0), args(1), args(2).toInt)
+    val spark = graft.Sessions.local(graft.Sessions.cpusOr("32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.tables.Tables.documents(spark, src)
+    val reps = (0 until k).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"wrote ${k}x documents to $out")
+    spark.stop()
+  }
+}
