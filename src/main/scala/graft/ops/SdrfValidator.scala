@@ -212,11 +212,22 @@ object SdrfValidator {
     if (df.limit(1).count() == 0)
       return Seq("ERROR: SDRF file contains a header but no data rows.")
 
-    val missing = required.filterNot(columnsLower.contains).map(c =>
+    // An SDRF legitimately repeats some columns (every real design carries
+    // several comment[modification parameters]); Spark's CSV reader
+    // de-duplicates repeated headers by appending the column index, so
+    // 'comment[modification parameters]14' IS the required column. A
+    // required name therefore matches exactly or with a bare numeric
+    // suffix.
+    def matches(req: String)(l: String): Boolean =
+      l == req || (l.startsWith(req) && l.drop(req.length).nonEmpty &&
+        l.drop(req.length).forall(_.isDigit))
+
+    val missing = required.filterNot(c => columnsLower.exists(matches(c))).map(c =>
       s"ERROR: Required column '$c' is missing from the SDRF file (template '$template').")
 
-    // empty-cell counts for every present required column, one aggregation
-    val present = required.filter(columnsLower.contains)
+    // empty-cell counts for every present required column (all duplicates
+    // of a repeated column included), one aggregation
+    val present = required.flatMap(c => columnsLower.filter(matches(c)))
     val emptyErrors =
       if (present.isEmpty) Nil
       else {

@@ -161,4 +161,60 @@ class SdrfValidatorSpec extends SparkSpec {
     val errors = SdrfValidator.validateTerms(spark, path)
     assert(errors.exists(e => e.contains("Phospho") && e.contains("Oxidation")), errors)
   }
+
+  // --- second-template breadth: synthesized DIA and TMT designs validate
+  //     with every ontology CURIE covered (zero OLS-divergence skips) ---
+
+  /** Every `AC=<prefix>:<id>` ontology CURIE in an SDRF file. */
+  private def curiesOf(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try "(?i)AC=([A-Za-z]+:[^;\\t\\n\\r]+)".r
+      .findAllMatchIn(src.mkString).map(_.group(1)).toSeq.distinct
+    finally src.close()
+  }
+
+  /** Zero-skip, mechanically: every CURIE is under a covered prefix (no
+    * log-and-skip path can fire) AND resolves in the bundled snapshot.
+    */
+  private def assertFullyCovered(path: String): Unit = {
+    val curies = curiesOf(path)
+    assert(curies.nonEmpty, s"fixture $path carries no ontology CURIEs")
+    curies.foreach { ac =>
+      val prefix = ac.split(":")(0).toUpperCase
+      assert(SdrfValidator.coveredOntologies.contains(prefix),
+        s"$ac would be skipped: ontology '$prefix' not covered")
+      assert(SdrfValidator.ontologySnapshot.contains(ac.toUpperCase),
+        s"$ac not in the bundled snapshot")
+    }
+  }
+
+  test("terms: synthesized DIA design — dia-acquisition-valid, zero uncovered skips") {
+    val path = resource("designs/synthetic_dia.sdrf.tsv")
+    for (t <- Seq("default", "ms-proteomics", "dia-acquisition"))
+      assert(SdrfValidator.validateTemplate(spark, path, t).isEmpty, t)
+    assertFullyCovered(path)
+  }
+
+  test("terms: synthesized TMT design — ms-proteomics-valid, zero uncovered skips") {
+    val path = resource("designs/synthetic_tmt.sdrf.tsv")
+    for (t <- Seq("default", "ms-proteomics"))
+      assert(SdrfValidator.validateTemplate(spark, path, t).isEmpty, t)
+    assertFullyCovered(path)
+    // plain-text TMT channel names (the PXD000001 convention) are not
+    // CURIEs and must not produce term errors or skips
+    assert(!curiesOf(path).exists(_.toUpperCase.startsWith("TMT")))
+  }
+
+  test("terms: DIA design with a bogus instrument accession fails template mode") {
+    val lines = {
+      val src = scala.io.Source.fromFile(
+        resource("designs/synthetic_dia.sdrf.tsv"), "UTF-8")
+      try src.getLines().toVector finally src.close()
+    }
+    val f = Files.createTempFile("dia_bogus", ".sdrf.tsv")
+    Files.writeString(f,
+      lines.map(_.replace("AC=MS:1003028", "AC=MS:8888888")).mkString("\n") + "\n")
+    val errors = SdrfValidator.validateTemplate(spark, f.toString, "dia-acquisition")
+    assert(errors.exists(e => e.contains("MS:8888888") && e.contains("not found")), errors)
+  }
 }
