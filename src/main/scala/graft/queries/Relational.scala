@@ -555,6 +555,27 @@ object Relational {
         .groupBy(col("n_name"))
         .agg((dmilSum(rev) / 10000.0).as("revenue"))
     }),
+
+    // Q5B: q5's join tree with its dominating customer⋈orders edge read
+    // from the bucketed layout — that edge plans as a zero-exchange
+    // SortMergeJoin (the bucketing shuffle was paid once at write time),
+    // demonstrating the layout composes through a deeper join tree:
+    // lineitem still shuffles on l_orderkey as it must, the dims still
+    // broadcast. Same oracle as q5 (the staged tables hold identical
+    // rows).
+    "q5b_bucketed_multijoin" -> ((s, d) => {
+      val (o, c) = bucketedOrdersCustomer(s, d)
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      s.table(c).hint("merge")
+        .join(s.table(o), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((dmilSum(rev) / 10000.0).as("revenue"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -720,6 +741,18 @@ object Relational {
       FROM agg
       QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 10""",
     "q5_multijoin" -> """
+      SELECT n_name,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name""",
+    // identical answer through the bucketed layout — the oracle doesn't
+    // (and shouldn't) know which physical layout produced it
+    "q5b_bucketed_multijoin" -> """
       SELECT n_name,
              sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
       FROM customer

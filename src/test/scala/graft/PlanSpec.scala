@@ -253,6 +253,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q5b_bucketed_multijoin: the customer⋈orders edge joins with zero exchanges") {
+    // the layout composes through q5's deeper join tree: the bucketed edge
+    // is a co-located SortMergeJoin (no exchange under either bucketed
+    // scan), lineitem shuffles on its join key as it must, dims broadcast
+    val p = plan("q5b_bucketed_multijoin")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
+    // exchanges: lineitem's join shuffle(s) + the final n_name agg — but
+    // NONE on custkey (the bucketed edge's key)
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      "bucketed edge shuffled anyway:\n" + p)
+  }
+
   test("a15_corr: all five moments partial-aggregate in one pass, one shuffle") {
     val p = plan("a15_corr")
     assert(p.contains("partial_sum"), p)
