@@ -36,7 +36,14 @@ object Bench {
     // r06 driver run read dedup_canonical at 3.28 s vs its 0.16 s steady
     // state for exactly this reason).
     try graft.queries.SessionCaches.prewarm(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch {
+      case t: Throwable =>
+        // keep benching, but say so: with cold shared stages the first
+        // consumer's min-of-3 silently re-absorbs the one-time builds —
+        // the exact artifact prewarm exists to eliminate
+        System.err.println(s"[bench] WARNING: prewarm failed (${t.getClass.getSimpleName}: " +
+          s"${t.getMessage}); shared-stage builds will land in timed reps")
+    }
 
     // Three CONSECUTIVE reps per query, min: back-to-back reps reach JIT/GC
     // steady state within a query (observed 6s → 0.9s → 0.65s settle on

@@ -79,23 +79,71 @@ object Relational {
     */
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
   private val stagedBucketTables = scala.collection.mutable.LinkedHashSet.empty[String]
+  // Crash insurance for the UUID naming: a JVM that dies before
+  // releaseAll would leak its uniquely-named warehouse dirs FOREVER (no
+  // later JVM ever reuses the name, so nothing overwrites them). Two
+  // reclaim paths: a shutdown hook removes this JVM's staged dirs on any
+  // orderly exit (ctrl-C included), and staging sweeps foreign-tag
+  // residue old enough (6 h) that no live bench/verify session can still
+  // be reading it — which also retires pre-UUID legacy orphans.
+  private val stagedBucketDirs = scala.collection.mutable.LinkedHashSet.empty[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Relational.synchronized {
+        stagedBucketDirs.foreach(p => try deleteTree(p) catch { case _: Throwable => () })
+      }, "graft-bucketed-staging-cleanup"))
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+
+  /** Remove bucketed-staging residue of DEAD runs: dirs matching the
+    * staging name pattern whose jvmTag is not ours and whose last
+    * modification is older than [[staleBucketMs]].
+    */
+  private val staleBucketMs = 6L * 3600 * 1000
+  private def sweepStaleBucketDirs(warehouse: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(warehouse)) return
+    // tagged dirs of other (dead) JVMs, plus untagged pre-UUID legacy names
+    val pat = ("^(?:orders|customer)_bck_[0-9a-f]{8}(?:_(?!" + jvmTag + ")[0-9a-f]{8})?$").r
+    val cutoff = System.currentTimeMillis() - staleBucketMs
+    val listing = java.nio.file.Files.list(warehouse)
+    try listing.iterator().asScala.foreach { p =>
+      val stale = pat.findFirstIn(p.getFileName.toString).isDefined &&
+        java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+      if (stale) try deleteTree(p) catch { case _: Throwable => () }
+    } finally listing.close()
+  }
 
   private def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val (o, c) = (s"orders_bck_${key}_$jvmTag", s"customer_bck_${key}_$jvmTag")
     synchronized {
+      val wh = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      if (!s.catalog.tableExists(o) || !s.catalog.tableExists(c))
+        sweepStaleBucketDirs(wh)
       if (!s.catalog.tableExists(o)) {
         orders(s, d).coalesce(1).write
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .mode("overwrite").saveAsTable(o)
         stagedBucketTables += o
+        stagedBucketDirs += wh.resolve(o)
       }
       if (!s.catalog.tableExists(c)) {
         customer(s, d).coalesce(1).write
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
           .mode("overwrite").saveAsTable(c)
         stagedBucketTables += c
+        stagedBucketDirs += wh.resolve(c)
       }
     }
     (o, c)
@@ -121,6 +169,7 @@ object Relational {
       try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () }
     }
     stagedBucketTables.clear()
+    stagedBucketDirs.clear() // DROP removed the managed dirs; nothing left for the hook
   }
 
   val queries: Map[String, Q] = Map(
@@ -150,8 +199,11 @@ object Relational {
     // MzmlManyFilesSpec pins at N=6), aggregated per run. On a cluster this
     // is the "1000 runs on 1000 cores" path: per-file parallelism with no
     // driver loop, map-side partial aggregation, one tiny 32-row shuffle.
-    // Not DuckDB-expressible (mzML source) → rows-only correctness check;
-    // the per-spectrum semantics are oracled via the fixture specs instead.
+    // DuckDB can't read mzML, but the synthesized runs are closed-form
+    // deterministic, so the oracle below is a VALUES literal computed from
+    // the generator's own arithmetic (MzmlSynth.expectedRunStats) — a full
+    // hash-match, not rows-only; per-spectrum semantics are additionally
+    // pinned by the fixture specs.
     "s1b_mzml_many_runs" -> ((s, d) => {
       val paths = graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
       graft.ops.MzmlStats.readSpectra(s, paths)

@@ -58,7 +58,31 @@ object SessionCaches {
   * is exactly the staleness a path-only cache key cannot see.
   */
 object ContentStamp {
+
+  /** Freshness memo: computing a stamp walks the directory, and doing
+    * that on EVERY cache hit would put a recursive listing inside every
+    * timed bench rep (and, against an object store, a LIST call per
+    * query). A short TTL keeps back-to-back hits metadata-free while an
+    * in-place regeneration — which takes orders of magnitude longer than
+    * the TTL — is still detected on the next use. The freshness contract
+    * is therefore "stale frames survive at most [[ttlMs]] after a
+    * regeneration", not "never observable".
+    */
+  private val ttlMs = 1000L
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]
+
   def of(dir: String): String = {
+    val now = System.currentTimeMillis()
+    val cached = memo.get(dir)
+    if (cached != null && now - cached._1 < ttlMs) cached._2
+    else {
+      val s = compute(dir)
+      memo.put(dir, (now, s))
+      s
+    }
+  }
+
+  private def compute(dir: String): String = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
     val listing =

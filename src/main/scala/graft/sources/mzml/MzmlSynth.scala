@@ -39,21 +39,28 @@ object MzmlSynth {
     def complete: Boolean =
       (1 to n).forall(r => Files.exists(dir.resolve(f"run$r%02d.mzML")))
     if (!complete) {
-      // a dir staged by THIS protocol is always complete (the rename is
-      // atomic); an incomplete one is a legacy/crashed remnant — clear it
-      if (Files.isDirectory(dir)) deleteTree(dir)
+      // Build the staging copy FIRST, then re-check the target right
+      // before the swap: a dir staged by this protocol is only ever
+      // observable complete (the rename is atomic), so the delete below
+      // can only ever hit a legacy/crashed remnant — never a complete dir
+      // a concurrent JVM just finished and is scanning (the delete-then-
+      // build order had exactly that window).
       val tmp = Files.createTempDirectory(
         Paths.get(sys.props("java.io.tmpdir")), "graft_mzml_stage_")
       (1 to n).foreach { r =>
         Files.writeString(tmp.resolve(f"run$r%02d.mzML"), runXml(r, spectraPerRun, peaks))
       }
-      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.DirectoryNotEmptyException |
-            _: java.nio.file.AccessDeniedException =>
-          // another JVM won the race with identical content — drop ours
-          deleteTree(tmp)
+      if (complete) deleteTree(tmp) // another JVM finished while we built
+      else {
+        if (Files.isDirectory(dir)) deleteTree(dir) // incomplete remnant
+        try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+              _: java.nio.file.DirectoryNotEmptyException |
+              _: java.nio.file.AccessDeniedException =>
+            // another JVM won the race with identical content — drop ours
+            deleteTree(tmp)
+        }
       }
     }
     (1 to n).map(r => dir.resolve(f"run$r%02d.mzML").toString)

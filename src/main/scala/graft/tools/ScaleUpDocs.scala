@@ -25,10 +25,15 @@ object ScaleUpDocs {
     val docs = graft.tables.Tables.documents(spark, src)
     val reps = (0 until k).map { i =>
       if (i == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+      else docs
+        .select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"),
+          col("lang"), col("source"))
+        // n_chars must describe the REWRITTEN text: dedup_canonical ranks
+        // cluster canonicals by it, so a stale copy would disagree with
+        // the actual lengths
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     reps.reduce(_ unionByName _)
       .repartition(32)

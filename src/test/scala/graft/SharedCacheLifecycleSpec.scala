@@ -72,8 +72,10 @@ class SharedCacheLifecycleSpec extends SparkSpec {
     assert(first.head().getString(0) == "v1" && builds == 1)
     assert(build() eq first, "unchanged dir must serve the cached frame")
     // regenerate the file at the same path (new size => new stamp even on
-    // coarse-mtime filesystems)
+    // coarse-mtime filesystems); stamps are memoized for ~1 s so cache
+    // HITS don't walk the directory — wait out the freshness window
     java.nio.file.Files.writeString(f, "v2-regenerated")
+    Thread.sleep(1200)
     val rebuilt = build()
     assert(builds == 2, "stamp change must trigger a rebuild")
     assert(!(rebuilt eq first))
