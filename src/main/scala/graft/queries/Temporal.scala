@@ -204,6 +204,34 @@ object Temporal {
             sum(col("n")).over(Window.partitionBy(col("event_type"))), 6).as("p"))
     }),
 
+    // Last-touch attribution: every purchase is credited to the user's
+    // most recent strictly-preceding non-purchase event type ('direct'
+    // when none exists) — the marketing-attribution read-out next to
+    // funnels and transitions. ONE corpus pass: the attributed channel is
+    // last(non-purchase type, ignoreNulls) over the SAME keyed
+    // (user_id, ts, event_id) window every other temporal operator rides
+    // (one user shuffle, per-task state bounded by a user's history, a
+    // total order under duplicate timestamps), then a |types|-bounded
+    // aggregate. Purchase values sum in integer CENTS — double sums are
+    // partition-order-dependent, the integer sum is exact and order-free.
+    "w7_attribution" -> ((s, d) => {
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("attr",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(wPrev))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("channel"), col("n_purchases"),
+          (col("cents") / 100.0).as("value_sum"))
+    }),
+
     "w5_retention" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
@@ -291,6 +319,19 @@ object Temporal {
       SELECT user_id, count(*) AS n_events,
              (max(us) - min(us)) / 1000000.0 AS duration_sec
       FROM sess GROUP BY user_id, sid""",
+    "w7_attribution" -> """
+      WITH w AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+        FROM events)
+      SELECT coalesce(attr, 'direct') AS channel,
+             count(*) AS n_purchases,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+      FROM w WHERE event_type = 'purchase'
+      GROUP BY 1""",
     "w5_retention" -> """
       WITH ev AS (SELECT DISTINCT user_id,
                          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

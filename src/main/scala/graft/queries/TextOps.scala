@@ -486,6 +486,68 @@ object TextOps {
         .select(col("doc_id"), col("term"), col("score"), col("rank"))
     }),
 
+    // BM25 query-by-example retrieval (Robertson/Spärck Jones Okapi
+    // ranking — the lexical-retrieval primitive behind contamination
+    // audits and hard-negative mining in training-data pipelines: "find
+    // the corpus documents most similar to this probe doc"). Probes are
+    // the deterministic md5 ~2% doc_id split — a stand-in for the BOUNDED
+    // query workload a retrieval system serves (the probe side never
+    // scales with the corpus); each probe's query is its tf-idf top-3
+    // terms, composing the oracled text_tfidf_topk operator. Scale shape:
+    // the query-term table (≤ 3·|probes| rows, with df + corpus stats
+    // attached) BROADCASTS onto the posting table, so the corpus side
+    // never shuffles for the probe join; candidate postings then join
+    // per-doc lengths by doc_id (AQE broadcasts the small matched side);
+    // per-term BM25 contributions are rounded to integer micro-units
+    // BEFORE the per-(probe, doc) sum — double addition is
+    // order-dependent across partitions, the integer sum is exact and
+    // order-free (the text_unigram_logprob discipline) — and the top-5
+    // per probe is a window KEYED by probe id (WindowGroupLimit prunes
+    // map-side; never a global sort), ranking on the exact integer score.
+    // k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + 0.5)/(df + 0.5));
+    // self-matches excluded.
+    "text_bm25_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = toks(s, d).select(col("doc_id"), explode(col("t")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // corpus constants as a 1-row frame (scalar aggregates, never an
+      // unpartitioned window): N docs and average doc length
+      val stats = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).as("tot")))
+        .select(col("n_docs"),
+          (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+      val probe = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < 2
+      val qterms = queries("text_tfidf_topk")(s, d)
+        .filter(probe).select(col("doc_id").as("q_doc"), col("term"))
+      // df rows for the query terms only (broadcast semi), then the full
+      // tiny query-side dim table: (q_doc, term, df, n_docs, avgdl)
+      val qdf = df.join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      val qmeta = qterms.join(broadcast(qdf), "term")
+        .crossJoin(broadcast(stats))
+      val matched = tf.join(broadcast(qmeta), "term")
+        .filter(col("doc_id") =!= col("q_doc"))
+        .join(dl, "doc_id")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfNorm = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val scored = matched
+        .select(col("q_doc"), col("doc_id"),
+          round(idf * tfNorm * lit(1000000)).cast("long").as("cu"))
+        .groupBy(col("q_doc"), col("doc_id")).agg(sum(col("cu")).as("su"))
+      val w5 = Window.partitionBy(col("q_doc"))
+        .orderBy(col("su").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w5))
+        .filter(col("rank") <= 5)
+        .select(col("q_doc"), col("doc_id"),
+          round(col("su").cast("double") / 1000000.0, 6).as("bm25"), col("rank"))
+    }),
+
     // Unigram-LM perplexity proxy (the KenLM-style quality filter every
     // pretraining pipeline runs: drop documents whose average token
     // negative-log-probability under a corpus LM is an outlier). The LM here
@@ -876,6 +938,36 @@ object TextOps {
                   AS INTEGER) AS rank
       FROM sc
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3""",
+    "text_bm25_topk" -> """
+      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                  FROM documents),
+      tok AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      st AS (SELECT n_docs, CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / n_docs AS avgdl
+             FROM n),
+      tfidf AS (SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+      q AS (SELECT doc_id AS q_doc, term FROM tfidf
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 2
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3),
+      cu AS (SELECT q.q_doc, tf.doc_id,
+                    CAST(round(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                         * ((tf.tf * 2.2)
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                         * 1000000) AS BIGINT) AS cu
+             FROM tf JOIN q USING (term) JOIN df USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+             WHERE tf.doc_id <> q.q_doc),
+      sc AS (SELECT q_doc, doc_id, CAST(sum(cu) AS BIGINT) AS su FROM cu GROUP BY 1, 2)
+      SELECT q_doc, doc_id, round(CAST(su AS DOUBLE) / 1000000.0, 6) AS bm25,
+             CAST(row_number() OVER (PARTITION BY q_doc ORDER BY su DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY q_doc ORDER BY su DESC, doc_id) <= 5""",
     "text_heavy_hitters" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),

@@ -282,6 +282,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("lead("), p)
   }
 
+  test("text_bm25_topk: probe metadata broadcasts onto postings; top-5 is a keyed window") {
+    // the corpus posting table must never shuffle for the probe join (the
+    // query-side dim table broadcasts), and the per-probe top-5 ranks in a
+    // window KEYED by q_doc — WindowGroupLimit prunes map-side, no global
+    // sort of the scored candidates
+    val p = plan("text_bm25_topk")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("hashpartitioning(q_doc"), p)
+  }
+
+  test("w7_attribution: one user-keyed corpus window, no global funnel") {
+    // the attribution pass shuffles once on user_id (the shared temporal
+    // key); the channel aggregate is |types|-bounded; nothing funnels the
+    // corpus through a single partition
+    val p = plan("w7_attribution")
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(countOf(p, "Exchange SinglePartition") == 0, p)
+  }
+
   test("dedup_exact_substring: span df via keyed window, exactly three exchanges") {
     // the rewrite's contract: map-side (doc, hash) collapse -> df window on
     // hash -> per-doc fold. Three keyed hash exchanges, no join, and the
@@ -337,6 +357,10 @@ class PlanSpec extends SparkSpec {
       // broadcast side is exactly one row, so the "nested loop" is a
       // linear annotate-with-constant pass (same shape as tfidf's n_docs)
       "text_heavy_hitters", "text_unigram_logprob",
+      // composes text_tfidf_topk (the 1-row n_docs annotate) and adds its
+      // own 1-row (n_docs, avgdl) scalar × the ≤3·|probes| query-term
+      // table — both constant-size; the posting-side join is broadcast-hash
+      "text_bm25_topk",
       // 1-row tercile-cutoff scalar × the per-doc score table
       "text_ppl_bucket",
       // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
