@@ -33,6 +33,7 @@ object SessionCaches {
     Extended.ccLabelsShared(s, d)
     Extended.pagerankEdgesShared(s, d)
     TextOps.unigramScoresShared(s, d)
+    TextOps.postingsShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
     ()
@@ -44,6 +45,7 @@ object SessionCaches {
     Extended.releaseCcLabels(s)
     Extended.releasePagerankEdges(s)
     TextOps.releaseUnigramScores(s)
+    TextOps.releasePostings(s)
     TextOps.releaseSharedPairs(s)
     Extended.releaseCcCheckpoints(s)
     Relational.releaseBucketedTables(s)

@@ -492,6 +492,68 @@ object Similarity {
           round(col("n_hits") / 5.0, 6).as("recall"))
     }),
 
+    // Product quantization + asymmetric distance (the Jégou et al. PQ
+    // design that makes billion-vector ANN storable: 64-dim vectors become
+    // 8 one-byte codes — one nearest-centroid id per 8-dim subspace — and
+    // query distances are computed code-side from a per-query lookup table
+    // without ever touching the full vectors). Codebook: per-subspace
+    // k=16 centroids trained by ONE Lloyd step (L2 assignment) from the
+    // deterministic vec_id<16 seed subvectors — the same
+    // train-don't-fixture discipline as sim_ivf_trained; production
+    // iterates the identical step to convergence (usually on a sample —
+    // here the step runs over the full corpus so the oracle can replay
+    // it). EVERYTHING ranks in exact integer arithmetic: coordinates in
+    // micro-units, L2² distances as BIGINT sums of squared differences,
+    // ADC totals as integer sums over the 8 subspaces — argmin and top-5
+    // have no floating-point boundary for engines to disagree on (only
+    // the Lloyd mean rounds, identically on both sides). Scale shape: the
+    // codebook (8×16×8 cells) and the per-probe LUT (|probes|·8·16 rows)
+    // broadcast; the only corpus-sized streams are the posexplode pass,
+    // the (vec, sub, code) assignment groupBys, and the 8-rows-per-vector
+    // code table the ADC join actually scans — the PQ storage win made
+    // visible in the plan.
+    "sim_pq_adc" -> ((s, d) => {
+      val xu = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .select(col("vec_id"), expr("dim div 8").as("sub"), (col("dim") % 8).as("wd"),
+          round(col("x") * 1000000).cast("long").as("xu"))
+      // nearest centroid per (vector, subspace) — exact integer L2², ties
+      // to the lower c_id; cents must carry (sub, wd, c_id, cu) and be
+      // codebook-bounded (it broadcasts)
+      def assign(cents: DataFrame): DataFrame = {
+        val wA = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("c_id"))
+        xu.join(broadcast(cents), Seq("sub", "wd"))
+          .groupBy(col("vec_id"), col("sub"), col("c_id"))
+          .agg(sum((col("xu") - col("cu")) * (col("xu") - col("cu"))).as("d2"))
+          .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+          .select(col("vec_id"), col("sub"), col("c_id"))
+      }
+      val seeds = xu.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu"))
+      // one Lloyd update: per-dimension means of each cluster's members,
+      // rounded back to micro-units (the single rounding in the pipeline)
+      val cents = assign(seeds).join(xu, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("c_id"), col("wd"))
+        .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+      val codes = assign(cents)
+      val lut = xu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
+        .join(broadcast(cents), Seq("sub", "wd"))
+        .groupBy(col("q_id"), col("sub"), col("c_id"))
+        .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("sub", "c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_u"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("adc_u").cast("double") / 1000000000000.0, 6).as("adc_d2"),
+          col("rank"))
+    }),
+
     // LSH bucketing: 16 deterministic md5-derived hyperplanes, signature =
     // sign bits. The portable plane rule (see planeMatrix) graduates this
     // from a rows-only check to a full hash-matched oracle. This is the plan
@@ -642,6 +704,38 @@ object Similarity {
       FROM c a JOIN c b ON a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
     "sim_ivf_topk" -> ivfTopkSql,
+    "sim_pq_adc" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      xu AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
+                    CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      seeds AS (SELECT vec_id AS c_id, sb, wd, xu AS cu FROM xu WHERE vec_id < 16),
+      a1d AS (SELECT x.vec_id, x.sb, s.c_id,
+                     sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
+              FROM xu x JOIN seeds s ON x.sb = s.sb AND x.wd = s.wd
+              GROUP BY 1, 2, 3),
+      a1 AS (SELECT vec_id, sb, c_id FROM a1d
+             QUALIFY row_number() OVER (PARTITION BY vec_id, sb ORDER BY d2, c_id) = 1),
+      cents AS (SELECT x.sb, a.c_id, x.wd,
+                       CAST(round(CAST(sum(x.xu) AS DOUBLE) / count(*)) AS BIGINT) AS cu
+                FROM a1 a JOIN xu x ON a.vec_id = x.vec_id AND a.sb = x.sb
+                GROUP BY 1, 2, 3),
+      cd AS (SELECT x.vec_id, x.sb, k.c_id,
+                    sum((x.xu - k.cu) * (x.xu - k.cu)) AS d2
+             FROM xu x JOIN cents k ON x.sb = k.sb AND x.wd = k.wd
+             GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, sb, c_id FROM cd
+                QUALIFY row_number() OVER (PARTITION BY vec_id, sb ORDER BY d2, c_id) = 1),
+      lut AS (SELECT vec_id AS q_id, sb, c_id, d2 FROM cd WHERE vec_id < 10),
+      adc AS (SELECT l.q_id, cds.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+              FROM codes cds JOIN lut l ON cds.sb = l.sb AND cds.c_id = l.c_id
+              WHERE cds.vec_id <> l.q_id
+              GROUP BY 1, 2)
+      SELECT q_id, vec_id,
+             round(CAST(adc_u AS DOUBLE) / 1000000000000.0, 6) AS adc_d2,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) AS INTEGER) AS rank
+      FROM adc
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 5""",
     "emb_covariance" -> """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       ex AS (SELECT vec_id, i - 1 AS di, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

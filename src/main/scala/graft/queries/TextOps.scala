@@ -108,6 +108,26 @@ object TextOps {
   /** Unpersist and drop every shared unigram-score frame of session `s`. */
   def releaseUnigramScores(s: SparkSession): Unit = sharedUnigramScores.release(s)
 
+  /** Session-scoped cache of the (doc_id, term, tf) posting table
+    * (lifecycle: [[SessionFrameCache]]). text_bm25_topk reads it from six
+    * plan positions (df, dl, probe query-term selection, the candidate
+    * match) — without the cache each reference re-runs the token explode
+    * and the (doc_id, term) shuffle, the query's dominant cost. The frame
+    * is |postings|-sized but column-pruned to three narrow columns; any
+    * retrieval/tf-idf pipeline stage in the same session starts from the
+    * same table.
+    */
+  private val sharedPostings = new SessionFrameCache(4)
+  def postingsShared(s: SparkSession, d: String): DataFrame =
+    sharedPostings.getOrBuild(s, d) {
+      toks(s, d).select(col("doc_id"), explode(col("t")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
+
+  /** Unpersist and drop every shared posting frame of session `s`. */
+  def releasePostings(s: SparkSession): Unit = sharedPostings.release(s)
+
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
     */
@@ -508,10 +528,11 @@ object TextOps {
     // self-matches excluded.
     "text_bm25_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tok = toks(s, d).select(col("doc_id"), explode(col("t")).as("term"))
-        .filter(length(col("term")) > 0)
-      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // ONE posting pass feeds everything: tf is the only token-explode
+      // shuffle; df, dl (= Σtf per doc) and the probes' tf-idf top-3
+      // query-term selection all derive from it — no second corpus scan
+      val tf = postingsShared(s, d)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       // corpus constants as a 1-row frame (scalar aggregates, never an
       // unpartitioned window): N docs and average doc length
@@ -521,8 +542,18 @@ object TextOps {
           (col("tot").cast("double") / col("n_docs")).as("avgdl"))
       val probe = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100 < 2
-      val qterms = queries("text_tfidf_topk")(s, d)
-        .filter(probe).select(col("doc_id").as("q_doc"), col("term"))
+      // the probes' query terms: tf-idf top-3 per probe doc, the IDENTICAL
+      // score/rank rule as text_tfidf_topk, evaluated on the probe slice of
+      // the SAME tf/df frames instead of re-running the whole operator
+      val wQ = Window.partitionBy(col("q_doc"))
+        .orderBy(col("score").desc, col("term"))
+      val qterms = tf.filter(probe)
+        .join(df, "term").crossJoin(broadcast(stats))
+        .select(col("doc_id").as("q_doc"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("score"))
+        .withColumn("qr", row_number().over(wQ)).filter(col("qr") <= 3)
+        .select(col("q_doc"), col("term"))
       // df rows for the query terms only (broadcast semi), then the full
       // tiny query-side dim table: (q_doc, term, df, n_docs, avgdl)
       val qdf = df.join(broadcast(qterms.select(col("term")).distinct()),

@@ -293,6 +293,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(q_doc"), p)
   }
 
+  test("sim_pq_adc: codebook and LUT broadcast; every join equi-keyed; ADC window keyed") {
+    // PQ's scale contract: the 8×16×8-cell codebook and the per-probe
+    // lookup table broadcast (the corpus never shuffles for either), every
+    // join is equi-keyed (no nested loop anywhere — distances are grouped
+    // sums, not pairwise expressions), and the top-5 ranks in a window
+    // keyed by the probe id
+    val p = plan("sim_pq_adc")
+    assert(countOf(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(q_id"), p)
+  }
+
   test("w7_attribution: one user-keyed corpus window, no global funnel") {
     // the attribution pass shuffles once on user_id (the shared temporal
     // key); the channel aggregate is |types|-bounded; nothing funnels the
