@@ -554,6 +554,35 @@ object Similarity {
           col("rank"))
     }),
 
+    // PQ recall audit: ADC top-5 vs the EXACT integer-L2² top-5 (brute
+    // force over the 10-probe broadcast — the same declared-baseline shape
+    // as sim_cosine_topk). Both sides rank in exact BIGINT arithmetic, so
+    // recall measures quantization loss alone, never float noise. The
+    // production promotion decision ("are 8-byte codes good enough?")
+    // reads exactly this table.
+    "sim_pq_recall" -> ((s, d) => {
+      val vu = fanOut(embeddings(s, d), s).select(col("vec_id"),
+        transform(asDouble(col("embedding")),
+          x => round(x * 1000000).cast("long")).as("vu"))
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val d2 = aggregate(
+        zip_with(col("qu"), col("vu"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+      val exact = vu.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = queries("sim_pq_adc")(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / 5.0, 6).as("recall"))
+    }),
+
     // LSH bucketing: 16 deterministic md5-derived hyperplanes, signature =
     // sign bits. The portable plane rule (see planeMatrix) graduates this
     // from a rows-only check to a full hash-matched oracle. This is the plan
@@ -675,36 +704,12 @@ object Similarity {
       FROM scored
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5"""
 
-  val oracle: Map[String, String] = Map(
-    "arr_stats" -> """
-      SELECT vec_id,
-             round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
-             round(list_sum(embedding::DOUBLE[]), 6) AS vsum,
-             CAST(len(embedding) AS INTEGER) AS dim
-      FROM embeddings""",
-    "arr_l2_norm" -> """
-      SELECT vec_id,
-             round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
-      FROM embeddings""",
-    "sim_cosine_topk" -> cosineTopkSql,
-    "sim_knn_label" -> s"""
-      WITH knn AS ($cosineTopkSql),
-      votes AS (SELECT q_id, label, count(*) AS n
-                FROM knn JOIN embeddings e ON knn.vec_id = e.vec_id
-                GROUP BY 1, 2)
-      SELECT q_id, label AS knn_label, n AS n_votes FROM votes
-      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1""",
-    "dedup_embed_cosine" -> """
-      WITH c AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        FROM embeddings)
-      SELECT a.vec_id AS da, b.vec_id AS db,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
-      FROM c a JOIN c b ON a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
-    "sim_ivf_topk" -> ivfTopkSql,
-    "sim_pq_adc" -> """
+  /** Canonical DuckDB SQL replaying the full PQ pipeline (seed assignment
+    * → one Lloyd update → encode → ADC top-5) in the same exact integer
+    * arithmetic — single source for sim_pq_adc AND the approximate side of
+    * sim_pq_recall.
+    */
+  private val pqAdcSql: String = """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       xu AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
                     CAST(round(v[i] * 1000000) AS BIGINT) AS xu
@@ -735,7 +740,54 @@ object Similarity {
              round(CAST(adc_u AS DOUBLE) / 1000000000000.0, 6) AS adc_d2,
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) AS INTEGER) AS rank
       FROM adc
-      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 5""",
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 5"""
+
+  val oracle: Map[String, String] = Map(
+    "arr_stats" -> """
+      SELECT vec_id,
+             round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+             round(list_sum(embedding::DOUBLE[]), 6) AS vsum,
+             CAST(len(embedding) AS INTEGER) AS dim
+      FROM embeddings""",
+    "arr_l2_norm" -> """
+      SELECT vec_id,
+             round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+      FROM embeddings""",
+    "sim_cosine_topk" -> cosineTopkSql,
+    "sim_knn_label" -> s"""
+      WITH knn AS ($cosineTopkSql),
+      votes AS (SELECT q_id, label, count(*) AS n
+                FROM knn JOIN embeddings e ON knn.vec_id = e.vec_id
+                GROUP BY 1, 2)
+      SELECT q_id, label AS knn_label, n AS n_votes FROM votes
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1""",
+    "dedup_embed_cosine" -> """
+      WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS da, b.vec_id AS db,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
+    "sim_ivf_topk" -> ivfTopkSql,
+    "sim_pq_adc" -> pqAdcSql,
+    "sim_pq_recall" -> s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      ex AS (SELECT p.vec_id AS q_id, b.vec_id,
+                    sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+             FROM vu p JOIN vu b ON p.dim = b.dim
+             WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+             GROUP BY 1, 2),
+      x AS (SELECT q_id, vec_id FROM ex
+            QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5),
+      a AS (SELECT q_id, vec_id FROM ($pqAdcSql))
+      SELECT x.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             round(count(a.vec_id) / 5.0, 6) AS recall
+      FROM x LEFT JOIN a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY x.q_id""",
     "emb_covariance" -> """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       ex AS (SELECT vec_id, i - 1 AS di, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

@@ -363,6 +363,10 @@ class PlanSpec extends SparkSpec {
       // IVF/k-means shape
       "sim_ivf_topk", "sim_kmeans_update", "sim_ivf_trained",
       "sim_ivf_recall", // composes the two baselines above; the join it ADDS is equi-key
+      // the exact-L2 ground truth is the same broadcast 10-probe
+      // brute-force baseline shape as sim_cosine_topk; the ADC side it
+      // audits is all equi-joins
+      "sim_pq_recall",
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",
