@@ -148,6 +148,30 @@ object TextOps {
         length(col("text")).as("len_chars"))
     }),
 
+    // Sliding-window chunking (the RAG / long-context preprocessing step:
+    // split every document into 128-token windows at stride 64 so each
+    // chunk shares half its tokens with its neighbor, keeping retrieval
+    // context at window boundaries). Each chunk carries its md5-derived
+    // 60-bit content hash — the id a chunk-level index or dedup pass keys
+    // on. Pure per-row work: filter empties, explode the start offsets,
+    // slice, hash — zero shuffles, fully codegen-compatible, the plan
+    // shape that chunks 100 TB at scan speed.
+    "text_chunk_windows" -> ((s, d) => {
+      val t = filter(split(trim(col("text")), "\\s+"), x => length(x) > 0)
+      fanOut(documents(s, d), s)
+        .select(col("doc_id"), t.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(64))).as("s"))
+        .select(
+          col("doc_id"),
+          (col("s") / 64).cast("int").as("chunk_idx"),
+          least(lit(128), size(col("t")) - col("s")).as("n_tokens"),
+          conv(substring(md5(concat_ws(" ",
+            slice(col("t"), col("s") + 1, lit(128)))), 1, 15), 16, 10)
+            .cast("long").as("chunk_hash"))
+    }),
+
     // BPE-style subword token estimate: the pre-tokenization regex every
     // byte-pair tokenizer applies before merges (letter runs | digit runs |
     // single punctuation marks — the portable subset of the GPT-2 pattern,
@@ -873,6 +897,19 @@ object TextOps {
       SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
              CAST(length(text) AS INTEGER) AS len_chars
       FROM documents""",
+    "text_chunk_windows" -> """
+      WITH tk AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> length(x) > 0) AS t
+                  FROM documents),
+      st AS (SELECT doc_id, t, unnest(range(0, len(t), 64)) AS s
+             FROM tk WHERE len(t) > 0)
+      SELECT doc_id,
+             CAST(s // 64 AS INTEGER) AS chunk_idx,
+             CAST(least(128, len(t) - s) AS INTEGER) AS n_tokens,
+             ('0x' || substr(md5(array_to_string(t[s+1:s+128], ' ')), 1, 15))::BIGINT
+               AS chunk_hash
+      FROM st""",
     "text_token_count_bpe" -> """
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)

@@ -293,6 +293,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(q_doc"), p)
   }
 
+  test("text_chunk_windows: pure per-row chunking — zero shuffles") {
+    // chunking must run at scan speed: filter + offset explode + slice +
+    // hash are all per-row; any exchange would mean a refactor broke the
+    // map-only shape
+    val p = plan("text_chunk_windows")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("sim_pq_adc: codebook and LUT broadcast; every join equi-keyed; ADC window keyed") {
     // PQ's scale contract: the 8×16×8-cell codebook and the per-probe
     // lookup table broadcast (the corpus never shuffles for either), every
