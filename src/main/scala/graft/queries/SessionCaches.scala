@@ -34,6 +34,7 @@ object SessionCaches {
     Extended.pagerankEdgesShared(s, d)
     TextOps.unigramScoresShared(s, d)
     TextOps.postingsShared(s, d)
+    Similarity.pqCodebookShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
     ()
@@ -47,6 +48,7 @@ object SessionCaches {
     TextOps.releaseUnigramScores(s)
     TextOps.releasePostings(s)
     TextOps.releaseSharedPairs(s)
+    Similarity.releasePqCodebook(s)
     Extended.releaseCcCheckpoints(s)
     Relational.releaseBucketedTables(s)
     s.catalog.clearCache()
