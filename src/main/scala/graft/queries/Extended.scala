@@ -33,6 +33,26 @@ object Extended {
           col("n"), col("sum_qty"))
     }),
 
+    // A12b: CUBE — rollup's sibling grouping-sets expansion: all FOUR
+    // granularities ((flag,status), (flag), (status), ()) from one pass.
+    // Same single-shuffle execution as rollup (Spark expands the grouping
+    // sets inside the Expand operator before the exchange, so each input
+    // row fans to its 4 grouping-set replicas map-side and the aggregate
+    // stays partial+final — never a union of re-scans). The (status)-only
+    // slice is the one rollup can't produce. Same non-null-key caveat as
+    // a12_rollup.
+    "a12b_cube" -> ((s, d) => {
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+    }),
+
     // A13: exact interpolated percentiles per group (Spark `percentile` ==
     // DuckDB `quantile_cont`). Memory note at scale: exact percentile
     // buffers each group's values on one reducer — for the 100 TB path use
@@ -271,6 +291,31 @@ object Extended {
       }
       ranks.select(col("node").as("doc_id"),
         round(col("r").cast("double") / 1000000.0, 6).as("pagerank"))
+    }),
+
+    // Triangle participation over the near-dup candidate graph — the
+    // local-clustering signal that separates a dense duplicate clique
+    // (template boilerplate, mirrored sites) from a chain of borderline
+    // pairs: CC alone can't tell them apart, triangles can. Edges come
+    // from the SAME session-shared MinHash pair frame every other graph
+    // operator rides, already oriented da < db, so the classic ordered
+    // triple join (a<b<c counts each triangle exactly once) needs no
+    // orientation pass. The pair frame is the near-dup OUTPUT — orders of
+    // magnitude smaller than the corpus — and AQE broadcasts it under the
+    // threshold; at web scale the same two joins run as shuffle joins
+    // keyed on the shared vertex, the standard distributed triangle
+    // enumeration (degree-split optimizations only matter once a skewed
+    // hub vertex appears, which the df-cap upstream already suppresses).
+    "graph_triangles" -> ((s, d) => {
+      val p = TextOps.minhashPairsShared(s, d)
+      val tri = p.select(col("da").as("a"), col("db").as("b"))
+        .join(p.select(col("da").as("b2"), col("db").as("c")),
+          col("b") === col("b2"))
+        .join(p.select(col("da").as("a3"), col("db").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
     }),
 
     // Temperature-based mixing weights (α = 0.5, the multilingual-LM
@@ -727,6 +772,12 @@ object Extended {
              count(*) AS n,
              sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a12b_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             count(*) AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "a13_percentile" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
@@ -773,6 +824,16 @@ object Extended {
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
       SELECT node AS doc_id, min(lbl) AS cluster_id
       FROM reach GROUP BY node""",
+    "graph_triangles" -> s"""
+      WITH pairs AS (${TextOps.minhashPairsSql}),
+      tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c
+              FROM pairs p1
+              JOIN pairs p2 ON p2.da = p1.db
+              JOIN pairs p3 ON p3.da = p1.da AND p3.db = p2.db),
+      m AS (SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      SELECT doc_id, count(*) AS n_tri FROM m GROUP BY doc_id""",
     "dedup_canonical" -> s"""
       WITH RECURSIVE pairs AS (${TextOps.minhashPairsSql}),
       edges AS (SELECT da AS src, db AS dst FROM pairs

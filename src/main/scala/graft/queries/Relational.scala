@@ -477,6 +477,48 @@ object Relational {
       top.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
     }),
 
+    // O4: ntile + percent_rank — the rank-family completion next to
+    // o1 (global rank), o2 (head-of-group) and o3 (top-k). Both windows
+    // ride ONE per-group total order ((price, orderkey, linenumber) —
+    // ntile is order-dependent under ties, so the tiebreak is part of the
+    // semantics), then the per-row frame collapses to the 6×4 quartile
+    // summary. Scale note: an exact per-group ntile sorts each group on
+    // one reducer — fine for bounded groups like these few flags; for a
+    // high-cardinality rank at 100 TB the mergeable-sketch path is
+    // a13b_percentile_approx's bucketing, not a bigger window.
+    "o4_ntile_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("q", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          round(max(col("pr")), 6).as("max_pr"))
+    }),
+
+    // P13: pivot / wide conditional aggregation — long-to-wide reshape
+    // over a FIXED value set (the values are declared, so the schema is
+    // static and no discovery pass runs; an undeclared pivot costs an
+    // extra distinct scan and makes the schema data-dependent — the 100 TB
+    // anti-pattern). Spark compiles the declared pivot to one hash
+    // aggregate with a conditional-sum per value — identical execution to
+    // the FILTER-clause SQL the oracle spells out, one shuffle, no joins.
+    "p13_pivot_wide" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg((centsSum(col("l_quantity")) / 100.0))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"),
+          coalesce(col("P"), lit(0.0)).as("qty_p"))
+    }),
+
     // F1/F2: regex extract with cast (ref: scan-id extraction, openms.py:4-24)
     "f1_regex_extract" -> ((s, d) => {
       events(s, d)
@@ -727,6 +769,28 @@ object Relational {
         SELECT l_orderkey, l_linenumber, l_extendedprice,
                CAST(row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rank
         FROM lineitem) WHERE rank <= 100""",
+    "o4_ntile_quartiles" -> """
+      WITH w AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(ntile(4) OVER win AS INTEGER) AS q,
+               percent_rank() OVER win AS pr
+        FROM lineitem
+        WINDOW win AS (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+      SELECT l_returnflag, q, count(*) AS n,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             round(max(pr), 6) AS max_pr
+      FROM w GROUP BY l_returnflag, q""",
+    "p13_pivot_wide" -> """
+      SELECT l_returnflag,
+             coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT))
+               FILTER (WHERE l_linestatus = 'F'), 0) / 100.0 AS qty_f,
+             coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT))
+               FILTER (WHERE l_linestatus = 'O'), 0) / 100.0 AS qty_o,
+             coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT))
+               FILTER (WHERE l_linestatus = 'P'), 0) / 100.0 AS qty_p
+      FROM lineitem GROUP BY l_returnflag""",
     "f1_regex_extract" -> """
       SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k FROM events""",
     "f4_true_stem" -> """

@@ -232,6 +232,47 @@ object Temporal {
           (col("cents") / 100.0).as("value_sum"))
     }),
 
+    // Linear (even-credit) multi-touch attribution — w7's complement:
+    // instead of the last touch taking everything, each purchase's value
+    // splits evenly across ALL touches on the user's path since the
+    // previous purchase ('direct' when the path is empty). Paths are
+    // delimited with ONE reverse-cumulative window on the same keyed
+    // (user_id, ts, event_id) order (conv = purchases at-or-after the row:
+    // every row shares conv with the purchase that closes its path; rows
+    // after the last purchase get conv=0 and drop). Credit arithmetic
+    // happens ONCE per (path, channel) in integer micro-units — the
+    // per-channel totals are integer sums, addition-order-free at any
+    // parallelism, and the oracle repeats the identical expression tree.
+    "w8_position_attribution" -> ((s, d) => {
+      val wRev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("conv",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wRev))
+        .filter(col("conv") > 0)
+      val paths = ev.groupBy(col("user_id"), col("conv"))
+        .agg(
+          sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("k"),
+          max(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))).as("vcents"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("conv"), col("event_type"))
+        .agg(count(lit(1)).as("n_ch"))
+      val credited = touches.join(paths, Seq("user_id", "conv"))
+        .select(col("event_type").as("channel"),
+          round(col("vcents") * 10000.0 * col("n_ch") / col("k"))
+            .cast("long").as("micros"))
+        .union(paths.filter(col("k") === 0)
+          .select(lit("direct").as("channel"),
+            (col("vcents") * lit(10000L)).as("micros")))
+      credited.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_paths"),
+          (sum(col("micros")) / 1000000.0).as("credit"))
+    }),
+
     "w5_retention" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
@@ -332,6 +373,32 @@ object Temporal {
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM w WHERE event_type = 'purchase'
       GROUP BY 1""",
+    "w8_position_attribution" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv
+        FROM events),
+      pe AS (SELECT * FROM ev WHERE conv > 0),
+      paths AS (
+        SELECT user_id, conv,
+               sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS k,
+               max(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END) AS vcents
+        FROM pe GROUP BY 1, 2),
+      touches AS (
+        SELECT user_id, conv, event_type AS channel, count(*) AS n_ch
+        FROM pe WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
+      cr AS (
+        SELECT t.channel,
+               CAST(round(p.vcents * 10000.0 * t.n_ch / p.k) AS BIGINT) AS micros
+        FROM touches t JOIN paths p ON t.user_id = p.user_id AND t.conv = p.conv
+        UNION ALL
+        SELECT 'direct' AS channel, vcents * 10000 AS micros
+        FROM paths WHERE k = 0)
+      SELECT channel, count(*) AS n_paths, sum(micros) / 1000000.0 AS credit
+      FROM cr GROUP BY channel""",
     "w5_retention" -> """
       WITH ev AS (SELECT DISTINCT user_id,
                          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -221,6 +221,32 @@ object TextOps {
           .as("fingerprint"))
     }),
 
+    // N-gram novelty — the memorization/contamination proxy scored per
+    // document: the fraction of a doc's distinct 4-gram shingles that
+    // appear in NO other document (corpus df == 1). Two combine-friendly
+    // keyed aggregations (per-shingle df with the df==1 owner carried in
+    // the same pass, per-doc totals) and one doc-keyed join of two doc-
+    // sized frames — the posting list itself is never expanded or joined
+    // back, so a boilerplate shingle with df in the millions costs one
+    // partially-aggregated counter, not a skewed reducer. Deliberately
+    // UNCAPPED (unlike the jaccard/minhash pair path): a hot shingle is
+    // by definition not novel, and df is computed without touching pairs.
+    "text_ngram_novelty" -> ((s, d) => {
+      val sh = shingles(s, d).select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      val dfs = sh.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+      val novel = dfs.filter(col("df") === 1)
+        .groupBy(col("only_doc")).agg(count(lit(1)).as("n_novel"))
+        .withColumnRenamed("only_doc", "doc_id")
+      val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      tot.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)) / col("n_shingles"), 6)
+            .as("novelty"))
+    }),
+
     // Repetition ratio (the Gopher-family duplicate-bigram quality rule):
     // 1 − distinct(bigrams)/|bigrams| per doc — high values mean looping /
     // boilerplate text a training pipeline drops. Pure per-row HOF math
@@ -928,6 +954,21 @@ object TextOps {
                    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS avg_token_len
       FROM documents""",
     "text_lang_id" -> graft.functions.LangId.langIdSql,
+    // Same toks/sh0/sh_all shingle-hash chain as ngramJaccardSql, WITHOUT
+    // the df-cap: novelty counts every shingle (see the query's comment).
+    "text_ngram_novelty" -> """
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+      dfs AS (SELECT h, count(*) AS df, min(doc_id) AS only_doc FROM sh GROUP BY h),
+      novel AS (SELECT only_doc AS doc_id, count(*) AS n_novel
+                FROM dfs WHERE df = 1 GROUP BY 1),
+      tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles,
+             coalesce(n.n_novel, 0) AS n_novel,
+             round(coalesce(n.n_novel, 0) / t.n_shingles, 6) AS novelty
+      FROM tot t LEFT JOIN novel n ON t.doc_id = n.doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""",

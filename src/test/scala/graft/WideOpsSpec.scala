@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-7 widening batch (cube, triangles, ntile,
+  * pivot, linear attribution, n-gram novelty) — cross-query properties and
+  * synthetic-fixture semantics the per-query DuckDB hash-match can't
+  * express.
+  */
+class WideOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("a12b_cube contains rollup's rows plus the status-only slice") {
+    val cube = q("a12b_cube").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val rollup = q("a12_rollup").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // every rollup granularity appears in the cube with identical values
+    rollup.foreach { case (k, v) =>
+      assert(cube.get(k).contains(v), s"rollup row $k -> $v missing from cube")
+    }
+    // the (status)-only slice is the one rollup can't produce, and its
+    // counts must sum to the grand total
+    val statusOnly = cube.filter { case ((f, st), _) => f == "ALL" && st != "ALL" }
+    assert(statusOnly.nonEmpty, "cube produced no status-only slice")
+    assert(statusOnly.values.map(_._1).sum == cube(("ALL", "ALL"))._1)
+  }
+
+  test("graph_triangles matches brute-force triangle enumeration of the pair set") {
+    val pairs = q("dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, b) <- pairs; (b2, c) <- pairs if b2 == b && pairs.contains((a, c))
+    } yield Seq(a, b, c)).toSeq.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("graph_triangles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.nonEmpty, "fixture graph has no triangles — test is vacuous")
+  }
+
+  test("o4_ntile_quartiles: balanced tiles, full coverage, monotone boundaries") {
+    val rows = q("o4_ntile_quartiles").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val flags = rows.keys.map(_._1).toSeq.distinct
+    assert(flags.nonEmpty)
+    flags.foreach { f =>
+      val tiles = (1 to 4).map(i => rows((f, i)))
+      // ntile balance: sizes differ by at most one
+      val sizes = tiles.map(_._1)
+      assert(sizes.max - sizes.min <= 1, s"$f tile sizes $sizes")
+      // the price ranges of successive quartiles never overlap backwards
+      tiles.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(lo._3 <= hi._2 + 1e-9, s"$f quartile ranges out of order")
+      }
+      // the last tile's max percent_rank is exactly 1
+      assert(tiles.last._4 == 1.0)
+    }
+  }
+
+  test("p13_pivot_wide columns sum to the unpivoted per-flag total") {
+    import graft.tables.Tables._
+    val wide = q("p13_pivot_wide").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1) + r.getDouble(2) + r.getDouble(3))).toMap
+    val total = lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wide.keySet == total.keySet)
+    wide.foreach { case (f, s) =>
+      assert(math.abs(s - total(f)) < 1e-6, s"$f: pivot sum $s != total ${total(f)}")
+    }
+  }
+
+  test("w8_position_attribution conserves purchase value across channels") {
+    // linear credit re-distributes w7's mass, it must not create or lose
+    // any: Σ channel credit == Σ attributed purchase value, to micro-unit
+    // rounding (each path rounds once per participating channel).
+    val w8 = q("w8_position_attribution").collect()
+    val credit = w8.map(_.getDouble(2)).sum
+    val nPaths = w8.map(_.getLong(1)).sum
+    val w7 = q("w7_attribution").collect()
+    val value = w7.map(_.getDouble(2)).sum
+    assert(w7.map(_.getLong(1)).sum > 0)
+    // rounding bound: one half-micro (5e-7) per credited (path, channel) row
+    assert(math.abs(credit - value) < 1e-6 * nPaths + 1e-6,
+      s"credit $credit vs purchase value $value over $nPaths credited rows")
+  }
+
+  test("w8 splits evenly on a synthetic two-touch path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w8").toString
+    // u1: view, click, purchase(10.00)  -> 5.00 each to view and click
+    // u2: purchase(4.00) with no touches -> 4.00 to direct
+    Seq(
+      (1L, 1L, 1000L, "view", 0.0), (1L, 2L, 2000L, "click", 0.0),
+      (1L, 3L, 3000L, "purchase", 10.0), (2L, 4L, 1000L, "purchase", 4.0))
+      .toDF("user_id", "event_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("w8_position_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "view" -> (1L, 5.0), "click" -> (1L, 5.0), "direct" -> (1L, 4.0)), got.toString)
+  }
+
+  test("text_ngram_novelty: duplicated docs score 0, unique docs score 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, shared), (2L, shared), // exact twins: every shingle has df >= 2
+      (3L, "one two three four five six seven")) // disjoint: df == 1 shingles only
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0), got.toString)
+    // and on the real corpus the score is a well-formed ratio
+    val real = q("text_ngram_novelty")
+      .agg(min(col("novelty")).as("lo"), max(col("novelty")).as("hi"),
+        sum((col("n_novel") > col("n_shingles")).cast("int")).as("bad")).head()
+    assert(real.getDouble(0) >= 0.0 && real.getDouble(1) <= 1.0 && real.getLong(2) == 0L)
+  }
+}
