@@ -56,6 +56,64 @@ object Relational {
     dir
   }
 
+  /** (user_id, ts) extrema of the events table — the rescale constants both
+    * the Z-order staging and the s12 query's cell enumeration derive their
+    * grid from. One column-pruned scan collecting FOUR longs; at warehouse
+    * scale these come from table-level statistics instead of a scan, and
+    * the grid constants are part of the layout's metadata.
+    */
+  private def zorderBounds(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val r = events(s, d).agg(
+      min(col("user_id")), max(col("user_id")),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Scale `v` in [lo, hi] to a 4-bit grid index 0..15 (monotone, exact
+    * integer arithmetic — the same `div` both the staging expression and
+    * the query-side cell enumeration use).
+    */
+  private def zbucket(v: Long, lo: Long, hi: Long): Int =
+    (((v - lo) * 16) / (hi - lo + 1)).toInt
+
+  /** Interleave two 4-bit grid indices into the 8-bit Z-value (Morton
+    * code): user bits land on odd positions, time bits on even, so a range
+    * box on EITHER dimension maps to a bounded set of z-cells.
+    */
+  private def zinterleave(ub: Int, tb: Int): Int =
+    (0 until 4).map(i => (((ub >> i) & 1) << (2 * i + 1)) | (((tb >> i) & 1) << (2 * i))).sum
+
+  /** Stage-once events copy CLUSTERED BY Z-ORDER of (user_id, ts) — the
+    * multi-dimensional layout lever next to partitionBy (s11, one
+    * dimension) and bucketBy (q3b/q5b, join co-location): each 8-bit
+    * Morton cell becomes a partition directory, so a BOX predicate over
+    * BOTH dimensions prunes to the cells its corners span at planning
+    * time — the Delta/Iceberg `OPTIMIZE ZORDER BY` layout, expressed with
+    * stock Spark partitioned writes. Same content-fingerprint staging key
+    * as [[partitionedEventsDir]] (regenerated data can never serve a stale
+    * layout); ts is stored as plain micros so partition dirs stay
+    * timestamp-logic-free.
+    */
+  private def zorderedEventsDir(s: SparkSession, d: String): String = {
+    val key = ContentStamp.of(
+      java.nio.file.Paths.get(d, "events.parquet").toString)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_events_zorder_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      val (umin, umax, tmin, tmax) = zorderBounds(s, d)
+      val ub = expr(s"((user_id - $umin) * 16) div ${umax - umin + 1}")
+      val tb = expr(s"((ts - $tmin) * 16) div ${tmax - tmin + 1}")
+      val zcell = (0 until 4).map(i =>
+        shiftleft(shiftright(ub, i).bitwiseAND(lit(1)), 2 * i + 1) +
+          shiftleft(shiftright(tb, i).bitwiseAND(lit(1)), 2 * i))
+        .reduce(_ + _)
+      events(s, d)
+        .withColumn("ts", unix_micros(col("ts")))
+        .withColumn("zcell", zcell.cast("int"))
+        .write.partitionBy("zcell").mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Stage-once (per session) bucketed `orders`/`customer` tables for the
     * q3b co-located join: both sides written `bucketBy(8, custkey)` +
     * per-bucket sorted, so every subsequent orders⋈customer join reads the
@@ -156,6 +214,7 @@ object Relational {
     */
   def prewarmStagedLayouts(s: SparkSession, d: String): Unit = {
     partitionedEventsDir(s, d)
+    zorderedEventsDir(s, d)
     bucketedOrdersCustomer(s, d)
     ()
   }
@@ -192,6 +251,36 @@ object Relational {
       s.read.parquet(dir)
         .filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    }),
+
+    // S12: Z-order clustered scan — a BOX predicate (user range × time
+    // range) over the Morton-cell layout [[zorderedEventsDir]] prunes to
+    // the cells the box's grid corners span (the coarse-grid form of the
+    // BIGMIN z-range decomposition): the cell set is enumerated from 4
+    // collected extrema (bounded driver work), lands in the plan as a
+    // PartitionFilter — whole directories skipped before any I/O — and the
+    // residual exact box filter keeps the answer identical to the flat
+    // scan the oracle runs. One-dimension layouts can only prune one of
+    // the two predicates; the interleaving prunes on BOTH at once (16/256
+    // cells for this quarter×quarter box). The box bounds are integer
+    // percent arithmetic over the extrema, repeated verbatim in the
+    // oracle's SQL, so the literals agree bit-for-bit.
+    "s12_zorder_scan" -> ((s, d) => {
+      val dir = zorderedEventsDir(s, d)
+      val (umin, umax, tmin, tmax) = zorderBounds(s, d)
+      def pct(lo: Long, hi: Long, p: Long) = lo + (hi - lo) * p / 100
+      val (ulo, uhi) = (pct(umin, umax, 25), pct(umin, umax, 50))
+      val (tlo, thi) = (pct(tmin, tmax, 25), pct(tmin, tmax, 50))
+      val cells = for {
+        ub <- zbucket(ulo, umin, umax) to zbucket(uhi, umin, umax)
+        tb <- zbucket(tlo, tmin, tmax) to zbucket(thi, tmin, tmax)
+      } yield zinterleave(ub, tb)
+      s.read.parquet(dir)
+        .filter(col("zcell").isin(cells: _*))
+        .filter(col("user_id").between(ulo, uhi) && col("ts").between(tlo, thi))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("value_sum"))
     }),
 
     // S1B: the many-runs mzML scan as a BENCHED query — one DSv2 scan over
@@ -677,6 +766,20 @@ object Relational {
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice > 3000.0",
     "s11_partition_pruned_scan" ->
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events WHERE event_type = 'view' GROUP BY user_id",
+    "s12_zorder_scan" -> """
+      WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                        min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+                        max(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+                 FROM events)
+      SELECT event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+      FROM events, b
+      WHERE user_id BETWEEN umin + (umax - umin) * 25 // 100
+                        AND umin + (umax - umin) * 50 // 100
+        AND epoch_us(CAST(ts AS TIMESTAMP))
+              BETWEEN tmin + (tmax - tmin) * 25 // 100
+                  AND tmin + (tmax - tmin) * 50 // 100
+      GROUP BY event_type""",
     "p1_isin_filter" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber IN (1, 2)",
     "p2_threshold_filter" ->

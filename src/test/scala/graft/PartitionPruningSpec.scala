@@ -64,4 +64,56 @@ class PartitionPruningSpec extends SparkSpec {
     assert(viewFiles > 0 && allFiles > viewFiles, s"$viewFiles / $allFiles")
     assert(numFiles == viewFiles, s"scan read $numFiles files, expected $viewFiles")
   }
+
+  test("s12: z-order box scan prunes cells at planning time and matches the flat scan") {
+    import graft.tables.Tables._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(plan: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec       => scans(qs.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+
+    val q = SparkEntry.queries("s12_zorder_scan")(spark, sf)
+    val got = q.collect().map(_.toString).sorted
+
+    // the zcell membership must prune at PLANNING time (PartitionFilters
+    // over the Morton-cell directories), never as a row filter
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ") && p.contains("zcell"), p)
+
+    val scan = scans(q.queryExecution.executedPlan)
+    val read = scan.map(_.metrics("numFiles").value).sum
+    // total files across ALL staged z-cells, from the scan's own root path
+    val root = scan.head.relation.location.rootPaths.head.toString.stripPrefix("file:")
+    val all = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("zcell="))
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .count(_.getName.endsWith(".parquet"))
+    assert(read > 0 && read < all,
+      s"z-order box read $read of $all files — expected a strict subset")
+
+    // the pruned+residual-filtered answer equals the flat full-scan answer
+    val (umin, umax) = {
+      val r = events(spark, sf).agg(min(col("user_id")), max(col("user_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (tmin, tmax) = {
+      val r = events(spark, sf)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def pct(lo: Long, hi: Long, p: Long) = lo + (hi - lo) * p / 100
+    val flat = events(spark, sf)
+      .filter(col("user_id").between(pct(umin, umax, 25), pct(umin, umax, 50)) &&
+        unix_micros(col("ts")).between(pct(tmin, tmax, 25), pct(tmin, tmax, 50)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("value_sum"))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(flat), s"${got.toSeq} vs ${flat.toSeq}")
+  }
 }
