@@ -53,6 +53,28 @@ object Extended {
           col("n"), col("sum_qty"))
     }),
 
+    // A17: equi-width histogram — 20 buckets over the price range, the
+    // distribution profile every data-quality dashboard draws. The range
+    // comes from a 1-row extrema aggregate broadcast back (no driver
+    // collect, no second full scan materialized on one node) and the
+    // bucket index is PURE INTEGER arithmetic over cents
+    // (((pc−lo)·20) div (hi−lo+1) lands max exactly in bucket 19 — the
+    // same monotone grid rule as the Z-order staging), so there is no
+    // float boundary for engines to disagree on. One shuffle of 20
+    // partial-aggregated buckets.
+    "a17_histogram" -> ((s, d) => {
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      val bounds = lineitem(s, d).agg(min(pc).as("lo"), max(pc).as("hi"))
+      lineitem(s, d).select(pc.as("pc"))
+        .crossJoin(broadcast(bounds))
+        .select(expr("((pc - lo) * 20) div (hi - lo + 1)").cast("int").as("bucket"),
+          col("pc"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (min(col("pc")) / 100.0).as("min_price"),
+          (max(col("pc")) / 100.0).as("max_price"))
+    }),
+
     // A13: exact interpolated percentiles per group (Spark `percentile` ==
     // DuckDB `quantile_cont`). Memory note at scale: exact percentile
     // buffers each group's values on one reducer — for the 100 TB path use
@@ -778,6 +800,14 @@ object Extended {
              count(*) AS n,
              sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "a17_histogram" -> """
+      WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc FROM lineitem),
+      b AS (SELECT min(pc) AS lo, max(pc) AS hi FROM x)
+      SELECT CAST(((pc - lo) * 20) // (hi - lo + 1) AS INTEGER) AS bucket,
+             count(*) AS n,
+             min(pc) / 100.0 AS min_price,
+             max(pc) / 100.0 AS max_price
+      FROM x, b GROUP BY 1""",
     "a13_percentile" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -116,17 +116,56 @@ object Similarity {
     * pass — is recomputed independently by DuckDB from the raw parquet.
     */
   def pcaOracleSql(s: SparkSession, d: String): String = {
-    val k = 4
     val (cov, mean) = covarianceMatrix(s, d)
-    val dim = cov.length
     val (_, vecs) = graft.functions.Eigen.symmetric(cov)
-    val pcCols = (0 until k).map { j =>
-      val vj = vecs(j)
-      val offset = (0 until dim).map(i => mean(i) * vj(i)).sum
-      val arr = vj.map(java.lang.Double.toString).mkString("[", ", ", "]")
-      s"round(list_dot_product(embedding::DOUBLE[], $arr) - (${java.lang.Double.toString(offset)}), 6) + 0.0 AS pc${j + 1}"
+    basisProjSql(vecs.take(4).toSeq, mean, "pc")
+  }
+
+  /** DuckDB SQL for emb_whitening — same literal-embedding scheme as
+    * [[pcaOracleSql]], over the variance-normalized basis.
+    */
+  def whiteningOracleSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = whitenedBasis(s, d, 4)
+    basisProjSql(basis, mean, "w")
+  }
+
+  /** Top-k eigenbasis scaled per-component by 1/√λ — the whitening basis
+    * (projected coordinates have unit variance and zero cross-covariance).
+    * The λ floor guards a degenerate (rank-deficient) corpus from a
+    * division blow-up; with real data λ_1..λ_4 ≫ the floor.
+    */
+  private def whitenedBasis(
+      s: SparkSession, d: String, k: Int): (Seq[Array[Double]], Array[Double]) = {
+    val (cov, mean) = covarianceMatrix(s, d)
+    val (vals, vecs) = graft.functions.Eigen.symmetric(cov)
+    ((0 until k).map(j => vecs(j).map(_ / math.sqrt(math.max(vals(j), 1e-12)))), mean)
+  }
+
+  /** Shared projection column builder: col j = round(dot(x, b_j) −
+    * dot(mean, b_j), 6) (+0.0 canonicalizes IEEE −0 after rounding). The
+    * mean offset folds to a driver scalar so centering never touches the
+    * corpus; the projection pass is scan → project, zero shuffles.
+    */
+  private def basisProjCols(
+      basis: Seq[Array[Double]], mean: Array[Double], prefix: String) =
+    basis.zipWithIndex.map { case (vj, j) =>
+      val offset = mean.indices.map(i => mean(i) * vj(i)).sum
+      val vLit = array(vj.toSeq.map(lit): _*)
+      (round(aggregate(
+        zip_with(asDouble(col("embedding")), vLit, (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x) - offset, 6) + 0.0).as(s"$prefix${j + 1}")
     }
-    s"SELECT vec_id,\n  ${pcCols.mkString(",\n  ")}\nFROM embeddings"
+
+  /** DuckDB mirror of [[basisProjCols]], with the basis as SQL literals. */
+  private def basisProjSql(
+      basis: Seq[Array[Double]], mean: Array[Double], prefix: String): String = {
+    val cols = basis.zipWithIndex.map { case (vj, j) =>
+      val offset = mean.indices.map(i => mean(i) * vj(i)).sum
+      val arr = vj.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"round(list_dot_product(embedding::DOUBLE[], $arr) - " +
+        s"(${java.lang.Double.toString(offset)}), 6) + 0.0 AS $prefix${j + 1}"
+    }
+    s"SELECT vec_id,\n  ${cols.mkString(",\n  ")}\nFROM embeddings"
   }
 
   /** The IVF probe shape shared by the fixture and trained codebooks:
@@ -509,20 +548,25 @@ object Similarity {
     // algebraic contract — orthonormal basis, descending eigenvalues,
     // trace preservation, Var(pc1) = λ1 — stays spec-pinned on top.
     "emb_pca_topk" -> ((s, d) => {
-      val k = 4
       val (cov, mean) = covarianceMatrix(s, d)
-      val dim = cov.length
       val (_, vecs) = graft.functions.Eigen.symmetric(cov)
-      val pcs = (0 until k).map { j =>
-        val vj = vecs(j)
-        val offset = (0 until dim).map(i => mean(i) * vj(i)).sum
-        val vLit = array(vj.toSeq.map(lit): _*)
-        // + 0.0 canonicalizes IEEE negative zero after rounding
-        (round(aggregate(
-          zip_with(asDouble(col("embedding")), vLit, (x, c) => x * c),
-          lit(0.0), (acc, x) => acc + x) - offset, 6) + 0.0).as(s"pc${j + 1}")
-      }
-      embeddings(s, d).select(col("vec_id") +: pcs: _*)
+      embeddings(s, d)
+        .select(col("vec_id") +: basisProjCols(vecs.take(4).toSeq, mean, "pc"): _*)
+    }),
+
+    // PCA WHITENING — the decorrelate-and-normalize transform (basis
+    // scaled 1/√λ) a pipeline applies before isotropic-distance methods
+    // (k-means, cosine ANN) so no dominant direction swamps the metric:
+    // projected coordinates have unit variance and zero cross-covariance
+    // (spec-pinned). Identical execution shape to emb_pca_topk — one
+    // constant-output moments pass, a d×d driver eigensolve, a zero-
+    // shuffle projection — via the same [[basisProjCols]]; the oracle
+    // ([[whiteningOracleSql]]) embeds the same scaled basis as literals,
+    // full hash-match.
+    "emb_whitening" -> ((s, d) => {
+      val (basis, mean) = whitenedBasis(s, d, 4)
+      embeddings(s, d)
+        .select(col("vec_id") +: basisProjCols(basis, mean, "w"): _*)
     }),
 
     // ANN quality gate: per-probe recall@5 of the IVF index against the

@@ -114,6 +114,32 @@ object Temporal {
           col("n"),
           (col("value_cents") / 100.0).as("value_sum"))
     }),
+    // Streaming top-k: the hourly leaderboard (top-3 event types per hour)
+    // — the dashboard topology where a streaming aggregate maintains the
+    // per-window counts and a BATCH rank runs over the (tiny,
+    // windows×types-bounded) aggregate output, never over the stream:
+    // ranking inside the stream would need a global per-window sort of
+    // state on every trigger, while ranking the drained aggregate is a
+    // constant-size window over closed windows. Ties break by event_type,
+    // so the leaderboard is total-ordered and hash-matches.
+    "stream_topk" -> ((s, d) => graft.tables.Tables.withShufflePartitions(s, 4) {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("hour_start"))
+        .orderBy(col("n").desc, col("event_type"))
+      graft.streaming.Drain.toMemory(s, "stream_topk", agg, mode = "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+          col("event_type"), col("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    }),
   )
 
   /** Extra queries appended below keep `queries` and `oracle` aligned. */
@@ -436,6 +462,16 @@ object Temporal {
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM events GROUP BY 1, 2""",
+    "stream_topk" -> """
+      WITH h AS (
+        SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00')
+                 AS hour_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT hour_start, event_type, n,
+             CAST(row_number() OVER (PARTITION BY hour_start
+               ORDER BY n DESC, event_type) AS INTEGER) AS rk
+      FROM h QUALIFY rk <= 3""",
     "stream_sliding_agg" -> """
       WITH e AS (SELECT event_type, value,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

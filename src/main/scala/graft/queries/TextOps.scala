@@ -459,6 +459,28 @@ object TextOps {
         .select(col("doc_id"))
     }),
 
+    // Edit-distance verification of the near-dup candidates — the exact
+    // second stage a production dedup pipeline runs AFTER banding: LSH
+    // recalls candidates, Levenshtein confirms them (MinHash Jaccard can
+    // fire on shuffled word order; edit distance cannot). Distances run on
+    // the 256-char prefixes: the O(L²) DP is bounded to a constant
+    // 256²-cell cost per pair regardless of document length (full-text
+    // distance at scale needs a banded/early-exit DP — the prefix cap is
+    // the honest bounded variant, and prefix divergence is what near-dup
+    // boilerplate actually differs by). The candidate pair frame is tiny
+    // next to the corpus; each text join is a pair-keyed hash join, the
+    // corpus side pruned to pair members before any text moves.
+    "dedup_edit_verify" -> ((s, d) => {
+      val p = minhashPairsShared(s, d)
+      val docs = documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+      p.join(docs.select(col("doc_id").as("da"), col("t").as("ta")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("t").as("tb")), "db")
+        .select(col("da"), col("db"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
+        .withColumn("is_dup", col("edit_dist") <= 20)
+    }),
+
     // Incremental ingestion dedup: screen a NEW batch (a reproducible
     // md5-derived ~10% of doc_ids, the sample_stratified rule) against the
     // already-ingested corpus without recomputing corpus-internal pairs —
@@ -977,6 +999,15 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_edit_verify" -> s"""
+      WITH pairs AS (${minhashPairsSql}),
+      t AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents)
+      SELECT p.da, p.db,
+             CAST(levenshtein(a.t, b.t) AS INTEGER) AS edit_dist,
+             levenshtein(a.t, b.t) <= 20 AS is_dup
+      FROM pairs p
+      JOIN t a ON p.da = a.doc_id
+      JOIN t b ON p.db = b.doc_id""",
     "dedup_incremental" -> incrementalSql,
     "dedup_simhash" -> simhashSql,
     "text_pii_redact" -> """

@@ -388,6 +388,9 @@ class PlanSpec extends SparkSpec {
       "text_bm25_topk",
       // 1-row tercile-cutoff scalar × the per-doc score table
       "text_ppl_bucket",
+      // 1-row (lo, hi) extrema scalar × the fact rows — the same
+      // annotate-with-constant shape as text_heavy_hitters
+      "a17_histogram",
       // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
       "diag_key_skew")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans

@@ -107,6 +107,79 @@ class WideOpsSpec extends SparkSpec {
       "view" -> (1L, 5.0), "click" -> (1L, 5.0), "direct" -> (1L, 4.0)), got.toString)
   }
 
+  test("emb_whitening: unit variance per component, zero cross-covariance") {
+    val w = q("emb_whitening")
+      .select(col("w1"), col("w2"), col("w3"), col("w4")).collect()
+      .map(r => (0 until 4).map(r.getDouble).toArray)
+    val n = w.length
+    assert(n > 100)
+    (0 until 4).foreach { j =>
+      val mean = w.map(_(j)).sum / n
+      val variance = w.map(x => (x(j) - mean) * (x(j) - mean)).sum / n
+      assert(math.abs(variance - 1.0) < 1e-3, s"Var(w${j + 1}) = $variance")
+    }
+    val m1 = w.map(_(0)).sum / n
+    val m2 = w.map(_(1)).sum / n
+    val cross = w.map(x => (x(0) - m1) * (x(1) - m2)).sum / n
+    assert(math.abs(cross) < 1e-3, s"cov(w1, w2) = $cross")
+  }
+
+  test("a17_histogram: buckets cover all rows, stay in range, and nest the extrema") {
+    import graft.tables.Tables._
+    val h = q("a17_histogram").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = lineitem(spark, sf).count()
+    assert(h.map(_._2._1).sum == total)
+    assert(h.forall { case (b, _) => b >= 0 && b <= 19 })
+    // within every bucket min <= max, and buckets don't overlap backwards
+    val sorted = h.sortBy(_._1)
+    sorted.foreach { case (b, (_, lo, hi)) => assert(lo <= hi, s"bucket $b") }
+    sorted.sliding(2).foreach {
+      case Array((_, (_, _, hiPrev)), (_, (_, loNext, _))) =>
+        assert(hiPrev <= loNext, s"bucket ranges overlap: $hiPrev > $loNext")
+      case _ =>
+    }
+  }
+
+  test("dedup_edit_verify scores every candidate pair; exact twins at distance 0") {
+    val pairs = q("dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = q("dedup_edit_verify").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(verified.keySet == pairs, "verify stage must score exactly the candidates")
+    assert(verified.values.forall(_ >= 0))
+    // the corpus's exact-duplicate docs surface as distance-0 pairs
+    assert(verified.values.exists(_ == 0), "expected at least one exact twin")
+    assert(verified.values.exists(_ > 0), "expected at least one near-but-not-exact pair")
+  }
+
+  test("stream_topk equals the batch per-hour leaderboard") {
+    import graft.tables.Tables._
+    val got = q("stream_topk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // per hour: at most 3 rows, ranks 1..k, counts non-increasing with rank
+    got.groupBy(_._1).foreach { case (h, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length), s"$h ranks")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _           => true
+      }, s"$h counts not ranked")
+    }
+    // and it matches the batch equivalent exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start")).orderBy(col("n").desc, col("event_type"))
+    val batch = events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+        .as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.sorted.sameElements(batch.sorted))
+  }
+
   test("text_ngram_novelty: duplicated docs score 0, unique docs score 1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_novelty").toString
