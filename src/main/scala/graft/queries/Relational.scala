@@ -627,6 +627,24 @@ object Relational {
         graft.functions.Peptides.trueStem(path).as("run"))
     }),
 
+    // F18: URL parsing — host / path / query-param extraction, the
+    // web-corpus normalization stage upstream of per-domain dedup and
+    // source mixing. URLs are fabricated deterministically from doc fields
+    // (same device as f4's run paths — the corpus carries no real URLs,
+    // so both engines build then parse identical strings and every row
+    // exercises a real extraction). Pure codegen regexp over one scan;
+    // patterns stay in the Java-regex ∩ RE2 subset.
+    "f18_url_parse" -> ((s, d) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val url = concat(lit("https://"), col("source"), lit(".example."), tld,
+        lit("/p/"), col("doc_id").cast("string"), lit("?ref="), col("lang"))
+      documents(s, d).select(col("doc_id"),
+        regexp_extract(url, "^https?://([^/?#]+)", 1).as("host"),
+        regexp_extract(url, "^https?://[^/?#]+([^?#]*)", 1).as("path"),
+        regexp_extract(url, "[?&]ref=([^&#]*)", 1).as("ref"))
+    }),
+
     // F5: literal-pattern strip (ref: drop "(SILAC)", diann2msstats.py:267-269)
     "f5_regex_replace" -> ((s, d) => {
       part(s, d)
@@ -907,6 +925,18 @@ object Relational {
              CASE WHEN base LIKE '%.d.zip' THEN regexp_replace(base, '\.d\.zip$', '')
                   ELSE regexp_replace(base, '\.[^.]*$', '') END AS run
       FROM b""",
+    "f18_url_parse" -> """
+      WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.' ||
+               (['com', 'org', 'net'])[CAST(doc_id % 3 + 1 AS INTEGER)] ||
+               '/p/' || doc_id || '?ref=' || lang AS url
+        FROM documents)
+      SELECT doc_id,
+             regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+      FROM u""",
     "f5_regex_replace" ->
       "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants FROM part",
     "f7_label_map" -> """

@@ -348,6 +348,33 @@ object Similarity {
         .filter(col("rank") <= 5)
     }),
 
+    // Maximum-inner-product top-k (MIPS) — the retrieval metric of
+    // dot-product-trained recommender/two-tower models, where a vector's
+    // NORM is part of its relevance and cosine's normalization would
+    // erase it. The test corpus is unit-norm (MIPS would collapse to
+    // cosine, proving nothing), so each vector first gets a deterministic
+    // id-derived popularity weight folded into its norm — the synthetic-
+    // input device text_pii_redact uses, making every ranking exercise the
+    // norm term for real; dot(w_a·a, w_b·b) factors to w_a·w_b·dot(a,b),
+    // so the weighting costs one scalar multiply, not a vector rewrite.
+    // Same broadcast-probes brute-force baseline shape as sim_cosine_topk;
+    // the scale path is norm-augmented IVF (MIPS reduces to cosine after
+    // the (x, √(M²−|x|²)) augmentation), which reuses the ivfProbe
+    // machinery unchanged.
+    "sim_mips_topk" -> ((s, d) => {
+      val pop = (lit(1.0) + col("vec_id") % 5) / 3.0
+      val base = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"), pop.as("sv"))
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sv").as("sq"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+      base.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot(col("qv"), col("v")) * col("sq") * col("sv"), 6).as("ip"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
+
     // k-NN majority-label voting: classify each probe by the mode label of
     // its top-5 cosine neighbors — similarity search applied to weak
     // labeling, the standard ANN-assisted annotation pass over a training
@@ -828,6 +855,18 @@ object Similarity {
              round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
       FROM embeddings""",
     "sim_cosine_topk" -> cosineTopkSql,
+    "sim_mips_topk" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        (1.0 + vec_id % 5) / 3.0 AS sv
+                 FROM embeddings),
+      p AS (SELECT vec_id AS q_id, v AS qv, sv AS sq FROM c WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, vec_id, round(list_dot_product(qv, v) * sq * sv, 6) AS ip
+        FROM c CROSS JOIN p WHERE vec_id <> q_id)
+      SELECT q_id, vec_id, ip,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) <= 5""",
     "sim_knn_label" -> s"""
       WITH knn AS ($cosineTopkSql),
       votes AS (SELECT q_id, label, count(*) AS n

@@ -114,6 +114,41 @@ object Temporal {
           col("n"),
           (col("value_cents") / 100.0).as("value_sum"))
     }),
+    // J9: NEAREST-neighbor as-of join — j6 binds each probe to the last
+    // PRECEDING point; j9 binds to the temporally CLOSEST one in either
+    // direction (the sensor-alignment rule when clocks can lead or lag).
+    // Same merged-stream trick as j8 (no non-equi join, no quadratic): one
+    // user-keyed ascending order serves BOTH brackets — running max of
+    // view-times for the at-or-before point, running min over the
+    // following frame for the strictly-after point (monotone us makes
+    // max/min equal last/first, no ignoreNulls needed) — then a pure row
+    // expression picks the closer bracket, ties to the earlier. Exact
+    // integer micros end-to-end; purchases with no view anywhere yield
+    // NULL (kept: the honest outer-join semantics).
+    "j9_nearest_asof" -> ((s, d) => {
+      val wFwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wBwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("is_probe"), col("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      val viewUs = when(col("is_probe") === 0, col("us"))
+      events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("is_probe"))
+        .withColumn("pus", max(viewUs).over(wFwd))
+        .withColumn("nus", min(viewUs).over(wBwd))
+        .filter(col("is_probe") === 1)
+        .withColumn("nearest_us",
+          when(col("pus").isNull, col("nus"))
+            .when(col("nus").isNull, col("pus"))
+            .when(col("us") - col("pus") <= col("nus") - col("us"), col("pus"))
+            .otherwise(col("nus")))
+        .select(col("event_id"), col("nearest_us"),
+          abs(col("nearest_us") - col("us")).as("delta_us"))
+    }),
+
     // Streaming top-k: the hourly leaderboard (top-3 event types per hour)
     // — the dashboard topology where a streaming aggregate maintains the
     // per-window counts and a BATCH rank runs over the (tiny,
@@ -462,6 +497,29 @@ object Temporal {
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM events GROUP BY 1, 2""",
+    "j9_nearest_asof" -> """
+      WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      w AS (
+        SELECT *,
+               max(CASE WHEN is_probe = 0 THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, is_probe, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pus,
+               min(CASE WHEN is_probe = 0 THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, is_probe, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nus
+        FROM ev),
+      n AS (
+        SELECT event_id, us,
+               CASE WHEN pus IS NULL THEN nus
+                    WHEN nus IS NULL THEN pus
+                    WHEN us - pus <= nus - us THEN pus
+                    ELSE nus END AS nearest_us
+        FROM w WHERE is_probe = 1)
+      SELECT event_id, nearest_us, abs(nearest_us - us) AS delta_us FROM n""",
     "stream_topk" -> """
       WITH h AS (
         SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00')

@@ -364,6 +364,7 @@ class PlanSpec extends SparkSpec {
     // are justified, and the tiny-probe top-k).
     val intentional = Set(
       "sim_cosine_topk", // broadcast 10-probe brute-force baseline
+      "sim_mips_topk", // same broadcast 10-probe baseline, dot-product metric
       "sim_knn_label", // composes sim_cosine_topk
       "dedup_embed_cosine", // the recall-100% small-N baseline
       // quantizers: every vector × a BOUNDED broadcast centroid table

@@ -180,6 +180,70 @@ class WideOpsSpec extends SparkSpec {
     assert(got.sorted.sameElements(batch.sorted))
   }
 
+  test("j9_nearest_asof picks the closer bracket, ties to the earlier") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_j9").toString
+    // u1: views at 0s and 100s; purchases at 40s (prev closer), 60s (next
+    // closer), 50s (exact tie -> earlier wins). u2: purchase, no views.
+    Seq(
+      (1L, 10L, 0L, "view", 0.0), (1L, 11L, 100000000L, "view", 0.0),
+      (1L, 12L, 40000000L, "purchase", 1.0), (1L, 13L, 60000000L, "purchase", 1.0),
+      (1L, 14L, 50000000L, "purchase", 1.0), (2L, 20L, 5000000L, "purchase", 1.0))
+      .toDF("user_id", "event_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("j9_nearest_asof")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got == Map(
+      12L -> (Some(0L), Some(40000000L)),
+      13L -> (Some(100000000L), Some(40000000L)),
+      14L -> (Some(0L), Some(50000000L)),
+      20L -> (None, None)), got.toString)
+  }
+
+  test("f18_url_parse round-trips the fabricated URL fields") {
+    import graft.tables.Tables._
+    val docs = documents(spark, sf).select(col("doc_id"), col("source"), col("lang"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val got = q("f18_url_parse").collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (src, lang) = docs(r.getLong(0))
+      val tld = Seq("com", "org", "net")((r.getLong(0) % 3).toInt)
+      assert(r.getString(1) == s"$src.example.$tld", r.toString)
+      assert(r.getString(2) == s"/p/${r.getLong(0)}", r.toString)
+      assert(r.getString(3) == lang, r.toString)
+    }
+  }
+
+  test("sim_mips_topk matches brute force and diverges from the cosine ranking") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = q("sim_mips_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    def pop(id: Long): Double = (1.0 + id % 5) / 3.0
+    (0L until 10L).foreach { qid =>
+      val qv = vecs(qid)
+      val brute = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          val ip = BigDecimal(qv.zip(v).map { case (a, b) => a * b }.sum * pop(qid) * pop(id))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, ip)
+        }
+        .sortBy { case (id, ip) => (-ip, id) }.take(5).map(_._1)
+      val ours = (1 to 5).map(rk => got((qid, rk)))
+      assert(ours == brute, s"q$qid: $ours vs $brute")
+    }
+    // the norm term must matter: the popularity-weighted leaderboard has
+    // to differ from cosine's (which a unit-norm corpus would not)
+    val cos = q("sim_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(got != cos, "MIPS leaderboard identical to cosine — norm term not exercised")
+  }
+
   test("text_ngram_novelty: duplicated docs score 0, unique docs score 1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_novelty").toString
