@@ -590,6 +590,119 @@ object Extended {
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type"))
     }),
+
+    // A18: winsorized mean — the robust-mean gate every corpus-stats stage
+    // runs before trusting an average (one wild document length or price
+    // otherwise owns the mean). Per-group p05/p95 come from the same exact
+    // interpolated percentile as a13 (bounded per-group buffers — the 100 TB
+    // path swaps in approx_percentile, a13b), round to an INTEGER cent
+    // boundary, and the clip + sum then run entirely in long cents: the
+    // aggregate is addition-order-free, so the mean hash-matches at any
+    // partitioning. One percentile pass + one broadcast-annotated clip pass.
+    "a18_winsorize" -> ((s, d) => {
+      val li = fanOut(lineitem(s, d), s, partitions = 8)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val bounds = li
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(pc, array(0.05D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1)).cast("long").as("lo_c"),
+          round(element_at(col("ps"), 2)).cast("long").as("hi_c"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"), col("lo_c"), col("hi_c"), col("pc"),
+          greatest(col("lo_c"), least(col("hi_c"), col("pc"))).as("wc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo_c")).as("loc"), max(col("hi_c")).as("hic"),
+          sum(col("pc")).as("spc"), sum(col("wc")).as("swc"))
+        .select(col("l_returnflag"),
+          (col("loc") / 100.0).as("p05"), (col("hic") / 100.0).as("p95"),
+          col("n"),
+          round(col("spc") / 100.0 / col("n"), 4).as("raw_mean"),
+          round(col("swc") / 100.0 / col("n"), 4).as("winsor_mean"))
+    }),
+
+    // A19: median/MAD outlier gate — the robust-z-score anomaly detector
+    // (median absolute deviation is breakdown-50% where stddev is 0%).
+    // Exact MAD is inherently two DEPENDENT quantile passes (the deviation
+    // needs the median first); both run the a13 percentile shape with the
+    // |groups|-row result broadcast back, and the final count compares
+    // doubles both engines derive from identical inputs with identical
+    // operations, so the strict `>` boundary cannot diverge. 100 TB path:
+    // approx_percentile for both passes (a13b's sketch), same plan shape.
+    "a19_mad_outliers" -> ((s, d) => {
+      val li = fanOut(lineitem(s, d), s, partitions = 8)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+      val mad = dev.groupBy(col("l_returnflag"))
+        .agg(max(col("med")).as("med"),
+          expr("percentile(adev, 0.5D)").as("mad"))
+      dev.select(col("l_returnflag"), col("adev"))
+        .join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(col("med")), 4).as("median"),
+          round(max(col("mad")), 4).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
+    // O5: Pareto front (skyline) over (price, recency) — the classic
+    // "best tradeoff set" operator: keep an order iff NO other order has
+    // totalprice ≥ AND orderdate ≥ with at least one strict (duplicate
+    // (price, date) points keep the lowest orderkey — the scan rule makes
+    // that dedup explicit). Two-phase so no corpus-sized frame ever crosses
+    // one task: phase 1 computes a LOCAL skyline per hash bucket with a
+    // KEYED window (domination inside a bucket implies global domination,
+    // so the filter is safe); phase 2 runs the same scan globally over the
+    // bucket survivors — expected O(buckets · log n) rows for independent
+    // dims (measured: 206 of 15 000 at sf0.01), declared in PlanSpec's
+    // tiny-frame allowlist. All comparisons in integer cents/micros.
+    "o5_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("pc"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("dt"))
+      def front(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+        df.withColumn("mx",
+            max(col("dt")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .filter(col("mx").isNull || col("mx") < col("dt"))
+          .drop("mx")
+      val local = front(
+        o.withColumn("b", pmod(xxhash64(col("o_orderkey")), lit(32))),
+        Window.partitionBy(col("b"))
+          .orderBy(col("pc").desc, col("dt").desc, col("o_orderkey")))
+      front(local.select(col("o_orderkey"), col("pc"), col("dt")),
+          Window.orderBy(col("pc").desc, col("dt").desc, col("o_orderkey")))
+        .select(col("o_orderkey"), (col("pc") / 100.0).as("o_totalprice"),
+          col("dt").as("order_micros"))
+    }),
+
+    // Weighted sample without replacement: k docs per language with
+    // selection bias ∝ n_chars, via the u/w priority rule (the
+    // integer-exact cousin of Efraimidis–Spirakis A-ES: rank by
+    // hash64(id) div weight ascending — a doc with 2× the weight halves
+    // its priority, and everything stays in BIGINT so every engine, run,
+    // and partitioning draws the IDENTICAL sample). Same
+    // WindowGroupLimit compilation as sample_reservoir: each map
+    // partition keeps its local top-k before the per-language shuffle.
+    "sample_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("pri"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), h.as("h"))
+        .withColumn("pri", expr("h div n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 25)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
+    }),
   )
 
   /** The pure approx-percentile aggregation a 100 TB job runs in place of
@@ -1043,5 +1156,61 @@ object Extended {
         ON p.event_type = 'purchase' AND v.event_type = 'view'
        AND p.user_id = v.user_id
        AND v.us BETWEEN p.us - 30 * 60 * 1000000 AND p.us""",
+    "a18_winsorize" -> """
+      WITH x AS (SELECT l_returnflag,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+                 FROM lineitem),
+      b AS (SELECT l_returnflag,
+                   CAST(round(quantile_cont(pc, 0.05)) AS BIGINT) AS lo_c,
+                   CAST(round(quantile_cont(pc, 0.95)) AS BIGINT) AS hi_c
+            FROM x GROUP BY 1),
+      w AS (SELECT x.l_returnflag, lo_c, hi_c, pc,
+                   greatest(lo_c, least(hi_c, pc)) AS wc
+            FROM x JOIN b USING (l_returnflag))
+      SELECT l_returnflag, max(lo_c) / 100.0 AS p05, max(hi_c) / 100.0 AS p95,
+             count(*) AS n,
+             round(sum(pc) / 100.0 / count(*), 4) AS raw_mean,
+             round(sum(wc) / 100.0 / count(*), 4) AS winsor_mean
+      FROM w GROUP BY 1""",
+    "a19_mad_outliers" -> """
+      WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+                 FROM lineitem GROUP BY 1),
+      dv AS (SELECT l.l_returnflag, m.med,
+                    abs(l.l_extendedprice - m.med) AS adev
+             FROM lineitem l JOIN m USING (l_returnflag)),
+      md AS (SELECT l_returnflag, max(med) AS med,
+                    quantile_cont(adev, 0.5) AS mad
+             FROM dv GROUP BY 1)
+      SELECT dv.l_returnflag, round(max(md.med), 4) AS median,
+             round(max(md.mad), 4) AS mad, count(*) AS n,
+             CAST(sum(CASE WHEN dv.adev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dv JOIN md ON dv.l_returnflag = md.l_returnflag
+      GROUP BY 1""",
+    // same strict-domination scan as the Spark side: sorted by
+    // (price desc, date desc, key), a row survives iff every preceding
+    // row's date is strictly smaller — equal-(price,date) duplicates keep
+    // the lowest key (the one-phase scan is the semantic definition; the
+    // Spark plan adds the bucket-local pre-filter, which provably drops
+    // only dominated rows, so the results coincide)
+    "o5_pareto" -> """
+      WITH o AS (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+                        epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS dt
+                 FROM orders),
+      w AS (SELECT o_orderkey, pc, dt,
+                   max(dt) OVER (ORDER BY pc DESC, dt DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+            FROM o)
+      SELECT o_orderkey, pc / 100.0 AS o_totalprice, dt AS order_micros
+      FROM w WHERE mx IS NULL OR mx < dt""",
+    "sample_weighted" -> """
+      SELECT doc_id, lang, n_chars, CAST(rk AS INTEGER) AS rk
+      FROM (SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                              // n_chars, doc_id) AS rk
+            FROM documents)
+      WHERE rk <= 25""",
   )
 }

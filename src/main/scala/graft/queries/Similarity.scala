@@ -737,6 +737,54 @@ object Similarity {
       base.unpersist()
       result
     }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication = cluster the embedding space, then compare pairs ONLY
+    // inside each cluster and drop all but one member of every
+    // high-cosine group. This is the production-scale answer to
+    // dedup_embed_cosine's all-pairs baseline: the cluster key partitions
+    // the pairwise work, so cost falls from N² to Σ|cluster|² — and the
+    // pair join is an equi-join on c_id, not a nested loop. Quantizer =
+    // the same fixed 16-centroid fixture as sim_ivf_topk (same honesty
+    // note: production feeds Lloyd-trained centroids through the identical
+    // shape, sim_ivf_trained). Keep rule: a vector is dropped iff an
+    // EARLIER (lower-id) same-cluster vector sits above the cosine
+    // threshold — greedy keep-first, deterministic, order-free.
+    "dedup_semantic" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = ivfBase(s, d)
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      // materialize the assignment ONCE (quantize-once-reuse, the same
+      // persist discipline as dedup_embed_lsh): the table is read from
+      // three plan positions (both pair-join sides + the final verdict
+      // join), and without the cache each reference re-runs the corpus ×
+      // centroid quantizer pass. At 100 TB this table is what a pipeline
+      // writes out between stages; the cache blocks are freed by
+      // SessionCaches.releaseAll / the ContextCleaner.
+      val asg = base.crossJoin(broadcast(cents))
+        .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+        .persist()
+      asg.count()
+      val dups = asg.select(col("c_id"), col("vec_id").as("da"),
+          col("v").as("va"), col("nrm").as("na"))
+        .join(asg.select(col("c_id"), col("vec_id").as("db"),
+          col("v").as("vb"), col("nrm").as("nb")), Seq("c_id"))
+        .filter(col("da") < col("db"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") > 0.4)
+        .groupBy(col("db").as("vec_id"))
+        .agg(count(lit(1)).as("n_earlier"))
+      asg.select(col("vec_id"), col("c_id"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"),
+          coalesce(col("n_earlier"), lit(0L)).as("n_earlier_dups"),
+          col("n_earlier").isNull.as("keep"))
+    }),
   )
 
   /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
@@ -855,6 +903,27 @@ object Similarity {
              round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
       FROM embeddings""",
     "sim_cosine_topk" -> cosineTopkSql,
+    "dedup_semantic" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 16),
+      asg AS (SELECT vec_id, c_id, v, nrm FROM (
+                SELECT x.vec_id, ct.c_id, x.v, x.nrm,
+                       row_number() OVER (PARTITION BY x.vec_id
+                         ORDER BY list_dot_product(x.v, ct.cv) / (x.nrm * ct.cn) DESC,
+                                  ct.c_id) AS rn
+                FROM c x CROSS JOIN cents ct)
+              WHERE rn = 1),
+      dups AS (SELECT b.vec_id, count(*) AS n_earlier
+               FROM asg a JOIN asg b
+                 ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+               WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4
+               GROUP BY 1)
+      SELECT asg.vec_id, asg.c_id,
+             coalesce(d.n_earlier, 0) AS n_earlier_dups,
+             d.vec_id IS NULL AS keep
+      FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id""",
     "sim_mips_topk" -> """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                         (1.0 + vec_id % 5) / 3.0 AS sv

@@ -353,6 +353,31 @@ object Temporal {
     // reproduce the batch answer exactly.
     "stream_sessionize_stateful" -> ((s, d) =>
       graft.streaming.StatefulSessionize(s, d)),
+
+    // W9: exponentially-decayed moving average per user — the recency-
+    // weighted engagement score (α = 1/2 over the last 8 events, so the
+    // weights are exact powers of two: newest 128 … oldest 1). A true
+    // unbounded EMA is a sequential recurrence no engine parallelizes
+    // without a scan primitive; the 8-term truncation (tail weight < 0.4%)
+    // re-expresses it as 8 lags sharing ONE keyed window sort — map-side
+    // after a single user-keyed exchange, no recurrence, no state. The
+    // numerator/denominator stay exact BIGINTs (cents × power-of-two), so
+    // the one double division at the end is bit-identical everywhere.
+    "w9_ema_decay" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val base = events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val terms = (0 to 7).map { j =>
+        val lv = if (j == 0) col("vc") else lag(col("vc"), j).over(w)
+        (when(lv.isNotNull, lv * (1L << (7 - j))).otherwise(0L),
+          when(lv.isNotNull, lit(1L << (7 - j))).otherwise(0L))
+      }
+      base
+        .withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _))
+        .select(col("event_id"), col("user_id"),
+          round(col("num") / col("den") / 100.0, 4).as("ema"))
+    }),
   )
 
   /** The streaming sessionizer answers the identical question as the batch
@@ -378,6 +403,29 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "stream_sessionize_stateful" -> sessionizeSql,
     "w3_sessionize" -> sessionizeSql,
+    "w9_ema_decay" -> """
+      WITH v AS (SELECT event_id, user_id, ts,
+                        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      l AS (SELECT event_id, user_id, vc,
+                   lag(vc, 1) OVER w AS v1, lag(vc, 2) OVER w AS v2,
+                   lag(vc, 3) OVER w AS v3, lag(vc, 4) OVER w AS v4,
+                   lag(vc, 5) OVER w AS v5, lag(vc, 6) OVER w AS v6,
+                   lag(vc, 7) OVER w AS v7
+            FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id,
+             round((vc * 128 + coalesce(v1 * 64, 0) + coalesce(v2 * 32, 0)
+                    + coalesce(v3 * 16, 0) + coalesce(v4 * 8, 0)
+                    + coalesce(v5 * 4, 0) + coalesce(v6 * 2, 0)
+                    + coalesce(v7, 0))
+                   / (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+                          + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+                          + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+                          + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+                          + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+                          + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+                          + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)
+                   / 100.0, 4) AS ema
+      FROM l""",
     "w6_transitions" -> """
       WITH st AS (
         SELECT event_type,

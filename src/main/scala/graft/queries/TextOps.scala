@@ -815,6 +815,69 @@ object TextOps {
         .filter(col("hamming") <= SimhashHammingMax)
         .distinct()
     }),
+
+    // Linear quality classifier — the trained-scorer PLUMBING (fasttext-
+    // style quality gates are linear models over cheap features; the
+    // weights here are fixed stand-ins — a real deployment drops trained
+    // coefficients into the same expression). Everything runs in integer
+    // micro-units: each ratio feature is (count·1e6) div len, the logit is
+    // an integer dot product, and the keep gate is an integer comparison —
+    // zero float boundaries, map-only, codegen end to end (the same
+    // zero-shuffle class as text_quality, which reports the raw ratios).
+    "text_quality_lr" -> ((s, d) => {
+      def ratioU(pat: String) =
+        expr(s"(length(regexp_replace(text, '$pat', '')) * 1000000L) div length(text)")
+      fanOut(documents(s, d), s)
+        .withColumn("alpha_u", ratioU("[^A-Za-z]"))
+        .withColumn("digit_u", ratioU("[^0-9]"))
+        .withColumn("ws_u", ratioU("[^ ]"))
+        .withColumn("upper_u", ratioU("[^A-Z]"))
+        .withColumn("logit_u",
+          lit(-900000L) + lit(2L) * col("alpha_u") - lit(4L) * col("digit_u")
+            + col("ws_u") - lit(3L) * col("upper_u"))
+        .select(col("doc_id"), col("logit_u"), (col("logit_u") > 0L).as("keep"))
+    }),
+
+    // BPE pair statistics — the tokenizer-training counting stage: the
+    // frequency of every adjacent lowercase character pair inside words is
+    // exactly what byte-pair encoding's first merge ranks. One explode →
+    // one keyed count (combine-friendly partial agg: a pair appearing 10⁹
+    // times at 100 TB is one counter per map partition, never a hot
+    // reducer) → global top-30 via TakeOrderedAndProject (per-partition
+    // top-k, no global sort). Tiebreak (n desc, pair asc) makes the cut
+    // deterministic; the rank window runs over the 30-row result only.
+    "text_bpe_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = toks(s, d)
+        .select(explode(col("t")).as("w"))
+        .select(lower(col("w")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("pair")).limit(30)
+      top.withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("int"))
+    }),
+
+    // Cross-source duplication matrix — WHERE the near-duplicates come
+    // from: every LSH candidate pair mapped to its (source_a, source_b)
+    // bucket, the |sources|² diagnostic that tells a mixing pipeline which
+    // dataset pairs overlap (same-source pairs sit on the diagonal). Reads
+    // the SAME oracled pair computation as the rest of the dedup family
+    // (session-shared, so the signature pass is amortized); the doc→source
+    // map is a broadcast dimension at any corpus size the sources table
+    // itself is bounded at.
+    "dedup_source_matrix" -> ((s, d) => {
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      minhashPairsShared(s, d)
+        .join(broadcast(src.select(col("doc_id").as("da"), col("source").as("sa"))), "da")
+        .join(broadcast(src.select(col("doc_id").as("db"), col("source").as("sb"))), "db")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
   )
 
   /** Max Hamming distance for dedup_simhash_pairs; must stay < the band
@@ -941,6 +1004,27 @@ object TextOps {
       FROM sc"""
 
   val oracle: Map[String, String] = Map(
+    "text_quality_lr" -> """
+      WITH f AS (SELECT doc_id,
+                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000 // length(text) AS alpha_u,
+                        length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000 // length(text) AS digit_u,
+                        length(regexp_replace(text, '[^ ]', '', 'g')) * 1000000 // length(text) AS ws_u,
+                        length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1000000 // length(text) AS upper_u
+                 FROM documents)
+      SELECT doc_id,
+             CAST(-900000 + 2 * alpha_u - 4 * digit_u + ws_u - 3 * upper_u AS BIGINT)
+               AS logit_u,
+             (-900000 + 2 * alpha_u - 4 * digit_u + ws_u - 3 * upper_u) > 0 AS keep
+      FROM f""",
+    "text_bpe_pairs" -> """
+      WITH w0 AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+                  FROM documents),
+      p AS (SELECT substr(t.w, i, 2) AS pair
+            FROM (SELECT w FROM w0 WHERE length(w) >= 2) t,
+                 LATERAL (SELECT unnest(range(1, length(t.w))) AS i) r),
+      c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+      SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rk
+      FROM c QUALIFY rk <= 30""",
     "text_token_count" -> """
       SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
              CAST(length(text) AS INTEGER) AS len_chars
@@ -999,6 +1083,15 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_source_matrix" -> s"""
+      WITH pairs AS (${minhashPairsSql}),
+      src AS (SELECT doc_id, source FROM documents)
+      SELECT least(a.source, b.source) AS src_a,
+             greatest(a.source, b.source) AS src_b,
+             count(*) AS n_pairs
+      FROM pairs JOIN src a ON pairs.da = a.doc_id
+                 JOIN src b ON pairs.db = b.doc_id
+      GROUP BY 1, 2""",
     "dedup_edit_verify" -> s"""
       WITH pairs AS (${minhashPairsSql}),
       t AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents)

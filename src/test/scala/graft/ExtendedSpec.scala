@@ -207,4 +207,91 @@ class ExtendedSpec extends SparkSpec {
       assert(waste >= 0 && waste < bucket * n, s"tier $bucket waste out of range")
     }
   }
+
+  test("o5_pareto: exactly the brute-force skyline (strict domination + first-of-dups)") {
+    val got = graft.queries.Extended.queries("o5_pareto")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val pts = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS LONG) pc",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) dt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = pts.exists { q =>
+      q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3 ||
+          // equal on both dims: the lower key is kept, the higher dropped
+          (q._2 == p._2 && q._3 == p._3 && q._1 < p._1))
+    }
+    val brute = pts.filterNot(dominated)
+      .map(p => (p._1, p._2 / 100.0, p._3)).toSet
+    assert(got.toSet == brute,
+      s"skyline mismatch: got ${got.length}, brute ${brute.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("dedup_semantic: keep/drop decisions match the in-cluster cosine rule") {
+    val out = graft.queries.Similarity.queries("dedup_semantic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    assert(out.length == vecs.size, "every vector must get a verdict")
+    out.foreach { case (id, c, nEarlier, keep) =>
+      val earlier = out.iterator
+        .filter(o => o._2 == c && o._1 < id && cos(vecs(o._1), vecs(id)) > 0.4)
+        .map(_._1).toSeq
+      assert(nEarlier == earlier.length, s"vec $id: n_earlier_dups $nEarlier != ${earlier.length}")
+      assert(keep == earlier.isEmpty, s"vec $id keep=$keep but earlier=$earlier")
+      // assignment sanity: the cluster id is one of the 16 fixture centroids
+      assert(c >= 0 && c < 16, s"vec $id assigned to non-fixture centroid $c")
+    }
+    assert(out.exists(!_._4), "fixture produced no semantic duplicates — test is vacuous")
+    assert(cluster.values.toSet.size > 1, "degenerate single-cluster assignment")
+  }
+
+  test("w9_ema_decay: matches the sequential per-user recurrence, truncated to 8 terms") {
+    val got = graft.queries.Temporal.all("w9_ema_decay")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) us",
+        "CAST(round(value * 100) AS LONG) vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.foreach { i =>
+        val window = ordered.slice(math.max(0, i - 7), i + 1).reverse // newest first
+        val num = window.zipWithIndex.map { case (r, j) => r._4 * (1L << (7 - j)) }.sum
+        val den = window.indices.map(j => 1L << (7 - j)).sum
+        val want = BigDecimal(num.toDouble / den / 100.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(ordered(i)._1) - want) < 1e-9,
+          s"event ${ordered(i)._1}: ema ${got(ordered(i)._1)} != $want")
+      }
+    }
+    assert(got.size == ev.length)
+  }
+
+  test("a18_winsorize: clipped mean sits inside [p05, p95] and damps the raw mean") {
+    val rows = graft.queries.Extended.queries("a18_winsorize")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, p05, p95, n, raw, win) =>
+      assert(p05 <= p95, s"$flag: p05 $p05 above p95 $p95")
+      assert(win >= p05 - 0.01 && win <= p95 + 0.01,
+        s"$flag: winsorized mean $win outside [$p05, $p95]")
+      assert(n > 0)
+      // clipping both tails of a near-symmetric distribution moves the
+      // mean toward the center by less than the clip width
+      assert(math.abs(win - raw) <= (p95 - p05),
+        s"$flag: winsorized mean $win implausibly far from raw $raw")
+    }
+  }
 }

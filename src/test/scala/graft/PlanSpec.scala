@@ -231,6 +231,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(lang"), p)
   }
 
+  test("sample_weighted: weighted top-k keeps the reservoir's WindowGroupLimit shape") {
+    // the u/w priority changes the ORDER, not the plan: map-side local
+    // top-25 before the per-language shuffle, never a global sort
+    val p = plan("sample_weighted")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning(lang"), p)
+  }
+
+  test("dedup_semantic: in-cluster pair join is equi-keyed on c_id, never a loop join") {
+    // the operator's entire point vs dedup_embed_cosine: after the bounded
+    // broadcast quantizer, pairwise work partitions by cluster — the pair
+    // join must be hash/merge on c_id, and every reference to the
+    // assignment table must read the materialized cache (quantize once),
+    // not re-run the corpus × centroid pass
+    val p = plan("dedup_semantic")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("SortMergeJoin [c_id") || p.contains("ShuffledHashJoin [c_id")
+      || p.contains("BroadcastHashJoin [c_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w9_ema_decay: all 8 lags ride ONE user-keyed window sort") {
+    // 8 lag() columns over the same (user_id; ts, event_id) spec must
+    // collapse into a single Window operator after a single keyed exchange
+    val p = plan("w9_ema_decay")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOf(p, "\\bWindow\\b") == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("o5_pareto: bucket-local phase is keyed; only the survivor scan is global") {
+    // phase 1's window partitions by the hash bucket (corpus-wide work
+    // stays parallel); exactly one SinglePartition exchange may appear —
+    // the global scan over the tiny survivor set
+    val p = plan("o5_pareto")
+    assert(p.contains("hashpartitioning(b#"), p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+  }
+
   test("text_entropy: per-row HOF math — no key shuffle, no window") {
     // the entropy is computed entirely inside the row (sequence → filter →
     // aggregate); the only allowed exchange is the small-input fan-out
@@ -371,6 +411,10 @@ class PlanSpec extends SparkSpec {
       // (8-16 rows, fixture or Lloyd-trained) — linear work, the canonical
       // IVF/k-means shape
       "sim_ivf_topk", "sim_kmeans_update", "sim_ivf_trained",
+      // SemDeDup's quantizer: every vector × the same BOUNDED broadcast
+      // 16-row centroid table; the in-cluster pair join it feeds is
+      // equi-keyed on c_id
+      "dedup_semantic",
       "sim_ivf_recall", // composes the two baselines above; the join it ADDS is equi-key
       // the exact-L2 ground truth is the same broadcast 10-probe
       // brute-force baseline shape as sim_cosine_topk; the ADC side it
@@ -423,7 +467,10 @@ class PlanSpec extends SparkSpec {
       "sample_mix_weights", // window over the |langs|-row post-agg frame
       "sample_temperature", // same |langs|-row post-agg window
       "diag_key_skew",      // window over the 10-row per-partition top-k
-      "text_top_tokens"     // rank window over the 100-row TakeOrdered result
+      "text_top_tokens",    // rank window over the 100-row TakeOrdered result
+      "o5_pareto",          // global scan over the bucket-local skyline
+                            // survivors only (206 of 15 000 rows at sf0.01)
+      "text_bpe_pairs"      // rank window over the 30-row TakeOrdered result
     )
 
     def unAqe(p: SparkPlan): SparkPlan = p match {
