@@ -703,6 +703,78 @@ object Extended {
         .filter(col("rk") <= 25)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
     }),
+
+    // A20: exact distributed least squares (price ~ quantity per flag) —
+    // a15_corr's moment discipline extended to the regression closed form:
+    // slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²), intercept = (Σy − slope·Σx)/n.
+    // The five moments ship as the same mergeable BIGINT/DECIMAL(38,0)
+    // partials (exact at any N, any partitioning); the division forms the
+    // float ONCE at the end from integers both engines agree on. Slope is
+    // scale-invariant (cents/cents); the intercept converts back to
+    // dollars once.
+    "a20_linreg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val cents = lineitem(s, d).select(
+        col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qx"),
+        round(col("l_extendedprice") * 100).cast("long").as("px"))
+      val m = cents.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qx")).as("sx"), sum(col("px")).as("sy"),
+          sum(col("qx").cast(dec) * col("px")).as("sxy"),
+          sum(col("qx").cast(dec) * col("qx")).as("sxx"))
+      m.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double"))
+            .as("slope"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy") / col("n") - col("slope") * (col("sx") / col("n"))) / 100.0, 4)
+            .as("intercept"))
+    }),
+
+    // Degree histogram of the near-dup graph — the structural profile next
+    // to pagerank/triangles: how many documents have 1, 2, … near-dup
+    // neighbors (a fat tail here means boilerplate clusters the pair
+    // threshold is missing). Reads the session-shared pair frame; two
+    // keyed aggregations; output bounded by the max degree.
+    "graph_degree_stats" -> ((s, d) => {
+      val p = TextOps.minhashPairsShared(s, d)
+      val deg = p.select(col("da").as("node"))
+        .union(p.select(col("db").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+    }),
+
+    // Data-quality column profiler — the per-column audit a pipeline runs
+    // before trusting a new drop of data: null/blank counts, distinct
+    // cardinality, value-length extrema, for every column in one pass.
+    // stack() unpivots (6 columns → 6 rows per input row) map-side, so the
+    // single shuffle carries (col_name)-keyed partial aggregates — never a
+    // per-column scan. Non-string values stringify through deterministic
+    // integer forms (cents, epoch micros): a raw double/timestamp cast
+    // differs between engines, an integer never does.
+    "diag_column_profile" -> ((s, d) => {
+      val unpivoted = orders(s, d).select(expr(
+        """stack(6,
+           'o_orderkey', CAST(o_orderkey AS STRING),
+           'o_custkey', CAST(o_custkey AS STRING),
+           'o_orderstatus', o_orderstatus,
+           'o_totalprice', CAST(CAST(round(o_totalprice * 100) AS LONG) AS STRING),
+           'o_orderdate', CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING),
+           'o_orderpriority', o_orderpriority) AS (col_name, val)"""))
+      unpivoted.groupBy(col("col_name")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(trim(coalesce(col("val"), lit(""))) === "", 1L).otherwise(0L))
+          .as("n_blank"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(length(col("val"))).as("min_len"),
+        max(length(col("val"))).as("max_len"))
+    }),
   )
 
   /** The pure approx-percentile aggregation a 100 TB job runs in place of
@@ -1212,5 +1284,54 @@ object Extended {
                               // n_chars, doc_id) AS rk
             FROM documents)
       WHERE rk <= 25""",
+    "a20_linreg" -> """
+      WITH cents AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS px
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(qx) AS sx, sum(px) AS sy,
+               sum(CAST(qx AS HUGEINT) * px) AS sxy,
+               sum(CAST(qx AS HUGEINT) * qx) AS sxx
+        FROM cents GROUP BY l_returnflag),
+      s AS (
+        SELECT l_returnflag, n, sx, sy,
+               CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                 CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
+        FROM m)
+      SELECT l_returnflag, n, round(slope, 6) AS slope,
+             round((sy / n - slope * (sx / n)) / 100.0, 4) AS intercept
+      FROM s""",
+    "graph_degree_stats" -> s"""
+      WITH pairs AS (${TextOps.minhashPairsSql}),
+      e AS (SELECT da AS node FROM pairs UNION ALL SELECT db FROM pairs),
+      deg AS (SELECT node, count(*) AS degree FROM e GROUP BY node)
+      SELECT degree, count(*) AS n_nodes, min(node) AS min_node
+      FROM deg GROUP BY degree""",
+    "diag_column_profile" -> """
+      WITH u AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders)
+      SELECT col_name, count(*) AS n,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(sum(CASE WHEN trim(coalesce(val, '')) = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blank,
+             count(DISTINCT val) AS n_distinct,
+             CAST(min(length(val)) AS INTEGER) AS min_len,
+             CAST(max(length(val)) AS INTEGER) AS max_len
+      FROM u GROUP BY col_name""",
   )
 }

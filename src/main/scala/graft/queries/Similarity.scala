@@ -785,6 +785,23 @@ object Similarity {
           coalesce(col("n_earlier"), lit(0L)).as("n_earlier_dups"),
           col("n_earlier").isNull.as("keep"))
     }),
+
+    // Threshold calibration for the near-dup family: the candidate pairs'
+    // cosine distribution in 0.05-wide buckets — the curve a pipeline
+    // owner reads before PICKING the dedup threshold (how many pairs does
+    // 0.75 vs 0.80 drop?). Composes the oracled LSH+verify pipeline; the
+    // bucket index is pure integer arithmetic over the 6dp-rounded cosine
+    // (round(cos·1e6) div 50000), so no float boundary decides a bucket.
+    // Output is ≤20 rows whatever the corpus size.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      queries("dedup_embed_lsh")(s, d)
+        .select(expr("CAST(round(cos * 1000000) AS LONG) div 50000").as("bucket"),
+          col("cos"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("cos")), 6).as("min_cos"),
+          round(max(col("cos")), 6).as("max_cos"))
+    }),
   )
 
   /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
@@ -1056,7 +1073,20 @@ object Similarity {
                        ELSE CAST(sign(xu) AS BIGINT) * ((abs(xu) * 254 + m) // (2 * m))
                   END AS INTEGER) AS q8
       FROM ex JOIN sc ON ex.dim = sc.dim""",
-    "dedup_embed_lsh" -> s"""
+    "dedup_embed_lsh" -> lshPairsSql,
+    "dedup_threshold_sweep" -> s"""
+      WITH pairs AS ($lshPairsSql)
+      SELECT CAST(round(cos * 1000000) AS BIGINT) // 50000 AS bucket,
+             count(*) AS n_pairs,
+             round(min(cos), 6) AS min_cos,
+             round(max(cos), 6) AS max_cos
+      FROM pairs GROUP BY 1""",
+  )
+
+  /** LSH band → candidate → exact-cosine-verify pairs, shared by the
+    * dedup_embed_lsh oracle and the threshold-sweep calibration built on it.
+    */
+  private lazy val lshPairsSql: String = s"""
       WITH $lshSigSql,
       bands AS (SELECT vec_id, b AS band, substr(bucket, b * 4 + 1, 4) AS bk
                 FROM buckets, (SELECT unnest(range(0, 4)) AS b)),
@@ -1067,6 +1097,5 @@ object Similarity {
       SELECT da, db,
              round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
       FROM cand JOIN n x ON da = x.vec_id JOIN n y ON db = y.vec_id
-      WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > 0.4""",
-  )
+      WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > 0.4"""
 }

@@ -378,6 +378,26 @@ object Temporal {
         .select(col("event_id"), col("user_id"),
           round(col("num") / col("den") / 100.0, 4).as("ema"))
     }),
+
+    // W10: longest consecutive-day activity streak per user — the
+    // gaps-and-islands pattern (day − row_number is constant exactly
+    // within a run of consecutive days, so the anchor date keys the
+    // streak). One distinct, one keyed window, two keyed aggregations —
+    // everything sharded by user; no streak is ever assembled on the
+    // driver or a single task.
+    "w10_streak" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      days
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+    }),
   )
 
   /** The streaming sessionizer answers the identical question as the batch
@@ -426,6 +446,19 @@ object Temporal {
                           + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)
                    / 100.0, 4) AS ema
       FROM l""",
+    "w10_streak" -> """
+      WITH days AS (SELECT DISTINCT user_id,
+                           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                    FROM events),
+      runs AS (SELECT user_id,
+                      day - CAST(row_number() OVER
+                        (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+               FROM days),
+      st AS (SELECT user_id, anchor, count(*) AS len
+             FROM runs GROUP BY user_id, anchor)
+      SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+             max(len) AS longest_streak, count(*) AS n_streaks
+      FROM st GROUP BY user_id""",
     "w6_transitions" -> """
       WITH st AS (
         SELECT event_type,

@@ -878,6 +878,25 @@ object TextOps {
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_pairs"))
     }),
+
+    // Per-domain corpus profile — the web-pipeline slice every mixing
+    // decision starts from: document count, volume, and language spread
+    // per host. Hosts come from the same deterministic URL fabrication as
+    // f18_url_parse (the corpus carries no real URLs), extracted inline so
+    // the query is ONE map-side pass + one keyed aggregation — no join
+    // back onto documents, which at 100 TB would shuffle the corpus to
+    // annotate it with a column it can compute in place.
+    "text_domain_stats" -> ((s, d) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      fanOut(documents(s, d), s)
+        .withColumn("host", concat(col("source"), lit(".example."), tld))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"))
+    }),
   )
 
   /** Max Hamming distance for dedup_simhash_pairs; must stay < the band
@@ -1083,6 +1102,14 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "text_domain_stats" -> """
+      SELECT source || '.example.' ||
+               (['com', 'org', 'net'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS host,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT lang) AS n_langs,
+             min(doc_id) AS min_doc
+      FROM documents GROUP BY 1""",
     "dedup_source_matrix" -> s"""
       WITH pairs AS (${minhashPairsSql}),
       src AS (SELECT doc_id, source FROM documents)

@@ -277,6 +277,80 @@ class ExtendedSpec extends SparkSpec {
     assert(got.size == ev.length)
   }
 
+  test("a20_linreg: closed form minimizes squared error on the actual data") {
+    val got = graft.queries.Extended.queries("a20_linreg")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val pts = graft.tables.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    pts.groupBy(_._1).foreach { case (flag, rows) =>
+      val (slope, icept) = got(flag)
+      def sse(b: Double, a: Double) =
+        rows.map { case (_, x, y) => val e = y - (a + b * x); e * e }.sum
+      val base = sse(slope, icept)
+      // perturbing either coefficient in either direction must not improve
+      // the fit — the least-squares optimum is a genuine minimum
+      for (db <- Seq(-0.01, 0.01); da <- Seq(-0.5, 0.0, 0.5))
+        assert(sse(slope + db, icept + da) >= base - 1e-6,
+          s"$flag: ($slope,$icept) not optimal vs (${slope + db},${icept + da})")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("graph/threshold/domain/profile diagnostics: totals reconcile with their inputs") {
+    val pairs = graft.queries.TextOps.queries("dedup_minhash_lsh")(spark, sf).count()
+    val degRows = graft.queries.Extended.queries("graph_degree_stats")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(degRows.map { case (deg, n) => deg * n }.sum == 2 * pairs,
+      "degree histogram must account for both endpoints of every pair")
+
+    val lsh = graft.queries.Similarity.queries("dedup_embed_lsh")(spark, sf).count()
+    val sweep = graft.queries.Similarity.queries("dedup_threshold_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(sweep.map(_._2).sum == lsh, "sweep buckets must partition the pair set")
+    sweep.foreach { case (b, _, lo, hi) =>
+      assert(lo <= hi && math.floor(lo * 20).toLong <= b && b <= math.floor(hi * 20).toLong,
+        s"bucket $b bounds [$lo,$hi] inconsistent")
+    }
+
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    val dom = graft.queries.TextOps.queries("text_domain_stats")(spark, sf)
+      .collect().map(r => r.getLong(1))
+    assert(dom.sum == nDocs, "domain profile must cover every document once")
+
+    val nOrders = graft.tables.Tables.orders(spark, sf).count()
+    val prof = graft.queries.Extended.queries("diag_column_profile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(prof.length == 6)
+    prof.foreach { case (c, n, nNull, nDistinct) =>
+      assert(n == nOrders, s"$c: n $n != $nOrders")
+      assert(nNull == 0 && nDistinct > 0, s"$c: null/distinct out of range")
+    }
+    assert(prof.find(_._1 == "o_orderkey").get._4 == nOrders,
+      "primary key must profile as all-distinct")
+  }
+
+  test("w10_streak: per-user streaks match the brute-force day-run scan") {
+    val got = graft.queries.Temporal.all("w10_streak")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val days = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS DATE) day").distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    days.groupBy(_._1).foreach { case (u, rows) =>
+      val ds = rows.map(_._2).sortBy(_.toEpochDay)
+      val runs = ds.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (cur :: rest), d)
+            if cur.head.toEpochDay == d.toEpochDay - 1 => (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }
+      val (na, ls, nr) = got(u)
+      assert(na == ds.length, s"user $u active days")
+      assert(ls == runs.map(_.length).max, s"user $u longest streak")
+      assert(nr == runs.length, s"user $u streak count")
+    }
+    assert(got.size == days.map(_._1).distinct.length)
+  }
+
   test("a18_winsorize: clipped mean sits inside [p05, p95] and damps the raw mean") {
     val rows = graft.queries.Extended.queries("a18_winsorize")(spark, sf)
       .collect()
