@@ -775,6 +775,28 @@ object Extended {
         min(length(col("val"))).as("min_len"),
         max(length(col("val"))).as("max_len"))
     }),
+
+    // Balanced shard assignment — the training-data writer's last step:
+    // deal documents into 8 output shards so each shard carries a near-
+    // equal byte load. Longest-first round-robin WITHIN each language
+    // (rank by n_chars desc inside a lang-keyed window, shard = rank % 8)
+    // approximates LPT bin packing without any sequential greedy state:
+    // every window is sharded by language, so no task ever sorts more than
+    // one language's rows and the assignment is reproducible across
+    // engines, runs, and partitioning. Output is the 8-row shard manifest
+    // a writer would use to audit balance before the final write.
+    "sample_shard_assign" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      documents(s, d)
+        .withColumn("shard", (row_number().over(w) - 1) % 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"))
+    }),
   )
 
   /** The pure approx-percentile aggregation a 100 TB job runs in place of
@@ -1333,5 +1355,17 @@ object Extended {
              CAST(min(length(val)) AS INTEGER) AS min_len,
              CAST(max(length(val)) AS INTEGER) AS max_len
       FROM u GROUP BY col_name""",
+    "sample_shard_assign" -> """
+      WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents)
+      SELECT CAST((r - 1) % 8 AS INTEGER) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT lang) AS n_langs,
+             min(doc_id) AS min_doc
+      FROM ranked GROUP BY 1""",
   )
 }

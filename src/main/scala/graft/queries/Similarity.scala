@@ -802,6 +802,35 @@ object Similarity {
           round(min(col("cos")), 6).as("min_cos"),
           round(max(col("cos")), 6).as("max_cos"))
     }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al.): the
+    // dense leg (sim_cosine_topk over embeddings) and the lexical leg
+    // (text_shingle_knn 4-gram Jaccard over documents) rank the SAME 10
+    // probe ids (the test tables share the 0-based id space, the standard
+    // one-embedding-per-document layout), and each candidate's fused score
+    // is Σ 1/(60+rank). Contributions are rounded to integer micro-units
+    // BEFORE the sum — 1e6/(60+r) for r in 1..5 sits far from any .5
+    // boundary, so both engines produce the identical BIGINT and the fused
+    // ranking has no float tie. Each leg is its own already-oracled
+    // operator; fusion itself is one keyed aggregation over <=100 rows per
+    // probe — cost lives in the legs, which scale independently.
+    "sim_rrf_fusion" -> ((s, d) => {
+      val cu = round(lit(1000000.0) / (lit(60) + col("rank"))).cast("long")
+      val dense = queries("sim_cosine_topk")(s, d)
+        .select(col("q_id"), col("vec_id").as("cand"), cu.as("cu"))
+      val lex = TextOps.queries("text_shingle_knn")(s, d)
+        .select(col("q_doc").as("q_id"), col("doc_id").as("cand"), cu.as("cu"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_u").desc, col("cand"))
+      dense.unionByName(lex)
+        .groupBy(col("q_id"), col("cand"))
+        .agg(sum(col("cu")).as("rrf_u"), count(lit(1)).as("n_legs"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("cand"),
+          round(col("rrf_u").cast("double") / 1000000.0, 6).as("rrf"),
+          col("n_legs"), col("rank"))
+    }),
   )
 
   /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
@@ -1081,6 +1110,25 @@ object Similarity {
              round(min(cos), 6) AS min_cos,
              round(max(cos), 6) AS max_cos
       FROM pairs GROUP BY 1""",
+    "sim_rrf_fusion" -> s"""
+      WITH dense AS ($cosineTopkSql),
+      lex AS (${TextOps.shingleKnnSql}),
+      u AS (SELECT q_id, vec_id AS cand,
+                   CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS cu
+            FROM dense
+            UNION ALL
+            SELECT q_doc, doc_id,
+                   CAST(round(1000000.0 / (60 + rank)) AS BIGINT)
+            FROM lex),
+      f AS (SELECT q_id, cand, CAST(sum(cu) AS BIGINT) AS rrf_u,
+                   count(*) AS n_legs
+            FROM u GROUP BY 1, 2)
+      SELECT q_id, cand, round(rrf_u / 1000000.0, 6) AS rrf, n_legs,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_u DESC, cand) AS INTEGER) AS rank
+      FROM f
+      QUALIFY row_number() OVER (PARTITION BY q_id
+        ORDER BY rrf_u DESC, cand) <= 5""",
   )
 
   /** LSH band → candidate → exact-cosine-verify pairs, shared by the

@@ -398,6 +398,60 @@ object Temporal {
           max(col("len")).as("longest_streak"),
           count(lit(1)).as("n_streaks"))
     }),
+
+    // W11: per-user activity-spike detection — flag the days where a
+    // user's event count exceeds their own mean by 2 standard deviations.
+    // The FLAG is decided in pure integer arithmetic: c > μ + 2σ is
+    // algebraically (n·c − S) > 0 AND (n·c − S)² > 4·(n·S2 − S²), where
+    // S = Σc, S2 = Σc² are the per-user BIGINT moments — so no float
+    // boundary ever decides membership (the a15_corr discipline applied to
+    // a predicate). Squares go through DECIMAL(38,0) so the comparison is
+    // exact at any daily volume. The reported z-score is formed once, from
+    // the same integers, for display. Two keyed aggregations + one
+    // user-keyed equi-join of daily counts against |users| stat rows.
+    "w11_anomaly_days" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("sc"),
+          sum(col("c").cast(dec) * col("c")).as("sc2"))
+      val num = col("nd").cast(dec) * col("c") - col("sc")
+      val varn = col("nd").cast(dec) * col("sc2") -
+        col("sc").cast(dec) * col("sc")
+      daily.join(stats, "user_id")
+        .withColumn("num", num).withColumn("varn", varn)
+        .filter(col("num") > 0 && col("num") * col("num") > varn * 4)
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("c").as("n_events"),
+          round(col("num").cast("double") /
+            sqrt(col("varn").cast("double")), 4).as("z"))
+    }),
+
+    // W12: rolling 7-day distinct active users per day. A sliding distinct
+    // count can't use a window frame (count distinct isn't frame-mergeable)
+    // and must never self-join days×events; instead each (user, day)
+    // activity row is EXPLODED to the 7 report days it influences — a
+    // map-side 7× fan-out of the already-distinct pairs — and the answer is
+    // one keyed count-distinct per report day (partial-aggregated on
+    // (day, user) map-side, so hot days cost counters, not row funnels).
+    // Report days past the data's horizon are dropped against a 1-row
+    // scalar max broadcast.
+    "w12_rolling_active" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val mx = ud.agg(max(col("day")).as("mx"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+        .crossJoin(broadcast(mx))
+        .filter(col("wday") <= col("mx"))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+          col("active_7d"))
+    }),
   )
 
   /** The streaming sessionizer answers the identical question as the batch
@@ -459,6 +513,31 @@ object Temporal {
       SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
              max(len) AS longest_streak, count(*) AS n_streaks
       FROM st GROUP BY user_id""",
+    "w11_anomaly_days" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT user_id, count(*) AS nd, sum(c) AS sc,
+                    sum(CAST(c AS HUGEINT) * c) AS sc2
+             FROM daily GROUP BY user_id),
+      j AS (SELECT daily.user_id, day, c,
+                   CAST(nd AS HUGEINT) * c - sc AS num,
+                   CAST(nd AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc AS varn
+            FROM daily JOIN st ON daily.user_id = st.user_id)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day, c AS n_events,
+             round(CAST(num AS DOUBLE) / sqrt(CAST(varn AS DOUBLE)), 4) AS z
+      FROM j WHERE num > 0 AND num * num > varn * 4""",
+    "w12_rolling_active" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                  FROM events),
+      mx AS (SELECT max(day) AS mx FROM ud),
+      w AS (SELECT user_id, day + CAST(o AS INTEGER) AS wday
+            FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS o) r)
+      SELECT strftime(wday, '%Y-%m-%d') AS day,
+             count(DISTINCT user_id) AS active_7d
+      FROM w, mx WHERE wday <= mx GROUP BY 1""",
     "w6_transitions" -> """
       WITH st AS (
         SELECT event_type,

@@ -897,6 +897,37 @@ object TextOps {
           countDistinct(col("lang")).as("n_langs"),
           min(col("doc_id")).as("min_doc"))
     }),
+
+    // Lexical k-NN: the 5 nearest documents to each of 10 probe docs by
+    // 4-gram-shingle Jaccard — the sparse/lexical leg of hybrid retrieval
+    // (sim_rrf_fusion fuses it with the dense cosine leg). The probe side
+    // is 10 documents' shingles, BROADCAST onto the corpus postings, so
+    // the corpus never shuffles for the candidate join and no posting
+    // self-join exists; only docs sharing >=1 shingle with a probe become
+    // candidates (identical recall rule on both engines). Top-5 is a
+    // probe-keyed window on the 6dp-rounded Jaccard (WindowGroupLimit
+    // prunes map-side) with doc_id tie-break.
+    "text_shingle_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val probes = sh.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_doc"), col("s"))
+      val inter = sh.join(broadcast(probes), Seq("s"))
+        .filter(col("doc_id") =!= col("q_doc"))
+        .groupBy(col("q_doc"), col("doc_id")).agg(count(lit(1)).as("inter"))
+      val qsz = sizes.select(col("doc_id").as("q_doc"), col("n").as("qn"))
+      val w = Window.partitionBy(col("q_doc"))
+        .orderBy(col("jaccard").desc, col("doc_id"))
+      inter
+        .join(broadcast(qsz), "q_doc")
+        .join(sizes, "doc_id")
+        .select(col("q_doc"), col("doc_id"),
+          round(col("inter") / (col("qn") + col("n") - col("inter")), 6)
+            .as("jaccard"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
   )
 
   /** Max Hamming distance for dedup_simhash_pairs; must stay < the band
@@ -923,6 +954,29 @@ object TextOps {
       SELECT da, db, round(inter / (x.n + y.n - inter), 6) AS jaccard
       FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
       WHERE inter / (x.n + y.n - inter) > 0.8"""
+
+  /** Canonical DuckDB SQL for the lexical shingle k-NN — single source for
+    * text_shingle_knn AND the lexical leg of Similarity.sim_rrf_fusion.
+    */
+  private[queries] val shingleKnnSql: String = """
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      probes AS (SELECT doc_id AS q_doc, s FROM sh WHERE doc_id < 10),
+      inter AS (SELECT p.q_doc, c.doc_id, count(*) AS inter
+                FROM sh c JOIN probes p ON c.s = p.s AND c.doc_id <> p.q_doc
+                GROUP BY 1, 2),
+      scored AS (SELECT q_doc, inter.doc_id AS doc_id,
+                        round(inter / (qs.n + cs.n - inter), 6) AS jaccard
+                 FROM inter JOIN sizes qs ON q_doc = qs.doc_id
+                            JOIN sizes cs ON inter.doc_id = cs.doc_id)
+      SELECT q_doc, doc_id, jaccard,
+             CAST(row_number() OVER (PARTITION BY q_doc
+               ORDER BY jaccard DESC, doc_id) AS INTEGER) AS rank
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_doc
+        ORDER BY jaccard DESC, doc_id) <= 5"""
 
   /** Canonical DuckDB SQL for the MinHash-LSH candidate pairs — the single
     * source for dedup_minhash_lsh AND the edge set of
@@ -1110,6 +1164,7 @@ object TextOps {
              count(DISTINCT lang) AS n_langs,
              min(doc_id) AS min_doc
       FROM documents GROUP BY 1""",
+    "text_shingle_knn" -> shingleKnnSql,
     "dedup_source_matrix" -> s"""
       WITH pairs AS (${minhashPairsSql}),
       src AS (SELECT doc_id, source FROM documents)

@@ -351,6 +351,113 @@ class ExtendedSpec extends SparkSpec {
     assert(got.size == days.map(_._1).distinct.length)
   }
 
+  test("text_shingle_knn: top-5 matches the brute-force Jaccard ranking") {
+    val got = graft.queries.TextOps.queries("text_shingle_knn")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").toSeq.sliding(4)
+          .filter(_.size == 4).map(_.mkString(" ")).toSet)
+      .toMap
+    for (q <- 0L until 10L) {
+      val qs = docs(q)
+      val want = docs.toSeq
+        .filter { case (id, s) => id != q && (s & qs).nonEmpty }
+        .map { case (id, s) =>
+          val inter = (s & qs).size
+          val j = BigDecimal(inter.toDouble / (s.size + qs.size - inter))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, j)
+        }
+        .sortBy { case (id, j) => (-j, id) }.take(5)
+      want.zipWithIndex.foreach { case ((id, j), i) =>
+        assert(got((q, i + 1)) == ((id, j)),
+          s"probe $q rank ${i + 1}: ${got((q, i + 1))} != ($id, $j)")
+      }
+    }
+  }
+
+  test("sim_rrf_fusion: fused scores reconcile with the two legs' ranks") {
+    val dense = graft.queries.Similarity.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    val lex = graft.queries.TextOps.queries("text_shingle_knn")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    def cu(rank: Int): Long = math.round(1000000.0 / (60 + rank))
+    val fusedWant = (dense.keySet ++ lex.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        val scored = keys.toSeq.map { k =>
+          val s = dense.get(k).map(cu).getOrElse(0L) +
+            lex.get(k).map(cu).getOrElse(0L)
+          val legs = dense.contains(k).compare(false) +
+            lex.contains(k).compare(false)
+          (k._2, s, legs)
+        }.sortBy { case (cand, s, _) => (-s, cand) }.take(5)
+        scored.zipWithIndex.map { case ((cand, s, legs), i) =>
+          ((q, cand), (s, legs.toLong, i + 1))
+        }
+    }
+    val got = graft.queries.Similarity.queries("sim_rrf_fusion")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (math.round(r.getDouble(2) * 1000000), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(got == fusedWant, s"fusion mismatch: got ${got.size} rows")
+    assert(got.values.exists(_._2 == 2L),
+      "at least one candidate should be found by BOTH legs for the test to bite")
+  }
+
+  test("sample_shard_assign: manifest covers the corpus and shards are balanced") {
+    val rows = graft.queries.Extended.queries("sample_shard_assign")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("n_chars").collect().map(_.getLong(0))
+    assert(rows.length == 8)
+    assert(rows.map(_._2).sum == docs.length, "every doc lands in exactly one shard")
+    assert(rows.map(_._3).sum == docs.sum, "char totals reconcile")
+    // longest-first round-robin within language keeps byte loads close:
+    // worst shard within 20% of the mean at this corpus shape
+    val totals = rows.map(_._3.toDouble)
+    val mean = totals.sum / totals.length
+    assert(totals.max / mean < 1.2 && totals.min / mean > 0.8,
+      s"imbalance: ${totals.min} .. ${totals.max} around mean $mean")
+  }
+
+  test("w11_anomaly_days: flags exactly the brute-force mean+2sigma exceedances") {
+    val got = graft.queries.Temporal.all("w11_anomaly_days")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val daily = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS DATE) day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString))
+      .groupBy(identity).map { case ((u, day), xs) => (u, day, xs.length.toLong) }
+      .toSeq
+    val want = daily.groupBy(_._1).flatMap { case (u, rows) =>
+      val cs = rows.map(_._3.toDouble)
+      val mu = cs.sum / cs.size
+      val sigma = math.sqrt(cs.map(c => (c - mu) * (c - mu)).sum / cs.size)
+      rows.filter(_._3 > mu + 2 * sigma).map(r => ((u, r._2), r._3))
+    }
+    assert(got == want.toMap, s"${got.size} flagged vs brute-force ${want.size}")
+    assert(got.nonEmpty, "fixture should contain at least one spike day")
+  }
+
+  test("w12_rolling_active: every report day counts its trailing 7-day distinct users") {
+    val got = graft.queries.Temporal.all("w12_rolling_active")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ud = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS DATE) day").distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val maxDay = ud.map(_._2.toEpochDay).max
+    val want = ud.flatMap { case (u, d) =>
+      (0 to 6).map(o => (d.plusDays(o), u)).filter(_._1.toEpochDay <= maxDay)
+    }.groupBy(_._1).map { case (d, xs) =>
+      d.toString -> xs.map(_._2).distinct.length.toLong
+    }
+    assert(got == want, s"${got.size} report days vs ${want.size}")
+  }
+
   test("a18_winsorize: clipped mean sits inside [p05, p95] and damps the raw mean") {
     val rows = graft.queries.Extended.queries("a18_winsorize")(spark, sf)
       .collect()
