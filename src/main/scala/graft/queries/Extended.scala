@@ -776,6 +776,35 @@ object Extended {
         max(length(col("val"))).as("max_len"))
     }),
 
+    // A21: two-level sketch rollup — the incremental-aggregation pattern a
+    // 100 TB pipeline runs instead of re-scanning history: per-day HLL
+    // sketches of the distinct-user set are built ONCE (Datasketches HLL,
+    // lgConfigK=12 — a fixed-size binary, mergeable by construction), and
+    // weekly distinct counts come from UNION-MERGING the 7 daily sketches,
+    // never from a second pass over the raw events. This is the pattern
+    // that turns a daily ETL into an incremental one: yesterday's sketches
+    // are immutable artifacts, today's rollup unions them. Weeks key on
+    // epoch_day div 7 (no calendar lookup). Oracle = the a6b accuracy
+    // contract: every weekly estimate within 5% of exact (3× the ~1.6%
+    // rsd of 2^12 buckets); the exact side exists only to audit.
+    "a21_hll_partial_merge" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'1970-01-01') div 7").as("week"),
+          to_date(col("ts")).as("day"))
+      val daily = ev.groupBy(col("week"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val weekly = daily.groupBy(col("week"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx"))
+      val exact = ev.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      weekly.join(exact, "week").select(
+        col("week").cast("long").as("week"), col("n_days"),
+        (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
+          .as("within_5pct"))
+    }),
+
     // Balanced shard assignment — the training-data writer's last step:
     // deal documents into 8 output shards so each shard carries a near-
     // equal byte load. Longest-first round-robin WITHIN each language
@@ -1355,6 +1384,15 @@ object Extended {
              CAST(min(length(val)) AS INTEGER) AS min_len,
              CAST(max(length(val)) AS INTEGER) AS max_len
       FROM u GROUP BY col_name""",
+    "a21_hll_partial_merge" -> """
+      WITH ev AS (SELECT user_id,
+                         (CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                            - DATE '1970-01-01') // 7 AS week,
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                  FROM events)
+      SELECT CAST(week AS BIGINT) AS week, count(DISTINCT day) AS n_days,
+             true AS within_5pct
+      FROM ev GROUP BY week""",
     "sample_shard_assign" -> """
       WITH ranked AS (
         SELECT doc_id, lang, n_chars,

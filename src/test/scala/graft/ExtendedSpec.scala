@@ -458,6 +458,31 @@ class ExtendedSpec extends SparkSpec {
     assert(got == want, s"${got.size} report days vs ${want.size}")
   }
 
+  test("a21_hll_partial_merge: daily-sketch union is lossless vs the direct weekly sketch") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Extended.queries("a21_hll_partial_merge")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty && got.forall(_._3), "every weekly estimate within 5% of exact")
+    assert(got.map(_._2).sum == graft.tables.Tables.events(spark, sf)
+      .selectExpr("CAST(CAST(ts AS TIMESTAMP) AS DATE) day").distinct().count(),
+      "weekly day counts partition the active days")
+    // register-wise max is lossless: merging the 7 daily sketches must give
+    // the SAME estimate as one sketch built over the whole week directly
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "datediff(to_date(ts), date'1970-01-01') div 7 AS week",
+        "to_date(ts) AS day")
+    val merged = ev.groupBy(col("week"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy(col("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy(col("week"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      s"union-of-partials diverged from the direct sketch: $merged vs $direct")
+  }
+
   test("a18_winsorize: clipped mean sits inside [p05, p95] and damps the raw mean") {
     val rows = graft.queries.Extended.queries("a18_winsorize")(spark, sf)
       .collect()
