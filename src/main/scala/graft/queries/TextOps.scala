@@ -819,7 +819,8 @@ object TextOps {
     // Linear quality classifier — the trained-scorer PLUMBING (fasttext-
     // style quality gates are linear models over cheap features; the
     // weights here are fixed stand-ins — a real deployment drops trained
-    // coefficients into the same expression). Everything runs in integer
+    // coefficients into the same expression, and text_quality_probe below
+    // demonstrates the distributed exact training that produces them). Everything runs in integer
     // micro-units: each ratio feature is (count·1e6) div len, the logit is
     // an integer dot product, and the keep gate is an integer comparison —
     // zero float boundaries, map-only, codegen end to end (the same
@@ -836,6 +837,59 @@ object TextOps {
           lit(-900000L) + lit(2L) * col("alpha_u") - lit(4L) * col("digit_u")
             + col("ws_u") - lit(3L) * col("upper_u"))
         .select(col("doc_id"), col("logit_u"), (col("logit_u") > 0L).as("keep"))
+    }),
+
+    // Trained linear quality probe — closes text_quality_lr's "fixed
+    // stand-in weights" note the way sim_ivf_trained closed IVF's: the
+    // same linear-scorer shape, but with coefficients TRAINED distributed,
+    // in one pass, exactly. A squared-loss probe (y = is-English in milli-
+    // units, features = alphabetic ratio and mean token length, both in
+    // milli-units — deliberately NOT two ratios of the same denominator,
+    // which are collinear on all-letters-and-spaces text and make the
+    // Gram matrix singular)
+    // is fit by the normal equations: the 3×3 Gram matrix and moment
+    // vector are exact DECIMAL(38,0) sums of integer features — order-free
+    // at any partitioning, the a20_linreg discipline at matrix rank 3 —
+    // and Cramer's rule then runs as SCALAR double arithmetic on the
+    // single per-source moment row. Every moment casts to double exactly
+    // (< 2^53) and both engines evaluate the identical IEEE-754 expression
+    // tree, so the trained weights hash-match bit for bit. At 100 TB the
+    // cost is ONE corpus scan + one |sources|-row shuffle; the solve is
+    // O(1) per group.
+    "text_quality_probe" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val f = fanOut(documents(s, d), s)
+        .select(col("source"),
+          expr("(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000L) div length(text)")
+            .as("x1"),
+          expr("(length(text) * 1000L) div size(split(trim(text), '\\\\s+'))")
+            .as("x2"),
+          when(col("lang") === "en", 1000L).otherwise(0L).as("y"))
+      val m = f.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).cast(dec).as("s1"), sum(col("x2")).cast(dec).as("s2"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("x1").cast(dec) * col("x1")).as("s11"),
+        sum(col("x1").cast(dec) * col("x2")).as("s12"),
+        sum(col("x2").cast(dec) * col("x2")).as("s22"),
+        sum(col("x1").cast(dec) * col("y")).as("s1y"),
+        sum(col("x2").cast(dec) * col("y")).as("s2y"))
+      def D(c: String) = col(c).cast("double")
+      val (n, s1, s2, sy) = (D("n"), D("s1"), D("s2"), D("sy"))
+      val (s11, s12, s22, s1y, s2y) = (D("s11"), D("s12"), D("s22"), D("s1y"), D("s2y"))
+      val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+      val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+        s2 * (s1y * s12 - s11 * s2y)
+      val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)
+      val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - s11 * s2)
+      m.select(col("source"), col("n"),
+        round(det0 / det, 6).as("w0"),
+        round(det1 / det, 6).as("w1"),
+        round(det2 / det, 6).as("w2"))
     }),
 
     // BPE pair statistics — the tokenizer-training counting stage: the
@@ -1165,6 +1219,44 @@ object TextOps {
              min(doc_id) AS min_doc
       FROM documents GROUP BY 1""",
     "text_shingle_knn" -> shingleKnnSql,
+    "text_quality_probe" -> """
+      WITH f AS (SELECT source,
+                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000
+                          // length(text) AS x1,
+                        length(text) * 1000
+                          // len(regexp_split_to_array(trim(text), '\s+')) AS x2,
+                        CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS y
+                 FROM documents),
+      m AS (SELECT source, count(*) AS n,
+                   sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+                   sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+                   sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+                   sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+                   sum(CAST(x2 AS HUGEINT) * y) AS s2y
+            FROM f GROUP BY source),
+      dd AS (SELECT source, n,
+                    CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+                    CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+                    CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+                    CAST(s22 AS DOUBLE) AS d22, CAST(s1y AS DOUBLE) AS d1y,
+                    CAST(s2y AS DOUBLE) AS d2y
+             FROM m)
+      SELECT source, n,
+             round((dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+                      + d2 * (d1y * d12 - d11 * d2y))
+                   / (dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+                      + d2 * (d1 * d12 - d11 * d2)), 6) AS w0,
+             round((dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+                      + d2 * (d1 * d2y - d1y * d2))
+                   / (dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+                      + d2 * (d1 * d12 - d11 * d2)), 6) AS w1,
+             round((dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+                      + dy * (d1 * d12 - d11 * d2))
+                   / (dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+                      + d2 * (d1 * d12 - d11 * d2)), 6) AS w2
+      FROM dd""",
     "dedup_source_matrix" -> s"""
       WITH pairs AS (${minhashPairsSql}),
       src AS (SELECT doc_id, source FROM documents)

@@ -458,6 +458,34 @@ class ExtendedSpec extends SparkSpec {
     assert(got == want, s"${got.size} report days vs ${want.size}")
   }
 
+  test("text_quality_probe: normal-equation weights minimize SSE on the actual features") {
+    val got = graft.queries.TextOps.queries("text_quality_probe")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val feats = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("source",
+        "(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000L) div length(text) AS x1",
+        "(length(text) * 1000L) div size(split(trim(text), '\\\\s+')) AS x2",
+        "CASE WHEN lang = 'en' THEN 1000L ELSE 0L END AS y")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    feats.groupBy(_._1).foreach { case (src, rows) =>
+      val (w0, w1, w2) = got(src)
+      def sse(a: Double, b: Double, c: Double) =
+        rows.map { case (_, x1, x2, y) =>
+          val e = y - (a + b * x1 + c * x2); e * e
+        }.sum
+      val base = sse(w0, w1, w2)
+      for (d0 <- Seq(-1.0, 0.0, 1.0); d1 <- Seq(-0.01, 0.0, 0.01);
+           d2 <- Seq(-0.001, 0.0, 0.001))
+        assert(sse(w0 + d0, w1 + d1, w2 + d2) >= base - 1e-6,
+          s"$src: ($w0,$w1,$w2) not the least-squares optimum")
+    }
+    assert(got.size == feats.map(_._1).distinct.length)
+  }
+
   test("a21_hll_partial_merge: daily-sketch union is lossless vs the direct weekly sketch") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.Extended.queries("a21_hll_partial_merge")(spark, sf)
