@@ -396,6 +396,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_shingle_knn: probe shingles broadcast; top-5 is a probe-keyed window") {
+    // the corpus posting side must never shuffle for the candidate join —
+    // the probe side (10 docs' shingles) broadcasts onto it — and the
+    // final top-5 prunes map-side inside a q_doc-keyed window
+    val p = plan("text_shingle_knn")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("hashpartitioning(q_doc"), p)
+  }
+
+  test("text_quality_probe: one corpus scan, moments partial-aggregate before one shuffle") {
+    // the whole training pass is scan → map-side moment partials → one
+    // |sources|-keyed exchange → scalar Cramer solve; no join, no window,
+    // no second pass over the corpus
+    val p = plan("text_quality_probe")
+    assert(p.contains("partial_sum"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "FileScan parquet") == 1, p)
+  }
+
+  test("sample_shard_assign: the packing window is language-keyed, never global") {
+    val p = plan("sample_shard_assign")
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("a21_hll_partial_merge: sketches build map-side and merge keyed") {
+    // daily sketches partial-aggregate before their (week, day) shuffle —
+    // at 100 TB the raw user ids never cross the wire twice; the weekly
+    // union merges fixed-size sketch binaries, keyed by week
+    val p = plan("a21_hll_partial_merge")
+    assert(p.contains("partial_hll_sketch_agg"), p)
+    assert(p.contains("hll_union_agg"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("plan sweep: NO query plans a cartesian/nested-loop join except declared baselines") {
     // the whole-suite guard: any new query that silently degenerates to an
     // all-pairs join fails CI here, not in a 100 TB run. The allowlist
@@ -406,6 +443,7 @@ class PlanSpec extends SparkSpec {
       "sim_cosine_topk", // broadcast 10-probe brute-force baseline
       "sim_mips_topk", // same broadcast 10-probe baseline, dot-product metric
       "sim_knn_label", // composes sim_cosine_topk
+      "sim_rrf_fusion", // dense leg composes sim_cosine_topk; fusion joins are equi-key
       "dedup_embed_cosine", // the recall-100% small-N baseline
       // quantizers: every vector × a BOUNDED broadcast centroid table
       // (8-16 rows, fixture or Lloyd-trained) — linear work, the canonical
@@ -437,7 +475,10 @@ class PlanSpec extends SparkSpec {
       // annotate-with-constant shape as text_heavy_hitters
       "a17_histogram",
       // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
-      "diag_key_skew")
+      "diag_key_skew",
+      // 1-row scalar(max day) × the exploded (user, report-day) pairs —
+      // the same annotate-with-constant horizon clamp as a17's extrema
+      "w12_rolling_active")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
