@@ -512,7 +512,8 @@ object Extended {
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.tables.Tables.toEventTime(_, "ts"))
+        .withColumn("tsm", col("ts"))
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("tsm").as("vts"), col("value").as("v_value"))
         .withWatermark("vts", "30 minutes")

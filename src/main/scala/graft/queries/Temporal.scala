@@ -70,12 +70,12 @@ object Temporal {
     "stream_hourly_agg" -> ((s, d) => graft.tables.Tables.withShufflePartitions(s, 4) {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       // FileStreamSource wants a directory: stream the sf dir with a glob
-      // filter selecting just the events file. Integer `div` for the
-      // nanos→micros conversion (see Tables.nanosCols).
+      // filter selecting just the events file. Event time normalized by
+      // physical form (nanos-long / NTZ / timestamp — Tables.toEventTime).
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.tables.Tables.toEventTime(_, "ts"))
       val agg = src
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
@@ -101,7 +101,7 @@ object Temporal {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.tables.Tables.toEventTime(_, "ts"))
       val agg = src
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(
@@ -162,7 +162,7 @@ object Temporal {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.tables.Tables.toEventTime(_, "ts"))
       val agg = src
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -113,9 +113,17 @@ object StatefulSessionize {
     */
   private def stageInput(spark: SparkSession, sfDir: String): (Path, org.apache.spark.sql.types.StructType) = {
     val stage = Files.createTempDirectory("stream-sessionize")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = raw nanos long
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-    val sentinelTs = maxTs + 365L * 24 * 3600 * 1000000000L
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // The sentinel's ts must carry the SAME Spark (and thus parquet
+    // physical) type as the raw file — epoch-nanos long or timestamp —
+    // so the staged directory reads under one schema. The +1 year is
+    // nanos arithmetic in the long form, interval arithmetic otherwise.
+    val sentinelTs: Any = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.agg(max(col("ts"))).head().getLong(0) + 365L * 24 * 3600 * 1000000000L
+      case _ =>
+        raw.agg((max(col("ts")) + expr("INTERVAL 365 DAYS")).as("t")).head().get(0)
+    }
     val sentinel = raw.select(col("user_id")).distinct()
       .select(
         lit(-1L).as("event_id"),
@@ -179,9 +187,10 @@ object StatefulSessionize {
     val (stage, schema) = stageInput(spark, sfDir)
     val sessions = spark.readStream.schema(schema)
       .parquet(stage.toString)
+      .transform(graft.tables.Tables.toEventTime(_, "ts"))
       .select(
         col("user_id"), col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("tsm"))
+        col("ts").as("tsm"))
       .withColumn("us", unix_micros(col("tsm")))
       .withWatermark("tsm", "30 minutes")
       .as[Ev]

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
   /** Columns stored as parquet TIMESTAMP(NANOS), which Spark only reads as
     * long (spark.sql.legacy.parquet.nanosAsLong=true — set in every session
@@ -24,14 +24,27 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+    nanosCols.getOrElse(name, Nil).foldLeft(raw)(toEventTime)
+  }
+
+  /** Normalize an event-time column to TimestampType whatever physical form
+    * the generated parquet carries — the driver has shipped both epoch-NANOS
+    * longs (read via spark.sql.legacy.parquet.nanosAsLong) and plain
+    * TIMESTAMP(MICROS) without a timezone (read as TIMESTAMP_NTZ). The
+    * session timezone is pinned to UTC in [[graft.Sessions]], so the
+    * NTZ→instant cast is value-preserving and both forms land on the same
+    * microsecond instants the DuckDB oracle sees
+    * (`epoch_us(CAST(ts AS TIMESTAMP))` is equally form-agnostic there).
+    * Works on batch and streaming frames alike.
+    */
+  def toEventTime(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
       // integer `div`, NOT `/`: epoch-nanos longs exceed 2^53, so the
       // double division `/` would lose microsecond precision
-      if (df.schema(c).dataType == LongType)
-        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else df
+      case LongType => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast("timestamp"))
+      case _ => df
     }
-  }
 
   /** Fan a narrow scan out to the session's full parallelism before
     * compute-heavy per-row work (shingling, per-shingle hashing, vector
