@@ -34,6 +34,8 @@ object SessionCaches {
     Extended.pagerankEdgesShared(s, d)
     TextOps.unigramScoresShared(s, d)
     TextOps.postingsShared(s, d)
+    TextOps.docFreqsShared(s, d)
+    TextOps.docLengthsShared(s, d)
     Similarity.pqCodebookShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
@@ -46,6 +48,10 @@ object SessionCaches {
     Extended.releaseCcLabels(s)
     Extended.releasePagerankEdges(s)
     TextOps.releaseUnigramScores(s)
+    // df/dl derive from the posting frame: release the derived tables
+    // first so nothing cached ever outlives its parent blocks
+    TextOps.releaseDocFreqs(s)
+    TextOps.releaseDocLengths(s)
     TextOps.releasePostings(s)
     TextOps.releaseSharedPairs(s)
     Similarity.releasePqCodebook(s)
