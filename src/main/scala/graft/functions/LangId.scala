@@ -138,19 +138,34 @@ object LangId {
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "[^a-z ]", "_")
 
+  /** Bigram scoring is bounded to this many normalized chars. Language is
+    * a document-level property — the first few hundred chars decide it —
+    * so the per-doc explode→join→agg stream is capped at a constant 511
+    * bigram rows regardless of document length (the same bounded-scan
+    * discipline as dedup_edit_verify's 256-char DP). The normalize pass
+    * itself stays O(len) (one codegen'd regex map); what the cap removes
+    * is the length-proportional join+aggregate volume, the dominant cost
+    * at corpus scale.
+    */
+  val ScorePrefixChars = 512
+
   /** Classify `(doc_id, text)` rows → `(doc_id, lang_pred, margin_micro)`.
     *
     * margin_micro = best score − runner-up score in micro-nats: the
     * confidence signal a mixing pipeline thresholds on (0 = pure tie).
     * Documents whose normalized text is shorter than 2 chars have no
     * bigrams and are absent — the same contract as text_bigram_logprob.
+    * Scoring reads the first [[ScorePrefixChars]] normalized chars (the
+    * prefix is taken AFTER normalization, when the text is pure ASCII, so
+    * both engines count the same units).
     */
   def classify(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val lm = modelRows.toDF("lang", "bg", "lpu")
     val bg = docs
-      .select(col("doc_id"), normalized(col("text")).as("t"))
+      .select(col("doc_id"),
+        substring(normalized(col("text")), 1, ScorePrefixChars).as("t"))
       .filter(length(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
@@ -179,7 +194,9 @@ object LangId {
   /** Canonical DuckDB SQL replicating [[classify]] over `documents`. */
   lazy val langIdSql: String = s"""
       WITH m(lang, bg, lpu) AS (VALUES $modelValuesSql),
-      n AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '_', 'g') AS t
+      n AS (SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z ]', '_', 'g'),
+                          1, $ScorePrefixChars) AS t
             FROM documents),
       b AS (SELECT doc_id, substr(t, i, 2) AS bg
             FROM (SELECT * FROM n WHERE length(t) >= 2),

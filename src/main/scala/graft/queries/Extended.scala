@@ -513,12 +513,11 @@ object Extended {
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .transform(graft.tables.Tables.toEventTime(_, "ts"))
-        .withColumn("tsm", col("ts"))
       val views = src.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("tsm").as("vts"), col("value").as("v_value"))
+        .select(col("user_id").as("v_user"), col("ts").as("vts"), col("value").as("v_value"))
         .withWatermark("vts", "30 minutes")
       val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("tsm").as("pts"))
+        .select(col("user_id"), col("event_id"), col("ts").as("pts"))
         .withWatermark("pts", "30 minutes")
       graft.streaming.Drain.toMemory(s, "stream_join",
         purchases.join(views,

@@ -29,6 +29,7 @@ object SessionCaches {
     * builder-local steady state was 0.16 s).
     */
   def prewarm(s: SparkSession, d: String): Unit = {
+    TextOps.minhashBandsShared(s, d)
     TextOps.minhashPairsShared(s, d)
     Extended.ccLabelsShared(s, d)
     Extended.pagerankEdgesShared(s, d)
@@ -37,6 +38,7 @@ object SessionCaches {
     TextOps.docFreqsShared(s, d)
     TextOps.docLengthsShared(s, d)
     Similarity.pqCodebookShared(s, d)
+    Similarity.pqCodesShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
     ()
@@ -53,7 +55,11 @@ object SessionCaches {
     TextOps.releaseDocFreqs(s)
     TextOps.releaseDocLengths(s)
     TextOps.releasePostings(s)
+    // pairs derive from the band frame: release derived before parent
     TextOps.releaseSharedPairs(s)
+    TextOps.releaseBands(s)
+    // the code table derives from the codebook: same order discipline
+    Similarity.releasePqCodes(s)
     Similarity.releasePqCodebook(s)
     Extended.releaseCcCheckpoints(s)
     Relational.releaseBucketedTables(s)

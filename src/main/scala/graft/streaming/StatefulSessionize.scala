@@ -114,6 +114,12 @@ object StatefulSessionize {
   private def stageInput(spark: SparkSession, sfDir: String): (Path, org.apache.spark.sql.types.StructType) = {
     val stage = Files.createTempDirectory("stream-sessionize")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // An empty events table has no max(ts): the long branch would NPE and
+    // the timestamp branch would stage a NullType `ts` whose parquet schema
+    // conflicts with the declared stream schema. Fail fast with the real
+    // reason instead.
+    require(raw.head(1).nonEmpty,
+      s"$sfDir/events.parquet is empty — cannot stage a sessionize sentinel")
     // The sentinel's ts must carry the SAME Spark (and thus parquet
     // physical) type as the raw file — epoch-nanos long or timestamp —
     // so the staged directory reads under one schema. The +1 year is

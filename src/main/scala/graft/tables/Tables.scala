@@ -36,6 +36,15 @@ object Tables {
     * microsecond instants the DuckDB oracle sees
     * (`epoch_us(CAST(ts AS TIMESTAMP))` is equally form-agnostic there).
     * Works on batch and streaming frames alike.
+    *
+    * CONTRACT: a LongType event-time column is epoch-NANOS — the only long
+    * physical form the generator has ever shipped (plain INT64 micros with
+    * no logical annotation would be silently divided by 1000 here and land
+    * near 1970). Every site that WRITES a long ts upholds this:
+    * StatefulSessionize's sentinel adds nanos arithmetic to a long max(ts),
+    * and Relational's staged layouts store micros only after converting the
+    * column to TimestampType first (so they re-enter via the `_` branch,
+    * never this one).
     */
   def toEventTime(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {

@@ -458,6 +458,9 @@ class PlanSpec extends SparkSpec {
       // brute-force baseline shape as sim_cosine_topk; the ADC side it
       // audits is all equi-joins
       "sim_pq_recall",
+      // same exact-L2 broadcast-probe ground truth as sim_pq_recall; the
+      // re-rank leg it audits is all equi-joins
+      "sim_pq_rerank_recall",
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",

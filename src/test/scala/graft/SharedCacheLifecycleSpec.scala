@@ -57,6 +57,23 @@ class SharedCacheLifecycleSpec extends SparkSpec {
       s"persisted RDDs left after release: ${left.keySet.toSeq.sorted}")
   }
 
+  test("shared band frame is reused by the LSH pair query within a session") {
+    val bands = TextOps.minhashBandsShared(spark, sf)
+    assert(bands eq TextOps.minhashBandsShared(spark, sf),
+      "same session+dir must return the cached band frame")
+    // pair build derives from the cached bands: count parity pins that the
+    // in-bucket expansion reads the same index the incremental probe does
+    val pairs = TextOps.minhashPairsShared(spark, sf)
+    assert(pairs.count() ==
+      SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count())
+    TextOps.releaseSharedPairs(spark)
+    TextOps.releaseBands(spark)
+    val rebuilt = TextOps.minhashBandsShared(spark, sf)
+    assert(!(rebuilt eq bands), "release must evict the cached band frame")
+    graft.queries.SessionCaches.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("content stamp: regenerating a dir in place forces a rebuild") {
     import graft.queries.SessionFrameCache
     val dir = java.nio.file.Files.createTempDirectory("graft_stamp_spec")

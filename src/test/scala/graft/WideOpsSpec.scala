@@ -218,6 +218,32 @@ class WideOpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_pq_rerank: two-stage ADC shortlist -> exact re-rank recovers the exact top-5") {
+    // the promotion contract of the two-stage path: ADC alone reads
+    // recall@5 ~0.32 on this corpus (sim_pq_recall), the 50xk-deep
+    // shortlist + exact re-rank must read 1.0 per probe — quantization
+    // error is allowed to REORDER near neighbors, not to push a true
+    // top-5 member below the shortlist depth
+    val rec = q("sim_pq_rerank_recall").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rec.size == 10, s"expected 10 probes, got ${rec.keySet}")
+    rec.foreach { case (qid, r) => assert(r == 1.0, s"probe $qid recall $r != 1.0") }
+    // and the re-ranked distances are EXACT: for every (probe, hit) the
+    // reported d2 equals the brute-force integer L2^2 on the micro-unit grid
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * 1000000)).toArray).toMap
+    q("sim_pq_rerank").collect().foreach { r =>
+      val (qid, vid, d2) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val want = vecs(qid).zip(vecs(vid))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      val wantD = BigDecimal(want.toDouble / 1000000000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(d2 == wantD, s"($qid,$vid): reported $d2, exact $wantD")
+    }
+  }
+
   test("sim_mips_topk matches brute force and diverges from the cosine ranking") {
     val vecs = graft.tables.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
