@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * connected-components round counts — stays what the source had. A naive
   * row-replicate would instead weld all k copies of every doc into one
   * mega-clique and profile a corpus no pipeline ever sees.
+  *
+  * Also writes a k× `embeddings` table for the ANN-family profiles:
+  * replica i > 0 applies a deterministic ORTHOGONAL transform (circular
+  * dimension shift by i plus alternating sign flips) and offsets vec_ids
+  * by i·10^8. An orthogonal map preserves every within-replica L2
+  * distance and cosine exactly, so each replica carries the source's
+  * neighbor structure while contributing fresh vectors; the vec_id<10
+  * probes and vec_id<16 training seeds stay replica-0 rows, which makes
+  * the scaled run exactly the production shape "a fixed trained index /
+  * probe set scans a k× corpus".
   */
 object ScaleUpDocs {
   def main(args: Array[String]): Unit = {
@@ -39,6 +49,21 @@ object ScaleUpDocs {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"wrote ${k}x documents to $out")
+
+    val emb = graft.tables.Tables.embeddings(spark, src)
+    val embReps = (0 until k).map { i =>
+      if (i == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        expr(s"transform(sequence(0, size(embedding) - 1), j -> " +
+          s"CAST(element_at(embedding, ((j + $i) % size(embedding)) + 1) * " +
+          s"(CASE WHEN (j + $i) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS FLOAT))").as("embedding"),
+        col("label"))
+    }
+    embReps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"wrote ${k}x embeddings to $out")
     spark.stop()
   }
 }
