@@ -286,23 +286,46 @@ object Similarity {
     */
   private val RerankShortlist = 250
 
-  /** Per-(probe, candidate) ADC distance in integer micro² units: the
-    * per-probe LUT (|probes|·8·16 rows, broadcast) joined onto the shared
-    * code table — the scan that touches only 8-byte codes, never full
-    * vectors. Single source for sim_pq_adc (top-5 directly) and
-    * sim_pq_rerank (top-50 shortlist).
+  /** Per-probe ADC lookup table: (q_id, sub, c_id, d2) — the |probes|·8·16
+    * structure every ADC scan broadcasts (Jégou et al. §IV.A). Derived from
+    * the shared codebook; codebook-bounded, never corpus-sized.
     */
-  private def adcScores(s: SparkSession, d: String): DataFrame = {
+  private def pqLut(s: SparkSession, d: String): DataFrame = {
     val cents = pqCodebookShared(s, d)
-    val lut = pqXu(s, d).filter(col("vec_id") < 10)
+    pqXu(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
       .join(broadcast(cents), Seq("sub", "wd"))
       .groupBy(col("q_id"), col("sub"), col("c_id"))
       .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
-    pqCodesShared(s, d).join(broadcast(lut), Seq("sub", "c_id"))
+  }
+
+  /** Per-(probe, candidate) ADC distance in integer micro² units: the
+    * per-probe LUT (|probes|·8·16 rows, broadcast) joined onto the shared
+    * code table — the scan that touches only 8-byte codes, never full
+    * vectors. Single source for sim_pq_adc (top-5 directly) and
+    * sim_pq_rerank (top-[[RerankShortlist]] shortlist).
+    */
+  private def adcScores(s: SparkSession, d: String): DataFrame =
+    pqCodesShared(s, d).join(broadcast(pqLut(s, d)), Seq("sub", "c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc_u"))
+
+  /** Every (vector, coarse-cell) integer-L2² pair against the 16 seed
+    * coarse centroids — the IVF-PQ coarse quantizer's scoring pass (16-row
+    * broadcast, per-row distance fold, the allowlisted bounded-broadcast
+    * IVF shape). Consumers argmin it for corpus cell assignment and top-k
+    * it for probe cell selection.
+    */
+  private def ivfpqCellScores(s: SparkSession, d: String): DataFrame = {
+    val vu = pqVu(s, d)
+    val seeds = vu.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c16"), col("vu").as("cu"))
+    val d2 = aggregate(
+      zip_with(col("vu"), col("cu"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    vu.join(broadcast(seeds))
+      .select(col("vec_id"), col("c16"), d2.as("d2"))
   }
 
   /** (vec_id, vu: array<long>) — full vectors in integer micro-units, the
@@ -772,6 +795,74 @@ object Similarity {
           round(col("n_hits") / 5.0, 6).as("recall"))
     }),
 
+    // IVF-PQ: the layout billion-vector ANN actually deploys (FAISS
+    // IVFPQ / Jégou et al. §V): a coarse quantizer partitions the corpus
+    // into inverted lists, probes scan ONLY their nprobe=2 nearest cells'
+    // codes (≈2/16 of the corpus here), ADC ranks the candidates from
+    // 8-byte codes, and the top-50 shortlist re-ranks in exact integer
+    // L2². Composition of three already-oracled stages (coarse cells =
+    // the integer-L2 analogue of sim_ivf_topk's fixture quantizer; ADC =
+    // sim_pq_adc's LUT scan restricted to candidates by an equi-join on
+    // the cell-filtered candidate set; re-rank = sim_pq_rerank's gather).
+    // Scale shape: cells + probe cells come from a 16-row broadcast, the
+    // candidate filter is an equi-join on the cell id (at cluster scale
+    // the code table is PARTITIONED by cell — the inverted-list locality
+    // this join models), and only |probes|·50 rows ever gather full
+    // vectors. sim_ivfpq_recall reads 0.92 at sf0.01 = exactly the
+    // nprobe=2 cell-coverage ceiling (the shortlist and re-rank lose
+    // nothing); the residual is pure cell-miss, the nprobe knob.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val scores = ivfpqCellScores(s, d)
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+      val cells = scores
+        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+        .select(col("vec_id"), col("c16").as("cell"))
+      val probeCells = scores.filter(col("vec_id") < 10)
+        .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
+        .select(col("vec_id").as("q_id"), col("c16").as("cell"))
+      val cand = cells.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val adcr = cand
+        .join(pqCodesShared(s, d), Seq("vec_id"))
+        .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_u"))
+      val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+      val shortlist = adcr
+        .withColumn("r", row_number().over(wShort)).filter(col("r") <= 50)
+        .select(col("q_id"), col("vec_id"))
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val d2 = aggregate(
+        zip_with(col("qu"), col("vu"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+      vu.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("d2").cast("double") / 1000000000000.0, 6).as("exact_d2"),
+          col("rank"))
+    }),
+
+    // End-to-end IVF-PQ recall audit vs the global exact top-5 — the
+    // nprobe/shortlist tuning gate. Attribution discipline: compare with
+    // sim_pq_rerank_recall (1.0, no cell filter) to read the cell-miss
+    // cost, and with sim_pq_recall (~0.32, no re-rank) to read what the
+    // exact re-rank recovers.
+    "sim_ivfpq_recall" -> ((s, d) => {
+      val approx = queries("sim_ivfpq_topk")(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      pqExactTop5(s, d).join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / 5.0, 6).as("recall"))
+    }),
+
     // PQ recall audit: ADC top-5 vs the EXACT integer-L2² top-5 (brute
     // force over the 10-probe broadcast — the same declared-baseline shape
     // as sim_cosine_topk). Both sides rank in exact BIGINT arithmetic, so
@@ -1064,6 +1155,40 @@ object Similarity {
       FROM ex
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
 
+  /** IVF-PQ: coarse integer-L2 cells (16 seed centroids, nprobe=2) → ADC
+    * over candidate codes → exact re-rank of the top-50 — the oracle
+    * replay of sim_ivfpq_topk over the same shared CTE chain.
+    */
+  private val pqIvfpqSql: String = pqAdcCtes + """,
+      celld AS (SELECT x.vec_id, s16.c16, sum((x.xu - s16.cu) * (x.xu - s16.cu)) AS d2
+                FROM xu x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
+                                FROM xu WHERE vec_id < 16) s16
+                  ON x.sb = s16.sb AND x.wd = s16.wd
+                GROUP BY 1, 2),
+      cellsv AS (SELECT vec_id, c16 AS cell FROM celld
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) = 1),
+      probecells AS (SELECT vec_id AS q_id, c16 AS cell FROM celld
+                     WHERE vec_id < 10
+                     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) <= 2),
+      candv AS (SELECT p.q_id, cl.vec_id FROM cellsv cl JOIN probecells p ON cl.cell = p.cell
+                WHERE cl.vec_id <> p.q_id),
+      adcr AS (SELECT ca.q_id, ca.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+               FROM candv ca JOIN codes cds ON cds.vec_id = ca.vec_id
+               JOIN lut l ON l.q_id = ca.q_id AND l.sb = cds.sb AND l.c_id = cds.c_id
+               GROUP BY 1, 2),
+      shortr AS (SELECT q_id, vec_id FROM adcr
+                 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 50),
+      exr AS (SELECT s.q_id, s.vec_id,
+                     CAST(sum((p.xu - b.xu) * (p.xu - b.xu)) AS BIGINT) AS d2
+              FROM shortr s JOIN xu p ON p.vec_id = s.q_id
+              JOIN xu b ON b.vec_id = s.vec_id AND b.sb = p.sb AND b.wd = p.wd
+              GROUP BY 1, 2)
+      SELECT q_id, vec_id,
+             round(CAST(d2 AS DOUBLE) / 1000000000000.0, 6) AS exact_d2,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS INTEGER) AS rank
+      FROM exr
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
+
   val oracle: Map[String, String] = Map(
     "arr_stats" -> """
       SELECT vec_id,
@@ -1128,6 +1253,23 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopkSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_pq_rerank" -> pqRerankSql,
+    "sim_ivfpq_topk" -> pqIvfpqSql,
+    "sim_ivfpq_recall" -> s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      ex AS (SELECT p.vec_id AS q_id, b.vec_id,
+                    sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+             FROM vu p JOIN vu b ON p.dim = b.dim
+             WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+             GROUP BY 1, 2),
+      x AS (SELECT q_id, vec_id FROM ex
+            QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5),
+      a AS (SELECT q_id, vec_id FROM ($pqIvfpqSql))
+      SELECT x.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             round(count(a.vec_id) / 5.0, 6) AS recall
+      FROM x LEFT JOIN a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY x.q_id""",
     "sim_pq_rerank_recall" -> s"""
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

@@ -461,6 +461,11 @@ class PlanSpec extends SparkSpec {
       // same exact-L2 broadcast-probe ground truth as sim_pq_recall; the
       // re-rank leg it audits is all equi-joins
       "sim_pq_rerank_recall",
+      // coarse quantizer: every vector × the BOUNDED broadcast 16-seed
+      // table (the canonical IVF shape); candidate/ADC/re-rank joins are
+      // all equi-keyed
+      "sim_ivfpq_topk",
+      "sim_ivfpq_recall", // composes the exact baseline + sim_ivfpq_topk
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",

@@ -244,6 +244,32 @@ class WideOpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivfpq: cells prune honestly, re-rank loses nothing beyond cell-miss") {
+    // nprobe=2 of 16 cells scans ~1/8 of the corpus; the measured
+    // end-to-end recall at sf0.01 is 0.92 = exactly the cell-coverage
+    // ceiling (the no-cell-filter two-stage path reads 1.0), so the
+    // shortlist + exact re-rank stages lose nothing — the residual is
+    // pure cell-miss, i.e. the nprobe knob
+    val ivfpq = q("sim_ivfpq_recall").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivfpq.size == 10)
+    assert(ivfpq.values.sum == 46L, s"expected 46/50 total hits: $ivfpq")
+    val unfiltered = q("sim_pq_rerank_recall").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivfpq.foreach { case (qid, hits) =>
+      assert(hits <= unfiltered(qid), s"probe $qid: cell filter ADDED a hit?")
+    }
+    // every ivfpq result member must come from a probed cell by
+    // construction: its exact distance can never beat the global winner
+    // it displaced — spot-pin the ranking is exact within the shortlist
+    val rows = q("sim_ivfpq_topk").collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val d2s = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(d2s == d2s.sorted, s"re-ranked distances not monotone: $d2s")
+    }
+  }
+
   test("sim_mips_topk matches brute force and diverges from the cosine ranking") {
     val vecs = graft.tables.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
