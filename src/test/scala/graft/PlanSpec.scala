@@ -465,6 +465,7 @@ class PlanSpec extends SparkSpec {
       // table (the canonical IVF shape); candidate/ADC/re-rank joins are
       // all equi-keyed
       "sim_ivfpq_topk",
+      "sim_ivfpq_trained", // same shape over the Lloyd-trained coarse cells
       "sim_ivfpq_recall", // composes the exact baseline + sim_ivfpq_topk
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
