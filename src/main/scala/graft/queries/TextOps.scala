@@ -982,6 +982,48 @@ object TextOps {
         row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("int"))
     }),
 
+    // The BPE TRAINER LOOP itself (Sennrich et al. 2016), 3 merge rounds
+    // unrolled: words become spaced symbol sequences (" h e l l o "),
+    // each round counts adjacent-symbol pairs across the corpus (one
+    // combine-friendly keyed agg), takes the single global argmax pair
+    // (count desc, pair asc — a 1-row bounded driver read, the same class
+    // as freqItems' sketch), and applies the merge as a literal
+    // whole-symbol string replace (" x y " → " xy ", space-delimited so a
+    // symbol can never match across a boundary). Each round is one
+    // corpus-sized map pass + one keyed count — exactly the shape a full
+    // k-merge trainer repeats; the merge TABLE (round, pair, count) is
+    // the trainer's output artifact. Replace semantics: left-to-right
+    // non-overlapping, identical in both engines; inside a ≥3-run of one
+    // repeated symbol this groups the leading pair and leaves the tail
+    // unmerged within the round (canonical BPE pairs the tail too) — a
+    // documented micro-divergence on degenerate runs, irrelevant to
+    // natural-text merges.
+    "text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      def sqlLit(x: String): String =
+        "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      val pairOf = expr(
+        "transform(sequence(1, size(split(trim(sw), ' ')) - 1), " +
+          "i -> concat(element_at(split(trim(sw), ' '), i), ' ', " +
+          "element_at(split(trim(sw), ' '), i + 1)))")
+      var cur = toks(s, d)
+        .select(explode(col("t")).as("w"))
+        .select(lower(col("w")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sw"))
+      val merges = (1 to 3).map { r =>
+        val top = cur.select(explode(pairOf).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1).head()
+        val (p, n) = (top.getString(0), top.getLong(1))
+        cur = cur.select(expr(
+          s"replace(sw, ${sqlLit(" " + p + " ")}, ${sqlLit(" " + p.replace(" ", "") + " ")})")
+          .as("sw"))
+        (r, p, n)
+      }
+      merges.toDF("round", "pair", "n")
+    }),
+
     // Cross-source duplication matrix — WHERE the near-duplicates come
     // from: every LSH candidate pair mapped to its (source_a, source_b)
     // bucket, the |sources|² diagnostic that tells a mixing pipeline which
@@ -1211,6 +1253,32 @@ object TextOps {
                AS logit_u,
              (-900000 + 2 * alpha_u - 4 * digit_u + ws_u - 3 * upper_u) > 0 AS keep
       FROM f""",
+    "text_bpe_train" -> """
+      WITH w0 AS (SELECT ' ' || regexp_replace(lower(w), '(.)', '\1 ', 'g') AS sw
+                  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                        FROM documents) t
+                  WHERE length(w) >= 2),
+      p1 AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
+             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w0) t,
+                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r),
+      t1 AS (SELECT pair, count(*) AS n FROM p1 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+      w1 AS (SELECT replace(sw, ' ' || (SELECT pair FROM t1) || ' ',
+                            ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS sw
+             FROM w0),
+      p2 AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
+             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w1) t,
+                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r),
+      t2 AS (SELECT pair, count(*) AS n FROM p2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+      w2 AS (SELECT replace(sw, ' ' || (SELECT pair FROM t2) || ' ',
+                            ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS sw
+             FROM w1),
+      p3 AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
+             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w2) t,
+                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r),
+      t3 AS (SELECT pair, count(*) AS n FROM p3 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+      SELECT CAST(1 AS INTEGER) AS round, pair, CAST(n AS BIGINT) AS n FROM t1
+      UNION ALL SELECT 2, pair, n FROM t2
+      UNION ALL SELECT 3, pair, n FROM t3""",
     "text_bpe_pairs" -> """
       WITH w0 AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
                   FROM documents),
