@@ -88,4 +88,27 @@ class LangIdSpec extends SparkSpec {
     assert(!got.contains(100L))
     assert(got(101L) == "en")
   }
+
+  test("scoring is bounded to the 512-char prefix: a contrary tail cannot flip it") {
+    // first ~500 normalized chars are english; the tail is 4x as much
+    // spanish — if the full text were scored the spanish mass would win,
+    // so a correct "en" pins that classification reads ONLY the prefix
+    // (the constant-work-per-doc contract at 100 TB)
+    val en = "the children were reading their books in the old library and " +
+      "the weather was cold this morning when the train arrived late again "
+    val es = "los niños estaban leyendo sus libros en la biblioteca vieja y " +
+      "el tiempo era muy frío esta mañana cuando el tren llegó tarde otra vez "
+    val prefix = (en * 4).take(500)
+    val tail = es * 16
+    val docs = Seq((200L, prefix + " " + tail)).toDF("doc_id", "text")
+    val got = LangId.classify(docs).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got(200L) == "en",
+      s"prefix-bounded scoring must ignore the tail (got ${got(200L)})")
+    // control: the same text scored WITHOUT the bound (tail dominant)
+    // would be spanish — proven by classifying the tail alone
+    val tailOnly = LangId.classify(Seq((201L, tail)).toDF("doc_id", "text"))
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(tailOnly(201L) == "es")
+  }
 }
