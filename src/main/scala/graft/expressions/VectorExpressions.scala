@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for dense-vector math over array<double>
   * columns. The built-in higher-order functions (`aggregate`, `zip_with`)
@@ -26,6 +26,65 @@ object VectorExpressions {
     GraftColumnShim.column(DotProduct(e(a), e(b)))
   def sum(a: Column): Column =
     GraftColumnShim.column(ArraySumD(e(a)))
+  def l2sq(a: Column, b: Column): Column =
+    GraftColumnShim.column(L2SqLong(e(a), e(b)))
+}
+
+/** Σ (aᵢ-bᵢ)² over two array<bigint> columns — the exact integer-L2²
+  * every ANN ranking stage folds per (vector, centroid/probe) pair. The
+  * HOF formulation (`aggregate(zip_with(...))`) allocates a zipped
+  * intermediate array and evaluates two lambdas per element; this is one
+  * primitive loop in whole-stage codegen. Integer addition is
+  * associative, so the result is bit-identical to the HOF fold and the
+  * DuckDB oracle regardless of order.
+  */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] && right.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+      right.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2sq expects two array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $dv = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $dv * $dv;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Σ aᵢ·bᵢ over two array<double> columns (sequential order). */

@@ -321,11 +321,9 @@ object Similarity {
     val vu = pqVu(s, d)
     val seeds = vu.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c16"), col("vu").as("cu"))
-    val d2 = aggregate(
-      zip_with(col("vu"), col("cu"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
     vu.join(broadcast(seeds))
-      .select(col("vec_id"), col("c16"), d2.as("d2"))
+      .select(col("vec_id"), col("c16"),
+        graft.expressions.VectorExpressions.l2sq(col("vu"), col("cu")).as("d2"))
   }
 
   /** Cell scores against the TRAINED coarse centroids: one full-vector
@@ -346,11 +344,9 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct((col("sub") * 8 + col("wd")).as("dim"), col("cu")))),
         x => x.getField("cu")).as("cu"))
-    val d2 = aggregate(
-      zip_with(col("vu"), col("cu"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
     pqVu(s, d).join(broadcast(cents))
-      .select(col("vec_id"), col("c16"), d2.as("d2"))
+      .select(col("vec_id"), col("c16"),
+        graft.expressions.VectorExpressions.l2sq(col("vu"), col("cu")).as("d2"))
   }
 
   /** The IVF-PQ pipeline downstream of cell scoring: corpus cells by
@@ -382,13 +378,11 @@ object Similarity {
     val vu = pqVu(s, d)
     val probes = vu.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vu").as("qu"))
-    val d2 = aggregate(
-      zip_with(col("qu"), col("vu"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
     vu.join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(probes), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"), d2.as("d2"))
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"),
         round(col("d2").cast("double") / 1000000000000.0, 6).as("exact_d2"),
@@ -411,12 +405,10 @@ object Similarity {
     val vu = pqVu(s, d)
     val probes = vu.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vu").as("qu"))
-    val d2 = aggregate(
-      zip_with(col("qu"), col("vu"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
     vu.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), d2.as("d2"))
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"))
   }
@@ -833,13 +825,11 @@ object Similarity {
       val vu = pqVu(s, d)
       val probes = vu.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("vu").as("qu"))
-      val d2 = aggregate(
-        zip_with(col("qu"), col("vu"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
       val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
       vu.join(broadcast(shortlist), Seq("vec_id"))
         .join(broadcast(probes), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"), d2.as("d2"))
+        .select(col("q_id"), col("vec_id"),
+          graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id"),
           round(col("d2").cast("double") / 1000000000000.0, 6).as("exact_d2"),

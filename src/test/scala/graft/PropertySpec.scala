@@ -85,6 +85,28 @@ class PropertySpec extends SparkSpec {
       "near-duplicate must be closer than unrelated text")
   }
 
+  test("l2sq: codegen'd integer L2^2 equals the HOF fold and a plain Scala loop") {
+    val rows = (1 to 200).map { i =>
+      val r = new Random(i)
+      (i.toLong,
+        Array.fill(64)(r.nextInt(2000001).toLong - 1000000L),
+        Array.fill(64)(r.nextInt(2000001).toLong - 1000000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val got = df.select(col("id"),
+      graft.expressions.VectorExpressions.l2sq(col("a"), col("b")).as("fast"),
+      hof.as("ref")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}: codegen vs HOF")
+    }
+    val byId = rows.map { case (id, a, b) =>
+      id -> a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    }.toMap
+    got.foreach(r => assert(r.getLong(1) === byId(r.getLong(0)), "vs scala loop"))
+  }
+
   test("feature finder: pure noise yields no features, planted envelope always found") {
     (1 to 5).foreach { trial =>
       val r = new Random(trial)
