@@ -28,6 +28,57 @@ object VectorExpressions {
     GraftColumnShim.column(ArraySumD(e(a)))
   def l2sq(a: Column, b: Column): Column =
     GraftColumnShim.column(L2SqLong(e(a), e(b)))
+  def dotLong(a: Column, b: Column): Column =
+    GraftColumnShim.column(DotLong(e(a), e(b)))
+}
+
+/** Σ aᵢ·bᵢ over two array<bigint> columns — exact integer dot product
+  * (the LSH sign projection's inner loop: micro-unit coordinates × ±1
+  * plane weights). Same primitive-loop codegen rationale as [[L2SqLong]];
+  * integer addition is associative so the result is order-free and
+  * bit-identical to the HOF fold and the DuckDB oracle.
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] && right.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+      right.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_long expects two array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Σ (aᵢ-bᵢ)² over two array<bigint> columns — the exact integer-L2²

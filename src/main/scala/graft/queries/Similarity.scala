@@ -442,15 +442,18 @@ object Similarity {
     // dim probe: one-row action; the table contract is fixed-width vectors
     val dim = embeddings(s, d).select(size(col("embedding")).as("n")).head().getInt(0)
     val planes = planeMatrix(dim)
-    val v = asDouble(col("embedding"))
+    // micro-unit rounding happens ONCE per row (the builtin keeps Spark's
+    // HALF_UP semantics the oracle replays); the 16 sign projections are
+    // then codegen'd integer dots against the ±1 plane literals instead of
+    // 16 interpreted round-and-multiply HOF folds
+    val vu = transform(asDouble(col("embedding")),
+      x => round(x * 1000000).cast("long"))
     val bits = (0 until 16).map { p =>
-      val w = typedLit(planes(p))
-      when(
-        aggregate(
-          zip_with(v, w, (x, wi) => round(x * 1000000).cast("long") * wi),
-          lit(0L), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+      when(graft.expressions.VectorExpressions
+        .dotLong(col("vu"), typedLit(planes(p))) > 0, lit("1")).otherwise(lit("0"))
     }
     fanOut(embeddings(s, d), s)
+      .select(col("vec_id"), vu.as("vu"))
       .select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
