@@ -826,6 +826,36 @@ object Extended {
           countDistinct(col("lang")).as("n_langs"),
           min(col("doc_id")).as("min_doc"))
     }),
+
+    // Reproducible per-epoch shuffle — the data-loader contract that
+    // every epoch visits the corpus in a DIFFERENT but fully
+    // deterministic order (md5(epoch || '_' || doc_id) is the sort key a
+    // real loader feeds to repartitionByRange; no RNG state, so any
+    // worker/engine reproduces the same order). Verified output stays
+    // bounded at any scale: per epoch the first 5 docs in shuffle order
+    // (WindowGroupLimit prunes the top-5 map-side — never a global
+    // sort), an order-free integer fingerprint Σ key24·doc_id that flips
+    // if ANY doc's key changes (epoch-sensitivity proof), and the count.
+    "sample_epoch_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("epoch"))
+        .withColumn("k", md5(concat(
+          col("epoch").cast("string"), lit("_"), col("doc_id").cast("string"))))
+      val w = Window.partitionBy(col("epoch")).orderBy(col("k"), col("doc_id"))
+      val head = keyed.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .groupBy(col("epoch"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("r"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string"))).as("head_docs"))
+      val fp = keyed.groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(col("k"), 1, 6), 16, 10).cast("long") * col("doc_id"))
+            .as("order_fp"))
+      fp.join(head, Seq("epoch"))
+        .select(col("epoch").cast("int").as("epoch"),
+          col("n_docs"), col("order_fp"), col("head_docs"))
+    }),
   )
 
   /** The pure approx-percentile aggregation a 100 TB job runs in place of
@@ -1405,5 +1435,21 @@ object Extended {
              count(DISTINCT lang) AS n_langs,
              min(doc_id) AS min_doc
       FROM ranked GROUP BY 1""",
+    "sample_epoch_order" -> """
+      WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
+      k AS (SELECT d.doc_id, e.epoch,
+                   md5(e.epoch::VARCHAR || '_' || d.doc_id::VARCHAR) AS k
+            FROM documents d, e),
+      r AS (SELECT doc_id, epoch, k,
+                   row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS r
+            FROM k),
+      hd AS (SELECT epoch, string_agg(doc_id::VARCHAR, ',' ORDER BY r) AS head_docs
+             FROM r WHERE r <= 5 GROUP BY 1),
+      fp AS (SELECT epoch, count(*) AS n_docs,
+                    CAST(sum(('0x' || substr(k, 1, 6))::BIGINT * doc_id) AS BIGINT)
+                      AS order_fp
+             FROM k GROUP BY 1)
+      SELECT CAST(fp.epoch AS INTEGER) AS epoch, fp.n_docs, fp.order_fp, hd.head_docs
+      FROM fp JOIN hd ON fp.epoch = hd.epoch""",
   )
 }
