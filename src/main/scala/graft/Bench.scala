@@ -80,14 +80,18 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
     val byName = results.map { case (k, mn, _) => k -> mn }.toMap
-    // BENCH_LOCAL carries the rep spread; the stdout contract line below
-    // stays plain min-seconds (the driver's parser and round-over-round
-    // diffs key on it)
+    // BENCH_LOCAL carries the rep spread in "queries" (r08+ schema) AND a
+    // plain min-seconds map in "queries_min", so tooling that predates the
+    // {"min","med"} objects (round-over-round diff scripts parsing numeric
+    // values) keeps a stable field instead of breaking on the new shape.
+    // The stdout contract line below stays plain min-seconds throughout.
     val qs = results.map { case (k, mn, md) =>
       s"\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) + "}"
     }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, mn, _) => s"\"$k\":" + fmt(mn) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // file copy is best-effort; stdout is the contract

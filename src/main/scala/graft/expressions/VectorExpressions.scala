@@ -15,9 +15,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * between "works" and "fast" for 100 TB of embedding/peak-array scans.
   *
   * Semantics deliberately match a sequential left-to-right fold (identical
-  * IEEE754 result to the HOF formulation and the DuckDB oracle). Array
-  * elements are assumed non-null (our sources declare containsNull=false);
-  * length mismatches truncate to the shorter side.
+  * IEEE754 result to the HOF formulation and the DuckDB oracle).
+  *
+  * CONTRACT: defined for equal-length arrays of non-null elements only.
+  * Mismatched lengths throw (fail-fast — silent truncation would diverge
+  * from the HOF fold, which yields null there; an exception can't be
+  * mistaken for an answer). Element nulls are NOT checked: every producing
+  * site is either a source declaring containsNull=false or a transform of
+  * one, and a per-element null branch would cost real time in the one loop
+  * these expressions exist to make tight. A null element reads as 0 —
+  * acceptable only because no call site can produce one; schemas that
+  * merely DECLARE containsNull=true (nullable parquet fields that never
+  * hold nulls) pass the type check on purpose.
   */
 object VectorExpressions {
   private def e(c: Column): Expression = GraftColumnShim.expression(c)
@@ -30,6 +39,23 @@ object VectorExpressions {
     GraftColumnShim.column(L2SqLong(e(a), e(b)))
   def dotLong(a: Column, b: Column): Column =
     GraftColumnShim.column(DotLong(e(a), e(b)))
+
+  /** Shared length-equality guard for the binary folds (interpreted path). */
+  private[expressions] def checkLen(name: String, x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$name: mismatched array lengths $n vs ${y.numElements()}")
+    n
+  }
+
+  /** The same guard as generated Java (codegen path). */
+  private[expressions] def lenGuardCode(name: String, a: String, b: String, n: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$name: mismatched array lengths " + $n + " vs " + $b.numElements());
+       |}""".stripMargin
 }
 
 /** Σ aᵢ·bᵢ over two array<bigint> columns — exact integer dot product
@@ -54,7 +80,7 @@ case class DotLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExpressions.checkLen(prettyName, x, y)
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -67,7 +93,7 @@ case class DotLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorExpressions.lenGuardCode(prettyName, a, b, n)}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getLong($i) * $b.getLong($i);
@@ -105,7 +131,7 @@ case class L2SqLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExpressions.checkLen(prettyName, x, y)
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -123,7 +149,7 @@ case class L2SqLong(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val dv = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorExpressions.lenGuardCode(prettyName, a, b, n)}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $dv = $a.getLong($i) - $b.getLong($i);
@@ -155,7 +181,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExpressions.checkLen(prettyName, x, y)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -168,7 +194,7 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorExpressions.lenGuardCode(prettyName, a, b, n)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);

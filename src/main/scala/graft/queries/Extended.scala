@@ -834,8 +834,13 @@ object Extended {
     // worker/engine reproduces the same order). Verified output stays
     // bounded at any scale: per epoch the first 5 docs in shuffle order
     // (WindowGroupLimit prunes the top-5 map-side — never a global
-    // sort), an order-free integer fingerprint Σ key24·doc_id that flips
-    // if ANY doc's key changes (epoch-sensitivity proof), and the count.
+    // sort), an order-free integer fingerprint XOR key24·doc_id38 that
+    // flips if ANY doc's key changes (epoch-sensitivity proof), and the
+    // count. bit_xor, not sum: a sum wraps silently in Spark longs but
+    // errors in DuckDB's HUGEINT→BIGINT cast once the corpus is big
+    // enough, so the engines would diverge exactly when it matters; XOR
+    // never leaves 62 bits (24-bit key × 38-bit-masked doc_id), so the
+    // fingerprint is overflow-free by construction at any corpus size.
     "sample_epoch_order" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val keyed = documents(s, d)
@@ -850,7 +855,8 @@ object Extended {
             x => x.getField("doc_id").cast("string"))).as("head_docs"))
       val fp = keyed.groupBy(col("epoch"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(conv(substring(col("k"), 1, 6), 16, 10).cast("long") * col("doc_id"))
+          bit_xor(conv(substring(col("k"), 1, 6), 16, 10).cast("long") *
+              col("doc_id").bitwiseAND(lit((1L << 38) - 1)))
             .as("order_fp"))
       fp.join(head, Seq("epoch"))
         .select(col("epoch").cast("int").as("epoch"),
@@ -1446,8 +1452,8 @@ object Extended {
       hd AS (SELECT epoch, string_agg(doc_id::VARCHAR, ',' ORDER BY r) AS head_docs
              FROM r WHERE r <= 5 GROUP BY 1),
       fp AS (SELECT epoch, count(*) AS n_docs,
-                    CAST(sum(('0x' || substr(k, 1, 6))::BIGINT * doc_id) AS BIGINT)
-                      AS order_fp
+                    bit_xor(('0x' || substr(k, 1, 6))::BIGINT *
+                            (doc_id & ((1::BIGINT << 38) - 1))) AS order_fp
              FROM k GROUP BY 1)
       SELECT CAST(fp.epoch AS INTEGER) AS epoch, fp.n_docs, fp.order_fp, hd.head_docs
       FROM fp JOIN hd ON fp.epoch = hd.epoch""",

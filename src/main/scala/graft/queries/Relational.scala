@@ -303,6 +303,29 @@ object Relational {
             .cast("long").as("tic_units"))
     }),
 
+    // S2B: the many-runs idXML scan + PSM assembly as an ORACLED query —
+    // one DSv2 scan over 12 synthesized runs (one input partition per
+    // file, the same shape as s1b), hits exploded, scores dispatched,
+    // decoys kept so is_decoy is exercised both ways. DuckDB can't read
+    // idXML, but the runs are closed-form deterministic, so the oracle is
+    // a VALUES literal computed from the generator's own arithmetic
+    // (IdXmlSynth.expectedPsms) — a full hash-match of the assembled PSM
+    // table (reference contract: psm_conversion.py:13-35,87-108). List
+    // columns are '|'-joined so every array participates in the hash.
+    "s2b_idxml_many_runs" -> ((s, d) => {
+      val paths = graft.sources.idxml.IdXmlSynth.stagedRuns(12, 8, 2)
+      graft.ops.PsmConvert.convert(
+          graft.ops.PsmConvert.readIdXml(s, paths), None, exportDecoyPsm = true)
+        .select(
+          col("file_name"), col("scan_number"), col("sequence"), col("peptidoform"),
+          col("charge"), col("retention_time"), col("exp_mass_to_charge"),
+          col("is_decoy"), col("global_qvalue"), col("consensus_support"),
+          col("reference_file_name"),
+          array_join(col("search_engines"), "|").as("engines"),
+          array_join(col("id_scores"), "|").as("scores"),
+          array_join(col("protein_accessions"), "|").as("proteins"))
+    }),
+
     // P1: isin filter (ref: ms_level ∈ {1,2}, mzml_statistics.py:141-143)
     "p1_isin_filter" -> ((s, d) => {
       lineitem(s, d)
@@ -1028,6 +1051,36 @@ object Relational {
              CAST(n_ms1 AS BIGINT) AS n_ms1, CAST(tic_units AS BIGINT) AS tic_units
       FROM (VALUES
         $rows) t(file_name, n_spectra, n_ms1, tic_units)"""
+    },
+
+    // S2B: same VALUES-literal discipline for the idXML source — the
+    // expected PSM rows come from IdXmlSynth.expectedPsms, the closed form
+    // of the generator's own arithmetic.
+    "s2b_idxml_many_runs" -> {
+      def d(o: Option[Double]) = o.map(_.toString).getOrElse("NULL")
+      val rows = graft.sources.idxml.IdXmlSynth.expectedPsms(12, 8, 2)
+        .map { p =>
+          s"('${p.file_name}', ${p.scan_number}, '${p.sequence}', " +
+            s"'${p.peptidoform}', ${p.charge}, ${p.retention_time}, " +
+            s"${p.exp_mass_to_charge}, ${p.is_decoy}, ${d(p.global_qvalue)}, " +
+            s"${d(p.consensus_support)}, '${p.reference_file_name}', " +
+            s"'${p.engines}', '${p.scores}', '${p.proteins}')"
+        }
+        .mkString(",\n        ")
+      s"""
+      SELECT file_name, CAST(scan_number AS INTEGER) AS scan_number, sequence,
+             peptidoform, CAST(charge AS INTEGER) AS charge,
+             CAST(retention_time AS DOUBLE) AS retention_time,
+             CAST(exp_mass_to_charge AS DOUBLE) AS exp_mass_to_charge,
+             CAST(is_decoy AS INTEGER) AS is_decoy,
+             CAST(global_qvalue AS DOUBLE) AS global_qvalue,
+             CAST(consensus_support AS DOUBLE) AS consensus_support,
+             reference_file_name, engines, scores, proteins
+      FROM (VALUES
+        $rows) t(file_name, scan_number, sequence, peptidoform, charge,
+                 retention_time, exp_mass_to_charge, is_decoy, global_qvalue,
+                 consensus_support, reference_file_name, engines, scores,
+                 proteins)"""
     },
   )
 }

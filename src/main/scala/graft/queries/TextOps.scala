@@ -205,6 +205,11 @@ object TextOps {
           expr("transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))"))
           .otherwise(array()))).as("s"))
 
+  /** Merge rounds for the BPE trainer (`text_bpe_train`) — both the Spark
+    * loop and the generated DuckDB oracle replay exactly this many.
+    */
+  val BpeTrainRounds = 8
+
   val queries: Map[String, Q] = Map(
     // Token + character counts (whitespace tokenizer).
     "text_token_count" -> ((s, d) => {
@@ -982,22 +987,29 @@ object TextOps {
         row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("int"))
     }),
 
-    // The BPE TRAINER LOOP itself (Sennrich et al. 2016), 3 merge rounds
-    // unrolled: words become spaced symbol sequences (" h e l l o "),
+    // The BPE TRAINER LOOP itself (Sennrich et al. 2016), k = BpeTrainRounds
+    // merge rounds: words become spaced symbol sequences (" h e l l o "),
     // each round counts adjacent-symbol pairs across the corpus (one
     // combine-friendly keyed agg), takes the single global argmax pair
     // (count desc, pair asc — a 1-row bounded driver read, the same class
     // as freqItems' sketch), and applies the merge as a literal
     // whole-symbol string replace (" x y " → " xy ", space-delimited so a
-    // symbol can never match across a boundary). Each round is one
-    // corpus-sized map pass + one keyed count — exactly the shape a full
-    // k-merge trainer repeats; the merge TABLE (round, pair, count) is
-    // the trainer's output artifact. Replace semantics: left-to-right
-    // non-overlapping, identical in both engines; inside a ≥3-run of one
-    // repeated symbol this groups the leading pair and leaves the tail
-    // unmerged within the round (canonical BPE pairs the tail too) — a
-    // documented micro-divergence on degenerate runs, irrelevant to
-    // natural-text merges.
+    // symbol can never match across a boundary). Cost discipline: the
+    // working corpus is persisted per round and released one round behind
+    // (round r's argmax materializes round r's frame from round r-1's
+    // cached blocks, after which r-1 is freed — the CC checkpoint-release
+    // pattern), so the whole k-merge train is exactly ONE corpus pass per
+    // round, not the O(k²) lineage replay a cache-free loop would run.
+    // The merge TABLE (round, pair, count) is the trainer's output
+    // artifact. Replace semantics: left-to-right non-overlapping,
+    // identical in both engines; when the SAME pair repeats back-to-back
+    // (any " x y x y " — a ≥3-run of one symbol is the simplest case, but
+    // e.g. "haha" → " h a h a " equally), the shared delimiter space is
+    // consumed by the first match and only the first occurrence merges
+    // within the round (canonical BPE merges the tail occurrences too) —
+    // a documented divergence on adjacent pair repetition, irrelevant to
+    // the argmax on natural text and exactly mirrored by the oracle's
+    // replace().
     "text_bpe_train" -> ((s, d) => {
       import s.implicits._
       def sqlLit(x: String): String =
@@ -1011,16 +1023,27 @@ object TextOps {
         .select(lower(col("w")).as("w"))
         .filter(length(col("w")) >= 2)
         .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sw"))
-      val merges = (1 to 3).map { r =>
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var prev: DataFrame = null
+      val merges = (1 to BpeTrainRounds).map { r =>
         val top = cur.select(explode(pairOf).as("pair"))
           .groupBy(col("pair")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair")).limit(1).head()
+        // cur is fully materialized by the argmax job above — its parent's
+        // cached blocks are no longer reachable from any future job
+        if (prev != null) prev.unpersist()
         val (p, n) = (top.getString(0), top.getLong(1))
+        prev = cur
         cur = cur.select(expr(
           s"replace(sw, ${sqlLit(" " + p + " ")}, ${sqlLit(" " + p.replace(" ", "") + " ")})")
           .as("sw"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (r, p, n)
       }
+      // the post-final-merge corpus was never materialized; both unpersists
+      // are metadata-only by this point
+      cur.unpersist()
+      if (prev != null) prev.unpersist()
       merges.toDF("round", "pair", "n")
     }),
 
@@ -1253,32 +1276,36 @@ object TextOps {
                AS logit_u,
              (-900000 + 2 * alpha_u - 4 * digit_u + ws_u - 3 * upper_u) > 0 AS keep
       FROM f""",
-    "text_bpe_train" -> """
-      WITH w0 AS (SELECT ' ' || regexp_replace(lower(w), '(.)', '\1 ', 'g') AS sw
-                  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-                        FROM documents) t
-                  WHERE length(w) >= 2),
-      p1 AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
-             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w0) t,
-                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r),
-      t1 AS (SELECT pair, count(*) AS n FROM p1 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-      w1 AS (SELECT replace(sw, ' ' || (SELECT pair FROM t1) || ' ',
-                            ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS sw
-             FROM w0),
-      p2 AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
-             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w1) t,
-                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r),
-      t2 AS (SELECT pair, count(*) AS n FROM p2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-      w2 AS (SELECT replace(sw, ' ' || (SELECT pair FROM t2) || ' ',
-                            ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS sw
-             FROM w1),
-      p3 AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
-             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w2) t,
-                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r),
-      t3 AS (SELECT pair, count(*) AS n FROM p3 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
-      SELECT CAST(1 AS INTEGER) AS round, pair, CAST(n AS BIGINT) AS n FROM t1
-      UNION ALL SELECT 2, pair, n FROM t2
-      UNION ALL SELECT 3, pair, n FROM t3""",
+    // Generated k-round CTE chain (k = BpeTrainRounds) — the same
+    // count-argmax-replace loop the Spark side runs, unrolled into SQL by
+    // construction so the two can never drift on round count.
+    "text_bpe_train" -> {
+      val k = BpeTrainRounds
+      def pairs(i: Int) =
+        s"""p$i AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
+           |             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w${i - 1}) t,
+           |                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r)""".stripMargin
+      def top(i: Int) =
+        s"t$i AS (SELECT pair, count(*) AS n FROM p$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)"
+      def merged(i: Int) =
+        s"""w$i AS (SELECT replace(sw, ' ' || (SELECT pair FROM t$i) || ' ',
+           |                            ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ') AS sw
+           |             FROM w${i - 1})""".stripMargin
+      val w0 =
+        s"""w0 AS (SELECT ' ' || regexp_replace(lower(w), '(.)', '\\1 ', 'g') AS sw
+           |                  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           |                        FROM documents) t
+           |                  WHERE length(w) >= 2)""".stripMargin
+      val ctes = w0 +: (1 to k).flatMap(i =>
+        Seq(pairs(i), top(i)) ++ (if (i < k) Seq(merged(i)) else Nil))
+      val union = (1 to k).map {
+        case 1 => "SELECT CAST(1 AS INTEGER) AS round, pair, CAST(n AS BIGINT) AS n FROM t1"
+        case i => s"SELECT $i, pair, n FROM t$i"
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH ${ctes.mkString(",\n      ")}
+      $union"""
+    },
     "text_bpe_pairs" -> """
       WITH w0 AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
                   FROM documents),

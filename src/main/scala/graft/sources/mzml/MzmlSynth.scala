@@ -2,7 +2,7 @@ package graft.sources.mzml
 
 import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Files
 import java.util.Base64
 import java.util.zip.Deflater
 
@@ -18,53 +18,16 @@ import java.util.zip.Deflater
   */
 object MzmlSynth {
 
-  /** Stage (once) and return the paths of `n` synthetic runs.
-    *
-    * Cross-JVM safe: the runs are written into a process-unique temp dir
-    * and atomically renamed into place, so two concurrent JVMs sharing
-    * java.io.tmpdir can never interleave writes or scan half-written files
-    * — whichever rename lands first wins, the loser discards its copy
-    * (content is deterministic, so both copies are byte-identical anyway).
+  /** Stage (once) and return the paths of `n` synthetic runs
+    * (cross-JVM-safe protocol: [[graft.sources.SynthStaging]]).
     */
-  def stagedRuns(n: Int, spectraPerRun: Int, peaks: Int): Seq[String] = synchronized {
-    import scala.jdk.CollectionConverters._
-    def deleteTree(p: Path): Unit = {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally walk.close()
+  def stagedRuns(n: Int, spectraPerRun: Int, peaks: Int): Seq[String] =
+    graft.sources.SynthStaging.staged(
+      s"graft_mzml_runs_${n}_${spectraPerRun}_$peaks",
+      (1 to n).map(r => f"run$r%02d.mzML")) { (dir, name) =>
+      val r = name.stripPrefix("run").stripSuffix(".mzML").toInt
+      Files.writeString(dir.resolve(name), runXml(r, spectraPerRun, peaks))
     }
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_mzml_runs_${n}_${spectraPerRun}_$peaks")
-    def complete: Boolean =
-      (1 to n).forall(r => Files.exists(dir.resolve(f"run$r%02d.mzML")))
-    if (!complete) {
-      // Build the staging copy FIRST, then re-check the target right
-      // before the swap: a dir staged by this protocol is only ever
-      // observable complete (the rename is atomic), so the delete below
-      // can only ever hit a legacy/crashed remnant — never a complete dir
-      // a concurrent JVM just finished and is scanning (the delete-then-
-      // build order had exactly that window).
-      val tmp = Files.createTempDirectory(
-        Paths.get(sys.props("java.io.tmpdir")), "graft_mzml_stage_")
-      (1 to n).foreach { r =>
-        Files.writeString(tmp.resolve(f"run$r%02d.mzML"), runXml(r, spectraPerRun, peaks))
-      }
-      if (complete) deleteTree(tmp) // another JVM finished while we built
-      else {
-        if (Files.isDirectory(dir)) deleteTree(dir) // incomplete remnant
-        try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-              _: java.nio.file.DirectoryNotEmptyException |
-              _: java.nio.file.AccessDeniedException =>
-            // another JVM won the race with identical content — drop ours
-            deleteTree(tmp)
-        }
-      }
-    }
-    (1 to n).map(r => dir.resolve(f"run$r%02d.mzML").toString)
-  }
 
   /** The per-run (file_name, n_spectra, n_ms1, tic_units) table the
     * `s1b_mzml_many_runs` aggregation must produce, computed from the SAME

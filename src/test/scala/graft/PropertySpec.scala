@@ -107,6 +107,16 @@ class PropertySpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(1) === byId(r.getLong(0)), "vs scala loop"))
   }
 
+  test("l2sq: mismatched array lengths fail fast instead of silently truncating") {
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.expressions.VectorExpressions.l2sq(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("mismatched array lengths")), chain(e).mkString(" | "))
+  }
+
   test("feature finder: pure noise yields no features, planted envelope always found") {
     (1 to 5).foreach { trial =>
       val r = new Random(trial)
