@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Peptides {
 
-  private val modGroup = "\\(([^)]*)\\)"
+  // One mod group with ONE level of balanced nesting: OpenMS renders
+  // isotope-label names with inner parentheses — "(Label:13C(6)15N(2))" —
+  // which the naive "\(([^)]*)\)" would split at the FIRST ')', leaving
+  // "15N(2))" residue debris in unmodifiedSequence and phantom mods in
+  // modsPosition. PSI-MS names nest at most one level, so the explicit
+  // one-level alternation is exact (PropertySpec fuzzes this across the
+  // whole unimodNames table).
+  private val modGroup = "\\(((?:[^()]|\\([^()]*\\))*)\\)"
 
   /** Filename stem; double stem for `.d.zip` (Bruker zipped raw dirs).
     * Also strips any directory / URL prefix, matching `pathlib.Path.stem`.
@@ -47,6 +54,15 @@ object Peptides {
     * subset, and an N-terminal leading mod gets OpenMS's `.(Mod)` rendering.
     * A leading `^` marker survives the rewrite untouched, as in the
     * reference's special-casing.
+    *
+    * Covered by PropertySpec's grammar fuzz across the full unimodNames
+    * table (mixed UniMod/UNIMOD/name forms, N-terminal, multi-mod,
+    * nested-paren isotope-label names): idempotence, residue preservation
+    * through unmodifiedSequence, and modsPosition index agreement.
+    * Remaining divergence from the OpenMS AASequence round-trip: UniMod
+    * ids OUTSIDE the table pass through as `(UniMod:N)` instead of being
+    * resolved against the full UniMod DB, and mass-delta forms like
+    * `[+57.02]` are not rewritten.
     */
   def normalizeSequence(c: Column): Column = {
     val renamed = unimodNames.foldLeft(c) { case (acc, (id, name)) =>
@@ -73,7 +89,11 @@ object Peptides {
     * length fold over the residue segments.
     */
   def modsPosition(c: Column): Column = {
-    val stripped = when(c.startsWith("."), c.substr(lit(2), length(c))).otherwise(c)
+    // a leading `^` multiplex marker (diann2msstats's special-casing) is
+    // not a residue: skip it so an N-terminal mod still indexes as 0
+    val noCaret = when(c.startsWith("^"), c.substr(lit(2), length(c))).otherwise(c)
+    val stripped = when(noCaret.startsWith("."),
+      noCaret.substr(lit(2), length(noCaret))).otherwise(noCaret)
     val modNames = regexp_extract_all(stripped, lit(modGroup), lit(1))
     val segs = split(stripped, modGroup)
     // [0, len(seg1), len(seg1)+len(seg2), ...]

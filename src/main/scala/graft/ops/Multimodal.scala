@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   * runs batched per partition (the Scala analog of `mapInPandas` — one
   * iterator pass, batch-shaped amortization, no per-row driver involvement).
   *
-  * The codec itself is a STUB: no image/audio libraries ship in this
-  * environment, so `decodeStub` derives deterministic fake frame metadata
-  * (dimensions, frame count) from a CRC of the payload. The Spark-side
-  * contract — schema, partition-parallel batch processing, binary
-  * transport, content hashing — is real and tested; swapping `decodeStub`
-  * for a JNI/ffmpeg call changes no plan shape.
+  * REAL decode lives in [[MediaCodec]] (PNG/BMP via `javax.imageio`, WAV
+  * PCM via a direct RIFF parse — JDK-only, oracle-checked end to end by
+  * `mm_decode_meta`). `decodeStub` below remains ONLY as the stand-in for
+  * formats the JDK has no codec for (video/JPEG-XL/...): it derives
+  * deterministic pseudo frame metadata from a CRC of the payload so the
+  * transport contract (schema, batching, null handling) stays testable for
+  * those too; swapping it for a JNI/ffmpeg call changes no plan shape.
   */
 object Multimodal {
 
@@ -70,4 +71,41 @@ object Multimodal {
     */
   def sampleFrameIndexes(nFrames: Int, every: Int): Seq[Int] =
     (0 until nFrames by math.max(1, every)).toSeq
+
+  val decodedMetaType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_us", LongType),
+    StructField("checksum", LongType)))
+
+  /** The `mm_decode_meta` pipeline: `n` synthesized payloads (PNG / BMP /
+    * WAV round-robin by id, [[MediaSynth]]), REALLY decoded per partition
+    * with the JDK codecs ([[MediaCodec]]) — sniff the magic, decode the
+    * bytes, fold pixels/samples to a checksum. Generation is the source
+    * stand-in and runs in the same task as the decode (scan → decode is
+    * one pipelined stage; nothing funnels through the driver), across
+    * `partitions` input splits. Fixture content is arithmetic in id, so
+    * every decoded field is known in closed form without a codec — the
+    * DuckDB oracle is `MediaSynth.expected` as a VALUES literal.
+    */
+  def decodedFixtures(spark: SparkSession, n: Int, partitions: Int = 8): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(decodedMetaType)
+    spark.range(0, n, 1, partitions).toDF("media_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val m = MediaCodec.decode(MediaSynth.payload(id)).getOrElse(
+          throw new IllegalStateException(s"fixture payload $id failed to decode"))
+        Row(id, m.kind,
+          m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+          Int.box(m.channels),
+          m.nSamples.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull,
+          m.durationUs.map(Long.box).orNull, m.checksum)
+      }
+    }
+  }
 }

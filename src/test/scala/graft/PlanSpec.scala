@@ -467,6 +467,9 @@ class PlanSpec extends SparkSpec {
       "sim_ivfpq_topk",
       "sim_ivfpq_trained", // same shape over the Lloyd-trained coarse cells
       "sim_ivfpq_recall", // composes the exact baseline + sim_ivfpq_topk
+      // same 16-seed coarse scoring + exact baseline as sim_ivfpq_recall,
+      // plus a 1-row scalar(corpus size) annotate for the scanned fraction
+      "sim_ivfpq_probe_sweep",
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",

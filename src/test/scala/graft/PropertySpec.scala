@@ -107,6 +107,70 @@ class PropertySpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(1) === byId(r.getLong(0)), "vs scala loop"))
   }
 
+  test("peptidoform grammar fuzz: normalize/unmodified/modsPosition invariants " +
+      "across the full UniMod table") {
+    import graft.functions.Peptides
+    val aa = "ACDEFGHIKLMNPQRSTVWY"
+    val rnd = new Random(7)
+    val ids = Peptides.unimodNames.keys.toVector.sorted
+
+    case class Case(raw: String, residues: String, mods: Seq[(Int, String)], caret: Boolean)
+    val cases = (1 to 300).map { i =>
+      val nRes = 4 + rnd.nextInt(12)
+      val residues = Array.fill(nRes)(aa(rnd.nextInt(aa.length))).mkString
+      // distinct positions: 0 = N-terminal, p>0 = after residue p
+      val positions = Seq.fill(rnd.nextInt(4))(rnd.nextInt(nRes + 1)).distinct.sorted
+      val mods = positions.map { p =>
+        val id = ids(rnd.nextInt(ids.length))
+        val name = Peptides.unimodNames(id)
+        val form = rnd.nextInt(3) match {
+          case 0 => s"(UniMod:$id)"
+          case 1 => s"(UNIMOD:$id)" // DIA-NN emits both casings
+          case 2 => s"($name)" // already name-form
+        }
+        (p, name, form)
+      }
+      val caret = i % 5 == 0
+      val body = new StringBuilder
+      mods.filter(_._1 == 0).foreach(m => body ++= m._3)
+      residues.zipWithIndex.foreach { case (c, idx) =>
+        body += c
+        mods.filter(_._1 == idx + 1).foreach(m => body ++= m._3)
+      }
+      Case((if (caret) "^" else "") + body, residues, mods.map(m => (m._1, m._2)), caret)
+    }
+
+    val got = cases.map(_.raw).toDF("raw")
+      .select(col("raw"),
+        Peptides.normalizeSequence(col("raw")).as("norm"))
+      .select(col("raw"), col("norm"),
+        Peptides.normalizeSequence(col("norm")).as("norm2"),
+        Peptides.unmodifiedSequence(col("norm")).as("unmod"),
+        Peptides.modsPosition(col("norm")).as("mp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3),
+          Option(r.getSeq[String](4)).map(_.toSeq)))
+      .toMap
+
+    cases.foreach { c =>
+      val (norm, norm2, unmod, mp) = got(c.raw)
+      // idempotence: a normalized form normalizes to itself
+      assert(norm2 === norm, s"${c.raw}: norm not idempotent ($norm -> $norm2)")
+      // the caret marker and the residue content survive every rewrite —
+      // including nested-paren names like Label:13C(6)15N(2)
+      assert(norm.startsWith("^") === c.caret, c.raw)
+      assert(unmod === (if (c.caret) "^" else "") + c.residues,
+        s"${c.raw}: residues mangled ($norm -> $unmod)")
+      // an N-terminal mod (bare or behind the caret) is dot-rendered
+      val expectDot = c.mods.exists(_._1 == 0)
+      assert(norm.stripPrefix("^").startsWith(".") === expectDot, s"${c.raw} -> $norm")
+      // mod positions + canonical names agree with the generator
+      val expectMp = if (c.mods.isEmpty) None else Some(c.mods.map(m => s"${m._1}-${m._2}"))
+      assert(mp === expectMp, s"${c.raw} -> $norm: $mp vs $expectMp")
+    }
+  }
+
   test("l2sq: mismatched array lengths fail fast instead of silently truncating") {
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
     val e = intercept[Exception] {
