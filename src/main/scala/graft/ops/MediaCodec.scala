@@ -69,6 +69,83 @@ object MediaCodec {
     }
   }
 
+  /** Nearest-neighbor resize of a decoded PNG/BMP payload to (ow, oh),
+    * reduced to the same position-weighted RGB fold as [[decode]] — the
+    * image feature-extract stage (thumbnail / fixed-input-size prep) with
+    * the JDK codec in front. src(x·w/ow, y·h/oh) indexing keeps every
+    * output pixel an exact copy of one input pixel, so the resized
+    * checksum stays closed-form computable from the generator arithmetic.
+    * None for non-image payloads.
+    */
+  def resizedChecksum(payload: Array[Byte], ow: Int, oh: Int): Option[Decoded] =
+    decode(payload) match {
+      case Some(m) if m.kind == "png" || m.kind == "bmp" =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var acc = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            acc += (y.toLong * ow + x + 1) *
+              (img.getRGB(x * w / ow, y * h / oh) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(m.copy(width = Some(ow), height = Some(oh), checksum = acc))
+      case _ => None
+    }
+
+  /** Audio feature facts: frame count at `window` samples per frame, zero
+    * crossings, total energy, loudest-frame energy. */
+  case class AudioFeatures(
+      kind: String, nFrames: Int, zeroCrossings: Int,
+      energy: Long, maxFrameEnergy: Long)
+
+  /** Windowed audio feature extraction over a decoded WAV payload: Σ s²
+    * energy (total and per-`window`-sample-frame max) and the
+    * zero-crossing count (sign(0) counts as positive — the convention the
+    * closed form replays). All integer arithmetic — no float boundary
+    * anywhere, so both engines agree bit for bit. None for non-WAV.
+    */
+  def audioFeatures(payload: Array[Byte], window: Int): Option[AudioFeatures] =
+    decode(payload) match {
+      case Some(m) if m.kind == "wav" =>
+        val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+        // re-walk to the data chunk (decode validated the layout already)
+        buf.position(12)
+        var dataOff = -1
+        var dataLen = 0
+        while (dataOff < 0) {
+          val tag = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()), "US-ASCII")
+          val len = buf.getInt()
+          if (tag == "data") { dataOff = buf.position(); dataLen = len }
+          else buf.position(buf.position() + len)
+        }
+        val n = dataLen / 2
+        var energy = 0L
+        var maxFrame = 0L
+        var frame = 0L
+        var zc = 0
+        var prevNonNeg = true
+        var i = 0
+        while (i < n) {
+          val s = buf.getShort(dataOff + 2 * i).toLong
+          energy += s * s
+          frame += s * s
+          if (i > 0 && (s >= 0) != prevNonNeg) zc += 1
+          prevNonNeg = s >= 0
+          if ((i + 1) % window == 0 || i == n - 1) {
+            if (frame > maxFrame) maxFrame = frame
+            frame = 0L
+          }
+          i += 1
+        }
+        Some(AudioFeatures("wav", (n + window - 1) / window, zc, energy, maxFrame))
+      case _ => None
+    }
+
   /** Canonical 44-byte-header RIFF/WAVE parse, 16-bit mono PCM: walk the
     * chunk list to `fmt ` and `data` (never assume a fixed layout beyond
     * the RIFF frame), fold samples as Σ (i+1)·sᵢ.
@@ -181,6 +258,45 @@ object MediaSynth {
     samples.foreach(buf.putShort)
     buf.array()
   }
+
+  /** What resizedChecksum(payload(id), ow, oh) must return for an image
+    * id — the nearest-neighbor index map replayed over the pixel
+    * arithmetic. None for WAV ids.
+    */
+  def expectedResized(id: Long, ow: Int, oh: Int): Option[MediaCodec.Decoded] =
+    kindOf(id) match {
+      case "wav" => None
+      case kind =>
+        val (w, h) = if (kind == "png") pngDims(id) else bmpDims(id)
+        var acc = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val (sx, sy) = (x * w / ow, y * h / oh)
+            acc += (y.toLong * ow + x + 1) *
+              (if (kind == "png") pngRgb(id, sx, sy) else bmpRgb(id, sx, sy))
+            x += 1
+          }
+          y += 1
+        }
+        Some(expected(id).copy(width = Some(ow), height = Some(oh), checksum = acc))
+    }
+
+  /** What audioFeatures(payload(id), window) must return for a WAV id —
+    * the same integer folds over the sample arithmetic. None for images.
+    */
+  def expectedAudio(id: Long, window: Int): Option[MediaCodec.AudioFeatures] =
+    kindOf(id) match {
+      case "wav" =>
+        val s = wavSamples(id)
+        val energy = s.iterator.map(v => v.toLong * v).sum
+        val maxFrame = s.grouped(window).map(_.iterator.map(v => v.toLong * v).sum).max
+        val zc = (1 until s.length).count(i => (s(i) >= 0) != (s(i - 1) >= 0))
+        Some(MediaCodec.AudioFeatures(
+          "wav", (s.length + window - 1) / window, zc, energy, maxFrame))
+      case _ => None
+    }
 
   /** What decode(payload(id)) must return — no codec involved: image
     * checksums replay the pixel arithmetic (PNG and BMP are lossless for

@@ -108,4 +108,52 @@ object Multimodal {
       }
     }
   }
+
+  val resizedMetaType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** `mm_image_resize`: decode + nearest-neighbor resize to (ow, oh) per
+    * partition (MediaCodec.resizedChecksum) over the image ids of the
+    * fixture corpus; WAV ids drop out of the iterator (flatMap, no row) —
+    * the route-by-modality shape of a mixed media table.
+    */
+  def resizedFixtures(spark: SparkSession, n: Int, ow: Int, oh: Int,
+                      partitions: Int = 8): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(resizedMetaType)
+    spark.range(0, n, 1, partitions).toDF("media_id").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodec.resizedChecksum(MediaSynth.payload(id), ow, oh)
+          .map(m => Row(id, m.kind, Int.box(ow), Int.box(oh), m.checksum))
+      }
+    }
+  }
+
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType),
+    StructField("zero_crossings", IntegerType),
+    StructField("energy", LongType),
+    StructField("max_frame_energy", LongType)))
+
+  /** `mm_audio_features`: windowed integer audio features (Σ s² energy
+    * total + loudest frame, zero crossings) per partition over the WAV
+    * ids; image ids drop out.
+    */
+  def audioFixtures(spark: SparkSession, n: Int, window: Int,
+                    partitions: Int = 8): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(audioMetaType)
+    spark.range(0, n, 1, partitions).toDF("media_id").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodec.audioFeatures(MediaSynth.payload(id), window)
+          .map(a => Row(id, Int.box(a.nFrames), Int.box(a.zeroCrossings),
+            a.energy, a.maxFrameEnergy))
+      }
+    }
+  }
 }

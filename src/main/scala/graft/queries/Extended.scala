@@ -506,6 +506,19 @@ object Extended {
     "mm_decode_meta" -> ((s, d) =>
       graft.ops.Multimodal.decodedFixtures(s, 120)),
 
+    // Image feature-extract: decode + nearest-neighbor resize to 12×8 per
+    // partition; WAV rows route out of the image path (the mixed-modality
+    // table shape). Every output pixel is an exact copy of one input
+    // pixel, so the resized checksum replays in closed form.
+    "mm_image_resize" -> ((s, d) =>
+      graft.ops.Multimodal.resizedFixtures(s, 120, 12, 8)),
+
+    // Audio feature-extract: 80-sample (10 ms @ 8 kHz) frame energies +
+    // zero crossings, all integer arithmetic — the VAD/loudness front-end
+    // of an audio pipeline over the decoded PCM.
+    "mm_audio_features" -> ((s, d) =>
+      graft.ops.Multimodal.audioFixtures(s, 120, 80)),
+
     // Stream-stream interval join: purchases ⋈ the same user's views from
     // the preceding 30 minutes, both sides watermarked so the state store
     // evicts rows once the event-time range can no longer match (the
@@ -1318,6 +1331,32 @@ object Extended {
       FROM (VALUES
         $rows) t(media_id, kind, width, height, channels, n_samples,
                  sample_rate, duration_us, checksum)"""
+    },
+    "mm_image_resize" -> {
+      val rows = (0L until 120L).flatMap { id =>
+        graft.ops.MediaSynth.expectedResized(id, 12, 8)
+          .map(m => s"($id, '${m.kind}', ${m.checksum})")
+      }.mkString(",\n        ")
+      s"""
+      SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+             CAST(12 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+             CAST(checksum AS BIGINT) AS checksum
+      FROM (VALUES
+        $rows) t(media_id, kind, checksum)"""
+    },
+    "mm_audio_features" -> {
+      val rows = (0L until 120L).flatMap { id =>
+        graft.ops.MediaSynth.expectedAudio(id, 80).map(a =>
+          s"($id, ${a.nFrames}, ${a.zeroCrossings}, ${a.energy}, ${a.maxFrameEnergy})")
+      }.mkString(",\n        ")
+      s"""
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             CAST(n_frames AS INTEGER) AS n_frames,
+             CAST(zero_crossings AS INTEGER) AS zero_crossings,
+             CAST(energy AS BIGINT) AS energy,
+             CAST(max_frame_energy AS BIGINT) AS max_frame_energy
+      FROM (VALUES
+        $rows) t(media_id, n_frames, zero_crossings, energy, max_frame_energy)"""
     },
     "sample_stratified" -> """
       SELECT source, count(*) AS n_sampled, min(doc_id) AS min_doc

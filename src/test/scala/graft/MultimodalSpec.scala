@@ -60,6 +60,29 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(mangled) === None)
   }
 
+  test("nearest-neighbor resize matches the closed form and routes by modality") {
+    (0L until 30L).foreach { id =>
+      val got = MediaCodec.resizedChecksum(MediaSynth.payload(id), 12, 8)
+      assert(got === MediaSynth.expectedResized(id, 12, 8), s"id $id")
+    }
+    // wav ids produce no image row; a true downsample (not identity)
+    assert(MediaCodec.resizedChecksum(MediaSynth.payload(2L), 12, 8) === None)
+    val full = MediaCodec.decode(MediaSynth.payload(0L)).get
+    val small = MediaCodec.resizedChecksum(MediaSynth.payload(0L), 12, 8).get
+    assert(small.width === Some(12) && small.height === Some(8))
+    assert(small.checksum !== full.checksum)
+  }
+
+  test("audio features match the closed form: energy, frames, zero crossings") {
+    (0L until 30L).foreach { id =>
+      val got = MediaCodec.audioFeatures(MediaSynth.payload(id), 80)
+      assert(got === MediaSynth.expectedAudio(id, 80), s"id $id")
+    }
+    assert(MediaCodec.audioFeatures(MediaSynth.payload(0L), 80) === None) // png id
+    val a = MediaCodec.audioFeatures(MediaSynth.payload(2L), 80).get
+    assert(a.nFrames >= 2 && a.energy > 0 && a.maxFrameEnergy <= a.energy)
+  }
+
   test("decodedFixtures runs the decode distributed with the declared schema") {
     val df = Multimodal.decodedFixtures(spark, 24, partitions = 4)
     assert(df.rdd.getNumPartitions === 4)
