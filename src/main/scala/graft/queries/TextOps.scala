@@ -210,6 +210,83 @@ object TextOps {
     */
   val BpeTrainRounds = 8
 
+  /** The k-round Sennrich merge loop shared by `text_bpe_train` (reads
+    * the merge table) and `text_bpe_apply` (reads the tokenized corpus).
+    * Returns (merges, finalCorpus, previousRound); the final corpus and
+    * the previous round's frame are still persisted — the CALLER
+    * unpersists both (after materializing the final corpus if it needs
+    * it), completing the release-one-round-behind discipline the loop
+    * applies to every earlier round.
+    */
+  /** The DuckDB CTE chain replaying [[bpeTrainLoop]]: w0 (spaced symbol
+    * corpus) then per round i a pair count (p_i), the 1-row argmax (t_i),
+    * and the merged corpus (w_i). `withFinalCorpus` controls whether the
+    * final merge's w_k is emitted (the apply oracle reads it; the train
+    * oracle stops at t_k).
+    *
+    * Every CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs per
+    * REFERENCE, and each w_i reads t_i twice (the pair and its joined
+    * form), so an inlined chain re-evaluates the whole prefix 2^k times —
+    * measured 424 s at k=8 vs seconds at k=3. Materialization pins the
+    * oracle to the same once-per-round evaluation the Spark loop's
+    * persist discipline gives.
+    */
+  private def bpeOracleCtes(withFinalCorpus: Boolean): String = {
+    val k = BpeTrainRounds
+    def pairs(i: Int) =
+      s"""p$i AS MATERIALIZED (SELECT sy[i] || ' ' || sy[i+1] AS pair
+         |             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w${i - 1}) t,
+         |                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r)""".stripMargin
+    def top(i: Int) =
+      s"t$i AS MATERIALIZED (SELECT pair, count(*) AS n FROM p$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)"
+    def merged(i: Int) =
+      s"""w$i AS MATERIALIZED (SELECT replace(sw, ' ' || (SELECT pair FROM t$i) || ' ',
+         |                            ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ') AS sw
+         |             FROM w${i - 1})""".stripMargin
+    val w0 =
+      s"""w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(lower(w), '(.)', '\\1 ', 'g') AS sw
+         |                  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |                        FROM documents) t
+         |                  WHERE length(w) >= 2)""".stripMargin
+    val ctes = w0 +: (1 to k).flatMap(i =>
+      Seq(pairs(i), top(i)) ++
+        (if (i < k || withFinalCorpus) Seq(merged(i)) else Nil))
+    ctes.mkString(",\n      ")
+  }
+
+  private def bpeTrainLoop(s: SparkSession, d: String)
+      : (Seq[(Int, String, Long)], DataFrame, DataFrame) = {
+    def sqlLit(x: String): String =
+      "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val pairOf = expr(
+      "transform(sequence(1, size(split(trim(sw), ' ')) - 1), " +
+        "i -> concat(element_at(split(trim(sw), ' '), i), ' ', " +
+        "element_at(split(trim(sw), ' '), i + 1)))")
+    var cur = toks(s, d)
+      .select(explode(col("t")).as("w"))
+      .select(lower(col("w")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    val merges = (1 to BpeTrainRounds).map { r =>
+      val top = cur.select(explode(pairOf).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).head()
+      // cur is fully materialized by the argmax job above — its parent's
+      // cached blocks are no longer reachable from any future job
+      if (prev != null) prev.unpersist()
+      val (p, n) = (top.getString(0), top.getLong(1))
+      prev = cur
+      cur = cur.select(expr(
+        s"replace(sw, ${sqlLit(" " + p + " ")}, ${sqlLit(" " + p.replace(" ", "") + " ")})")
+        .as("sw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (r, p, n)
+    }
+    (merges, cur, prev)
+  }
+
   val queries: Map[String, Q] = Map(
     // Token + character counts (whitespace tokenizer).
     "text_token_count" -> ((s, d) => {
@@ -275,6 +352,33 @@ object TextOps {
         round(digit / len, 6).as("digit_ratio"),
         round(ws / len, 6).as("ws_ratio"),
         round((len - ws) / nTok, 6).as("avg_token_len"))
+    }),
+
+    // Gopher quality rules (Rae et al. 2021, Table A1 subset) — the
+    // published pre-training document filter, decided in PURE integer
+    // arithmetic so no float boundary ever picks a document: word-count
+    // bounds [50, 100000], mean word length in [3, 10] (total vs bound·n
+    // integer compares), ≥80% of words containing an alphabetic char
+    // (5·n_alpha ≥ 4·n_words), and ≥2 distinct Gopher stopwords present.
+    // Map-only — one pass, zero shuffles, the 100-TB shape of every
+    // quality gate in this family.
+    "text_gopher_rules" -> ((s, d) => {
+      toks(s, d)
+        .select(col("doc_id"),
+          size(col("t")).as("n_words"),
+          expr("aggregate(t, 0L, (a, w) -> a + length(w))").as("total_wlen"),
+          size(expr("filter(t, w -> w rlike '[A-Za-z]')")).as("n_alpha_words"),
+          size(expr(
+            "filter(array('the','be','to','of','and','that','have','with'), " +
+              "sw -> array_contains(transform(t, w -> lower(w)), sw))"))
+            .as("n_stopwords"))
+        .select(col("doc_id"), col("n_words"), col("total_wlen"),
+          col("n_alpha_words"), col("n_stopwords"),
+          (col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("total_wlen") >= col("n_words").cast("long") * 3 &&
+            col("total_wlen") <= col("n_words").cast("long") * 10 &&
+            col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+            col("n_stopwords") >= 2).as("keep"))
     }),
 
     // Language ID: char-bigram Naive Bayes over a bundled 6-language model
@@ -1012,39 +1116,38 @@ object TextOps {
     // replace().
     "text_bpe_train" -> ((s, d) => {
       import s.implicits._
-      def sqlLit(x: String): String =
-        "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
-      val pairOf = expr(
-        "transform(sequence(1, size(split(trim(sw), ' ')) - 1), " +
-          "i -> concat(element_at(split(trim(sw), ' '), i), ' ', " +
-          "element_at(split(trim(sw), ' '), i + 1)))")
-      var cur = toks(s, d)
-        .select(explode(col("t")).as("w"))
-        .select(lower(col("w")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sw"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var prev: DataFrame = null
-      val merges = (1 to BpeTrainRounds).map { r =>
-        val top = cur.select(explode(pairOf).as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair")).limit(1).head()
-        // cur is fully materialized by the argmax job above — its parent's
-        // cached blocks are no longer reachable from any future job
-        if (prev != null) prev.unpersist()
-        val (p, n) = (top.getString(0), top.getLong(1))
-        prev = cur
-        cur = cur.select(expr(
-          s"replace(sw, ${sqlLit(" " + p + " ")}, ${sqlLit(" " + p.replace(" ", "") + " ")})")
-          .as("sw"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (r, p, n)
-      }
+      val (merges, cur, prev) = bpeTrainLoop(s, d)
       // the post-final-merge corpus was never materialized; both unpersists
       // are metadata-only by this point
       cur.unpersist()
       if (prev != null) prev.unpersist()
       merges.toDF("round", "pair", "n")
+    }),
+
+    // BPE APPLY — the train→tokenize loop closed: run the k trained
+    // merges, then read the tokenized corpus's aggregate shape (word
+    // count, total pieces, live symbol vocabulary, pieces/word) — the
+    // compression read-out a tokenizer build reports. The stats are
+    // computed EAGERLY (two bounded scalar aggregations over the cached
+    // final corpus — the same 1-row driver-read class as the argmax) so
+    // the cached rounds release deterministically before the query
+    // returns; the result is a 1-row local frame.
+    "text_bpe_apply" -> ((s, d) => {
+      import s.implicits._
+      val (_, corpus, prev) = bpeTrainLoop(s, d)
+      val tok = corpus.select(split(trim(col("sw")), " ").as("sy"))
+      val base = tok
+        .agg(count(lit(1)).as("nw"), sum(size(col("sy"))).as("tp")).head()
+      val (nWords, totalPieces) = (base.getLong(0), base.getLong(1))
+      val distinctPieces = tok.select(explode(col("sy")).as("p"))
+        .agg(countDistinct(col("p"))).head().getLong(0)
+      corpus.unpersist()
+      if (prev != null) prev.unpersist()
+      Seq((nWords, totalPieces, distinctPieces,
+        totalPieces.toDouble / nWords))
+        .toDF("n_words", "total_pieces", "distinct_pieces", "avg_raw")
+        .select(col("n_words"), col("total_pieces"), col("distinct_pieces"),
+          round(col("avg_raw"), 6).as("avg_pieces"))
     }),
 
     // Cross-source duplication matrix — WHERE the near-duplicates come
@@ -1280,32 +1383,27 @@ object TextOps {
     // count-argmax-replace loop the Spark side runs, unrolled into SQL by
     // construction so the two can never drift on round count.
     "text_bpe_train" -> {
-      val k = BpeTrainRounds
-      def pairs(i: Int) =
-        s"""p$i AS (SELECT sy[i] || ' ' || sy[i+1] AS pair
-           |             FROM (SELECT regexp_split_to_array(trim(sw), ' ') AS sy FROM w${i - 1}) t,
-           |                  LATERAL (SELECT unnest(range(1, len(sy))) AS i) r)""".stripMargin
-      def top(i: Int) =
-        s"t$i AS (SELECT pair, count(*) AS n FROM p$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)"
-      def merged(i: Int) =
-        s"""w$i AS (SELECT replace(sw, ' ' || (SELECT pair FROM t$i) || ' ',
-           |                            ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ') AS sw
-           |             FROM w${i - 1})""".stripMargin
-      val w0 =
-        s"""w0 AS (SELECT ' ' || regexp_replace(lower(w), '(.)', '\\1 ', 'g') AS sw
-           |                  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-           |                        FROM documents) t
-           |                  WHERE length(w) >= 2)""".stripMargin
-      val ctes = w0 +: (1 to k).flatMap(i =>
-        Seq(pairs(i), top(i)) ++ (if (i < k) Seq(merged(i)) else Nil))
-      val union = (1 to k).map {
+      val union = (1 to BpeTrainRounds).map {
         case 1 => "SELECT CAST(1 AS INTEGER) AS round, pair, CAST(n AS BIGINT) AS n FROM t1"
         case i => s"SELECT $i, pair, n FROM t$i"
       }.mkString("\n      UNION ALL ")
       s"""
-      WITH ${ctes.mkString(",\n      ")}
+      WITH ${bpeOracleCtes(withFinalCorpus = false)}
       $union"""
     },
+
+    // BPE apply: the same generated chain carried one merge further to
+    // the final corpus w_k, then the tokenized-shape aggregate.
+    "text_bpe_apply" -> s"""
+      WITH ${bpeOracleCtes(withFinalCorpus = true)},
+      tok AS MATERIALIZED (SELECT regexp_split_to_array(trim(sw), ' ') AS sy
+              FROM w$BpeTrainRounds)
+      SELECT CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(sy)) AS BIGINT) AS total_pieces,
+             (SELECT CAST(count(DISTINCT p) AS BIGINT)
+              FROM (SELECT unnest(sy) AS p FROM tok)) AS distinct_pieces,
+             round(CAST(sum(len(sy)) AS DOUBLE) / count(*), 6) AS avg_pieces
+      FROM tok""",
     "text_bpe_pairs" -> """
       WITH w0 AS (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
                   FROM documents),
@@ -1341,6 +1439,26 @@ object TextOps {
                    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
                AS pieces_per_word
       FROM documents""",
+    "text_gopher_rules" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(t) AS INTEGER) AS n_words,
+                   CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT)
+                     AS total_wlen,
+                   CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                     AS INTEGER) AS n_alpha_words,
+                   CAST(len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     sw -> list_contains(list_transform(t, w -> lower(w)), sw)))
+                     AS INTEGER) AS n_stopwords
+            FROM tk)
+      SELECT doc_id, n_words, total_wlen, n_alpha_words, n_stopwords,
+             (n_words >= 50 AND n_words <= 100000
+              AND total_wlen >= n_words * 3 AND total_wlen <= n_words * 10
+              AND n_alpha_words * 5 >= n_words * 4
+              AND n_stopwords >= 2) AS keep
+      FROM m""",
     "text_quality" -> """
       SELECT doc_id,
              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
