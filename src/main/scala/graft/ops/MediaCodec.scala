@@ -31,18 +31,27 @@ object MediaCodec {
       checksum: Long)
 
   /** Sniff + decode a payload; None for formats outside the JDK codecs
-    * (a real pipeline routes those rows to a quarantine sink rather than
-    * killing the task).
+    * AND for malformed payloads of a known format (truncated image data,
+    * RIFF chunks overrunning the buffer) — a real pipeline routes those
+    * rows to a quarantine sink rather than killing the task, so no
+    * payload content may ever throw out of here.
     */
   def decode(payload: Array[Byte]): Option[Decoded] =
-    if (payload == null || payload.length < 12) None
-    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' &&
-      payload(3) == 'G') decodeImage(payload, "png")
-    else if (payload(0) == 'B' && payload(1) == 'M') decodeImage(payload, "bmp")
-    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
-      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
-      payload(10) == 'V' && payload(11) == 'E') decodeWav(payload)
-    else None
+    try {
+      if (payload == null || payload.length < 12) None
+      else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' &&
+        payload(3) == 'G') decodeImage(payload, "png")
+      else if (payload(0) == 'B' && payload(1) == 'M') decodeImage(payload, "bmp")
+      else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E') decodeWav(payload)
+      else None
+    } catch {
+      // truncated/corrupt content inside a well-magic'd payload: ImageIO
+      // IIOExceptions, chunk walks running off the buffer
+      case _: java.io.IOException | _: IndexOutOfBoundsException |
+          _: IllegalArgumentException | _: java.nio.BufferUnderflowException => None
+    }
 
   /** Position-weighted RGB fold: Σ (y·w + x + 1) · rgb24(x,y). Weighting
     * by position makes the checksum order-sensitive (a transposed decode

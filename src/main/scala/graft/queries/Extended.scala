@@ -287,6 +287,31 @@ object Extended {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // Curriculum mixing SCHEDULE: per-source sampling weights
+    // interpolated linearly from corpus share (epoch 0) to uniform (final
+    // epoch) — the multi-epoch training-mix plan a data loader consumes,
+    // generalizing sample_mix_weights' single static target. Every weight
+    // is integer ppm via w_e = (share·(E−1−e) + uniform·e) div (E−1) with
+    // only NON-NEGATIVE terms, so no truncate-vs-floor divergence between
+    // engines can occur; |sources|·E output rows, the per-source counts
+    // one keyed agg, the totals a 1-row broadcast annotate.
+    "sample_mix_schedule" -> ((s, d) => {
+      val E = 4
+      val bySource = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = bySource.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("n_sources"))
+      bySource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          expr("(n_docs * 1000000) div total").as("share_ppm"),
+          expr("1000000 div n_sources").as("uniform_ppm"))
+        .select(col("source"), col("n_docs"), col("share_ppm"), col("uniform_ppm"),
+          explode(sequence(lit(0), lit(E - 1))).as("epoch"))
+        .select(col("epoch").cast("int").as("epoch"), col("source"), col("n_docs"),
+          expr(s"(share_ppm * (${E - 1} - epoch) + uniform_ppm * epoch) div ${E - 1}")
+            .cast("long").as("weight_ppm"))
+    }),
+
     // PageRank over the near-dup candidate graph (3 fixed power
     // iterations, d = 0.85, the unnormalized r = 0.15 + 0.85·Σ r_u/deg_u
     // formulation) — the link-centrality signal web-corpus pipelines rank
@@ -313,6 +338,34 @@ object Extended {
       }
       ranks.select(col("node").as("doc_id"),
         round(col("r").cast("double") / 1000000.0, 6).as("pagerank"))
+    }),
+
+    // Label-propagation community detection (Raghavan et al. 2007) over
+    // the near-dup graph: 3 synchronous rounds, each node adopting its
+    // neighbors' most frequent label (count desc, label asc — the
+    // deterministic tie-break that makes LPA oracle-able; canonical LPA's
+    // random order is exactly what a distributed engine can't reproduce).
+    // Complements the component/triangle reads: components say which docs
+    // are transitively LINKED, communities say which cores are DENSELY
+    // linked (a template clique collapses to one label in round 1; a
+    // chain of borderline pairs keeps distinct labels). Each round is one
+    // keyed edge join + one keyed argmax window — the rank table moves,
+    // the edge list stays put, nothing is ever collected.
+    "graph_label_propagation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = TextOps.minhashPairsShared(s, d)
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 3) {
+        val w = Window.partitionBy(col("dst")).orderBy(col("cnt").desc, col("lbl"))
+        labels = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("dst").as("node"), col("lbl"))
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("community"))
     }),
 
     // Triangle participation over the near-dup candidate graph — the
@@ -1247,6 +1300,39 @@ object Extended {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents d JOIN t ON d.lang = t.lang
       GROUP BY 1, 2, 3""",
+    // 3 LPA rounds unrolled; every CTE MATERIALIZED (the BPE-chain
+    // lesson: DuckDB inlines per reference).
+    "graph_label_propagation" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT e.dst, l.lbl, count(*) AS cnt
+           |            FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |      l$i AS MATERIALIZED (SELECT dst AS node, lbl FROM v$i
+           |            QUALIFY row_number() OVER (PARTITION BY dst
+           |              ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH pairs AS MATERIALIZED (${TextOps.minhashPairsSql}),
+      edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      $rounds
+      SELECT node AS doc_id, lbl AS community FROM l3"""
+    },
+
+    "sample_mix_schedule" -> """
+      WITH bs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM bs),
+      sh AS (SELECT bs.source, bs.n_docs,
+                    (bs.n_docs * 1000000) // t.total AS share_ppm,
+                    1000000 // t.n_sources AS uniform_ppm
+             FROM bs, t),
+      e AS (SELECT unnest(range(0, 4)) AS epoch)
+      SELECT CAST(e.epoch AS INTEGER) AS epoch, sh.source,
+             CAST(sh.n_docs AS BIGINT) AS n_docs,
+             CAST((sh.share_ppm * (3 - e.epoch) + sh.uniform_ppm * e.epoch) // 3
+               AS BIGINT) AS weight_ppm
+      FROM sh, e""",
+
     "graph_pagerank" -> s"""
       WITH pairs AS (${TextOps.minhashPairsSql}),
       edges AS (SELECT da AS src, db AS dst FROM pairs

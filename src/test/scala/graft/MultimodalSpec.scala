@@ -83,6 +83,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a.nFrames >= 2 && a.energy > 0 && a.maxFrameEnergy <= a.energy)
   }
 
+  test("malformed payloads of a known format quarantine as None, never throw") {
+    // well-magic'd but truncated: PNG header with the image data cut off
+    val png = MediaSynth.payload(0L)
+    assert(MediaCodec.decode(png.take(30)) === None)
+    // RIFF frame whose chunk length overruns the buffer
+    val wav = MediaSynth.payload(2L)
+    val overrun = wav.clone()
+    overrun(16) = 0x7f; overrun(17) = 0x7f; overrun(18) = 0x7f; overrun(19) = 0x7f
+    assert(MediaCodec.decode(overrun) === None)
+    // negative chunk length
+    val neg = wav.clone()
+    neg(19) = 0xff.toByte
+    assert(MediaCodec.decode(neg) === None)
+    // data chunk declaring more samples than the payload carries
+    val short = wav.clone().take(60)
+    assert(MediaCodec.decode(short) === None)
+  }
+
   test("decodedFixtures runs the decode distributed with the declared schema") {
     val df = Multimodal.decodedFixtures(spark, 24, partitions = 4)
     assert(df.rdd.getNumPartitions === 4)

@@ -490,7 +490,10 @@ class PlanSpec extends SparkSpec {
       "diag_key_skew",
       // 1-row scalar(max day) × the exploded (user, report-day) pairs —
       // the same annotate-with-constant horizon clamp as a17's extrema
-      "w12_rolling_active")
+      "w12_rolling_active",
+      // 1-row scalar(total, n_sources) × the |sources|-row share table —
+      // the same annotate-with-constant shape as text_tfidf's n_docs
+      "sample_mix_schedule")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {

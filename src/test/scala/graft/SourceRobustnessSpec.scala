@@ -11,6 +11,26 @@ import graft.sources.mzml.MzmlFilesOffset
   */
 class SourceRobustnessSpec extends SparkSpec {
 
+  test("truncated idXML fails the scan with a parse error, not a silent partial table") {
+    // identification files are CORRUPT INPUT when truncated (unlike an
+    // opaque media payload, which quarantines): the contract is a clear
+    // task failure, never a silently shortened PSM table
+    val dir = Files.createTempDirectory("idxml-trunc")
+    val full = Files.readString(
+      java.nio.file.Paths.get(graft.sources.idxml.IdXmlSynth.stagedRuns(1, 4, 2).head))
+    val trunc = dir.resolve("trunc.idXML")
+    Files.writeString(trunc, full.take(full.length / 2))
+    val e = intercept[Exception] {
+      graft.ops.PsmConvert.readIdXml(spark, Seq(trunc.toString)).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("XML") || m.contains("ParseError")
+      || m.contains("EOF") || m.toLowerCase.contains("end of input")
+      || m.toLowerCase.contains("end of file")),
+      chain(e).mkString(" | "))
+  }
+
   test("isolation-only precursor (no selectedIon) yields null mz/charge, not 0.0") {
     val dir = Files.createTempDirectory("mzml-diaprec")
     val xml =
