@@ -354,6 +354,14 @@ object Temporal {
     "stream_sessionize_stateful" -> ((s, d) =>
       graft.streaming.StatefulSessionize(s, d)),
 
+    // CDC-style latest-state compaction: the unbounded event log collapses
+    // to one row per user holding the newest value + update count — per-key
+    // CONSTANT state in the store (never the log), event-time timeout
+    // emission, and the batch argmax as the oracle
+    // (graft.streaming.StatefulLatestState).
+    "stream_latest_state" -> ((s, d) =>
+      graft.streaming.StatefulLatestState(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -476,6 +484,19 @@ object Temporal {
 
   val oracle: Map[String, String] = Map(
     "stream_sessionize_stateful" -> sessionizeSql,
+    // the latest-state stream must reproduce the batch per-key argmax
+    "stream_latest_state" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+                 FROM events),
+      l AS (SELECT user_id, us AS last_us, value AS last_value FROM e
+            QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) = 1),
+      n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM e GROUP BY 1)
+      SELECT l.user_id, CAST(l.last_us AS BIGINT) AS last_us, l.last_value,
+             n.n_events
+      FROM l JOIN n USING (user_id)""",
     "w3_sessionize" -> sessionizeSql,
     "w9_ema_decay" -> """
       WITH v AS (SELECT event_id, user_id, ts,

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -104,85 +102,6 @@ object StatefulSessionize {
     }
   }
 
-  /** Stage the finite input for the oracle-checked run: the real events
-    * plus one sentinel row per user at max(ts) + 1 year, so the final
-    * sessions close deterministically. Only the (tiny) sentinel table is
-    * written; the real event files enter the staging dir as symlinks — no
-    * copy of the actual data. Returns (staging dir, schema); the caller
-    * deletes the staging dir after the query drains.
-    */
-  private def stageInput(spark: SparkSession, sfDir: String): (Path, org.apache.spark.sql.types.StructType) = {
-    val stage = Files.createTempDirectory("stream-sessionize")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // An empty events table has no max(ts): the long branch would NPE and
-    // the timestamp branch would stage a NullType `ts` whose parquet schema
-    // conflicts with the declared stream schema. Fail fast with the real
-    // reason instead.
-    require(raw.head(1).nonEmpty,
-      s"$sfDir/events.parquet is empty — cannot stage a sessionize sentinel")
-    // The sentinel's ts must carry the SAME Spark (and thus parquet
-    // physical) type as the raw file — epoch-nanos long or timestamp —
-    // so the staged directory reads under one schema. The +1 year is
-    // nanos arithmetic in the long form, interval arithmetic otherwise.
-    val sentinelTs: Any = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.agg(max(col("ts"))).head().getLong(0) + 365L * 24 * 3600 * 1000000000L
-      case _ =>
-        raw.agg((max(col("ts")) + expr("INTERVAL 365 DAYS")).as("t")).head().get(0)
-    }
-    val sentinel = raw.select(col("user_id")).distinct()
-      .select(
-        lit(-1L).as("event_id"),
-        lit(sentinelTs).as("ts"),
-        col("user_id"),
-        lit(null).cast("string").as("event_type"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"))
-    // a flat staging dir (no subdirectories) so the file stream's listing
-    // sees exactly two parquet files
-    val tmp = stage.resolve("_sentinel_tmp")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    import scala.jdk.CollectionConverters._
-    val paths = Files.list(tmp)
-    val partFile =
-      try paths.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-      finally paths.close()
-    Files.move(partFile, stage.resolve("sentinel.parquet"))
-    deleteRecursively(tmp)
-    def stageFile(f: Path, name: String): Unit =
-      try Files.createSymbolicLink(stage.resolve(name), f)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        // filesystems without symlink support fall back to a real copy
-        Files.copy(f, stage.resolve(name))
-      }
-    val src = java.nio.file.Paths.get(sfDir, "events.parquet").toAbsolutePath
-    if (Files.isDirectory(src)) {
-      // directory-shaped dataset (the cluster-scale layout): walk
-      // RECURSIVELY (hive-partitioned layouts nest part files) and flat-link
-      // each part file so the staging dir stays a single-level file listing
-      val ps = Files.walk(src)
-      val parts =
-        try ps.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          .toVector
-        finally ps.close()
-      require(parts.nonEmpty,
-        s"no *.parquet part files found under $src — cannot stage streaming input")
-      parts.zipWithIndex
-        .foreach { case (p, i) => stageFile(p, f"events_$i%05d.parquet") }
-    } else stageFile(src, "events.parquet")
-    (stage, raw.schema)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      val paths = Files.walk(p)
-      try paths.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
-      finally paths.close()
-    }
-  }
-
   def apply(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
       applyInner(spark, sfDir)
@@ -190,7 +109,8 @@ object StatefulSessionize {
 
   private def applyInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (stage, schema) = stageInput(spark, sfDir)
+    // sentinel-staged finite input (shared protocol: [[StagedEvents]])
+    val (stage, schema) = StagedEvents.stage(spark, sfDir)
     val sessions = spark.readStream.schema(schema)
       .parquet(stage.toString)
       .transform(graft.tables.Tables.toEventTime(_, "ts"))
@@ -205,7 +125,7 @@ object StatefulSessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
     val drained = Drain.toMemory(spark, "stream_sessionize", sessions.toDF())
     // the memory sink holds the full result; the staged input can go
-    deleteRecursively(stage)
+    StagedEvents.deleteRecursively(stage)
     drained
       .select(col("user_id"), col("session_id"), col("n_events"), col("duration_sec"))
   }
