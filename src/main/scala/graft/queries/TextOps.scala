@@ -697,6 +697,54 @@ object TextOps {
           (sum(when(col("k") === 0, 1).otherwise(0)) > 0).as("near_dup"))
     }),
 
+    // Bloom-filter membership probe — decontamination's CONSTANT-SIZE
+    // broadcast form: the train split's fingerprints build an m=65536-bit,
+    // k=4 Bloom filter whose hash positions derive from md5 (the portable
+    // hash rule every sketch here uses), probe docs are flagged when all 4
+    // of their positions are set. Unlike Spark's built-in
+    // DataFrameStatFunctions.bloomFilter, the bit positions replay in SQL,
+    // so the whole filter — build, probe, and the false-positive behavior
+    // itself — is hash-matched against DuckDB. Output carries exact_dup
+    // next to bloom_hit so the FPR is read directly off the table; the
+    // no-false-negatives contract (bloom_hit ⊇ exact_dup) is spec-pinned.
+    // Scale shape: the position set is ≤ m rows (a few hundred KB,
+    // broadcast — at 100 TB it is built by per-partition partial DISTINCT,
+    // the same map-side combine as any keyed agg), probes explode to
+    // exactly 4 rows each, and the corpus never joins itself.
+    "dedup_bloom_probe" -> ((s, d) => {
+      val m = 65536
+      def positions(c: org.apache.spark.sql.Column) = transform(sequence(lit(0), lit(3)),
+        j => conv(substring(md5(concat(c, lit("_"), j.cast("string"))), 1, 15), 16, 10)
+          .cast("long") % m)
+      val fp = fanOut(documents(s, d), s).select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))
+      val train = fp.filter(col("doc_id") % 20 =!= 0)
+      // every 2nd probe is a PLANTED LEAK (it borrows the next train doc's
+      // fingerprint) so both outcomes are really exercised: leaked probes
+      // must flag, novel probes measure the false-positive rate
+      val probes0 = fp.filter(col("doc_id") % 20 === 0)
+      val leak = fp.select(col("doc_id").as("lid"), col("fp").as("leak_fp"))
+      val probes = probes0
+        .join(leak, probes0("doc_id") + 1 === leak("lid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 40 === 0 && col("leak_fp").isNotNull, col("leak_fp"))
+            .otherwise(col("fp")).as("fp"))
+      val bits = train.select(explode(positions(col("fp"))).as("pos")).distinct()
+      val hits = probes
+        .select(col("doc_id"), explode(positions(col("fp"))).as("pos"))
+        .join(broadcast(bits), Seq("pos"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_set"))
+      val exact = probes
+        .join(train.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(1).as("ex"))
+      probes.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_set"), lit(0L)) === 4).as("bloom_hit"),
+          (coalesce(col("ex"), lit(0)) === 1).as("exact_dup"))
+    }),
+
     // Benchmark decontamination: the other direction of incremental dedup —
     // instead of flagging NEW docs against the corpus, score every TRAINING
     // doc by how much of it appears in a held-out benchmark split (the
@@ -1596,6 +1644,32 @@ object TextOps {
                             1000000) AS BIGINT)),
                'sum') AS DOUBLE) / 1000000.0, 6) AS char_entropy
       FROM c""",
+    "dedup_bloom_probe" -> """
+      WITH f AS (SELECT doc_id,
+                        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                 FROM documents),
+      bits AS (SELECT DISTINCT
+                 ('0x' || substr(md5(fp || '_' || j), 1, 15))::BIGINT % 65536 AS pos
+               FROM f, LATERAL (SELECT unnest(range(0, 4)) AS j) r
+               WHERE doc_id % 20 <> 0),
+      p0 AS (SELECT doc_id, fp FROM f WHERE doc_id % 20 = 0),
+      pr AS (SELECT p0.doc_id,
+                    CASE WHEN p0.doc_id % 40 = 0 AND l.fp IS NOT NULL
+                         THEN l.fp ELSE p0.fp END AS fp
+             FROM p0 LEFT JOIN f l ON l.doc_id = p0.doc_id + 1),
+      pp AS (SELECT doc_id,
+                    ('0x' || substr(md5(fp || '_' || j), 1, 15))::BIGINT % 65536 AS pos
+             FROM pr, LATERAL (SELECT unnest(range(0, 4)) AS j) r),
+      hits AS (SELECT doc_id, count(*) AS n_set
+               FROM pp JOIN bits USING (pos) GROUP BY 1),
+      ex AS (SELECT DISTINCT pr.doc_id
+             FROM pr JOIN f tr ON pr.fp = tr.fp AND tr.doc_id % 20 <> 0)
+      SELECT pr.doc_id,
+             coalesce(h.n_set, 0) = 4 AS bloom_hit,
+             e.doc_id IS NOT NULL AS exact_dup
+      FROM pr
+      LEFT JOIN hits h ON pr.doc_id = h.doc_id
+      LEFT JOIN ex e ON pr.doc_id = e.doc_id""",
     "text_decontaminate" -> """
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
       sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s

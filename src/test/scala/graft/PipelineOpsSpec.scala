@@ -69,6 +69,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.filter(col("avg_neg_logprob") <= 0).count() == 0)
   }
 
+  test("dedup_bloom_probe: Bloom never false-negatives and the leaks exist") {
+    val df = q("dedup_bloom_probe")
+    // the defining Bloom guarantee: an exact dup can never be missed
+    assert(df.filter(col("exact_dup") && !col("bloom_hit")).count() == 0)
+    // the planted-leak probes really exercise the positive branch
+    assert(df.filter(col("exact_dup")).count() > 0)
+  }
+
   test("text_token_count_bpe: piece count bounds the whitespace count below") {
     // every whitespace token splits into ≥1 BPE piece, so pieces ≥ words
     val t = q("text_token_count_bpe")
