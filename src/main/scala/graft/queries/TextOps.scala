@@ -697,6 +697,47 @@ object TextOps {
           (sum(when(col("k") === 0, 1).otherwise(0)) > 0).as("near_dup"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): score every document by
+    // how target-like its hashed n-gram profile is — the importance-
+    // resampling data-selection signal (here target = the 'en' slice,
+    // standing in for "looks like the eval domain"). Features are word
+    // uni+bigrams hashed into B=10000 buckets (dimensionality fixed
+    // regardless of vocabulary — DSIR's core trick); per-bucket
+    // log(p_target/p_raw) is computed ONCE with add-1 smoothing, rounded
+    // to integer micro-nats BEFORE the per-doc sum so the score is an
+    // order-free integer fold. Plan shape: one feature explode, two
+    // combine-friendly keyed counts, a B-bounded broadcast dim joined
+    // back onto the feature stream — the corpus never shuffles.
+    "text_dsir_weights" -> ((s, d) => {
+      val B = 10000
+      val base = fanOut(documents(s, d), s).select(col("doc_id"), col("lang"),
+        split(trim(lower(col("text"))), "\\s+").as("t"))
+      val feats = base.select(col("doc_id"), col("lang"),
+        explode(concat(col("t"), expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END"))).as("f"))
+        .filter(length(col("f")) > 0)
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % B).as("b"))
+      val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val byBucket = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val tots = byBucket.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      val ratio = byBucket.crossJoin(broadcast(tots))
+        .select(col("b"),
+          (round(log((col("ct") + 1).cast("double") / (col("tt") + B)) * 1000000) -
+            round(log((col("cr") + 1).cast("double") / (col("tr") + B)) * 1000000))
+            .cast("long").as("lru"))
+      feats.join(broadcast(ratio), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lru")).as("w"))
+        .select(col("doc_id"), col("n_feats"),
+          round(col("w").cast("double") / 1000000.0, 6).as("dsir_weight"))
+    }),
+
     // Bloom-filter membership probe — decontamination's CONSTANT-SIZE
     // broadcast form: the train split's fingerprints build an m=65536-bit,
     // k=4 Bloom filter whose hash positions derive from md5 (the portable
@@ -1644,6 +1685,31 @@ object TextOps {
                             1000000) AS BIGINT)),
                'sum') AS DOUBLE) / 1000000.0, 6) AS char_entropy
       FROM c""",
+    "text_dsir_weights" -> """
+      WITH base AS (SELECT doc_id, lang,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(t) AS f FROM base),
+      bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS f
+             FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+      feats AS (SELECT doc_id, lang,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % 10000 AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+                WHERE length(f) > 0),
+      raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY 1),
+      tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+      j AS (SELECT raw.b, raw.cr, coalesce(tgt.ct, 0) AS ct
+            FROM raw LEFT JOIN tgt USING (b)),
+      tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM j),
+      ratio AS (SELECT b,
+                       CAST(round(ln((ct + 1)::DOUBLE / (tt + 10000)) * 1000000) -
+                            round(ln((cr + 1)::DOUBLE / (tr + 10000)) * 1000000)
+                         AS BIGINT) AS lru
+                FROM j, tots)
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             round(CAST(sum(r.lru) AS DOUBLE) / 1000000.0, 6) AS dsir_weight
+      FROM feats f JOIN ratio r USING (b)
+      GROUP BY 1""",
     "dedup_bloom_probe" -> """
       WITH f AS (SELECT doc_id,
                         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

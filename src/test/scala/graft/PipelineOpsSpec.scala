@@ -69,6 +69,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.filter(col("avg_neg_logprob") <= 0).count() == 0)
   }
 
+  test("text_dsir_weights: target-domain docs really score higher") {
+    // the whole point of importance weighting: the 'en' (target) slice
+    // must average a higher weight than the rest — if it doesn't, the
+    // target/raw ratio is wired backwards
+    val w = q("text_dsir_weights")
+      .join(graft.tables.Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+        "doc_id")
+    val en = w.filter(col("lang") === "en").agg(avg(col("dsir_weight"))).head().getDouble(0)
+    val rest = w.filter(col("lang") =!= "en").agg(avg(col("dsir_weight"))).head().getDouble(0)
+    assert(en > rest, s"en avg $en vs rest avg $rest")
+  }
+
   test("dedup_bloom_probe: Bloom never false-negatives and the leaks exist") {
     val df = q("dedup_bloom_probe")
     // the defining Bloom guarantee: an exact dup can never be missed

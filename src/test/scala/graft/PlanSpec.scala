@@ -483,6 +483,9 @@ class PlanSpec extends SparkSpec {
       "text_bm25_topk",
       // 1-row tercile-cutoff scalar × the per-doc score table
       "text_ppl_bucket",
+      // 1-row (tr, tt) totals scalar × the B-bounded bucket table — the
+      // same annotate-with-constant shape as text_unigram_logprob
+      "text_dsir_weights",
       // 1-row (lo, hi) extrema scalar × the fact rows — the same
       // annotate-with-constant shape as text_heavy_hitters
       "a17_histogram",
