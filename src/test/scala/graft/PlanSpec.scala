@@ -470,6 +470,10 @@ class PlanSpec extends SparkSpec {
       // same 16-seed coarse scoring + exact baseline as sim_ivfpq_recall,
       // plus a 1-row scalar(corpus size) annotate for the scanned fraction
       "sim_ivfpq_probe_sweep",
+      // declared brute-force audit: probe×corpus broadcast pairs scored at
+      // four prefix dims in one pass — the same baseline class as
+      // sim_pq_recall's exact leg
+      "emb_matryoshka_recall",
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",
