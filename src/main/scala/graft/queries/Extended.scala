@@ -53,6 +53,25 @@ object Extended {
           col("n"), col("sum_qty"))
     }),
 
+    // A22: explicit GROUPING SETS — the arbitrary-set selection neither
+    // rollup's prefix chain nor cube's full lattice expresses: exactly the
+    // two single-column slices ((flag), (status)), no combined and no
+    // grand-total row. Same single-Expand single-shuffle execution as
+    // rollup/cube; each input row fans to its 2 replicas map-side.
+    "a22_grouping_sets" -> ((s, d) => {
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+    }),
+
     // A17: equi-width histogram — 20 buckets over the price range, the
     // distribution profile every data-quality dashboard draws. The range
     // comes from a 1-row extrema aggregate broadcast back (no driver
@@ -902,6 +921,49 @@ object Extended {
           min(col("doc_id")).as("min_doc"))
     }),
 
+    // Contrastive training triplets — the dataset-construction op behind
+    // embedding-model training: every 10th document becomes an anchor
+    // paired with a deterministic same-source POSITIVE (its cyclic
+    // successor in the source's md5 shuffle order) and a cross-source
+    // NEGATIVE (the same-rank document of the cyclically next source).
+    // No RNG state and no pair explosion: one source-keyed window ranks
+    // the corpus once, the source index/size table is |sources|-bounded
+    // and broadcast, and positives/negatives attach by two equi joins on
+    // (source, rank) — reproducible across engines, runs, and
+    // partitioning like every sampler in this family.
+    "sample_balanced_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val ranked = documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val idx = ranked.groupBy(col("source")).agg(max(col("rk")).as("sz"))
+        .withColumn("si", row_number().over(Window.orderBy(col("source"))))
+        .withColumn("k", count(lit(1)).over(wAll))
+      val nextSrc = idx.select(col("si").as("nsi"),
+        col("source").as("neg_source"), col("sz").as("neg_sz"))
+      val withNext = idx
+        .select(col("source"), col("sz"), (col("si") % col("k") + 1).as("nsi"))
+        .join(nextSrc, "nsi")
+      val anchors = ranked.filter(col("doc_id") % 10 === 0)
+        .join(broadcast(withNext), "source")
+        .filter(col("sz") > 1) // a 1-doc source has no distinct positive
+        .withColumn("prk", col("rk") % col("sz") + 1)
+        .withColumn("nrk", (col("rk") - 1) % col("neg_sz") + 1)
+      val pos = ranked.select(col("source"), col("rk").as("prk"),
+        col("doc_id").as("positive_id"))
+      val neg = ranked.select(col("source").as("neg_source"), col("rk").as("nrk"),
+        col("doc_id").as("negative_id"))
+      anchors
+        .join(pos, Seq("source", "prk"))
+        .join(neg, Seq("neg_source", "nrk"))
+        .select(col("doc_id").as("anchor_id"), col("source").as("anchor_source"),
+          col("positive_id"), col("negative_id"),
+          col("neg_source").as("negative_source"))
+    }),
+
     // Reproducible per-epoch shuffle — the data-loader contract that
     // every epoch visits the corpus in a DIFFERENT but fully
     // deterministic order (md5(epoch || '_' || doc_id) is the sort key a
@@ -1147,6 +1209,13 @@ object Extended {
              count(*) AS n,
              sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "a22_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             count(*) AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
     "a17_histogram" -> """
       WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc FROM lineitem),
       b AS (SELECT min(pc) AS lo, max(pc) AS hi FROM x)
@@ -1319,6 +1388,27 @@ object Extended {
       SELECT node AS doc_id, lbl AS community FROM l3"""
     },
 
+    "sample_balanced_pairs" -> """
+      WITH r AS (SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+                 FROM documents),
+      sz AS (SELECT source, max(rk) AS sz FROM r GROUP BY 1),
+      idx AS (SELECT source, sz,
+                     row_number() OVER (ORDER BY source) AS si,
+                     count(*) OVER () AS k
+              FROM sz),
+      wn AS (SELECT a.source, a.sz, b.source AS neg_source, b.sz AS neg_sz
+             FROM idx a JOIN idx b ON b.si = a.si % a.k + 1),
+      an AS (SELECT r.doc_id, r.source, r.rk, w.sz, w.neg_source, w.neg_sz
+             FROM r JOIN wn w USING (source)
+             WHERE r.doc_id % 10 = 0 AND w.sz > 1)
+      SELECT an.doc_id AS anchor_id, an.source AS anchor_source,
+             p.doc_id AS positive_id, n.doc_id AS negative_id,
+             an.neg_source AS negative_source
+      FROM an
+      JOIN r p ON p.source = an.source AND p.rk = an.rk % an.sz + 1
+      JOIN r n ON n.source = an.neg_source AND n.rk = (an.rk - 1) % an.neg_sz + 1""",
     "sample_mix_schedule" -> """
       WITH bs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
       t AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM bs),

@@ -39,6 +39,7 @@ object SessionCaches {
     TextOps.docLengthsShared(s, d)
     Similarity.pqCodebookShared(s, d)
     Similarity.pqCodesShared(s, d)
+    TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
     ()
@@ -61,6 +62,7 @@ object SessionCaches {
     // the code table derives from the codebook: same order discipline
     Similarity.releasePqCodes(s)
     Similarity.releasePqCodebook(s)
+    TextOps.releaseBpeCorpus(s)
     Extended.releaseCcCheckpoints(s)
     Relational.releaseBucketedTables(s)
     s.catalog.clearCache()
