@@ -56,6 +56,29 @@ object Relational {
     dir
   }
 
+  /** Stage-once events copy in TWO SCHEMA GENERATIONS — the schema-drift
+    * layout every long-lived 100 TB dataset grows: gen=1 partitions
+    * predate the `props` column (written without it), gen=2 partitions
+    * carry the full schema. Split deterministically by event_id parity so
+    * the oracle can replay the generation rule against the live table.
+    * Same content-fingerprint staging key as [[partitionedEventsDir]].
+    */
+  private def schemaEvolvedEventsDir(s: SparkSession, d: String): String = {
+    val key = ContentStamp.of(
+      java.nio.file.Paths.get(d, "events.parquet").toString)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_events_schema_gens_$key"
+    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      val base = events(s, d).withColumn("ts", unix_micros(col("ts")))
+      base.filter(col("event_id") % 2 === 0).drop("props")
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      base.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
   /** (user_id, ts) extrema of the events table — the rescale constants both
     * the Z-order staging and the s12 query's cell enumeration derive their
     * grid from. One column-pruned scan collecting FOUR longs; at warehouse
@@ -301,6 +324,23 @@ object Relational {
           sum(when(col("ms_level") === 1, 1L).otherwise(0L)).as("n_ms1"),
           sum(expr("aggregate(intensity_array, 0D, (a, x) -> a + x)"))
             .cast("long").as("tic_units"))
+    }),
+
+    // S13: schema-evolution merged scan — the drifted layout a long-lived
+    // dataset grows (old partitions predate the `props` column, new ones
+    // carry it). `mergeSchema` unifies the footers at planning time; rows
+    // from pre-`props` files read the column as null, and the partition
+    // column `gen` tells the generations apart. The aggregate checks all
+    // three: unified row count, null-backfill behavior, and generation
+    // attribution — the oracle replays the generation rule (event_id
+    // parity) against the live single-schema table.
+    "s13_schema_merge" -> ((s, d) => {
+      val dir = schemaEvolvedEventsDir(s, d)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("props").isNotNull, 1L).otherwise(0L)).as("n_with_props"),
+          sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_old_schema"))
     }),
 
     // S2B: the many-runs idXML scan + PSM assembly as an ORACLED query —
@@ -1052,6 +1092,14 @@ object Relational {
       FROM (VALUES
         $rows) t(file_name, n_spectra, n_ms1, tic_units)"""
     },
+
+    "s13_schema_merge" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN event_id % 2 = 1 AND props IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_props,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old_schema
+      FROM events GROUP BY 1""",
 
     // S2B: same VALUES-literal discipline for the idXML source — the
     // expected PSM rows come from IdXmlSynth.expectedPsms, the closed form
