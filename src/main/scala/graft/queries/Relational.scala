@@ -79,6 +79,33 @@ object Relational {
     dir
   }
 
+  /** Stage-once "v2" snapshot of the documents table with deterministic
+    * churn — every doc_id % 17 == 0 row deleted, every % 13 == 0 row's
+    * n_chars bumped (an update), and a cloned row with a shifted id for
+    * every % 19 == 0 (an insert) — so the snapshot-diff operator has all
+    * three change kinds to find. The churn rule is pure id arithmetic,
+    * which is what lets the oracle replay the diff against the live v1
+    * table alone.
+    */
+  private def snapshotV2Dir(s: SparkSession, d: String): String = {
+    val key = ContentStamp.of(
+      java.nio.file.Paths.get(d, "documents.parquet").toString)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_docs_snapshot_v2_$key"
+    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      val v1 = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val kept = v1.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 13 === 0, col("n_chars") + 1000)
+            .otherwise(col("n_chars")))
+      val added = v1.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"), col("n_chars"))
+      kept.union(added).write.mode("overwrite").parquet(s"$dir/data")
+      java.nio.file.Files.createFile(done)
+    }
+    s"$dir/data"
+  }
+
   /** (user_id, ts) extrema of the events table — the rescale constants both
     * the Z-order staging and the s12 query's cell enumeration derive their
     * grid from. One column-pruned scan collecting FOUR longs; at warehouse
@@ -341,6 +368,27 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(when(col("props").isNotNull, 1L).otherwise(0L)).as("n_with_props"),
           sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_old_schema"))
+    }),
+
+    // Snapshot diff — the change-data audit between two dataset versions
+    // (what changed since the last ingest?): one keyed FULL OUTER join on
+    // the id classifies every row as added / removed / changed / same,
+    // rolled up to per-status counts with an order-free id-sum
+    // fingerprint. The v2 snapshot is staged with deterministic churn
+    // ([[snapshotV2Dir]]), so the oracle replays the churn rule against
+    // the live v1 table alone — no second table in DuckDB.
+    "diag_snapshot_diff" -> ((s, d) => {
+      val v1 = documents(s, d).select(col("doc_id"), col("n_chars").as("c1"))
+      val v2 = s.read.parquet(snapshotV2Dir(s, d))
+        .select(col("doc_id"), col("n_chars").as("c2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("c1").isNull, "added")
+            .when(col("c2").isNull, "removed")
+            .when(col("c1") =!= col("c2"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
     }),
 
     // S2B: the many-runs idXML scan + PSM assembly as an ORACLED query —
@@ -1092,6 +1140,17 @@ object Relational {
       FROM (VALUES
         $rows) t(file_name, n_spectra, n_ms1, tic_units)"""
     },
+
+    "diag_snapshot_diff" -> """
+      WITH st AS (
+        SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN 'removed'
+                            WHEN doc_id % 13 = 0 THEN 'changed'
+                            ELSE 'same' END AS status
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, 'added' FROM documents WHERE doc_id % 19 = 0)
+      SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM st GROUP BY 1""",
 
     "s13_schema_merge" -> """
       SELECT event_type, count(*) AS n,

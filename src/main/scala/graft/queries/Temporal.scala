@@ -371,6 +371,36 @@ object Temporal {
     // after a single user-keyed exchange, no recurrence, no state. The
     // numerator/denominator stay exact BIGINTs (cents × power-of-two), so
     // the one double division at the end is bit-identical everywhere.
+    // W13: TIME-weighted average value per user — the telemetry mean that
+    // weights each reading by how long it was current (trapezoid over
+    // event gaps), the metric an event-count mean silently gets wrong on
+    // irregular streams. One user-keyed lead window makes the segments;
+    // numerator/denominator accumulate as exact DECIMAL(38,0) partials
+    // (the a15_corr moment discipline — (v_i+v_{i+1})·Δt in cent·micro
+    // units would overflow BIGINT on long histories), and the single
+    // float forms ONCE from integers both engines agree on.
+    "w13_time_weighted_avg" -> ((s, d) => {
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("vc"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      ev.withColumn("nus", lead(col("us"), 1).over(w))
+        .withColumn("nvc", lead(col("vc"), 1).over(w))
+        .filter(col("nus").isNotNull)
+        .select(col("user_id"),
+          ((col("vc") + col("nvc")).cast("decimal(38,0)") *
+            (col("nus") - col("us")).cast("decimal(38,0)")).as("seg"),
+          (col("nus") - col("us")).cast("decimal(38,0)").as("dt"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("seg")).as("num"), sum(col("dt")).as("den"),
+          count(lit(1)).as("n_seg"))
+        .filter(col("den") > 0)
+        .select(col("user_id"), col("n_seg"),
+          round(col("num").cast("double") / col("den").cast("double") / 2.0 / 100.0, 6)
+            .as("twa"))
+    }),
+
     "w9_ema_decay" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val base = events(s, d).select(col("event_id"), col("user_id"), col("ts"),
@@ -483,6 +513,23 @@ object Temporal {
       FROM sess GROUP BY user_id, session_id"""
 
   val oracle: Map[String, String] = Map(
+    "w13_time_weighted_avg" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        CAST(round(value * 100) AS BIGINT) AS vc
+                 FROM events WHERE value IS NOT NULL),
+      s AS (SELECT user_id, vc, us,
+                   lead(us) OVER w AS nus, lead(vc) OVER w AS nvc
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id,
+                   sum((vc + nvc)::HUGEINT * (nus - us)) AS num,
+                   sum((nus - us)::HUGEINT) AS den,
+                   CAST(count(*) AS BIGINT) AS n_seg
+            FROM s WHERE nus IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_seg,
+             round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0 / 100.0, 6)
+               AS twa
+      FROM g WHERE den > 0""",
     "stream_sessionize_stateful" -> sessionizeSql,
     // the latest-state stream must reproduce the batch per-key argmax
     "stream_latest_state" -> """
