@@ -969,6 +969,29 @@ object Similarity {
             .as("scanned_frac"))
     }),
 
+    // Radius (RANGE) search — the fixed-threshold twin of top-k: every
+    // corpus vector within L2² < 1.9 (micro² units) of each probe, with
+    // neighborhood size, nearest distance, and an order-free member
+    // fingerprint per probe. The threshold is a cosine>0.05 band
+    // (d² = 2−2cos on unit norms — wide enough that most probes have a
+    // non-empty neighborhood at the verification scale), the range-query
+    // API over the same geometry the dedup family mines. Declared
+    // brute-force audit shape (broadcast probes); the production path
+    // bounds candidates with the IVF cells exactly like the top-k path.
+    "sim_range_search" -> ((s, d) => {
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      vu.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
+        .filter(col("d2") < 1900000000000L)
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_within"),
+          round(min(col("d2")).cast("double") / 1000000000000.0, 6).as("nearest_d2"),
+          sum(col("vec_id")).as("id_sum"))
+    }),
+
     // Matryoshka truncation curve: top-5 recall when ranking by only the
     // FIRST k dims of each embedding (k ∈ {8, 16, 32, 64}) vs the
     // full-dim exact baseline — the read-out behind "can cheap prefix
@@ -1423,6 +1446,20 @@ object Similarity {
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
+    "sim_range_search" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS (SELECT vec_id, i - 1 AS dim_i, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      d AS (SELECT p.vec_id AS q_id, b.vec_id,
+                   sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+            FROM vu p JOIN vu b ON p.dim_i = b.dim_i
+            WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+            GROUP BY 1, 2)
+      SELECT q_id, count(*) AS n_within,
+             round(CAST(min(d2) AS DOUBLE) / 1000000000000.0, 6) AS nearest_d2,
+             CAST(sum(vec_id) AS BIGINT) AS id_sum
+      FROM d WHERE d2 < 1900000000000 GROUP BY 1""",
+
     // Matryoshka prefix-dim recall: per-k distances from the dim_i < k
     // restriction of the same integer coordinate table.
     "emb_matryoshka_recall" -> """

@@ -412,6 +412,21 @@ object TextOps {
     "text_lang_id" -> ((s, d) =>
       graft.functions.LangId.classify(fanOut(documents(s, d), s))),
 
+    // LangId CONFUSION MATRIX — the model-eval read-out next to the
+    // classifier itself: predicted vs labeled language counts, the table
+    // a mixing pipeline reads before trusting lang-conditioned sampling
+    // weights. Composes the oracled text_lang_id predictions with the
+    // corpus labels by one keyed join + one keyed count; the oracle
+    // embeds the same NB replay as a derived table.
+    "text_langid_confusion" -> ((s, d) => {
+      val pred = queries("text_lang_id")(s, d).select(col("doc_id"), col("lang_pred"))
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang").as("true_lang"), col("lang_pred").as("pred_lang"), col("n"))
+    }),
+
     // Document fingerprint: md5 of casefolded, whitespace-collapsed text.
     "text_fingerprint" -> ((s, d) => {
       fanOut(documents(s, d), s).select(
@@ -1577,6 +1592,11 @@ object TextOps {
                    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS avg_token_len
       FROM documents""",
     "text_lang_id" -> graft.functions.LangId.langIdSql,
+    "text_langid_confusion" -> s"""
+      SELECT d.lang AS true_lang, p.lang_pred AS pred_lang, count(*) AS n
+      FROM (${graft.functions.LangId.langIdSql}) p
+      JOIN documents d USING (doc_id)
+      GROUP BY 1, 2""",
     // Same toks/sh0/sh_all shingle-hash chain as ngramJaccardSql, WITHOUT
     // the df-cap: novelty counts every shingle (see the query's comment).
     "text_ngram_novelty" -> """

@@ -474,6 +474,9 @@ class PlanSpec extends SparkSpec {
       // four prefix dims in one pass — the same baseline class as
       // sim_pq_recall's exact leg
       "emb_matryoshka_recall",
+      // same broadcast-probe brute-force class, fixed radius instead of
+      // top-k
+      "sim_range_search",
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",
