@@ -853,6 +853,41 @@ object Relational {
         .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
     }),
 
+    // TPC-H Q17 shape: the CORRELATED-subquery classic ("lineitems below
+    // 20% of their part's average quantity") — written decorrelated from
+    // the start: one keyed agg builds the per-part (sum, count) stats,
+    // one equi join applies the threshold. The 0.2·avg comparison runs in
+    // PURE integers (5·qc·n < Σqc — the multiply-through form of
+    // qc < sum/(5n)), so no float boundary decides a row in either
+    // engine. This is the plan Catalyst's decorrelation rewrites a
+    // correlated scalar subquery into; declaring it directly keeps the
+    // same shape at any optimizer version.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val l = lineitem(s, d).select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val stats = l.groupBy(col("l_partkey"))
+        .agg(sum(col("qc")).as("sq"), count(lit(1)).as("n"))
+      l.join(stats, "l_partkey")
+        .filter(col("qc") * 5 * col("n") < col("sq"))
+        .agg(round(sum(col("pc")).cast("double") / 100.0 / 7.0, 6).as("avg_yearly"))
+    }),
+
+    // TPC-H Q13 shape: order-count distribution INCLUDING zero-order
+    // customers — the left-outer + double-aggregation pattern an inner
+    // join silently gets wrong (the zero bucket vanishes). count(col)
+    // null-skipping semantics turn the unmatched left rows into the 0
+    // bucket in both engines.
+    "q13_custdist" -> ((s, d) => {
+      customer(s, d).select(col("c_custkey"))
+        .join(orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // TPC-H Q5 shape: the flagship multi-join — two broadcast dims, two
     // shuffle joins, exact revenue sums.
     "q5_multijoin" -> ((s, d) => {
@@ -1100,6 +1135,23 @@ object Relational {
              CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rank
       FROM agg
       QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 10""",
+    "q17_small_qty_revenue" -> """
+      WITH l AS (SELECT l_partkey,
+                        CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+                 FROM lineitem),
+      st AS (SELECT l_partkey, sum(qc) AS sq, count(*) AS n FROM l GROUP BY 1)
+      SELECT round(CAST(sum(pc) AS DOUBLE) / 100.0 / 7.0, 6) AS avg_yearly
+      FROM l JOIN st USING (l_partkey)
+      WHERE qc * 5 * n < sq""",
+
+    "q13_custdist" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_custkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1)
+      GROUP BY 1""",
+
     "q5_multijoin" -> """
       SELECT n_name,
              sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
