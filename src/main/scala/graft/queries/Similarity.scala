@@ -969,6 +969,58 @@ object Similarity {
             .as("scanned_frac"))
     }),
 
+    // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, λ = 1/2): greedy
+    // re-selection of 5 results from the relevance top-20 shortlist,
+    // each pick maximizing relevance MINUS the max similarity to the
+    // already-picked set — the diversification every RAG retriever runs
+    // so five near-duplicates don't fill the context window. At λ = 1/2
+    // the argmax reduces to rel − max-sim in ONE integer unit (micro²
+    // dot products), so the greedy path is exactly reproducible and the
+    // oracle replays it as 5 unrolled selection steps. The greedy kernel
+    // itself is the declared bounded-imperative class (FeatureFinder's
+    // category): ≤20 candidates × 5 picks per probe inside mapGroups,
+    // keyed by probe — the corpus-scale work (shortlist build) stays
+    // declarative above it.
+    "sim_mmr_topk" -> ((s, d) => {
+      import s.implicits._
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+      val cand = vu.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("vu"),
+          graft.expressions.VectorExpressions.dotLong(col("qu"), col("vu")).as("rel"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 20)
+      cand.select(col("q_id"), col("vec_id"), col("vu"), col("rel"))
+        .as[(Long, Long, Seq[Long], Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (q, it) =>
+          def dot(a: Seq[Long], b: Seq[Long]): Long = {
+            var acc = 0L; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            acc
+          }
+          val remaining = scala.collection.mutable.ArrayBuffer(it.toSeq: _*)
+          val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], Long, Int)]
+          var k = 1
+          while (k <= 5 && remaining.nonEmpty) {
+            val scored = remaining.map { c =>
+              val pen = if (picked.isEmpty) 0L
+                else picked.iterator.map(p => dot(c._3, p._2)).max
+              (c, c._4 - pen)
+            }
+            val (best, score) = scored.minBy { case (c, sc) => (-sc, c._2) }
+            picked += ((best._2, best._3, score, k))
+            remaining -= best
+            k += 1
+          }
+          picked.iterator.map(p => (q, p._1, p._4, p._3))
+        }
+        .toDF("q_id", "vec_id", "rank", "score_u")
+        .select(col("q_id"), col("vec_id"), col("rank").cast("int").as("rank"),
+          col("score_u"))
+    }),
+
     // Radius (RANGE) search — the fixed-threshold twin of top-k: every
     // corpus vector within L2² < 1.9 (micro² units) of each probe, with
     // neighborhood size, nearest distance, and an order-free member
@@ -1446,6 +1498,55 @@ object Similarity {
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
+    // MMR: 5 greedy selection steps unrolled (generated — the BPE-chain
+    // discipline, every CTE MATERIALIZED against per-reference inlining).
+    "sim_mmr_topk" -> {
+      def step(k: Int) =
+        s"""p$k AS MATERIALIZED (
+           |        SELECT c.q_id, c.vec_id, c.rel - max(pd.pdot) AS score
+           |        FROM cand c
+           |        JOIN sel${k - 1} s ON s.q_id = c.q_id
+           |        JOIN pd ON pd.q_id = c.q_id AND pd.i = c.vec_id AND pd.j = s.vec_id
+           |        LEFT JOIN sel${k - 1} x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+           |        WHERE x.vec_id IS NULL
+           |        GROUP BY c.q_id, c.vec_id, c.rel),
+           |      s$k AS MATERIALIZED (SELECT q_id, vec_id, score FROM p$k
+           |        QUALIFY row_number() OVER (PARTITION BY q_id
+           |          ORDER BY score DESC, vec_id) = 1),
+           |      sel$k AS MATERIALIZED (SELECT q_id, vec_id FROM sel${k - 1}
+           |        UNION ALL SELECT q_id, vec_id FROM s$k)""".stripMargin
+      val steps = (2 to 5).map(step).mkString(",\n      ")
+      val union = (1 to 5).map(k =>
+        s"SELECT q_id, vec_id, $k AS rank, score FROM s$k").mkString("\n      UNION ALL ")
+      s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS MATERIALIZED (SELECT vec_id, i - 1 AS dim_i,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      rel AS (SELECT p.vec_id AS q_id, b.vec_id, sum(p.xu * b.xu) AS rel
+              FROM vu p JOIN vu b ON p.dim_i = b.dim_i
+              WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+              GROUP BY 1, 2),
+      cand AS MATERIALIZED (SELECT q_id, vec_id, CAST(rel AS BIGINT) AS rel FROM rel
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY rel DESC, vec_id) <= 20),
+      pd AS MATERIALIZED (SELECT ca.q_id, ca.vec_id AS i, cb.vec_id AS j,
+                     CAST(sum(x.xu * y.xu) AS BIGINT) AS pdot
+             FROM cand ca
+             JOIN cand cb ON ca.q_id = cb.q_id AND ca.vec_id <> cb.vec_id
+             JOIN vu x ON x.vec_id = ca.vec_id
+             JOIN vu y ON y.vec_id = cb.vec_id AND y.dim_i = x.dim_i
+             GROUP BY 1, 2, 3),
+      s1 AS MATERIALIZED (SELECT q_id, vec_id, rel AS score FROM cand
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY rel DESC, vec_id) = 1),
+      sel1 AS MATERIALIZED (SELECT q_id, vec_id FROM s1),
+      $steps
+      SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank,
+             CAST(score AS BIGINT) AS score_u
+      FROM ($union)"""
+    },
+
     "sim_range_search" -> """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       vu AS (SELECT vec_id, i - 1 AS dim_i, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

@@ -69,6 +69,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.filter(col("avg_neg_logprob") <= 0).count() == 0)
   }
 
+  test("sample_balanced_pairs: triplet contract — same-source positive, " +
+      "cross-source negative, no self pairs") {
+    val t = q("sample_balanced_pairs").collect()
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      assert(r.getAs[Long]("anchor_id") != r.getAs[Long]("positive_id"), r.toString)
+      assert(r.getAs[String]("anchor_source") != r.getAs[String]("negative_source"), r.toString)
+    }
+    // positives really share the anchor's source
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    t.foreach { r =>
+      assert(docs(r.getAs[Long]("positive_id")) == r.getAs[String]("anchor_source"), r.toString)
+      assert(docs(r.getAs[Long]("negative_id")) == r.getAs[String]("negative_source"), r.toString)
+    }
+  }
+
+  test("sim_mmr_topk: 5 distinct picks per probe, and diversification bites") {
+    val m = q("sim_mmr_topk").collect()
+    val byQ = m.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5), s"q $qid")
+      assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5, s"q $qid")
+    }
+    // NOTE: later scores may EXCEED rank 1's (a negative max-dot penalty
+    // raises rel − pen above a plain relevance), so no monotonicity claim.
+    // Instead assert the operator actually diversifies: at least one probe's
+    // pick set differs from its plain relevance top-5 (sim_mips-less: the
+    // relevance order is rank of score at step 1 only).
+    val plain = q("sim_cosine_topk").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("vec_id")).toSet }
+    val diverged = byQ.exists { case (qid, rows) =>
+      plain.get(qid).exists(_ != rows.map(_.getAs[Long]("vec_id")).toSet)
+    }
+    assert(diverged, "MMR picked exactly the plain top-5 for every probe")
+  }
+
   test("text_dsir_weights: target-domain docs really score higher") {
     // the whole point of importance weighting: the 'en' (target) slice
     // must average a higher weight than the rest — if it doesn't, the

@@ -477,6 +477,9 @@ class PlanSpec extends SparkSpec {
       // same broadcast-probe brute-force class, fixed radius instead of
       // top-k
       "sim_range_search",
+      // same broadcast-probe shortlist build; the greedy MMR kernel runs
+      // keyed per probe over ≤20 rows
+      "sim_mmr_topk",
       // 1-row scalar(n_docs) × |vocab|-row df table — constant-size;
       // the fact-side tf join is broadcast-hash
       "text_tfidf_topk",
