@@ -109,6 +109,55 @@ object Multimodal {
     }
   }
 
+  /** Stage-once parquet table of the fixture payloads as a REAL `media
+    * BINARY` column (8 part files) — the cluster-shaped input for
+    * [[decodedScan]]: payloads written at ingest, decoded by a later
+    * stage from a scan, not generated in-task. Content is arithmetic in
+    * media_id, so the staged bytes are identical across JVMs and rounds;
+    * the `_SUCCESS` marker makes re-staging a no-op.
+    */
+  def mediaTableDir(spark: SparkSession, n: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_media_table_$n"
+    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      val schema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false)))
+      implicit val enc = RowEncoder.encoderFor(schema)
+      spark.range(0, n, 1, 8).toDF("media_id")
+        .mapPartitions(rows => rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, MediaSynth.payload(id))
+        })
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** `mm_decode_scan`: the decode pipeline over the staged BINARY-column
+    * parquet table — scan → per-partition JDK decode, one pipelined
+    * stage, the exact shape a 100 TB media lake runs (payload bytes come
+    * off the columnar scan, never a generator). Same output contract and
+    * closed-form oracle as [[decodedFixtures]]; what this adds is the
+    * binary-column I/O path end-to-end.
+    */
+  def decodedScan(spark: SparkSession, n: Int): DataFrame = {
+    val dir = mediaTableDir(spark, n)
+    implicit val enc = RowEncoder.encoderFor(decodedMetaType)
+    spark.read.parquet(dir).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val m = MediaCodec.decode(r.getAs[Array[Byte]]("media")).getOrElse(
+          throw new IllegalStateException(s"staged payload $id failed to decode"))
+        Row(id, m.kind,
+          m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+          Int.box(m.channels),
+          m.nSamples.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull,
+          m.durationUs.map(Long.box).orNull, m.checksum)
+      }
+    }
+  }
+
   val resizedMetaType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType),

@@ -578,6 +578,15 @@ object Extended {
     "mm_decode_meta" -> ((s, d) =>
       graft.ops.Multimodal.decodedFixtures(s, 120)),
 
+    // The same decode over a REAL `media BINARY` parquet column: payloads
+    // staged at "ingest" (8 part files), decoded from the columnar scan in
+    // one pipelined stage — the 100-TB media-lake shape, with the
+    // generator removed from the read path. Same closed-form oracle as
+    // mm_decode_meta; what this row adds is the binary-column I/O
+    // end-to-end.
+    "mm_decode_scan" -> ((s, d) =>
+      graft.ops.Multimodal.decodedScan(s, 120)),
+
     // Image feature-extract: decode + nearest-neighbor resize to 12×8 per
     // partition; WAV rows route out of the image path (the mixed-modality
     // table shape). Every output pixel is an exact copy of one input
@@ -1196,6 +1205,30 @@ object Extended {
   /** Unpersist and drop every shared PageRank edge frame of session `s`. */
   def releasePagerankEdges(s: SparkSession): Unit = sharedPagerankEdges.release(s)
 
+  /** Shared VALUES oracle of the media fixture corpus's decoded table
+    * (closed form of MediaSynth's arithmetic — see mm_decode_meta).
+    */
+  private lazy val decodeMetaOracle: String = {
+    def oi(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
+    def ol(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+    val rows = (0L until 120L).map { id =>
+      val m = graft.ops.MediaSynth.expected(id)
+      s"($id, '${m.kind}', ${oi(m.width)}, ${oi(m.height)}, ${m.channels}, " +
+        s"${oi(m.nSamples)}, ${oi(m.sampleRate)}, ${ol(m.durationUs)}, ${m.checksum})"
+    }.mkString(",\n        ")
+    s"""
+      SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+             CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+             CAST(channels AS INTEGER) AS channels,
+             CAST(n_samples AS INTEGER) AS n_samples,
+             CAST(sample_rate AS INTEGER) AS sample_rate,
+             CAST(duration_us AS BIGINT) AS duration_us,
+             CAST(checksum AS BIGINT) AS checksum
+      FROM (VALUES
+        $rows) t(media_id, kind, width, height, channels, n_samples,
+                 sample_rate, duration_us, checksum)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "a12_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS flag,
@@ -1485,29 +1518,13 @@ object Extended {
       FROM (SELECT doc_id,
                    1 + (octet_length(CAST(text AS BLOB)) % 240) AS n_frames
             FROM documents)""",
-    // mm_decode_meta: DuckDB has no PNG/BMP/WAV codec — the oracle is the
-    // payload generator's closed form (MediaSynth.expected), which the
-    // engine can only match by really decoding every payload.
-    "mm_decode_meta" -> {
-      def oi(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
-      def ol(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
-      val rows = (0L until 120L).map { id =>
-        val m = graft.ops.MediaSynth.expected(id)
-        s"($id, '${m.kind}', ${oi(m.width)}, ${oi(m.height)}, ${m.channels}, " +
-          s"${oi(m.nSamples)}, ${oi(m.sampleRate)}, ${ol(m.durationUs)}, ${m.checksum})"
-      }.mkString(",\n        ")
-      s"""
-      SELECT CAST(media_id AS BIGINT) AS media_id, kind,
-             CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
-             CAST(channels AS INTEGER) AS channels,
-             CAST(n_samples AS INTEGER) AS n_samples,
-             CAST(sample_rate AS INTEGER) AS sample_rate,
-             CAST(duration_us AS BIGINT) AS duration_us,
-             CAST(checksum AS BIGINT) AS checksum
-      FROM (VALUES
-        $rows) t(media_id, kind, width, height, channels, n_samples,
-                 sample_rate, duration_us, checksum)"""
-    },
+    // mm_decode_meta / mm_decode_scan: DuckDB has no PNG/BMP/WAV codec —
+    // the oracle is the payload generator's closed form
+    // (MediaSynth.expected), which either pipeline can only match by
+    // really decoding every payload. The scan variant reads the same ids
+    // from the staged binary-column table, so the two share one oracle.
+    "mm_decode_meta" -> decodeMetaOracle,
+    "mm_decode_scan" -> decodeMetaOracle,
     "mm_image_resize" -> {
       val rows = (0L until 120L).flatMap { id =>
         graft.ops.MediaSynth.expectedResized(id, 12, 8)
