@@ -969,6 +969,73 @@ object Similarity {
             .as("scanned_frac"))
     }),
 
+    // The COMBINED nprobe × shortlist-depth grid: the probe sweep's own
+    // reading (recall goes NON-monotonic past nprobe=2 because the fixed-50
+    // shortlist binds before cell coverage does) says the two knobs must be
+    // tuned together — so this is the 4×4 table that tuning actually reads:
+    // recall@5 at nprobe ∈ {1,2,4,8} × depth ∈ {25,50,100,200}, plus the
+    // per-nprobe scanned fraction (depth never changes what ADC scans, only
+    // what re-ranks). Sweep shape extends the probe sweep's one-union
+    // discipline a level deeper: candidates are tagged with the admitting
+    // probe rank ONCE, ADC runs once, the per-(np,q) ADC rank is computed
+    // once and cut at max-depth 200, each depth leg is a bounded explode of
+    // that ranked frame, and the exact re-rank distance is computed ONCE
+    // per DISTINCT (q, candidate) pair (≤ |probes|·200 rows, broadcast)
+    // then joined back under every (np, depth) leg — never 16 corpus scans,
+    // and the same pair is never re-ranked twice.
+    "sim_ivfpq_grid" -> ((s, d) => {
+      val scores = ivfpqCellScores(s, d)
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+      val cells = scores
+        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+        .select(col("vec_id"), col("c16").as("cell"))
+      val probeCells8 = scores.filter(col("vec_id") < 10)
+        .withColumn("pr", row_number().over(wCell)).filter(col("pr") <= 8)
+        .select(col("vec_id").as("q_id"), col("c16").as("cell"), col("pr"))
+      val cand = cells.join(broadcast(probeCells8), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("pr"))
+      val adcr = cand.join(pqCodesShared(s, d), Seq("vec_id"))
+        .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
+        .groupBy(col("q_id"), col("vec_id"), col("pr"))
+        .agg(sum(col("d2")).as("adc_u"))
+      val swept = adcr.select(col("q_id"), col("vec_id"), col("adc_u"),
+        explode(expr("filter(array(1, 2, 4, 8), v -> v >= pr)")).as("np"))
+      val wShort = Window.partitionBy(col("np"), col("q_id"))
+        .orderBy(col("adc_u"), col("vec_id"))
+      val ranked = swept
+        .withColumn("r", row_number().over(wShort)).filter(col("r") <= 200)
+      val byDepth = ranked.select(col("np"), col("q_id"), col("vec_id"),
+        explode(expr("filter(array(25, 50, 100, 200), v -> v >= r)")).as("depth"))
+      val pairs = ranked.select(col("q_id"), col("vec_id")).distinct()
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val exact = vu.join(broadcast(pairs), Seq("vec_id"))
+        .join(broadcast(probes), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
+      val wRank = Window.partitionBy(col("np"), col("depth"), col("q_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      val approxTop5 = byDepth.join(exact, Seq("q_id", "vec_id"))
+        .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 5)
+        .select(col("np"), col("depth"), col("q_id"), col("vec_id"))
+      val hits = approxTop5
+        .join(pqExactTop5(s, d), Seq("q_id", "vec_id"))
+        .groupBy(col("np"), col("depth")).agg(count(lit(1)).as("n_hits"))
+      val scanned = swept.groupBy(col("np")).agg(count(lit(1)).as("n_cand"))
+      val nTotal = vu.agg(count(lit(1)).as("n_total"))
+      val grid = byDepth.select(col("np"), col("depth")).distinct()
+      grid.join(hits, Seq("np", "depth"), "left")
+        .join(broadcast(scanned), Seq("np"))
+        .crossJoin(broadcast(nTotal))
+        .select(col("np").cast("int").as("nprobe"),
+          col("depth").cast("int").as("depth"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 50.0, 6).as("recall"),
+          round(col("n_cand").cast("double") / (col("n_total") * 10.0), 6)
+            .as("scanned_frac"))
+    }),
+
     // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, λ = 1/2): greedy
     // re-selection of 5 results from the relevance top-20 shortlist,
     // each pick maximizing relevance MINUS the max similarity to the
@@ -1019,6 +1086,62 @@ object Similarity {
         .toDF("q_id", "vec_id", "rank", "score_u")
         .select(col("q_id"), col("vec_id"), col("rank").cast("int").as("rank"),
           col("score_u"))
+    }),
+
+    // MMR λ SWEEP — the diversification knob itself. λ trades relevance
+    // against redundancy (score = λ·rel − (1−λ)·max-sim over the picked
+    // set); sweeping λ ∈ {1/4, 1/2, 3/4} over the SAME top-20 shortlist is
+    // the table read before shipping a retriever config. A ×4 unit lift
+    // keeps every leg exact: 4·score = 4λ·rel − 4(1−λ)·pen has integer
+    // weights (1,3) / (2,2) / (3,1), so each greedy path is exactly
+    // reproducible and the λ=1/2 leg reproduces sim_mmr_topk's ranking
+    // with scores ×2 (the spec's cross-check). ONE mapGroups pass runs all
+    // three greedy selections over one gather of the ≤20-candidate group —
+    // the corpus-scale shortlist build (and its shuffle) happens once, not
+    // per λ; the λ loop is driver-free bounded work inside the group.
+    "sim_mmr_lambda_sweep" -> ((s, d) => {
+      import s.implicits._
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+      val cand = vu.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("vu"),
+          graft.expressions.VectorExpressions.dotLong(col("qu"), col("vu")).as("rel"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 20)
+      cand.select(col("q_id"), col("vec_id"), col("vu"), col("rel"))
+        .as[(Long, Long, Seq[Long], Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (q, it) =>
+          def dot(a: Seq[Long], b: Seq[Long]): Long = {
+            var acc = 0L; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            acc
+          }
+          val cands = it.toSeq
+          Seq((25, 1L, 3L), (50, 2L, 2L), (75, 3L, 1L)).iterator.flatMap {
+            case (lam, a, b) =>
+              val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+              val picked =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], Long, Int)]
+              var k = 1
+              while (k <= 5 && remaining.nonEmpty) {
+                val scored = remaining.map { c =>
+                  val pen = if (picked.isEmpty) 0L
+                    else picked.iterator.map(p => dot(c._3, p._2)).max
+                  (c, a * c._4 - b * pen)
+                }
+                val (best, score) = scored.minBy { case (c, sc) => (-sc, c._2) }
+                picked += ((best._2, best._3, score, k))
+                remaining -= best
+                k += 1
+              }
+              picked.iterator.map(p => (lam, q, p._1, p._4, p._3))
+          }
+        }
+        .toDF("lam_pct", "q_id", "vec_id", "rank", "score_u")
+        .select(col("lam_pct").cast("int").as("lam_pct"), col("q_id"),
+          col("vec_id"), col("rank").cast("int").as("rank"), col("score_u"))
     }),
 
     // Radius (RANGE) search — the fixed-threshold twin of top-k: every
@@ -1546,6 +1669,63 @@ object Similarity {
              CAST(score AS BIGINT) AS score_u
       FROM ($union)"""
     },
+    // MMR λ sweep: three generated greedy chains over the SHARED cand/pd
+    // CTEs, one per integer weight pair (4λ, 4(1−λ)) — the same unrolled
+    // 5-step discipline as sim_mmr_topk, suffixed per λ.
+    "sim_mmr_lambda_sweep" -> {
+      def chain(tag: String, a: Int, b: Int): String = {
+        def step(k: Int) =
+          s"""p$k$tag AS MATERIALIZED (
+             |        SELECT c.q_id, c.vec_id, $a * c.rel - $b * max(pd.pdot) AS score
+             |        FROM cand c
+             |        JOIN sel${k - 1}$tag s ON s.q_id = c.q_id
+             |        JOIN pd ON pd.q_id = c.q_id AND pd.i = c.vec_id AND pd.j = s.vec_id
+             |        LEFT JOIN sel${k - 1}$tag x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+             |        WHERE x.vec_id IS NULL
+             |        GROUP BY c.q_id, c.vec_id, c.rel),
+             |      s$k$tag AS MATERIALIZED (SELECT q_id, vec_id, score FROM p$k$tag
+             |        QUALIFY row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, vec_id) = 1),
+             |      sel$k$tag AS MATERIALIZED (SELECT q_id, vec_id FROM sel${k - 1}$tag
+             |        UNION ALL SELECT q_id, vec_id FROM s$k$tag)""".stripMargin
+        s"""s1$tag AS MATERIALIZED (SELECT q_id, vec_id, $a * rel AS score FROM cand
+           |        QUALIFY row_number() OVER (PARTITION BY q_id
+           |          ORDER BY rel DESC, vec_id) = 1),
+           |      sel1$tag AS MATERIALIZED (SELECT q_id, vec_id FROM s1$tag),
+           |      ${(2 to 5).map(step).mkString(",\n      ")}""".stripMargin
+      }
+      val lams = Seq((25, "_25", 1, 3), (50, "_50", 2, 2), (75, "_75", 3, 1))
+      val chains = lams.map { case (_, tag, a, b) => chain(tag, a, b) }
+        .mkString(",\n      ")
+      val union = lams.flatMap { case (lam, tag, _, _) =>
+        (1 to 5).map(k =>
+          s"SELECT $lam AS lam_pct, q_id, vec_id, $k AS rank, score FROM s$k$tag")
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS MATERIALIZED (SELECT vec_id, i - 1 AS dim_i,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      rel AS (SELECT p.vec_id AS q_id, b.vec_id, sum(p.xu * b.xu) AS rel
+              FROM vu p JOIN vu b ON p.dim_i = b.dim_i
+              WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+              GROUP BY 1, 2),
+      cand AS MATERIALIZED (SELECT q_id, vec_id, CAST(rel AS BIGINT) AS rel FROM rel
+              QUALIFY row_number() OVER (PARTITION BY q_id
+                ORDER BY rel DESC, vec_id) <= 20),
+      pd AS MATERIALIZED (SELECT ca.q_id, ca.vec_id AS i, cb.vec_id AS j,
+                     CAST(sum(x.xu * y.xu) AS BIGINT) AS pdot
+             FROM cand ca
+             JOIN cand cb ON ca.q_id = cb.q_id AND ca.vec_id <> cb.vec_id
+             JOIN vu x ON x.vec_id = ca.vec_id
+             JOIN vu y ON y.vec_id = cb.vec_id AND y.dim_i = x.dim_i
+             GROUP BY 1, 2, 3),
+      $chains
+      SELECT CAST(lam_pct AS INTEGER) AS lam_pct, q_id, vec_id,
+             CAST(rank AS INTEGER) AS rank,
+             CAST(score AS BIGINT) AS score_u
+      FROM ($union)"""
+    },
 
     "sim_range_search" -> """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1637,6 +1817,70 @@ object Similarity {
              round(coalesce(h.n_hits, 0) / 50.0, 6) AS recall,
              round(s.n_cand / (10.0 * (SELECT count(*) FROM embeddings)), 6) AS scanned_frac
       FROM scanned s LEFT JOIN hits h ON s.np = h.np"""),
+    // nprobe × depth grid: the probe sweep's swept frame ranked once per
+    // (np, q), cut at max-depth 200, each depth leg an unnest of the rank,
+    // exact re-rank distance computed once per distinct pair — exactly the
+    // Spark side's one-union/one-rank/one-gather shape.
+    "sim_ivfpq_grid" -> (pqAdcCtes + """,
+      celld AS (SELECT x.vec_id, s16.c16, sum((x.xu - s16.cu) * (x.xu - s16.cu)) AS d2
+                FROM xu x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
+                                FROM xu WHERE vec_id < 16) s16
+                  ON x.sb = s16.sb AND x.wd = s16.wd
+                GROUP BY 1, 2),
+      cellsv AS (SELECT vec_id, c16 AS cell FROM celld
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) = 1),
+      probecells8 AS (SELECT vec_id AS q_id, c16 AS cell,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) AS pr
+                      FROM celld WHERE vec_id < 10
+                      QUALIFY pr <= 8),
+      candv AS (SELECT p.q_id, cl.vec_id, p.pr
+                FROM cellsv cl JOIN probecells8 p ON cl.cell = p.cell
+                WHERE cl.vec_id <> p.q_id),
+      adcr AS (SELECT ca.q_id, ca.vec_id, ca.pr, CAST(sum(l.d2) AS BIGINT) AS adc_u
+               FROM candv ca JOIN codes cds ON cds.vec_id = ca.vec_id
+               JOIN lut l ON l.q_id = ca.q_id AND l.sb = cds.sb AND l.c_id = cds.c_id
+               GROUP BY 1, 2, 3),
+      swept AS (SELECT a.q_id, a.vec_id, a.adc_u, s.np
+                FROM adcr a, LATERAL (SELECT unnest([1, 2, 4, 8]) AS np) s
+                WHERE s.np >= a.pr),
+      rankr AS (SELECT np, q_id, vec_id,
+                       row_number() OVER (PARTITION BY np, q_id
+                         ORDER BY adc_u, vec_id) AS r
+                FROM swept
+                QUALIFY r <= 200),
+      bydepth AS (SELECT np, q_id, vec_id, dp.depth
+                  FROM rankr, LATERAL (SELECT unnest([25, 50, 100, 200]) AS depth) dp
+                  WHERE dp.depth >= r),
+      pairs AS (SELECT DISTINCT q_id, vec_id FROM rankr),
+      exd AS (SELECT s.q_id, s.vec_id,
+                     CAST(sum((p.xu - b.xu) * (p.xu - b.xu)) AS BIGINT) AS d2
+              FROM pairs s JOIN xu p ON p.vec_id = s.q_id
+              JOIN xu b ON b.vec_id = s.vec_id AND b.sb = p.sb AND b.wd = p.wd
+              GROUP BY 1, 2),
+      atop AS (SELECT bd.np, bd.depth, bd.q_id, bd.vec_id
+               FROM bydepth bd JOIN exd e
+                 ON e.q_id = bd.q_id AND e.vec_id = bd.vec_id
+               QUALIFY row_number() OVER (PARTITION BY bd.np, bd.depth, bd.q_id
+                 ORDER BY e.d2, bd.vec_id) <= 5),
+      exq AS (SELECT p.vec_id AS q_id, b.vec_id,
+                     sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+              FROM xu p JOIN xu b ON p.sb = b.sb AND p.wd = b.wd
+              WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+              GROUP BY 1, 2),
+      exact AS (SELECT q_id, vec_id FROM exq
+                QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5),
+      hits AS (SELECT a.np, a.depth, count(*) AS n_hits
+               FROM atop a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+               GROUP BY 1, 2),
+      grid AS (SELECT DISTINCT np, depth FROM bydepth),
+      scanned AS (SELECT np, count(*) AS n_cand FROM swept GROUP BY 1)
+      SELECT CAST(g.np AS INTEGER) AS nprobe,
+             CAST(g.depth AS INTEGER) AS depth,
+             round(coalesce(h.n_hits, 0) / 50.0, 6) AS recall,
+             round(s.n_cand / (10.0 * (SELECT count(*) FROM embeddings)), 6) AS scanned_frac
+      FROM grid g
+      LEFT JOIN hits h ON g.np = h.np AND g.depth = h.depth
+      JOIN scanned s ON g.np = s.np"""),
     "sim_ivfpq_recall" -> s"""
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
