@@ -50,22 +50,66 @@ object Peptides {
     259 -> "Label:13C(6)15N(2)", 267 -> "Label:13C(6)15N(4)", 425 -> "Dioxidation",
     730 -> "iTRAQ8plex", 737 -> "TMT6plex", 2016 -> "TMTpro")
 
+  /** Monoisotopic delta-mass renderings of the [[unimodNames]] subset, as
+    * the bracket forms search engines emit: the 2-decimal shorthand
+    * (`[+57.02]`) and the 6-decimal monoisotopic form (`[+57.021464]`).
+    * OpenMS's AASequence resolves bracket masses against the mod DB by
+    * nearest mass within tolerance (diann2msstats.py:76-83 round-trips
+    * through it); the documented-subset rule here is an EXACT string match
+    * on the two renderings, and any mass AMBIGUOUS at its rendered
+    * precision is deliberately absent so it passes through unresolved
+    * rather than guessing:
+    *  - `-18.01` / `-18.010565`: Dehydrated vs Glu->pyro-Glu (identical
+    *    water-loss mass at full precision — only residue context, which a
+    *    string rule doesn't see, can separate them);
+    *  - `+304.21` at 2dp: iTRAQ8plex (+304.205360) vs TMTpro
+    *    (+304.207146) — both keep their distinguishing 6dp entries.
+    */
+  val massForms: Seq[(String, String)] = Seq(
+    "+42.01" -> "Acetyl", "+42.010565" -> "Acetyl",
+    "-0.98" -> "Amidated", "-0.984016" -> "Amidated",
+    "+57.02" -> "Carbamidomethyl", "+57.021464" -> "Carbamidomethyl",
+    "+43.01" -> "Carbamyl", "+43.005814" -> "Carbamyl",
+    "+0.98" -> "Deamidated", "+0.984016" -> "Deamidated",
+    "+79.97" -> "Phospho", "+79.966331" -> "Phospho",
+    "+39.99" -> "Pyro-carbamidomethyl", "+39.994915" -> "Pyro-carbamidomethyl",
+    "-17.03" -> "Gln->pyro-Glu", "-17.026549" -> "Gln->pyro-Glu",
+    "+14.02" -> "Methyl", "+14.015650" -> "Methyl",
+    "+15.99" -> "Oxidation", "+15.994915" -> "Oxidation",
+    "+28.03" -> "Dimethyl", "+28.031300" -> "Dimethyl",
+    "+42.05" -> "Trimethyl", "+42.046950" -> "Trimethyl",
+    "+114.04" -> "GG", "+114.042927" -> "GG",
+    "+6.02" -> "Label:13C(6)", "+6.020129" -> "Label:13C(6)",
+    "+8.01" -> "Label:13C(6)15N(2)", "+8.014199" -> "Label:13C(6)15N(2)",
+    "+10.01" -> "Label:13C(6)15N(4)", "+10.008269" -> "Label:13C(6)15N(4)",
+    "+31.99" -> "Dioxidation", "+31.989829" -> "Dioxidation",
+    "+229.16" -> "TMT6plex", "+229.162932" -> "TMT6plex",
+    "+304.205360" -> "iTRAQ8plex",
+    "+304.207146" -> "TMTpro")
+
   /** Canonicalize a peptidoform: `(UniMod:N)` → `(Name)` for the known
-    * subset, and an N-terminal leading mod gets OpenMS's `.(Mod)` rendering.
-    * A leading `^` marker survives the rewrite untouched, as in the
-    * reference's special-casing.
+    * subset, bracket delta-mass forms `[+57.02]` / `[+57.021464]` →
+    * `(Name)` for the unambiguous [[massForms]] renderings, and an
+    * N-terminal leading mod gets OpenMS's `.(Mod)` rendering. A leading
+    * `^` marker survives the rewrite untouched, as in the reference's
+    * special-casing.
     *
     * Covered by PropertySpec's grammar fuzz across the full unimodNames
     * table (mixed UniMod/UNIMOD/name forms, N-terminal, multi-mod,
-    * nested-paren isotope-label names): idempotence, residue preservation
-    * through unmodifiedSequence, and modsPosition index agreement.
-    * Remaining divergence from the OpenMS AASequence round-trip: UniMod
-    * ids OUTSIDE the table pass through as `(UniMod:N)` instead of being
-    * resolved against the full UniMod DB, and mass-delta forms like
-    * `[+57.02]` are not rewritten.
+    * nested-paren isotope-label names) plus the massForms table (both
+    * renderings, N-terminal bracket mods, ambiguous-mass passthrough):
+    * idempotence, residue preservation through unmodifiedSequence, and
+    * modsPosition index agreement. Remaining divergence from the OpenMS
+    * AASequence round-trip: UniMod ids OUTSIDE the table pass through as
+    * `(UniMod:N)`, bracket masses outside the two exact renderings (or
+    * ambiguous at their precision, see [[massForms]]) pass through as
+    * `[±m]` instead of nearest-mass resolution against the full DB.
     */
   def normalizeSequence(c: Column): Column = {
-    val renamed = unimodNames.foldLeft(c) { case (acc, (id, name)) =>
+    val massNamed = massForms.foldLeft(c) { case (acc, (mass, name)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(s"[$mass]"), s"($name)")
+    }
+    val renamed = unimodNames.foldLeft(massNamed) { case (acc, (id, name)) =>
       // (?i) — DIA-NN emits both "UniMod" and "UNIMOD" casings
       regexp_replace(acc, s"(?i)\\(UniMod:$id\\)", s"($name)")
     }

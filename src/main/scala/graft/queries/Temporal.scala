@@ -362,6 +362,19 @@ object Temporal {
     "stream_latest_state" -> ((s, d) =>
       graft.streaming.StatefulLatestState(s, d)),
 
+    // Watermark drop-late semantics, observable and oracled: a staged
+    // three-batch replay in which 5% of rows arrive one batch late — the
+    // hourly append-mode aggregate with dropped stragglers absent and
+    // admitted stragglers counted (graft.streaming.LateDrop).
+    "stream_drop_late" -> ((s, d) =>
+      graft.streaming.LateDrop.droppedLateAgg(s, d)),
+
+    // The monitoring surface of the same run: per-batch observe() row
+    // counts + the state store's numRowsDroppedByWatermark, both replayed
+    // in SQL from the split + watermark rules.
+    "stream_late_metrics" -> ((s, d) =>
+      graft.streaming.LateDrop.lateMetrics(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -531,6 +544,50 @@ object Temporal {
                AS twa
       FROM g WHERE den > 0""",
     "stream_sessionize_stateful" -> sessionizeSql,
+    // drop-late replay: b0 = on-time rows (event_id % 20 != 7), watermark
+    // after b0 = max(b0.ts) − 119 min; a straggler is admitted iff its
+    // hour-window END is past that watermark (the state-eviction rule),
+    // and the sentinel-advanced final flush emits every real window.
+    "stream_drop_late" -> """
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t, event_type, value
+                 FROM events),
+      wm AS (SELECT max(t) - INTERVAL 119 MINUTES AS wm1 FROM e
+             WHERE event_id % 20 <> 7),
+      adm AS (SELECT t, event_type, value FROM e WHERE event_id % 20 <> 7
+              UNION ALL
+              SELECT t, event_type, value FROM e, wm
+              WHERE event_id % 20 = 7
+                AND date_trunc('hour', t) + INTERVAL 1 HOUR > wm.wm1)
+      SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:00') AS hour_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+      FROM adm GROUP BY 1, 2""",
+    // the same run's monitoring counters: per-data-batch observe() input
+    // rows and the batch-2 numRowsDroppedByWatermark, replayed from the
+    // split + watermark rules (batches 0/1 = the even/odd on-time halves,
+    // batch 2 = the stragglers, batch 3 = the one-row sentinel).
+    "stream_late_metrics" -> """
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      wm AS (SELECT max(t) - INTERVAL 119 MINUTES AS wm1 FROM e
+             WHERE event_id % 20 <> 7),
+      b0 AS (SELECT count(*) AS n FROM e
+             WHERE event_id % 20 <> 7 AND event_id % 2 = 0),
+      b1 AS (SELECT count(*) AS n FROM e
+             WHERE event_id % 20 <> 7 AND event_id % 2 <> 0),
+      b2 AS (SELECT count(*) AS n FROM e WHERE event_id % 20 = 7),
+      drp AS (SELECT count(*) AS n FROM e, wm
+              WHERE event_id % 20 = 7
+                AND date_trunc('hour', t) + INTERVAL 1 HOUR <= wm.wm1)
+      SELECT CAST(0 AS INTEGER) AS batch_ord,
+             CAST(b0.n AS BIGINT) AS input_rows,
+             CAST(0 AS BIGINT) AS dropped_rows FROM b0
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), CAST(b1.n AS BIGINT), CAST(0 AS BIGINT) FROM b1
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), CAST(b2.n AS BIGINT), CAST(drp.n AS BIGINT)
+      FROM b2, drp
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT)""",
     // the latest-state stream must reproduce the batch per-key argmax
     "stream_latest_state" -> """
       WITH e AS (SELECT user_id, event_id,

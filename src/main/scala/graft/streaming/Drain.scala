@@ -10,7 +10,16 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Drain {
   def toMemory(s: SparkSession, prefix: String, df: DataFrame,
-               mode: String = "append"): DataFrame = {
+               mode: String = "append"): DataFrame =
+    toMemoryWithProgress(s, prefix, df, mode)._1
+
+  /** As [[toMemory]], but also returns the per-micro-batch
+    * StreamingQueryProgress list — the observe() metrics and state-store
+    * counters (numRowsDroppedByWatermark) the monitoring queries read.
+    */
+  def toMemoryWithProgress(s: SparkSession, prefix: String, df: DataFrame,
+      mode: String = "append")
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val qn = s"${prefix}_${System.nanoTime()}"
     val q = df.writeStream
       .outputMode(mode)
@@ -19,6 +28,6 @@ object Drain {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(qn)
+    (s.table(qn), q.recentProgress.toSeq)
   }
 }

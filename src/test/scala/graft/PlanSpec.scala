@@ -470,6 +470,13 @@ class PlanSpec extends SparkSpec {
       // same 16-seed coarse scoring + exact baseline as sim_ivfpq_recall,
       // plus a 1-row scalar(corpus size) annotate for the scanned fraction
       "sim_ivfpq_probe_sweep",
+      // the probe sweep's shape with a second bounded explode (depth legs
+      // over the ≤200-rank frame); the same 1-row scalar(corpus size)
+      // annotate is the only nested loop
+      "sim_ivfpq_grid",
+      // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
+      // λ legs run keyed per probe over the same ≤20 rows
+      "sim_mmr_lambda_sweep",
       // declared brute-force audit: probe×corpus broadcast pairs scored at
       // four prefix dims in one pass — the same baseline class as
       // sim_pq_recall's exact leg

@@ -120,13 +120,22 @@ class PropertySpec extends SparkSpec {
       val residues = Array.fill(nRes)(aa(rnd.nextInt(aa.length))).mkString
       // distinct positions: 0 = N-terminal, p>0 = after residue p
       val positions = Seq.fill(rnd.nextInt(4))(rnd.nextInt(nRes + 1)).distinct.sorted
+      // name → its bracket delta-mass renderings (empty for mods whose
+      // mass is ambiguous at every rendered precision, e.g. Dehydrated)
+      val massByName = Peptides.massForms.groupBy(_._2)
+        .view.mapValues(_.map(_._1)).toMap
       val mods = positions.map { p =>
         val id = ids(rnd.nextInt(ids.length))
         val name = Peptides.unimodNames(id)
-        val form = rnd.nextInt(3) match {
+        val form = rnd.nextInt(4) match {
           case 0 => s"(UniMod:$id)"
           case 1 => s"(UNIMOD:$id)" // DIA-NN emits both casings
           case 2 => s"($name)" // already name-form
+          case 3 => // bracket delta-mass rendering where one exists
+            massByName.get(name) match {
+              case Some(ms) => s"[${ms(rnd.nextInt(ms.length))}]"
+              case None => s"($name)"
+            }
         }
         (p, name, form)
       }
