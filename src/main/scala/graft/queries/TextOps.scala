@@ -47,25 +47,38 @@ object TextOps {
     * shingle in every doc drags every signature toward the same minima AND
     * its posting list is a skew key.
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  /** The df-capped per-(doc, shingle) hash stream (doc_id, h1, h2) —
+    * the common root of the banded signature build and the
+    * estimate-vs-exact audit. Deliberately NOT cached: the df-count pass
+    * and each consumer re-run this scan+md5 map. At corpus scale a
+    * per-shingle stream is terabytes — recomputing a map-only pass is the
+    * right trade (and locally, caching it was pure GC ballast: ~120 MB of
+    * deserialized rows pinned across every consumer).
+    */
+  private def cappedShingleHashes(s: SparkSession, d: String): DataFrame = {
     val md = md5(col("s"))
-    // The INTERNAL per-shingle stream is deliberately not cached: the
-    // df-count pass and the signature pass each re-run this scan+md5 map.
-    // At corpus scale a per-shingle stream is terabytes — recomputing a
-    // map-only pass is the right trade (and locally, caching it was pure
-    // GC ballast: ~120 MB of deserialized rows pinned across every
-    // consumer). The OUTPUT band frame (4 narrow rows per doc — the LSH
-    // index itself) is what [[minhashBandsShared]] persists.
     val hashed = shingles(s, d).select(
       col("doc_id"),
       conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
       (conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
     val hot = hashed.groupBy(col("h1")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleDfCap).select(col("h1"))
-    val sh = hashed.join(broadcast(hot), Seq("h1"), "left_anti")
+    hashed.join(broadcast(hot), Seq("h1"), "left_anti")
+  }
+
+  /** Per-doc 16-hash MinHash signature columns h0..h15 over the capped
+    * shingle stream — shared by the band fold and the estimate audit.
+    */
+  private def minhashSignature(s: SparkSession, d: String): DataFrame = {
     val mins = (0 until 16).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % lit(1L << 60)).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    cappedShingleHashes(s, d).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    // The OUTPUT band frame (4 narrow rows per doc — the LSH index
+    // itself) is what [[minhashBandsShared]] persists.
+    val sig = minhashSignature(s, d)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bk"))
@@ -459,6 +472,94 @@ object TextOps {
           coalesce(col("n_novel"), lit(0L)).as("n_novel"),
           round(coalesce(col("n_novel"), lit(0L)) / col("n_shingles"), 6)
             .as("novelty"))
+    }),
+
+    // Robust WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    // the MOSS local-document-fingerprinting scheme): over the ordered
+    // word-4-gram hash sequence, every window of w=4 consecutive hashes
+    // selects its RIGHTMOST MINIMUM; the union of selections is the
+    // fingerprint set. Winnowing guarantees any match of ≥ w+k-1 tokens
+    // shares a fingerprint (no gaps, unlike plain 1/p mod-sampling) at
+    // expected density 2/(w+1) — the guarantee-bearing alternative to
+    // MinHash when local containment, not whole-doc resemblance, matters.
+    // Exactness discipline: the (h asc, pos desc) argmin is ONE integer
+    // min over a packed key (36-bit md5 prefix ×2²⁴ + reversed position;
+    // positions bounded < 2²⁴ ≈ 16M k-grams/doc), so the tie rule that
+    // defines robust winnowing (repeated k-grams share a hash) costs no
+    // struct comparison and replays bit-for-bit in SQL. Scale shape: the
+    // w-fold window fan-out is a bounded explode, selection is one keyed
+    // aggregation, and the per-doc roll-up emits count + order-free
+    // bit_xor — no fingerprint list ever leaves the reducer.
+    "text_winnowing" -> ((s, d) => {
+      val kg = toks(s, d)
+        .filter(size(col("t")) >= 7) // at least 4 k-grams = one window
+        .select(col("doc_id"), (size(col("t")) - 3).as("m"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 3), " +
+              "i -> struct(i AS p, array_join(slice(t, i, 4), ' ') AS s))")).as("kg"))
+        .select(col("doc_id"), col("m"), col("kg.p").as("p"),
+          (conv(substring(md5(col("kg.s")), 1, 9), 16, 10).cast("long")
+            * lit(16777216L) + (lit(16777215L) - col("kg.p"))).as("key"))
+      val sel = kg.select(col("doc_id"), col("key"),
+        explode(expr("sequence(greatest(p - 3, 1), least(p, m - 3))")).as("ws"))
+      val picked = sel.groupBy(col("doc_id"), col("ws"))
+        .agg(min(col("key")).as("k"))
+        .select(col("doc_id"), col("k")).distinct()
+        .select(col("doc_id"), expr("k div 16777216").as("h"))
+      val per = picked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), expr("bit_xor(h)").as("fp_xor"))
+      val tot = toks(s, d)
+        .select(col("doc_id"), greatest(size(col("t")) - 3, lit(0)).cast("long").as("n_kgrams"))
+      tot.join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_kgrams"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          coalesce(col("fp_xor"), lit(0L)).as("fp_xor"),
+          round(coalesce(col("n_fp"), lit(0L)) / greatest(col("n_kgrams"), lit(1L)), 6)
+            .as("density"))
+    }),
+
+    // MinHash ESTIMATOR audit — the statistical claim under the whole LSH
+    // family, measured instead of assumed: for every banded candidate
+    // pair, the signature-agreement estimate (matching components / 16,
+    // the Broder resemblance estimator) against the EXACT shingle Jaccard
+    // over the same df-capped sets, with the signed error. This is the
+    // table read before trusting 16 hashes at production scale: the
+    // estimate is quantized to 1/16ths, so the error column shows exactly
+    // what resolution the banding decisions were made at. Scale shape:
+    // pairs come from the session-shared band frame (bounded near-dup
+    // set), signatures are ONE keyed aggregation over the already-capped
+    // shingle stream, and the exact-intersection legs expand shingles
+    // only for docs that appear in a pair (pair-keyed equi-joins).
+    "dedup_minhash_estimate" -> ((s, d) => {
+      val pairs = minhashPairsShared(s, d).select(col("da"), col("db"))
+      val sig = minhashSignature(s, d)
+        .select(col("doc_id"),
+          array((0 until 16).map(i => col(s"h$i")): _*).as("sig"))
+      val withSigs = pairs
+        .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
+        .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
+        .select(col("da"), col("db"),
+          expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), " +
+            "0, (a, e) -> a + e)").as("n_agree"))
+      val shp = cappedShingleHashes(s, d).select(col("doc_id"), col("h1"))
+      val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(shp.withColumnRenamed("doc_id", "da"), Seq("da"))
+        .join(shp.select(col("doc_id").as("db"), col("h1")), Seq("db", "h1"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      withSigs
+        .join(inter, Seq("da", "db"), "left")
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .select(col("da"), col("db"), col("n_agree"),
+          round(col("n_agree") / 16.0, 6).as("est_jaccard"),
+          round(coalesce(col("inter"), lit(0L)) /
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6)
+            .as("exact_jaccard"),
+          round(col("n_agree") / 16.0 -
+            coalesce(col("inter"), lit(0L)) /
+              (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6)
+            .as("err"))
     }),
 
     // Repetition ratio (the Gopher-family duplicate-bigram quality rule):
@@ -1427,6 +1528,38 @@ object TextOps {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
 
+  /** Estimator audit: the banded pairs joined back to the signature and
+    * capped-shingle CTEs of the same chain — agreement count, 1/16-quantized
+    * estimate, exact Jaccard, signed error.
+    */
+  private val minhashEstimateSql: String = {
+    val agree = (0 until 16)
+      .map(i => s"(CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH $minhashBandCtes,
+      prs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      agree AS (SELECT p.da, p.db, $agree AS n_agree
+                FROM prs p JOIN sig x ON p.da = x.doc_id
+                           JOIN sig y ON p.db = y.doc_id),
+      szs AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+      itr AS (SELECT p.da, p.db, count(*) AS inter
+              FROM prs p JOIN hs a ON a.doc_id = p.da
+                         JOIN hs b ON b.doc_id = p.db AND b.h1 = a.h1
+              GROUP BY 1, 2)
+      SELECT g.da, g.db, g.n_agree,
+             round(g.n_agree / 16.0, 6) AS est_jaccard,
+             round(coalesce(i.inter, 0) / (x.n + y.n - coalesce(i.inter, 0)), 6)
+               AS exact_jaccard,
+             round(g.n_agree / 16.0 -
+               coalesce(i.inter, 0) / (x.n + y.n - coalesce(i.inter, 0)), 6) AS err
+      FROM agree g
+      LEFT JOIN itr i ON g.da = i.da AND g.db = i.db
+      JOIN szs x ON g.da = x.doc_id
+      JOIN szs y ON g.db = y.doc_id"""
+  }
+
   private val incrementalSql: String = s"""
       WITH $minhashBandCtes,
       fp AS (SELECT doc_id, md5(text) AS fp,
@@ -1612,6 +1745,32 @@ object TextOps {
              coalesce(n.n_novel, 0) AS n_novel,
              round(coalesce(n.n_novel, 0) / t.n_shingles, 6) AS novelty
       FROM tot t LEFT JOIN novel n ON t.doc_id = n.doc_id""",
+    // winnowing: same packed-key argmin (36-bit md5 prefix, reversed
+    // 24-bit position) over the same w=4 windows; range() is half-open,
+    // hence the +1 on the window-start upper bound.
+    "text_winnowing" -> """
+      WITH toksq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                     FROM documents),
+      kg AS (SELECT doc_id, len(t) - 3 AS m, i AS p,
+                    ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 9))::BIGINT
+                      * 16777216 + (16777215 - i) AS key
+             FROM toksq, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r
+             WHERE len(t) >= 7),
+      sel AS (SELECT doc_id, key, w.ws
+              FROM kg, LATERAL (SELECT unnest(range(greatest(p - 3, 1),
+                                               least(p, m - 3) + 1)) AS ws) w),
+      picked0 AS (SELECT doc_id, ws, min(key) AS k FROM sel GROUP BY 1, 2),
+      picked AS (SELECT DISTINCT doc_id, k FROM picked0),
+      per AS (SELECT doc_id, count(*) AS n_fp,
+                     bit_xor(k // 16777216) AS fp_xor
+              FROM picked GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(greatest(len(t) - 3, 0) AS BIGINT) AS n_kgrams
+              FROM toksq)
+      SELECT t.doc_id, t.n_kgrams,
+             coalesce(p.n_fp, 0) AS n_fp,
+             coalesce(p.fp_xor, 0) AS fp_xor,
+             round(coalesce(p.n_fp, 0) / greatest(t.n_kgrams, 1), 6) AS density
+      FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""",
@@ -1620,6 +1779,7 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_minhash_estimate" -> minhashEstimateSql,
     "text_domain_stats" -> """
       SELECT source || '.example.' ||
                (['com', 'org', 'net'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS host,
