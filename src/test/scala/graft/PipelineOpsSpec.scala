@@ -204,4 +204,63 @@ class PipelineOpsSpec extends SparkSpec {
     val r2 = pca.agg(corr(col("pc1"), col("pc2"))).head().getDouble(0)
     assert(math.abs(r2) < 1e-2, s"corr(pc1,pc2)=$r2 (components must be uncorrelated)")
   }
+
+  /** A planted corpus for the fingerprint/estimator contracts: 20 seeded
+    * random docs, one exact-duplicate pair (100, 101), one partial-overlap
+    * pair (102, 103) sharing a 12-token run.
+    */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'z').flatMap(c1 => ('a' to 'z').map(c2 => s"$c1$c2")).take(120)
+    def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val shared = doc(12)
+    val dup = doc(25)
+    val rows =
+      (0 until 20).map(i => (i.toLong, doc(30 + rnd.nextInt(50)))) ++
+        Seq(100L -> dup, 101L -> dup,
+          102L -> s"${doc(15)} $shared ${doc(15)}",
+          103L -> s"${doc(10)} $shared ${doc(20)}",
+          104L -> doc(5)) // under 7 tokens: no full winnowing window
+    val dir = java.nio.file.Files.createTempDirectory("planted-docs")
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("web").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("text_winnowing: identical docs share fingerprints; density near 2/(w+1); " +
+      "short docs yield none") {
+    val win = SparkEntry.queries("text_winnowing")(spark, plantedDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // equal text → equal k-gram sequence → equal selections, counts, xor
+    assert(win(100L) === win(101L))
+    // winnowing's expected density is 2/(w+1) = 0.4; on ≥30-k-gram docs the
+    // realized density stays in a loose band around it
+    win.filter(_._2._1 >= 30).foreach { case (id, (_, _, _, dens)) =>
+      assert(dens > 0.25 && dens < 0.6, s"doc $id density $dens")
+    }
+    // the partial-overlap pair fingerprints are NOT identical (different
+    // context) but both docs have selections
+    assert(win(102L) != win(103L) && win(102L)._2 > 0 && win(103L)._2 > 0)
+    // fewer than 7 tokens → fewer than w=4 k-grams → no window, no selection
+    assert(win(104L)._2 == 0L && win(104L)._3 == 0L)
+  }
+
+  test("dedup_minhash_estimate: exact duplicates read est=1, exact=1, err=0; " +
+      "estimates are 1/16-quantized") {
+    val est = SparkEntry.queries("dedup_minhash_estimate")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val dup = est((100L, 101L))
+    assert(dup === ((16, 1.0, 1.0, 0.0)), s"duplicate pair read $dup")
+    est.foreach { case (pair, (nAgree, estJ, exactJ, err)) =>
+      assert(nAgree >= 0 && nAgree <= 16, s"$pair n_agree $nAgree")
+      assert(math.abs(estJ * 16 - math.round(estJ * 16)) < 1e-9,
+        s"$pair est $estJ not 1/16-quantized")
+      assert(exactJ >= 0.0 && exactJ <= 1.0 && math.abs(err - (estJ - exactJ)) < 1e-5)
+    }
+  }
 }
