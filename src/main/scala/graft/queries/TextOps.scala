@@ -218,6 +218,31 @@ object TextOps {
           expr("transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))"))
           .otherwise(array()))).as("s"))
 
+  /** The robust-winnowing selection frame (doc_id, h) — one row per
+    * SELECTED k-gram position (h is the 36-bit k-gram hash; equal-hash
+    * positions stay distinct rows here, matching the fingerprint multiset).
+    * Shared by `text_winnowing` (per-doc roll-up) and
+    * `dedup_winnowing_pairs` (the cross-doc match step). See
+    * `text_winnowing`'s entry for the packed-key argmin discipline.
+    */
+  private def winnowedSelections(s: SparkSession, d: String): DataFrame = {
+    val kg = toks(s, d)
+      .filter(size(col("t")) >= 7) // at least 4 k-grams = one window
+      .select(col("doc_id"), (size(col("t")) - 3).as("m"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 3), " +
+            "i -> struct(i AS p, array_join(slice(t, i, 4), ' ') AS s))")).as("kg"))
+      .select(col("doc_id"), col("m"), col("kg.p").as("p"),
+        (conv(substring(md5(col("kg.s")), 1, 9), 16, 10).cast("long")
+          * lit(16777216L) + (lit(16777215L) - col("kg.p"))).as("key"))
+    val sel = kg.select(col("doc_id"), col("key"),
+      explode(expr("sequence(greatest(p - 3, 1), least(p, m - 3))")).as("ws"))
+    sel.groupBy(col("doc_id"), col("ws"))
+      .agg(min(col("key")).as("k"))
+      .select(col("doc_id"), col("k")).distinct()
+      .select(col("doc_id"), expr("k div 16777216").as("h"))
+  }
+
   /** Merge rounds for the BPE trainer (`text_bpe_train`) — both the Spark
     * loop and the generated DuckDB oracle replay exactly this many.
     */
@@ -491,21 +516,7 @@ object TextOps {
     // aggregation, and the per-doc roll-up emits count + order-free
     // bit_xor — no fingerprint list ever leaves the reducer.
     "text_winnowing" -> ((s, d) => {
-      val kg = toks(s, d)
-        .filter(size(col("t")) >= 7) // at least 4 k-grams = one window
-        .select(col("doc_id"), (size(col("t")) - 3).as("m"),
-          explode(expr(
-            "transform(sequence(1, size(t) - 3), " +
-              "i -> struct(i AS p, array_join(slice(t, i, 4), ' ') AS s))")).as("kg"))
-        .select(col("doc_id"), col("m"), col("kg.p").as("p"),
-          (conv(substring(md5(col("kg.s")), 1, 9), 16, 10).cast("long")
-            * lit(16777216L) + (lit(16777215L) - col("kg.p"))).as("key"))
-      val sel = kg.select(col("doc_id"), col("key"),
-        explode(expr("sequence(greatest(p - 3, 1), least(p, m - 3))")).as("ws"))
-      val picked = sel.groupBy(col("doc_id"), col("ws"))
-        .agg(min(col("key")).as("k"))
-        .select(col("doc_id"), col("k")).distinct()
-        .select(col("doc_id"), expr("k div 16777216").as("h"))
+      val picked = winnowedSelections(s, d)
       val per = picked.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"), expr("bit_xor(h)").as("fp_xor"))
       val tot = toks(s, d)
@@ -516,6 +527,40 @@ object TextOps {
           coalesce(col("fp_xor"), lit(0L)).as("fp_xor"),
           round(coalesce(col("n_fp"), lit(0L)) / greatest(col("n_kgrams"), lit(1L)), 6)
             .as("density"))
+    }),
+
+    // The MOSS match step — winnowing made operational: documents sharing
+    // selected fingerprints become candidate pairs, scored by shared-
+    // fingerprint count, CONTAINMENT (shared / smaller set — the quote /
+    // excerpt detector Jaccard misses when a small doc sits inside a big
+    // one), and fingerprint Jaccard. Same scale discipline as the MinHash
+    // pair path: one groupBy builds the per-fingerprint posting list, the
+    // df-cap drops boilerplate fingerprints on that same aggregation, and
+    // bounded in-bucket expansion replaces the posting self-join. The
+    // winnowing guarantee transfers: any shared run of ≥ 7 tokens shares
+    // a fingerprint, so real containment can't silently miss.
+    "dedup_winnowing_pairs" -> ((s, d) => {
+      val grp = winnowedSelections(s, d).distinct()
+        .groupBy(col("h"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= HotShingleDfCap)
+        .cache() // consumed by the pair expansion and the per-doc sizes
+      val shared = grp.filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2) // one shared hash is noise floor
+      val sizes = grp.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(col("da"), col("db"), col("n_shared"),
+          round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"),
+          round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+            .as("jaccard"))
     }),
 
     // MinHash ESTIMATOR audit — the statistical claim under the whole LSH
@@ -1528,6 +1573,25 @@ object TextOps {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"""
 
+  /** The robust-winnowing selection CTE chain ending in
+    * `picked(doc_id, k)` (k = packed 36-bit-hash × 2²⁴ + reversed
+    * position) plus `toksq` — shared by the per-doc fingerprint oracle and
+    * the MOSS pair oracle. range() is half-open, hence the +1 on the
+    * window-start upper bound.
+    */
+  private val winnowingCtes: String = """toksq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                     FROM documents),
+      kg AS (SELECT doc_id, len(t) - 3 AS m, i AS p,
+                    ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 9))::BIGINT
+                      * 16777216 + (16777215 - i) AS key
+             FROM toksq, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r
+             WHERE len(t) >= 7),
+      sel AS (SELECT doc_id, key, w.ws
+              FROM kg, LATERAL (SELECT unnest(range(greatest(p - 3, 1),
+                                               least(p, m - 3) + 1)) AS ws) w),
+      picked0 AS (SELECT doc_id, ws, min(key) AS k FROM sel GROUP BY 1, 2),
+      picked AS (SELECT DISTINCT doc_id, k FROM picked0)"""
+
   /** Estimator audit: the banded pairs joined back to the signature and
     * capped-shingle CTEs of the same chain — agreement count, 1/16-quantized
     * estimate, exact Jaccard, signed error.
@@ -1746,21 +1810,10 @@ object TextOps {
              round(coalesce(n.n_novel, 0) / t.n_shingles, 6) AS novelty
       FROM tot t LEFT JOIN novel n ON t.doc_id = n.doc_id""",
     // winnowing: same packed-key argmin (36-bit md5 prefix, reversed
-    // 24-bit position) over the same w=4 windows; range() is half-open,
-    // hence the +1 on the window-start upper bound.
-    "text_winnowing" -> """
-      WITH toksq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-                     FROM documents),
-      kg AS (SELECT doc_id, len(t) - 3 AS m, i AS p,
-                    ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 9))::BIGINT
-                      * 16777216 + (16777215 - i) AS key
-             FROM toksq, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r
-             WHERE len(t) >= 7),
-      sel AS (SELECT doc_id, key, w.ws
-              FROM kg, LATERAL (SELECT unnest(range(greatest(p - 3, 1),
-                                               least(p, m - 3) + 1)) AS ws) w),
-      picked0 AS (SELECT doc_id, ws, min(key) AS k FROM sel GROUP BY 1, 2),
-      picked AS (SELECT DISTINCT doc_id, k FROM picked0),
+    // 24-bit position) over the same w=4 windows (CTE chain shared with
+    // the pair oracle — [[winnowingCtes]]).
+    "text_winnowing" -> s"""
+      WITH $winnowingCtes,
       per AS (SELECT doc_id, count(*) AS n_fp,
                      bit_xor(k // 16777216) AS fp_xor
               FROM picked GROUP BY 1),
@@ -1771,6 +1824,24 @@ object TextOps {
              coalesce(p.fp_xor, 0) AS fp_xor,
              round(coalesce(p.n_fp, 0) / greatest(t.n_kgrams, 1), 6) AS density
       FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id""",
+    // the MOSS match step over the same selections: distinct per-doc
+    // fingerprints, df-capped postings, shared-count ≥ 2 pairs with
+    // containment and Jaccard.
+    "dedup_winnowing_pairs" -> s"""
+      WITH $winnowingCtes,
+      fps AS (SELECT DISTINCT doc_id, k // 16777216 AS h FROM picked),
+      keepable AS (SELECT h FROM fps GROUP BY h
+                   HAVING count(*) <= $HotShingleDfCap),
+      fpc AS (SELECT f.doc_id, f.h FROM fps f JOIN keepable kp ON f.h = kp.h),
+      shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+                 FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2
+                 HAVING count(*) >= 2),
+      szs AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY 1)
+      SELECT s.da, s.db, s.n_shared,
+             round(s.n_shared / least(x.n, y.n), 6) AS containment,
+             round(s.n_shared / (x.n + y.n - s.n_shared), 6) AS jaccard
+      FROM shared s JOIN szs x ON s.da = x.doc_id JOIN szs y ON s.db = y.doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""",

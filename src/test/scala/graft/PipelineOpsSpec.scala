@@ -249,6 +249,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(win(104L)._2 == 0L && win(104L)._3 == 0L)
   }
 
+  test("dedup_winnowing_pairs: the winnowing guarantee transfers to the match step") {
+    val pairs = SparkEntry.queries("dedup_winnowing_pairs")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // identical docs: every fingerprint shared
+    val dup = pairs((100L, 101L))
+    assert(dup._2 === 1.0 && dup._3 === 1.0, s"duplicate pair read $dup")
+    // the planted 12-token shared run has 6 interior windows; one position
+    // can serve at most w=4 of them, so ≥ 2 shared selections are
+    // GUARANTEED — the pair cannot be missed
+    val overlap = pairs.get((102L, 103L))
+    assert(overlap.exists(_._1 >= 2L), s"overlap pair read $overlap")
+    pairs.foreach { case (p, (n, c, j)) =>
+      assert(n >= 2 && c > 0.0 && c <= 1.0 && j > 0.0 && j <= c + 1e-9, s"$p: ($n, $c, $j)")
+    }
+  }
+
   test("dedup_minhash_estimate: exact duplicates read est=1, exact=1, err=0; " +
       "estimates are 1/16-quantized") {
     val est = SparkEntry.queries("dedup_minhash_estimate")(spark, plantedDir)
