@@ -375,6 +375,13 @@ object Temporal {
     "stream_late_metrics" -> ((s, d) =>
       graft.streaming.LateDrop.lateMetrics(s, d)),
 
+    // Ingest-time streaming dedup with the bounded WithinWatermark state
+    // horizon: a re-delivered 10% slice is suppressed where the key is
+    // still in state and re-emitted where the horizon already evicted it
+    // (graft.streaming.DedupIngest) — both halves replayed in SQL.
+    "stream_dedup_ingest" -> ((s, d) =>
+      graft.streaming.DedupIngest(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -588,6 +595,15 @@ object Temporal {
       FROM b2, drp
       UNION ALL
       SELECT CAST(3 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT)""",
+    // ingest dedup: in-horizon re-deliveries are suppressed by state,
+    // beyond-horizon ones are late-dropped — either way the drained set
+    // is exactly the distinct events, so the oracle is the batch answer.
+    "stream_dedup_ingest" -> """
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00')
+               AS hour_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+      FROM events GROUP BY 1, 2""",
     // the latest-state stream must reproduce the batch per-key argmax
     "stream_latest_state" -> """
       WITH e AS (SELECT user_id, event_id,

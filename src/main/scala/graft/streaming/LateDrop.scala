@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, StandardCopyOption}
-import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -70,20 +69,8 @@ object LateDrop {
       lit(sentinelTs).as("ts"),
       lit(null).cast("string").as("event_type"),
       lit(null).cast("double").as("value"))
-    def writeOne(df: DataFrame, name: String, modSecsAgo: Long): Unit = {
-      val tmp = stage.resolve(s"_tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val ps = Files.list(tmp)
-      val part =
-        try ps.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-        finally ps.close()
-      val dst = stage.resolve(name)
-      Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
-      StagedEvents.deleteRecursively(tmp)
-      Files.setLastModifiedTime(dst,
-        FileTime.fromMillis(System.currentTimeMillis() - modSecsAgo * 1000))
-    }
+    def writeOne(df: DataFrame, name: String, modSecsAgo: Long): Unit =
+      StagedEvents.writePart(df, stage, name, modSecsAgo)
     val onTime = ev.filter(col("event_id") % 20 =!= 7)
     writeOne(onTime.filter(col("event_id") % 2 === 0), "b0_ontime_even.parquet", 60)
     writeOne(onTime.filter(col("event_id") % 2 =!= 0), "b1_ontime_odd.parquet", 45)

@@ -84,6 +84,28 @@ object StagedEvents {
     (stage, raw.schema)
   }
 
+  /** Write `df` as a single parquet file `name` under `dir`, with its
+    * modification time set `modSecsAgo` seconds in the past — the staging
+    * primitive for multi-batch replays (the file source lists oldest
+    * first, so strictly decreasing `modSecsAgo` values fix batch order).
+    */
+  def writePart(df: org.apache.spark.sql.DataFrame, dir: Path, name: String,
+      modSecsAgo: Long): Unit = {
+    val tmp = dir.resolve(s"_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val ps = Files.list(tmp)
+    val part =
+      try ps.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ps.close()
+    val dst = dir.resolve(name)
+    Files.move(part, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmp)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - modSecsAgo * 1000))
+  }
+
   def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
