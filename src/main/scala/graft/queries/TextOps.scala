@@ -776,6 +776,39 @@ object TextOps {
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
     }),
 
+    // Cross-source VOCABULARY DRIFT: pairwise Jaccard of each source's
+    // top-100 token set — the cheap first read on "are these domains the
+    // same language register, and which pair diverged" before any mixing
+    // decision (low overlap between a new crawl slice and the curated
+    // sources is the flag that its mix weight needs its own tuning). All
+    // integer/exact: token counts are one keyed aggregation, the per-source
+    // top-100 is a |sources|-partitioned window with the deterministic
+    // (count desc, token) order, and the pair leg joins two 100-row sets
+    // equi-keyed on token — output bounded by |sources|², never corpus-
+    // sized.
+    "text_vocab_overlap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("token"))
+      val top = documents(s, d)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 100)
+        .select(col("source"), col("token"))
+      val sizes = top.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val common = top.as("a")
+        .join(top.as("b"),
+          col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("source").as("sa"), col("nv").as("na")), Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("nv").as("nb")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("n_common"),
+          round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
+            .as("jaccard"))
+    }),
+
     // Frequent-items sketch (Misra-Gries family via DataFrame stat.freqItems,
     // the Karp/Shenker/Papadimitriou one-pass algorithm: bounded counter map
     // per partition, mergeable — the 100 TB heavy-hitter path; an exact
@@ -2122,6 +2155,21 @@ object TextOps {
       SELECT token, n,
              CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
       FROM c QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 100""",
+    "text_vocab_overlap" -> """
+      WITH tk AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                  FROM documents),
+      c AS (SELECT source, token, count(*) AS n FROM tk
+            WHERE length(token) > 0 GROUP BY 1, 2),
+      top AS (SELECT source, token FROM c
+              QUALIFY row_number() OVER (PARTITION BY source
+                ORDER BY n DESC, token) <= 100),
+      szs AS (SELECT source, count(*) AS nv FROM top GROUP BY 1),
+      com AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+              FROM top a JOIN top b ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2)
+      SELECT c.sa, c.sb, c.n_common,
+             round(c.n_common / (x.nv + y.nv - c.n_common), 6) AS jaccard
+      FROM com c JOIN szs x ON c.sa = x.source JOIN szs y ON c.sb = y.source""",
     "pipeline_filter_dedup" -> s"""
       WITH neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
       quality AS (SELECT doc_id FROM documents
