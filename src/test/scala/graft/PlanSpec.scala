@@ -474,6 +474,13 @@ class PlanSpec extends SparkSpec {
       // over the ≤200-rank frame); the same 1-row scalar(corpus size)
       // annotate is the only nested loop
       "sim_ivfpq_grid",
+      // same 16-seed coarse scoring; the residual chain's joins (cell
+      // centroid gather, residual codebook, per-cell LUT) are all
+      // equi-keyed on bounded broadcast dims
+      "sim_ivfpq_residual", "sim_ivfpq_residual_recall",
+      // both legs of the raw-vs-residual audit, same shapes as above plus
+      // the exact-baseline broadcast-probe class
+      "sim_ivfpq_code_gain",
       // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
       // λ legs run keyed per probe over the same ≤20 rows
       "sim_mmr_lambda_sweep",
