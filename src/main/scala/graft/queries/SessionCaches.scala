@@ -39,6 +39,8 @@ object SessionCaches {
     TextOps.docLengthsShared(s, d)
     Similarity.pqCodebookShared(s, d)
     Similarity.pqCodesShared(s, d)
+    Similarity.residualCentsShared(s, d)
+    Similarity.residualCodesShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
@@ -62,6 +64,8 @@ object SessionCaches {
     // the code table derives from the codebook: same order discipline
     Similarity.releasePqCodes(s)
     Similarity.releasePqCodebook(s)
+    Similarity.releaseResidualCodes(s)
+    Similarity.releaseResidualCents(s)
     TextOps.releaseBpeCorpus(s)
     Extended.releaseCcCheckpoints(s)
     Relational.releaseBucketedTables(s)

@@ -402,7 +402,13 @@ object Similarity {
     * index dimension (|probes| · nprobe · 8 · 16 rows, still broadcast).
     * Returns the candidate ADC frame (q_id, vec_id, adc_u).
     */
-  private def ivfpqResidualAdc(s: SparkSession, d: String): DataFrame = {
+  /** Per-dim RESIDUAL coordinates (vec_id, cell, sub, wd, xu = x − c):
+    * the map-only pass under the residual codebook and code builds —
+    * recomputed per build, never cached (the cappedShingleHashes trade:
+    * a per-dim stream is corpus×64 rows; the narrow OUTPUTS are what the
+    * session caches hold).
+    */
+  private def residualXu(s: SparkSession, d: String): DataFrame = {
     val scores = ivfpqCellScores(s, d)
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
     val cells = scores
@@ -411,20 +417,60 @@ object Similarity {
     val xu = pqXu(s, d)
     val cellCu = xu.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("sub"), col("wd"), col("xu").as("ccu"))
-    val rxu = xu.join(cells, Seq("vec_id"))
+    xu.join(cells, Seq("vec_id"))
       .join(broadcast(cellCu), Seq("cell", "sub", "wd"))
-      .select(col("vec_id"), col("sub"), col("wd"),
+      .select(col("vec_id"), col("cell"), col("sub"), col("wd"),
         (col("xu") - col("ccu")).as("xu"))
-    val rseeds = rxu.filter(col("vec_id") >= 16 && col("vec_id") < 32)
-      .select((col("vec_id") - 16).as("c_id"), col("sub"), col("wd"),
-        col("xu").as("cu"))
-    val rcents = pqAssign(rxu, rseeds).join(rxu, Seq("vec_id", "sub"))
-      .groupBy(col("sub"), col("c_id"), col("wd"))
-      .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
-    val rcodes = pqAssign(rxu, rcents)
+  }
+
+  /** Session-shared residual PQ codebook (8×16×8 cells trained by one
+    * Lloyd step over residual space, seeds = vec_id ∈ [16, 32) residuals)
+    * — the train-once artifact, same lifecycle as [[pqCodebookShared]].
+    */
+  private val sharedResidualCents = new SessionFrameCache(4)
+  def residualCentsShared(s: SparkSession, d: String): DataFrame =
+    sharedResidualCents.getOrBuild(s, d) {
+      val rxu = residualXu(s, d).drop("cell")
+      val rseeds = rxu.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select((col("vec_id") - 16).as("c_id"), col("sub"), col("wd"),
+          col("xu").as("cu"))
+      pqAssign(rxu, rseeds).join(rxu, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("c_id"), col("wd"))
+        .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+    }
+
+  /** Unpersist and drop every shared residual codebook of session `s`. */
+  def releaseResidualCents(s: SparkSession): Unit = sharedResidualCents.release(s)
+
+  /** Session-shared residual CODE table (vec_id, cell, sub, c_id) — the
+    * encode-once-at-ingest index the residual ADC queries scan; carries
+    * the coarse cell so the candidate filter needs no extra join.
+    */
+  private val sharedResidualCodes = new SessionFrameCache(4)
+  def residualCodesShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    val cents = residualCentsShared(s, d)
+    sharedResidualCodes.getOrBuild(s, d) {
+      val rxu = residualXu(s, d)
+      pqAssign(rxu.drop("cell"), cents)
+        .join(rxu.select(col("vec_id"), col("cell")).distinct(), Seq("vec_id"))
+    }
+  }
+
+  /** Unpersist and drop every shared residual code table of session `s`. */
+  def releaseResidualCodes(s: SparkSession): Unit = sharedResidualCodes.release(s)
+
+  private def ivfpqResidualAdc(s: SparkSession, d: String): DataFrame = {
+    val rcodes = residualCodesShared(s, d)
+    val rcents = residualCentsShared(s, d)
+    val scores = ivfpqCellScores(s, d)
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
     val probeCells = scores.filter(col("vec_id") < 10)
       .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
       .select(col("vec_id").as("q_id"), col("c16").as("cell"))
+    val xu = pqXu(s, d)
+    val cellCu = xu.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("sub"), col("wd"), col("xu").as("ccu"))
     val qres = xu.filter(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(probeCells), Seq("q_id"))
@@ -434,10 +480,8 @@ object Similarity {
     val rlut = qres.join(broadcast(rcents), Seq("sub", "wd"))
       .groupBy(col("q_id"), col("cell"), col("sub"), col("c_id"))
       .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
-    val cand = cells.join(broadcast(probeCells), Seq("cell"))
+    rcodes.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("cell"), col("vec_id"))
-    cand.join(rcodes, Seq("vec_id"))
       .join(broadcast(rlut), Seq("q_id", "cell", "sub", "c_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc_u"))

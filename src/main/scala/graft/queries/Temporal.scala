@@ -570,31 +570,53 @@ object Temporal {
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM adm GROUP BY 1, 2""",
     // the same run's monitoring counters: per-data-batch observe() input
-    // rows and the batch-2 numRowsDroppedByWatermark, replayed from the
-    // split + watermark rules (batches 0/1 = the even/odd on-time halves,
-    // batch 2 = the stragglers, batch 3 = the one-row sentinel).
+    // rows, the batch-2 numRowsDroppedByWatermark, and numRowsTotal (the
+    // state-boundedness contract), all replayed from the split + watermark
+    // rules (batches 0/1 = the even/odd on-time halves, batch 2 = the
+    // stragglers, batch 3 = the one-row sentinel). State replay: batch 1
+    // evicts by the EVEN half's max (the eviction watermark lags the late
+    // filter by one batch), batch 2 by the full on-time max; each batch's
+    // state is the distinct (hour, type) groups of admitted rows whose
+    // window end survives that eviction mark.
     "stream_late_metrics" -> """
-      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
-      wm AS (SELECT max(t) - INTERVAL 119 MINUTES AS wm1 FROM e
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+      wm1 AS (SELECT max(t) - INTERVAL 119 MINUTES AS w FROM e
+              WHERE event_id % 20 <> 7 AND event_id % 2 = 0),
+      wm2 AS (SELECT max(t) - INTERVAL 119 MINUTES AS w FROM e
+              WHERE event_id % 20 <> 7),
+      g0 AS (SELECT DISTINCT date_trunc('hour', t) AS h, event_type FROM e
+             WHERE event_id % 20 <> 7 AND event_id % 2 = 0),
+      g1 AS (SELECT DISTINCT date_trunc('hour', t) AS h, event_type FROM e
              WHERE event_id % 20 <> 7),
+      s1 AS (SELECT count(*) AS n FROM g1, wm1 WHERE g1.h + INTERVAL 1 HOUR > wm1.w),
+      adm AS (SELECT t, event_type FROM e WHERE event_id % 20 <> 7
+              UNION ALL
+              SELECT t, event_type FROM e, wm2
+              WHERE event_id % 20 = 7
+                AND date_trunc('hour', t) + INTERVAL 1 HOUR > wm2.w),
+      g2 AS (SELECT DISTINCT date_trunc('hour', t) AS h, event_type FROM adm),
+      s2 AS (SELECT count(*) AS n FROM g2, wm2 WHERE g2.h + INTERVAL 1 HOUR > wm2.w),
       b0 AS (SELECT count(*) AS n FROM e
              WHERE event_id % 20 <> 7 AND event_id % 2 = 0),
       b1 AS (SELECT count(*) AS n FROM e
              WHERE event_id % 20 <> 7 AND event_id % 2 <> 0),
       b2 AS (SELECT count(*) AS n FROM e WHERE event_id % 20 = 7),
-      drp AS (SELECT count(*) AS n FROM e, wm
+      drp AS (SELECT count(*) AS n FROM e, wm2
               WHERE event_id % 20 = 7
-                AND date_trunc('hour', t) + INTERVAL 1 HOUR <= wm.wm1)
+                AND date_trunc('hour', t) + INTERVAL 1 HOUR <= wm2.w)
       SELECT CAST(0 AS INTEGER) AS batch_ord,
              CAST(b0.n AS BIGINT) AS input_rows,
-             CAST(0 AS BIGINT) AS dropped_rows FROM b0
+             CAST(0 AS BIGINT) AS dropped_rows,
+             CAST((SELECT count(*) FROM g0) AS BIGINT) AS state_rows FROM b0
       UNION ALL
-      SELECT CAST(1 AS INTEGER), CAST(b1.n AS BIGINT), CAST(0 AS BIGINT) FROM b1
+      SELECT CAST(1 AS INTEGER), CAST(b1.n AS BIGINT), CAST(0 AS BIGINT),
+             CAST(s1.n AS BIGINT) FROM b1, s1
       UNION ALL
-      SELECT CAST(2 AS INTEGER), CAST(b2.n AS BIGINT), CAST(drp.n AS BIGINT)
-      FROM b2, drp
+      SELECT CAST(2 AS INTEGER), CAST(b2.n AS BIGINT), CAST(drp.n AS BIGINT),
+             CAST(s2.n AS BIGINT) FROM b2, drp, s2
       UNION ALL
-      SELECT CAST(3 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT)""",
+      SELECT CAST(3 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(s2.n + 1 AS BIGINT) FROM s2""",
     // ingest dedup: in-horizon re-deliveries are suppressed by state,
     // beyond-horizon ones are late-dropped — either way the drained set
     // is exactly the distinct events, so the oracle is the batch answer.

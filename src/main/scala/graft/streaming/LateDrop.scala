@@ -113,12 +113,18 @@ object LateDrop {
       } finally StagedEvents.deleteRecursively(staged)
     }
 
-  /** Per-batch observability of the same run: the observe() row counter and
-    * the state store's numRowsDroppedByWatermark, one row per data batch in
-    * arrival order — (0, |even on-time|, 0), (1, |odd on-time|, 0),
-    * (2, |stragglers|, |dropped|), (3, 1, 0). Both counters replay in SQL
-    * from the split + watermark rules, so the monitoring surface itself is
-    * hash-matched, not just eyeballed.
+  /** Per-batch observability of the same run: the observe() row counter,
+    * the state store's numRowsDroppedByWatermark, AND its numRowsTotal —
+    * one row per data batch in arrival order. input/dropped follow the
+    * split rules ((0, |even on-time|, 0), (1, |odd on-time|, 0),
+    * (2, |stragglers|, |dropped|), (3, 1, 0)); state_rows is the
+    * boundedness CONTRACT asserted rather than designed: after each batch
+    * the store holds exactly the distinct (window, type) groups of the
+    * admitted rows whose window end survives that batch's eviction
+    * watermark — a horizon-bounded count at any stream length, replayed
+    * group-by-group in SQL (the eviction watermark lags the late-filter
+    * one by one batch, so batch 1 evicts by the EVEN half's max while
+    * batch 2 evicts by the full on-time max).
     */
   def lateMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -135,11 +141,12 @@ object LateDrop {
             val observed = Option(p.observedMetrics.get("graft_input"))
               .map(_.getLong(0)).getOrElse(p.numInputRows)
             val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
-            (ord, observed, dropped)
+            val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+            (ord, observed, dropped, stateRows)
           }
-        rows.toSeq.toDF("batch_ord", "input_rows", "dropped_rows")
+        rows.toSeq.toDF("batch_ord", "input_rows", "dropped_rows", "state_rows")
           .select(col("batch_ord").cast("int").as("batch_ord"),
-            col("input_rows"), col("dropped_rows"))
+            col("input_rows"), col("dropped_rows"), col("state_rows"))
       } finally StagedEvents.deleteRecursively(staged)
     }
   }

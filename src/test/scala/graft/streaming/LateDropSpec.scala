@@ -63,16 +63,23 @@ class LateDropSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("lateMetrics: per-batch observe counts and dropped-by-watermark") {
+  test("lateMetrics: per-batch observe counts, dropped-by-watermark, and the " +
+      "state-boundedness contract") {
     val dir = writeEvents(scala.util.Random.shuffle(onTime ++ stragglers))
     val got = LateDrop.lateMetrics(spark, dir)
       .orderBy(col("batch_ord"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val nEven = onTime.count(_._1 % 2 == 0).toLong
+    // state replay by hand: even half (ids 2,4,6,8) forms 4 groups; after
+    // the odd half merges, eviction by the even max (wm 08:31:00.123456)
+    // leaves {08-click, 09-view, 10-view} = 3; the two admitted stragglers
+    // merge INTO two of those groups (no new ones) = 3; the sentinel adds
+    // its own group = 4. State never grows with stream length — only with
+    // the windows inside the horizon.
     assert(got === Seq(
-      (0, nEven, 0L), // even on-time half — nothing dropped
-      (1, onTime.size - nEven, 0L), // odd on-time half — watermark not yet binding
-      (2, stragglers.size.toLong, 2L), // ids 7 and 67 behind the watermark
-      (3, 1L, 0L))) // the sentinel row itself
+      (0, nEven, 0L, 4L), // even on-time half — nothing dropped
+      (1, onTime.size - nEven, 0L, 3L), // odd half merges; eviction bites
+      (2, stragglers.size.toLong, 2L, 3L), // ids 7 and 67 behind the watermark
+      (3, 1L, 0L, 4L))) // the sentinel row's own group
   }
 }
