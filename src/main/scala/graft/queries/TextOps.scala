@@ -218,11 +218,12 @@ object TextOps {
           expr("transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))"))
           .otherwise(array()))).as("s"))
 
-  /** The robust-winnowing selection frame (doc_id, h) — one row per
-    * SELECTED k-gram position (h is the 36-bit k-gram hash; equal-hash
-    * positions stay distinct rows here, matching the fingerprint multiset).
-    * Shared by `text_winnowing` (per-doc roll-up) and
-    * `dedup_winnowing_pairs` (the cross-doc match step). See
+  /** The robust-winnowing selection frame (doc_id, h, p) — one row per
+    * SELECTED k-gram position (h is the 36-bit k-gram hash, p its 1-based
+    * token position; equal-hash positions stay distinct rows, matching the
+    * fingerprint multiset). Shared by `text_winnowing` (per-doc roll-up),
+    * `dedup_winnowing_pairs` (the cross-doc match step), and
+    * `dedup_winnowing_spans` (the diagonal span locator). See
     * `text_winnowing`'s entry for the packed-key argmin discipline.
     */
   private def winnowedSelections(s: SparkSession, d: String): DataFrame = {
@@ -240,7 +241,8 @@ object TextOps {
     sel.groupBy(col("doc_id"), col("ws"))
       .agg(min(col("key")).as("k"))
       .select(col("doc_id"), col("k")).distinct()
-      .select(col("doc_id"), expr("k div 16777216").as("h"))
+      .select(col("doc_id"), expr("k div 16777216").as("h"),
+        (lit(16777215L) - col("k") % lit(16777216L)).as("p"))
   }
 
   /** Merge rounds for the BPE trainer (`text_bpe_train`) — both the Spark
@@ -540,7 +542,7 @@ object TextOps {
     // winnowing guarantee transfers: any shared run of ≥ 7 tokens shares
     // a fingerprint, so real containment can't silently miss.
     "dedup_winnowing_pairs" -> ((s, d) => {
-      val grp = winnowedSelections(s, d).distinct()
+      val grp = winnowedSelections(s, d).select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) <= HotShingleDfCap)
@@ -561,6 +563,40 @@ object TextOps {
           round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"),
           round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
             .as("jaccard"))
+    }),
+
+    // The matched-SPAN locator — what a takedown or decontamination pass
+    // actually excises. For every winnowing candidate pair, matched
+    // selections (equal fingerprint hash) become anchors (pa, pb); a
+    // genuinely shared token run puts its anchors on ONE DIAGONAL
+    // (pa − pb constant — the classic plagiarism-detection diagonal
+    // heuristic), so grouping anchors by (da, db, pa − pb) turns point
+    // matches into located spans: [a_start, a_end] in doc a, b_start in
+    // doc b, with the anchor count as evidence weight. Spurious
+    // equal-hash coincidences scatter across diagonals and die on the
+    // ≥2-anchors floor. Scale shape: anchors exist only for docs already
+    // in a candidate pair (pair-keyed equi-joins prune the corpus before
+    // any positions move), and the span roll-up is one keyed aggregation.
+    "dedup_winnowing_spans" -> ((s, d) => {
+      val fpc = {
+        val f = winnowedSelections(s, d)
+        val keep = f.select(col("doc_id"), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= HotShingleDfCap).select(col("h"))
+        f.join(broadcast(keep), Seq("h"))
+      }
+      val pairs = queries("dedup_winnowing_pairs")(s, d).select(col("da"), col("db"))
+      val anchors = pairs
+        .join(fpc.select(col("doc_id").as("da"), col("h"), col("p").as("pa")), Seq("da"))
+        .join(fpc.select(col("doc_id").as("db"), col("h"), col("p").as("pb")),
+          Seq("db", "h"))
+      anchors.groupBy(col("da"), col("db"), (col("pa") - col("pb")).as("diag"))
+        .agg(count(lit(1)).as("n_anchors"),
+          min(col("pa")).as("a_start"), (max(col("pa")) + 3).as("a_end"),
+          min(col("pb")).as("b_start"))
+        .filter(col("n_anchors") >= 2)
+        .select(col("da"), col("db"), col("diag"), col("n_anchors"),
+          col("a_start"), col("a_end"), col("b_start"))
     }),
 
     // MinHash ESTIMATOR audit — the statistical claim under the whole LSH
@@ -1875,6 +1911,32 @@ object TextOps {
              round(s.n_shared / least(x.n, y.n), 6) AS containment,
              round(s.n_shared / (x.n + y.n - s.n_shared), 6) AS jaccard
       FROM shared s JOIN szs x ON s.da = x.doc_id JOIN szs y ON s.db = y.doc_id""",
+    // span locator: the pair chain extended with positions — anchors on a
+    // shared (pa − pb) diagonal roll up into located spans.
+    "dedup_winnowing_spans" -> s"""
+      WITH $winnowingCtes,
+      fpos AS (SELECT doc_id, k // 16777216 AS h,
+                      16777215 - (k % 16777216) AS p FROM picked),
+      fps AS (SELECT DISTINCT doc_id, h FROM fpos),
+      keepable AS (SELECT h FROM fps GROUP BY h
+                   HAVING count(*) <= $HotShingleDfCap),
+      fpc AS (SELECT f.doc_id, f.h FROM fps f JOIN keepable kp ON f.h = kp.h),
+      fpc2 AS (SELECT f.doc_id, f.h, f.p FROM fpos f JOIN keepable kp ON f.h = kp.h),
+      shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+                 FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2
+                 HAVING count(*) >= 2),
+      anch AS (SELECT s.da, s.db, a.p AS pa, b.p AS pb
+               FROM shared s
+               JOIN fpc2 a ON a.doc_id = s.da
+               JOIN fpc2 b ON b.doc_id = s.db AND b.h = a.h)
+      SELECT da, db, CAST(pa - pb AS BIGINT) AS diag,
+             count(*) AS n_anchors,
+             CAST(min(pa) AS BIGINT) AS a_start,
+             CAST(max(pa) + 3 AS BIGINT) AS a_end,
+             CAST(min(pb) AS BIGINT) AS b_start
+      FROM anch GROUP BY 1, 2, 3
+      HAVING count(*) >= 2""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""",

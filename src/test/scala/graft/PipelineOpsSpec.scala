@@ -266,6 +266,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_winnowing_spans: the planted overlap locates on its true diagonal") {
+    val spans = SparkEntry.queries("dedup_winnowing_spans")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc 102 = 15 tokens + shared(12) + 15; doc 103 = 10 + shared + 20:
+    // interior k-grams of the shared run sit at pa ∈ [16, 24], pb ∈ [11, 19]
+    // → every true anchor lies on diagonal pa − pb = 5, and the located
+    // span must sit inside the planted run (tokens 16..27 of doc 102)
+    val hit = spans.get((102L, 103L, 5L))
+    assert(hit.isDefined, s"no diag-5 span for the planted pair: ${spans.keys}")
+    val (n, aStart, aEnd, bStart) = hit.get
+    assert(n >= 2 && aStart >= 16 && aEnd <= 27 && bStart >= 11,
+      s"span ($n, $aStart, $aEnd, $bStart) outside the planted run")
+    // identical docs: everything on diagonal 0, spanning from the first
+    // selection
+    assert(spans.contains((100L, 101L, 0L)))
+  }
+
   test("dedup_minhash_estimate: exact duplicates read est=1, exact=1, err=0; " +
       "estimates are 1/16-quantized") {
     val est = SparkEntry.queries("dedup_minhash_estimate")(spark, plantedDir)
