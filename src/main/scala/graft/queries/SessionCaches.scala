@@ -39,6 +39,7 @@ object SessionCaches {
     TextOps.docLengthsShared(s, d)
     Similarity.pqCodebookShared(s, d)
     Similarity.pqCodesShared(s, d)
+    Similarity.ivfpqCellsShared(s, d)
     Similarity.residualCentsShared(s, d)
     Similarity.residualCodesShared(s, d)
     TextOps.bpeCorpusShared(s, d)
@@ -64,8 +65,10 @@ object SessionCaches {
     // the code table derives from the codebook: same order discipline
     Similarity.releasePqCodes(s)
     Similarity.releasePqCodebook(s)
+    // the residual stages derive from the cell assignment: derived first
     Similarity.releaseResidualCodes(s)
     Similarity.releaseResidualCents(s)
+    Similarity.releaseIvfpqCells(s)
     TextOps.releaseBpeCorpus(s)
     Extended.releaseCcCheckpoints(s)
     Relational.releaseBucketedTables(s)

