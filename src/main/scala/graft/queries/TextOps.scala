@@ -599,6 +599,49 @@ object TextOps {
           col("a_start"), col("a_end"), col("b_start"))
     }),
 
+    // Gap-tolerant ISLAND segmentation within each diagonal — the exact
+    // excision offsets. A diagonal can carry two separate shared runs (or
+    // a run plus a stray equal-hash coincidence); min..max over the whole
+    // diagonal would weld them into one over-extended span. Winnowing
+    // bounds consecutive selections inside a continuous run by w, so an
+    // anchor gap > 2w = 8 is a run break: the classic gaps-and-islands
+    // split (the w10_streak discipline — lag + running break-flag sum,
+    // one window sort per diagonal) yields per-island spans whose
+    // [a_start, a_end] really delimit one contiguous match each. Exact
+    // integer arithmetic end to end; anchors exist only for candidate-
+    // pair docs, so the window sorts tiny pair-keyed groups.
+    "dedup_winnowing_islands" -> ((s, d) => {
+      val fpc = {
+        val f = winnowedSelections(s, d)
+        val keep = f.select(col("doc_id"), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= HotShingleDfCap).select(col("h"))
+        f.join(broadcast(keep), Seq("h"))
+      }
+      val pairs = queries("dedup_winnowing_pairs")(s, d).select(col("da"), col("db"))
+      val anchors = pairs
+        .join(fpc.select(col("doc_id").as("da"), col("h"), col("p").as("pa")), Seq("da"))
+        .join(fpc.select(col("doc_id").as("db"), col("h"), col("p").as("pb")),
+          Seq("db", "h"))
+        .select(col("da"), col("db"), (col("pa") - col("pb")).as("diag"), col("pa"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+      val islands = anchors
+        .withColumn("brk",
+          when(lag(col("pa"), 1).over(wOrd).isNull ||
+            col("pa") - lag(col("pa"), 1).over(wOrd) > 8, 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      islands.groupBy(col("da"), col("db"), col("diag"), col("island"))
+        .agg(count(lit(1)).as("n_anchors"),
+          min(col("pa")).as("a_start"), (max(col("pa")) + 3).as("a_end"))
+        .filter(col("n_anchors") >= 2)
+        .select(col("da"), col("db"), col("diag"), col("island"),
+          col("n_anchors"), col("a_start"), col("a_end"),
+          (col("a_start") - col("diag")).as("b_start"))
+    }),
+
     // MinHash ESTIMATOR audit — the statistical claim under the whole LSH
     // family, measured instead of assumed: for every banded candidate
     // pair, the signature-agreement estimate (matching components / 16,
@@ -1936,6 +1979,42 @@ object TextOps {
              CAST(max(pa) + 3 AS BIGINT) AS a_end,
              CAST(min(pb) AS BIGINT) AS b_start
       FROM anch GROUP BY 1, 2, 3
+      HAVING count(*) >= 2""",
+    // island segmentation: the span chain plus the lag + running
+    // break-flag-sum gaps-and-islands split (gap > 2w = 8 breaks a run).
+    "dedup_winnowing_islands" -> s"""
+      WITH $winnowingCtes,
+      fpos AS (SELECT doc_id, k // 16777216 AS h,
+                      16777215 - (k % 16777216) AS p FROM picked),
+      fps AS (SELECT DISTINCT doc_id, h FROM fpos),
+      keepable AS (SELECT h FROM fps GROUP BY h
+                   HAVING count(*) <= $HotShingleDfCap),
+      fpc AS (SELECT f.doc_id, f.h FROM fps f JOIN keepable kp ON f.h = kp.h),
+      fpc2 AS (SELECT f.doc_id, f.h, f.p FROM fpos f JOIN keepable kp ON f.h = kp.h),
+      shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+                 FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2
+                 HAVING count(*) >= 2),
+      anch AS (SELECT s.da, s.db, a.p - b.p AS diag, a.p AS pa
+               FROM shared s
+               JOIN fpc2 a ON a.doc_id = s.da
+               JOIN fpc2 b ON b.doc_id = s.db AND b.h = a.h),
+      flg AS (SELECT da, db, diag, pa,
+                     CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+                       ORDER BY pa) IS NULL
+                       OR pa - lag(pa) OVER (PARTITION BY da, db, diag
+                         ORDER BY pa) > 8 THEN 1 ELSE 0 END AS brk
+              FROM anch),
+      isl AS (SELECT da, db, diag, pa,
+                     sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM flg)
+      SELECT da, db, CAST(diag AS BIGINT) AS diag, CAST(island AS BIGINT) AS island,
+             count(*) AS n_anchors,
+             CAST(min(pa) AS BIGINT) AS a_start,
+             CAST(max(pa) + 3 AS BIGINT) AS a_end,
+             CAST(min(pa) - diag AS BIGINT) AS b_start
+      FROM isl GROUP BY da, db, diag, island
       HAVING count(*) >= 2""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -215,13 +215,21 @@ class PipelineOpsSpec extends SparkSpec {
     val vocab = ('a' to 'z').flatMap(c1 => ('a' to 'z').map(c2 => s"$c1$c2")).take(120)
     def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
     val shared = doc(12)
+    val sharedA = doc(12)
+    val sharedB = doc(12)
     val dup = doc(25)
     val rows =
       (0 until 20).map(i => (i.toLong, doc(30 + rnd.nextInt(50)))) ++
         Seq(100L -> dup, 101L -> dup,
           102L -> s"${doc(15)} $shared ${doc(15)}",
           103L -> s"${doc(10)} $shared ${doc(20)}",
-          104L -> doc(5)) // under 7 tokens: no full winnowing window
+          104L -> doc(5), // under 7 tokens: no full winnowing window
+          // two SEPARATE shared runs at equal offsets → same diagonal,
+          // split by >2w of differing middle: the island-segmentation case
+          // (fresh doc() calls give each side different random context of
+          // identical length, so both runs sit at the same positions)
+          105L -> s"${doc(5)} $sharedA ${doc(12)} $sharedB ${doc(5)}",
+          106L -> s"${doc(5)} $sharedA ${doc(12)} $sharedB ${doc(5)}")
     val dir = java.nio.file.Files.createTempDirectory("planted-docs")
     rows.toDF("doc_id", "text")
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
@@ -282,6 +290,29 @@ class PipelineOpsSpec extends SparkSpec {
     // identical docs: everything on diagonal 0, spanning from the first
     // selection
     assert(spans.contains((100L, 101L, 0L)))
+  }
+
+  test("dedup_winnowing_islands: two separate runs on one diagonal split into " +
+      "two islands with true bounds") {
+    val isl = SparkEntry.queries("dedup_winnowing_islands")(spark, plantedDir)
+      .collect()
+      .filter(r => r.getLong(0) == 105L && r.getLong(1) == 106L && r.getLong(2) == 0L)
+      .map(r => (r.getLong(3), r.getLong(5), r.getLong(6))) // (island, a_start, a_end)
+      .sortBy(_._1)
+    // doc 105/106: pad(5) + runA(12) + mid(12) + runB(12) + pad(5) at the
+    // SAME offsets → one diagonal (0) carrying two runs; interior k-grams
+    // sit at [6, 14] and [30, 38], a ≥16-anchor gap no 2w tolerance welds
+    assert(isl.length == 2, s"expected 2 islands, got ${isl.toSeq}")
+    val Seq((_, a1s, a1e), (_, a2s, a2e)) = isl.toSeq
+    assert(a1s >= 6 && a1e <= 17, s"island 1 ($a1s, $a1e) outside run A (6..17)")
+    assert(a2s >= 30 && a2e <= 41, s"island 2 ($a2s, $a2e) outside run B (30..41)")
+    // the coarse span query welds the same pair into ONE over-extended
+    // diagonal span — the exact over-extension islands exist to fix
+    val coarse = SparkEntry.queries("dedup_winnowing_spans")(spark, plantedDir)
+      .collect().filter(r => r.getLong(0) == 105L && r.getLong(1) == 106L)
+      .map(r => (r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(coarse.exists { case (diag, s0, e0) => diag == 0L && s0 <= 14 && e0 >= 30 },
+      s"coarse span should bridge both runs: ${coarse.toSeq}")
   }
 
   test("dedup_minhash_estimate: exact duplicates read est=1, exact=1, err=0; " +
