@@ -642,6 +642,43 @@ object TextOps {
           (col("a_start") - col("diag")).as("b_start"))
     }),
 
+    // The winnowing PARAMETER sweep: corpus-level selection density and
+    // the match-length guarantee threshold t = w + k − 1 at w ∈ {2,4,8} —
+    // the table read before picking a window size (smaller w ⇒ shorter
+    // guaranteed matches but a denser index; the theoretical density is
+    // 2/(w+1), and the sweep shows how close this corpus gets). One-pass
+    // discipline: the k-gram hash stream is computed ONCE and each k-gram
+    // explodes to its (w, window-start) memberships (2+4+8 = 14 bounded
+    // rows), so three configurations cost one keyed argmin aggregation,
+    // never three corpus scans.
+    "text_winnowing_sweep" -> ((s, d) => {
+      val kg = toks(s, d)
+        .filter(size(col("t")) >= 4) // at least one k-gram
+        .select(col("doc_id"), (size(col("t")) - 3).as("m"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 3), " +
+              "i -> struct(i AS p, array_join(slice(t, i, 4), ' ') AS s))")).as("kg"))
+        .select(col("doc_id"), col("m"), col("kg.p").as("p"),
+          (conv(substring(md5(col("kg.s")), 1, 9), 16, 10).cast("long")
+            * lit(16777216L) + (lit(16777215L) - col("kg.p"))).as("key"))
+      val sel = kg.select(col("doc_id"), col("key"),
+        explode(expr("flatten(transform(filter(array(2, 4, 8), w -> m >= w), " +
+          "w -> transform(sequence(greatest(p - w + 1, 1), least(p, m - w + 1)), " +
+          "ws -> struct(w AS w, ws AS ws))))")).as("x"))
+        .select(col("doc_id"), col("key"), col("x.w").as("w"), col("x.ws").as("ws"))
+      val picked = sel.groupBy(col("w"), col("doc_id"), col("ws"))
+        .agg(min(col("key")).as("k"))
+        .select(col("w"), col("doc_id"), col("k")).distinct()
+      val tot = toks(s, d)
+        .agg(sum(greatest(size(col("t")) - 3, lit(0)).cast("long")).as("n_kgrams"))
+      picked.groupBy(col("w")).agg(count(lit(1)).as("n_fp"))
+        .crossJoin(broadcast(tot))
+        .select(col("w").cast("int").as("w"),
+          (col("w") + 3).cast("int").as("t_guarantee"),
+          col("n_kgrams"), col("n_fp"),
+          round(col("n_fp") / col("n_kgrams"), 6).as("density"))
+    }),
+
     // MinHash ESTIMATOR audit — the statistical claim under the whole LSH
     // family, measured instead of assumed: for every banded candidate
     // pair, the signature-agreement estimate (matching components / 16,
@@ -1980,6 +2017,31 @@ object TextOps {
              CAST(min(pb) AS BIGINT) AS b_start
       FROM anch GROUP BY 1, 2, 3
       HAVING count(*) >= 2""",
+    // w-sweep: the same packed-key argmin swept over window sizes, each
+    // k-gram exploded to its (w, window-start) memberships.
+    "text_winnowing_sweep" -> s"""
+      WITH toksq AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                     FROM documents),
+      kg AS (SELECT doc_id, len(t) - 3 AS m, i AS p,
+                    ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 9))::BIGINT
+                      * 16777216 + (16777215 - i) AS key
+             FROM toksq, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r
+             WHERE len(t) >= 4),
+      sel AS (SELECT doc_id, key, wv.w, wsv.ws
+              FROM kg,
+              LATERAL (SELECT unnest([2, 4, 8]) AS w) wv,
+              LATERAL (SELECT unnest(range(greatest(p - wv.w + 1, 1),
+                                           least(p, m - wv.w + 1) + 1)) AS ws) wsv
+              WHERE m >= wv.w),
+      picked0 AS (SELECT w, doc_id, ws, min(key) AS k FROM sel GROUP BY 1, 2, 3),
+      picked AS (SELECT DISTINCT w, doc_id, k FROM picked0),
+      tot AS (SELECT CAST(sum(greatest(len(t) - 3, 0)) AS BIGINT) AS n_kgrams
+              FROM toksq),
+      per AS (SELECT w, count(*) AS n_fp FROM picked GROUP BY 1)
+      SELECT CAST(p.w AS INTEGER) AS w, CAST(p.w + 3 AS INTEGER) AS t_guarantee,
+             t.n_kgrams, p.n_fp,
+             round(p.n_fp / t.n_kgrams, 6) AS density
+      FROM per p, tot t""",
     // island segmentation: the span chain plus the lag + running
     // break-flag-sum gaps-and-islands split (gap > 2w = 8 breaks a run).
     "dedup_winnowing_islands" -> s"""

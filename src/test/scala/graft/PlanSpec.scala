@@ -507,6 +507,9 @@ class PlanSpec extends SparkSpec {
       "text_bm25_topk",
       // 1-row tercile-cutoff scalar × the per-doc score table
       "text_ppl_bucket",
+      // 1-row corpus-total scalar × the 3-row per-w counts — the same
+      // annotate-with-constant shape
+      "text_winnowing_sweep",
       // 1-row (tr, tt) totals scalar × the B-bounded bucket table — the
       // same annotate-with-constant shape as text_unigram_logprob
       "text_dsir_weights",
