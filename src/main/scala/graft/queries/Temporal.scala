@@ -354,6 +354,14 @@ object Temporal {
     "stream_sessionize_stateful" -> ((s, d) =>
       graft.streaming.StatefulSessionize(s, d)),
 
+    // Built-in session_window running as a watermarked STREAMING
+    // aggregation — dynamic session merging in the state store, flushed by
+    // the sentinel-advanced watermark, oracled against the SAME batch
+    // gaps-and-islands SQL as w3b_session_window
+    // (graft.streaming.SessionWindowStream).
+    "stream_session_window" -> ((s, d) =>
+      graft.streaming.SessionWindowStream(s, d)),
+
     // CDC-style latest-state compaction: the unbounded event log collapses
     // to one row per user holding the newest value + update count — per-key
     // CONSTANT state in the store (never the log), event-time timeout
@@ -381,6 +389,13 @@ object Temporal {
     // (graft.streaming.DedupIngest) — both halves replayed in SQL.
     "stream_dedup_ingest" -> ((s, d) =>
       graft.streaming.DedupIngest(s, d)),
+
+    // The monitoring surface of the same re-delivery replay: per-batch
+    // input rows, late-filter drops, and the state store's numRowsTotal —
+    // the dedup-state BOUNDEDNESS contract (state never exceeds the keys
+    // within 2·delay of the frontier), replayed row-for-row in SQL.
+    "stream_dedup_metrics" -> ((s, d) =>
+      graft.streaming.DedupIngest.metrics(s, d)),
 
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
@@ -532,6 +547,28 @@ object Temporal {
              (max(us) - min(us)) / 1000000.0 AS duration_sec
       FROM sess GROUP BY user_id, session_id"""
 
+  /** Gaps-and-islands replay of session_window's merge rule — shared by
+    * the batch (`w3b_session_window`) and streaming
+    * (`stream_session_window`) variants: one SQL truth for both engines'
+    * session semantics.
+    */
+  private val sessionWindowSql = """
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+        FROM events),
+      sess AS (
+        SELECT user_id, us,
+               sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id, count(*) AS n_events,
+             (max(us) - min(us)) / 1000000.0 AS duration_sec
+      FROM sess GROUP BY user_id, sid"""
+
   val oracle: Map[String, String] = Map(
     "w13_time_weighted_avg" -> """
       WITH e AS (SELECT user_id, event_id,
@@ -626,6 +663,29 @@ object Temporal {
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM events GROUP BY 1, 2""",
+    // dedup-state boundedness replay: batch 0 holds every key (eviction
+    // watermark still 0); batch 1 evicts to the 2·delay horizon (expiry
+    // ts+delay ≥ wm = max−delay ⟺ ts ≥ max−2·delay); batch 2's late
+    // filter drops re-deliveries on RAW event time behind the watermark
+    // (ts < wm — the standard watermark filter, pinned in
+    // DedupIngestSpec), and every admitted re-delivery is necessarily
+    // still in state (expiry ≥ wm + delay), so state_rows is unchanged.
+    "stream_dedup_metrics" -> """
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      wm AS (SELECT max(t) - INTERVAL 119 MINUTES AS w FROM e),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      s1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+             WHERE t + INTERVAL 119 MINUTES >= wm.w),
+      sl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE event_id % 10 = 3),
+      drp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+              WHERE event_id % 10 = 3 AND t < wm.w)
+      SELECT CAST(0 AS INTEGER) AS batch_ord, n.n AS input_rows,
+             CAST(0 AS BIGINT) AS dropped_rows, n.n AS state_rows FROM n
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT), s1.n
+      FROM s1
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), sl.n, drp.n, s1.n FROM sl, drp, s1""",
     // the latest-state stream must reproduce the batch per-key argmax
     "stream_latest_state" -> """
       WITH e AS (SELECT user_id, event_id,
@@ -728,22 +788,9 @@ object Temporal {
     // merging: an event exactly gap-after still merges (pinned by
     // ExtendedSpec), so the split condition is strictly-greater — the SAME
     // rule as the hand-rolled w3 sessionizer.
-    "w3b_session_window" -> """
-      WITH g AS (
-        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
-        FROM events),
-      sess AS (
-        SELECT user_id, us,
-               sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM g)
-      SELECT user_id, count(*) AS n_events,
-             (max(us) - min(us)) / 1000000.0 AS duration_sec
-      FROM sess GROUP BY user_id, sid""",
+    "w3b_session_window" -> sessionWindowSql,
+    // the streaming session_window must reproduce the batch answer
+    "stream_session_window" -> sessionWindowSql,
     "w7_attribution" -> """
       WITH w AS (
         SELECT event_type, value,

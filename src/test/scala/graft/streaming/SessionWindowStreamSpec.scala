@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** The streaming built-in session_window must reproduce the batch
+  * gaps-and-islands answer on a hand-checkable fixture — including the
+  * end-inclusive merge boundary (an event exactly 30 minutes after the
+  * previous one MERGES; 30 minutes + 1 µs splits), cross-user isolation,
+  * and the sentinel staying out of the output entirely.
+  */
+class SessionWindowStreamSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int, s: Int = 0, us: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:$s%02d.$us%06d")
+
+  private val events = Seq(
+    // user 1: session A = 00:00, 00:10, 00:40 (exactly 30 min after 00:10
+    // → merges, end-inclusive); session B = 01:10:00.000001 (30 min + 1 µs
+    // after 00:40 → splits)
+    (1L, ts(0, 0), 1L),
+    (2L, ts(0, 10), 1L),
+    (3L, ts(0, 40), 1L),
+    (4L, ts(1, 10, 0, 1), 1L),
+    // user 2: one singleton session
+    (5L, ts(5, 0), 2L))
+
+  test("streaming session_window equals the batch sessions, boundary-exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("session-window-stream-spec")
+    events.map { case (id, t, u) => (id, t, u, "view", 1.0, null: String) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SessionWindowStream(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set(
+      (1L, 3L, 40 * 60.0), // session A: 00:00 → 00:40
+      (1L, 1L, 0.0),       // session B: the 01:10:00.000001 singleton
+      (2L, 1L, 0.0))       // user 2 singleton
+    assert(got === expected)
+  }
+}
