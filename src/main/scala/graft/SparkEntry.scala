@@ -33,5 +33,6 @@ object SparkEntry {
   def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
       ("emb_pca_topk" -> graft.queries.Similarity.pcaOracleSql(spark, sfDir)) +
-      ("emb_whitening" -> graft.queries.Similarity.whiteningOracleSql(spark, sfDir))
+      ("emb_whitening" -> graft.queries.Similarity.whiteningOracleSql(spark, sfDir)) +
+      ("sim_opq_code_gain" -> graft.queries.Similarity.opqOracleSql(spark, sfDir))
 }

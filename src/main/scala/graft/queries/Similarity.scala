@@ -129,6 +129,77 @@ object Similarity {
     basisProjSql(basis, mean, "w")
   }
 
+  /** DuckDB SQL for sim_opq_code_gain, generated at Verify time (the
+    * rotation depends on the data dir). The d×d snake-allocated eigenbasis
+    * and the mean vector embed as double literals
+    * (`java.lang.Double.toString` → shortest round-tripping repr, the
+    * [[pcaOracleSql]] discipline); DuckDB then replays all three rungs —
+    * coordinate build, seed assignment, one Lloyd update, re-encode,
+    * min-d2 total — in the same exact integer arithmetic as the Spark
+    * pipeline, so the totals hash-match bit-for-bit.
+    */
+  def opqOracleSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    val dim = mean.length
+    def dstr(x: Double) = java.lang.Double.toString(x)
+    val mLit = mean.map(dstr).mkString("[", ", ", "]")
+    val bRows = basis.zipWithIndex.map { case (vj, j) =>
+      val off = mean.indices.map(i => mean(i) * vj(i)).sum
+      s"(${j + 1}, ${vj.map(dstr).mkString("[", ", ", "]")}, ${dstr(off)})"
+    }.mkString(",\n        ")
+    // the shared train/encode/min-d2 chain, instantiated per scheme suffix
+    def chain(sfx: String) = s"""
+      seeds_$sfx AS (SELECT vec_id AS c_id, sb, wd, xu AS cu
+                     FROM xu_$sfx WHERE vec_id < 16),
+      a1d_$sfx AS (SELECT x.vec_id, x.sb, s.c_id,
+                          sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
+                   FROM xu_$sfx x JOIN seeds_$sfx s
+                     ON x.sb = s.sb AND x.wd = s.wd
+                   GROUP BY 1, 2, 3),
+      a1_$sfx AS (SELECT vec_id, sb, c_id FROM a1d_$sfx
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                    ORDER BY d2, c_id) = 1),
+      cents_$sfx AS (SELECT x.sb, a.c_id, x.wd,
+                            CAST(round(CAST(sum(x.xu) AS DOUBLE) / count(*))
+                              AS BIGINT) AS cu
+                     FROM a1_$sfx a JOIN xu_$sfx x
+                       ON a.vec_id = x.vec_id AND a.sb = x.sb
+                     GROUP BY 1, 2, 3),
+      cd_$sfx AS (SELECT x.vec_id, x.sb, k.c_id,
+                         sum((x.xu - k.cu) * (x.xu - k.cu)) AS d2
+                  FROM xu_$sfx x JOIN cents_$sfx k
+                    ON x.sb = k.sb AND x.wd = k.wd
+                  GROUP BY 1, 2, 3),
+      q_$sfx AS (SELECT vec_id, sb, d2 FROM cd_$sfx
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                   ORDER BY d2, c_id) = 1),
+      tot_$sfx AS (SELECT CAST(sum(d2) AS BIGINT) AS t FROM q_$sfx)"""
+    def out(sfx: String, scheme: String) = s"""
+      SELECT '$scheme' AS scheme, tot_$sfx.t AS total_qerr_u,
+             round(CAST(tot_$sfx.t AS DOUBLE) / n.n / $dim.0
+               / 1000000000000.0, 6) AS mse
+      FROM tot_$sfx, n"""
+    s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      ml AS (SELECT $mLit AS m),
+      bs(j, bj, offj) AS (VALUES
+        $bRows),
+      xu_raw AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
+                        CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+                 FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      xu_cen AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
+                        CAST(round((v[i] - ml.m[i]) * 1000000) AS BIGINT) AS xu
+                 FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r, ml),
+      xu_opq AS (SELECT vec_id, (j - 1) // 8 AS sb, (j - 1) % 8 AS wd,
+                        CAST(round((list_dot_product(v, bj) - offj) * 1000000)
+                          AS BIGINT) AS xu
+                 FROM c CROSS JOIN bs),${chain("raw")},${chain("cen")},${chain("opq")}
+      ${out("raw", "raw")}
+      UNION ALL${out("cen", "centered")}
+      UNION ALL${out("opq", "opq")}"""
+  }
+
   /** Top-k eigenbasis scaled per-component by 1/√λ — the whitening basis
     * (projected coordinates have unit variance and zero cross-covariance).
     * The λ floor guards a degenerate (rank-deficient) corpus from a
@@ -139,6 +210,42 @@ object Similarity {
     val (cov, mean) = covarianceMatrix(s, d)
     val (vals, vecs) = graft.functions.Eigen.symmetric(cov)
     ((0 until k).map(j => vecs(j).map(_ / math.sqrt(math.max(vals(j), 1e-12)))), mean)
+  }
+
+  /** Snake-dealt eigenvalue allocation — the non-parametric OPQ
+    * initialization (Ge et al., "Optimized Product Quantization", CVPR
+    * 2013 §4: balance variance mass across subquantizers by permuting the
+    * principal axes). Eigen-ranks sorted by λ descending are dealt into
+    * `nSub` buckets boustrophedon (0..7, then 7..0, …), so every subspace
+    * receives one dimension from each variance tier. Returns, for each
+    * NEW dimension index j (subspace-major: j = bucket·subDim + slot),
+    * the eigen RANK it carries. Purely positional — deterministic given
+    * the deterministic eigensolve.
+    */
+  private[graft] def opqSnakeOrder(dim: Int, nSub: Int): Array[Int] = {
+    val order = new Array[Int](dim)
+    val subDim = dim / nSub
+    var r = 0
+    while (r < dim) {
+      val tier = r / nSub
+      val pos = r % nSub
+      val bucket = if (tier % 2 == 0) pos else nSub - 1 - pos
+      order(bucket * subDim + tier) = r
+      r += 1
+    }
+    order
+  }
+
+  /** The OPQ rotation for data dir `d`: per new-dimension basis vectors
+    * (snake-allocated eigenvectors) plus the per-dim means. Everything
+    * downstream of the covariance pass is deterministic (Eigen.symmetric),
+    * so the Verify-time oracle re-derives identical literals.
+    */
+  private[graft] def opqBasis(
+      s: SparkSession, d: String): (Seq[Array[Double]], Array[Double]) = {
+    val (cov, mean) = covarianceMatrix(s, d)
+    val (_, vecs) = graft.functions.Eigen.symmetric(cov)
+    (opqSnakeOrder(mean.length, 8).toSeq.map(vecs(_)), mean)
   }
 
   /** Shared projection column builder: col j = round(dot(x, b_j) −
@@ -228,6 +335,64 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("c_id"))
   }
 
+  /** (vec_id, sub, wd, xu) with xu = round((x − mean)·1e6) — [[pqXu]]'s
+    * shape over CENTERED coordinates, the middle rung of the OPQ audit
+    * ladder (isolates the centering gain from the rotation gain).
+    */
+  private[graft] def centeredXu(
+      s: SparkSession, d: String, mean: Array[Double]): DataFrame = {
+    val mLit = array(mean.toSeq.map(lit): _*)
+    fanOut(embeddings(s, d), s)
+      .select(col("vec_id"), posexplode(
+        zip_with(asDouble(col("embedding")), mLit,
+          (x, m) => round((x - m) * 1000000).cast("long"))).as(Seq("dim", "xu")))
+      .select(col("vec_id"), expr("dim div 8").as("sub"),
+        (col("dim") % 8).as("wd"), col("xu"))
+  }
+
+  /** (vec_id, sub, wd, xu) in the OPQ basis: new coordinate j =
+    * dot(x, b_j) − dot(mean, b_j), rounded once to integer micro-units.
+    * The rotation is a zero-shuffle projection pass (the [[basisProjCols]]
+    * shape over the full d×d literal basis); everything downstream runs
+    * the unmodified integer PQ pipeline.
+    */
+  private[graft] def opqXu(s: SparkSession, d: String,
+      basis: Seq[Array[Double]], mean: Array[Double]): DataFrame = {
+    val bLit = array(basis.map(vj => array(vj.toSeq.map(lit): _*)): _*)
+    val oLit = array(basis.map(vj =>
+      lit(mean.indices.map(i => mean(i) * vj(i)).sum)): _*)
+    fanOut(embeddings(s, d), s)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), posexplode(
+        zip_with(bLit, oLit, (bj, oj) =>
+          round((aggregate(zip_with(col("v"), bj, (x, c) => x * c),
+            lit(0.0), (acc, x) => acc + x) - oj) * 1000000).cast("long")))
+        .as(Seq("dim", "xu")))
+      .select(col("vec_id"), expr("dim div 8").as("sub"),
+        (col("dim") % 8).as("wd"), col("xu"))
+  }
+
+  /** One (scheme, total_qerr_u, mse) audit row: train the PQ quantizer on
+    * `xu`, re-encode, and sum every (vector, subspace)'s minimal integer
+    * L2² quantization error — an exact BIGINT total (order-free), with the
+    * per-dimension MSE formed once from integers both engines agree on.
+    */
+  private def pqQerrRow(s: SparkSession, d: String, xu: DataFrame,
+      scheme: String, dim: Int): DataFrame = {
+    val cents = trainCents(xu)
+    val wA = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("c_id"))
+    val minD2 = xu.join(broadcast(cents), Seq("sub", "wd"))
+      .groupBy(col("vec_id"), col("sub"), col("c_id"))
+      .agg(sum((col("xu") - col("cu")) * (col("xu") - col("cu"))).as("d2"))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+    val n = embeddings(s, d).agg(count(lit(1)).as("n"))
+    minD2.agg(sum(col("d2")).as("t")).crossJoin(n)
+      .select(lit(scheme).as("scheme"), col("t").as("total_qerr_u"),
+        round(col("t").cast("double") / col("n") / dim.toDouble
+          / 1000000000000.0, 6).as("mse"))
+  }
+
   /** Session-scoped cache of the trained PQ codebook — per-subspace k=16
     * centroids from ONE Lloyd step (L2 assignment) over the deterministic
     * vec_id<16 seed subvectors; per-dimension member means rounded back to
@@ -241,14 +406,21 @@ object Similarity {
     */
   private val sharedPqCodebook = new SessionFrameCache(4)
   def pqCodebookShared(s: SparkSession, d: String): DataFrame =
-    sharedPqCodebook.getOrBuild(s, d) {
-      val xu = pqXu(s, d)
-      val seeds = xu.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu"))
-      pqAssign(xu, seeds).join(xu, Seq("vec_id", "sub"))
-        .groupBy(col("sub"), col("c_id"), col("wd"))
-        .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
-    }
+    sharedPqCodebook.getOrBuild(s, d)(trainCents(pqXu(s, d)))
+
+  /** One PQ training pass over any (vec_id, sub, wd, xu) coordinate
+    * table: vec_id<16 seed subvectors → L2 assignment → per-dimension
+    * member means rounded back to micro-units (the single rounding in the
+    * PQ pipeline). Factored out of [[pqCodebookShared]] so the OPQ audit
+    * trains the SAME quantizer over rotated coordinates.
+    */
+  private def trainCents(xu: DataFrame): DataFrame = {
+    val seeds = xu.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu"))
+    pqAssign(xu, seeds).join(xu, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("c_id"), col("wd"))
+      .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+  }
 
   /** Unpersist and drop every shared PQ codebook frame of session `s`. */
   def releasePqCodebook(s: SparkSession): Unit = sharedPqCodebook.release(s)
@@ -1245,6 +1417,31 @@ object Similarity {
       }
       recallAtDepth10(rawAdcr, "raw")
         .unionAll(recallAtDepth10(ivfpqResidualAdc(s, d), "residual"))
+    }),
+
+    // OPQ-STYLE ROTATION AUDIT (Ge et al. 2013): does rotating the corpus
+    // into the snake-allocated PCA eigenbasis lower the PQ quantization
+    // error? Three rungs, each the IDENTICAL integer PQ train/encode
+    // pipeline over a different coordinate table — raw (the production
+    // pqXu), centered (isolates the centering gain), and OPQ-rotated
+    // (adds the rotation) — each reduced to its exact BIGINT total
+    // quantization error. The rotation is a zero-shuffle projection pass;
+    // training is the usual bounded-broadcast codebook shape; the only
+    // nested loop is the 1-row scalar(corpus size) annotate. The oracle
+    // is GENERATED at Verify time ([[opqOracleSql]]) like emb_pca_topk's:
+    // the d×d basis embeds as SQL literals and DuckDB replays rotation +
+    // training + encoding — full hash-match. On THIS corpus (near-uniform
+    // random unit vectors, near-isotropic covariance) the honest expected
+    // reading is "no material gain" — the audit is the tool a deployment
+    // runs on ITS corpus before paying for a rotation; clustered real
+    // embeddings are where the rotation pays (same lesson as the residual
+    // code-gain audit above).
+    "sim_opq_code_gain" -> ((s, d) => {
+      val (basis, mean) = opqBasis(s, d)
+      val dim = mean.length
+      pqQerrRow(s, d, pqXu(s, d), "raw", dim)
+        .unionAll(pqQerrRow(s, d, centeredXu(s, d, mean), "centered", dim))
+        .unionAll(pqQerrRow(s, d, opqXu(s, d, basis, mean), "opq", dim))
     }),
 
     // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, λ = 1/2): greedy

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Similarity
+
+/** Algebraic contract of the OPQ rotation audit (sim_opq_code_gain): the
+  * snake allocation is a tier-balanced permutation, the rotation preserves
+  * energy (orthogonal invariance), and the audit emits one exact-integer
+  * row per rung.
+  */
+class OpqSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("snake allocation is a permutation with one rank per tier per bucket") {
+    val order = Similarity.opqSnakeOrder(64, 8)
+    assert(order.sorted.toSeq === (0 until 64))
+    // subspace b holds new dims b*8..b*8+7; each must draw exactly one
+    // eigen rank from each variance tier {0..7}, {8..15}, …, {56..63}
+    for (b <- 0 until 8) {
+      val tiers = (0 until 8).map(slot => order(b * 8 + slot) / 8)
+      assert(tiers.sorted === (0 until 8), s"bucket $b draws tiers $tiers")
+    }
+    // snake direction: tier 0 deals rank b to bucket b, tier 1 deals
+    // rank 8 + (7 - b) — adjacent tiers reverse, balancing Σλ
+    assert(order(0 * 8 + 0) === 0 && order(7 * 8 + 0) === 7)
+    assert(order(0 * 8 + 1) === 15 && order(7 * 8 + 1) === 8)
+  }
+
+  test("rotation preserves per-corpus energy (orthogonal invariance)") {
+    val (basis, mean) = Similarity.opqBasis(spark, sf)
+    // orthonormality of the allocated basis, checked directly
+    for (j <- basis.indices) {
+      val nrm = basis(j).map(x => x * x).sum
+      assert(math.abs(nrm - 1.0) < 1e-9, s"row $j norm $nrm")
+    }
+    val d01 = basis(0).zip(basis(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(d01) < 1e-9, s"rows 0,1 not orthogonal: $d01")
+    // Σ xu² over the corpus must agree between the centered and rotated
+    // coordinate tables up to micro-unit rounding (~1e-6 relative)
+    def energy(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("xu") * col("xu"))).head().getLong(0).toDouble
+    val eCen = energy(Similarity.centeredXu(spark, sf, mean))
+    val eOpq = energy(Similarity.opqXu(spark, sf, basis, mean))
+    assert(math.abs(eCen - eOpq) / eCen < 1e-4,
+      s"energy drifted: centered $eCen vs rotated $eOpq")
+  }
+
+  test("audit emits one exact row per rung with consistent mse") {
+    val rows = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === Set("raw", "centered", "opq"))
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    rows.foreach { case (scheme, tot, mse) =>
+      assert(tot > 0, s"$scheme total")
+      val expected = BigDecimal(tot.toDouble / n / 64.0 / 1e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mse - expected) < 1e-9, s"$scheme mse $mse vs $expected")
+    }
+  }
+}

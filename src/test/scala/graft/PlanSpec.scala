@@ -481,6 +481,10 @@ class PlanSpec extends SparkSpec {
       // both legs of the raw-vs-residual audit, same shapes as above plus
       // the exact-baseline broadcast-probe class
       "sim_ivfpq_code_gain",
+      // three 1-row scalar(corpus size) annotates (one per audit rung) —
+      // the annotate-with-constant shape; the train/encode joins are all
+      // equi-keyed on bounded broadcast codebooks
+      "sim_opq_code_gain",
       // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
       // λ legs run keyed per probe over the same ≤20 rows
       "sim_mmr_lambda_sweep",
