@@ -141,14 +141,58 @@ object Similarity {
   def opqOracleSql(s: SparkSession, d: String): String = {
     val (basis, mean) = opqBasis(s, d)
     val dim = mean.length
+    def out(sfx: String, scheme: String) = s"""
+      SELECT '$scheme' AS scheme, tot_$sfx.t AS total_qerr_u,
+             round(CAST(tot_$sfx.t AS DOUBLE) / n.n / $dim.0
+               / 1000000000000.0, 6) AS mse
+      FROM tot_$sfx, n"""
+    def tot(sfx: String) = s""",
+      q_$sfx AS (SELECT vec_id, sb, d2 FROM cd_$sfx
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                   ORDER BY d2, c_id) = 1),
+      tot_$sfx AS (SELECT CAST(sum(d2) AS BIGINT) AS t FROM q_$sfx)"""
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("raw")},${opqTrainChain("cen")},${opqTrainChain("opq")}${tot("raw")}${tot("cen")}${tot("opq")}
+      ${out("raw", "raw")}
+      UNION ALL${out("cen", "centered")}
+      UNION ALL${out("opq", "opq")}"""
+  }
+
+  /** Shared WITH-clause head of the generated OPQ oracles: corpus, count,
+    * mean/basis literals, and the three coordinate tables (raw, centered,
+    * rotated). Unreferenced CTEs are inert, so both consumers share one
+    * prefix.
+    */
+  private def opqSqlPrefix(
+      basis: Seq[Array[Double]], mean: Array[Double]): String = {
     def dstr(x: Double) = java.lang.Double.toString(x)
     val mLit = mean.map(dstr).mkString("[", ", ", "]")
     val bRows = basis.zipWithIndex.map { case (vj, j) =>
       val off = mean.indices.map(i => mean(i) * vj(i)).sum
       s"(${j + 1}, ${vj.map(dstr).mkString("[", ", ", "]")}, ${dstr(off)})"
     }.mkString(",\n        ")
-    // the shared train/encode/min-d2 chain, instantiated per scheme suffix
-    def chain(sfx: String) = s"""
+    s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      ml AS (SELECT $mLit AS m),
+      bs(j, bj, offj) AS (VALUES
+        $bRows),
+      xu_raw AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
+                        CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+                 FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      xu_cen AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
+                        CAST(round((v[i] - ml.m[i]) * 1000000) AS BIGINT) AS xu
+                 FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r, ml),
+      xu_opq AS (SELECT vec_id, (j - 1) // 8 AS sb, (j - 1) % 8 AS wd,
+                        CAST(round((list_dot_product(v, bj) - offj) * 1000000)
+                          AS BIGINT) AS xu
+                 FROM c CROSS JOIN bs)"""
+  }
+
+  /** The per-scheme train/encode replay (seed assignment → one Lloyd
+    * update → re-encode distances), instantiated per coordinate-table
+    * suffix — shared by the code-gain and recall OPQ oracles.
+    */
+  private def opqTrainChain(sfx: String): String = s"""
       seeds_$sfx AS (SELECT vec_id AS c_id, sb, wd, xu AS cu
                      FROM xu_$sfx WHERE vec_id < 16),
       a1d_$sfx AS (SELECT x.vec_id, x.sb, s.c_id,
@@ -169,34 +213,45 @@ object Similarity {
                          sum((x.xu - k.cu) * (x.xu - k.cu)) AS d2
                   FROM xu_$sfx x JOIN cents_$sfx k
                     ON x.sb = k.sb AND x.wd = k.wd
-                  GROUP BY 1, 2, 3),
-      q_$sfx AS (SELECT vec_id, sb, d2 FROM cd_$sfx
-                 QUALIFY row_number() OVER (PARTITION BY vec_id, sb
-                   ORDER BY d2, c_id) = 1),
-      tot_$sfx AS (SELECT CAST(sum(d2) AS BIGINT) AS t FROM q_$sfx)"""
+                  GROUP BY 1, 2, 3)"""
+
+  /** DuckDB SQL for sim_opq_recall — the [[opqOracleSql]] machinery with
+    * an ADC@5-vs-exact-top5 tail per scheme: codes and per-probe LUTs read
+    * off the same cd_ distances, the exact baseline is the raw-space
+    * integer-L2² top-5 (rotation-invariant ground truth).
+    */
+  def opqRecallSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    def adc(sfx: String) = s""",
+      codes_$sfx AS (SELECT vec_id, sb, c_id FROM cd_$sfx
+                     QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                       ORDER BY d2, c_id) = 1),
+      lut_$sfx AS (SELECT vec_id AS q_id, sb, c_id, d2
+                   FROM cd_$sfx WHERE vec_id < 10),
+      adc_$sfx AS (SELECT l.q_id, cds.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+                   FROM codes_$sfx cds JOIN lut_$sfx l
+                     ON cds.sb = l.sb AND cds.c_id = l.c_id
+                   WHERE cds.vec_id <> l.q_id
+                   GROUP BY 1, 2),
+      top_$sfx AS (SELECT q_id, vec_id FROM adc_$sfx
+                   QUALIFY row_number() OVER (PARTITION BY q_id
+                     ORDER BY adc_u, vec_id) <= 5),
+      hit_$sfx AS (SELECT count(*) AS n FROM top_$sfx t
+                   JOIN x ON t.q_id = x.q_id AND t.vec_id = x.vec_id)"""
     def out(sfx: String, scheme: String) = s"""
-      SELECT '$scheme' AS scheme, tot_$sfx.t AS total_qerr_u,
-             round(CAST(tot_$sfx.t AS DOUBLE) / n.n / $dim.0
-               / 1000000000000.0, 6) AS mse
-      FROM tot_$sfx, n"""
-    s"""
-      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
-      ml AS (SELECT $mLit AS m),
-      bs(j, bj, offj) AS (VALUES
-        $bRows),
-      xu_raw AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
-                        CAST(round(v[i] * 1000000) AS BIGINT) AS xu
-                 FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
-      xu_cen AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
-                        CAST(round((v[i] - ml.m[i]) * 1000000) AS BIGINT) AS xu
-                 FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r, ml),
-      xu_opq AS (SELECT vec_id, (j - 1) // 8 AS sb, (j - 1) % 8 AS wd,
-                        CAST(round((list_dot_product(v, bj) - offj) * 1000000)
-                          AS BIGINT) AS xu
-                 FROM c CROSS JOIN bs),${chain("raw")},${chain("cen")},${chain("opq")}
+      SELECT '$scheme' AS scheme, CAST(hit_$sfx.n AS BIGINT) AS n_hits,
+             round(CAST(hit_$sfx.n AS DOUBLE) / 50.0, 6) AS recall_at_5
+      FROM hit_$sfx"""
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("raw")},${opqTrainChain("opq")},
+      ex AS (SELECT p.vec_id AS q_id, b.vec_id,
+                    sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+             FROM xu_raw p JOIN xu_raw b ON p.sb = b.sb AND p.wd = b.wd
+             WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+             GROUP BY 1, 2),
+      x AS (SELECT q_id, vec_id FROM ex
+            QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY d2, vec_id) <= 5)${adc("raw")}${adc("opq")}
       ${out("raw", "raw")}
-      UNION ALL${out("cen", "centered")}
       UNION ALL${out("opq", "opq")}"""
   }
 
@@ -1442,6 +1497,44 @@ object Similarity {
       pqQerrRow(s, d, pqXu(s, d), "raw", dim)
         .unionAll(pqQerrRow(s, d, centeredXu(s, d, mean), "centered", dim))
         .unionAll(pqQerrRow(s, d, opqXu(s, d, basis, mean), "opq", dim))
+    }),
+
+    // Does the OPQ rotation's quantization-error gain move RETRIEVAL? ADC
+    // top-5 recall against the exact raw-space integer-L2 top-5 (the
+    // rotation-invariant ground truth — orthogonal maps preserve L2, so
+    // the same baseline serves both schemes) for raw codes vs rotated
+    // codes. The raw leg reads the session-shared codebook/code table
+    // (identical to sim_pq_adc's ranking, consistency spec-pinned); the
+    // rotated leg trains its own codebook over the rotated coordinates.
+    // This is the decision-grade number next to the MSE audit: a
+    // deployment pays for the rotation only if THIS moves.
+    "sim_opq_recall" -> ((s, d) => {
+      val (basis, mean) = opqBasis(s, d)
+      def adcTop5(xu: DataFrame, cents: DataFrame, codes: DataFrame): DataFrame = {
+        val lut = xu.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
+          .join(broadcast(cents), Seq("sub", "wd"))
+          .groupBy(col("q_id"), col("sub"), col("c_id"))
+          .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+        codes.join(broadcast(lut), Seq("sub", "c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc_u"))
+          .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+          .select(col("q_id"), col("vec_id"))
+      }
+      def recallRow(top5: DataFrame, scheme: String): DataFrame =
+        top5.join(pqExactTop5(s, d), Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(scheme).as("scheme"), col("n_hits"),
+            round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_5"))
+      val rawTop5 =
+        adcTop5(pqXu(s, d), pqCodebookShared(s, d), pqCodesShared(s, d))
+      val oxu = opqXu(s, d, basis, mean)
+      val ocents = trainCents(oxu)
+      recallRow(rawTop5, "raw")
+        .unionAll(recallRow(adcTop5(oxu, ocents, pqAssign(oxu, ocents)), "opq"))
     }),
 
     // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, λ = 1/2): greedy

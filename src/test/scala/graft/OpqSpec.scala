@@ -47,6 +47,22 @@ class OpqSpec extends SparkSpec {
       s"energy drifted: centered $eCen vs rotated $eOpq")
   }
 
+  test("recall audit: raw leg reproduces sim_pq_recall's hit total exactly") {
+    val byScheme = graft.SparkEntry.queries("sim_opq_recall")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byScheme.keySet === Set("raw", "opq"))
+    byScheme.values.foreach { case (hits, rec) =>
+      assert(hits >= 0 && hits <= 50)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the raw ADC ranking is sim_pq_adc's (shared codebook/code table) —
+    // its hit total must equal sim_pq_recall's per-probe hits summed
+    val pqHits = graft.SparkEntry.queries("sim_pq_recall")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_hits")).head().getLong(0)
+    assert(byScheme("raw")._1 === pqHits,
+      s"raw leg ${byScheme("raw")._1} vs sim_pq_recall total $pqHits")
+  }
+
   test("audit emits one exact row per rung with consistent mse") {
     val rows = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -485,6 +485,9 @@ class PlanSpec extends SparkSpec {
       // the annotate-with-constant shape; the train/encode joins are all
       // equi-keyed on bounded broadcast codebooks
       "sim_opq_code_gain",
+      // the exact-L2 broadcast-probe ground truth (sim_pq_recall's
+      // declared baseline class); both ADC legs are equi-keyed
+      "sim_opq_recall",
       // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
       // λ legs run keyed per probe over the same ≤20 rows
       "sim_mmr_lambda_sweep",
