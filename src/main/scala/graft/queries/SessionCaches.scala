@@ -42,6 +42,8 @@ object SessionCaches {
     Similarity.ivfpqCellsShared(s, d)
     Similarity.residualCentsShared(s, d)
     Similarity.residualCodesShared(s, d)
+    Similarity.opqXuShared(s, d)
+    Similarity.opqCentsShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
@@ -69,6 +71,9 @@ object SessionCaches {
     Similarity.releaseResidualCodes(s)
     Similarity.releaseResidualCents(s)
     Similarity.releaseIvfpqCells(s)
+    // the rotated codebook derives from the rotated coordinates
+    Similarity.releaseOpqCents(s)
+    Similarity.releaseOpqXu(s)
     TextOps.releaseBpeCorpus(s)
     Extended.releaseCcCheckpoints(s)
     Relational.releaseBucketedTables(s)

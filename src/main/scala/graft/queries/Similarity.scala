@@ -84,7 +84,33 @@ object Similarity {
     * emb_pca_topk builder and its spec so both assemble the matrix the
     * same way.
     */
+  /** Driver-side memo of [[computeCovarianceMatrix]] keyed by
+    * (dir, content stamp): the moments pass is a full-corpus d²/2 HOF
+    * expansion, and FOUR queries (pca, whitening, both OPQ audits) plus
+    * four Verify-time oracle generators each start from this matrix.
+    * The value is a d×d + d array of doubles — kilobytes — so a small
+    * LRU map (no Spark blocks, nothing for releaseAll to drop) is the
+    * right residency; the content stamp gives the same staleness rule as
+    * the frame caches.
+    */
+  private val covMemo =
+    new java.util.LinkedHashMap[String, (Array[Array[Double]], Array[Double])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Array[Array[Double]], Array[Double])])
+          : Boolean = size() > 8
+    }
   private[graft] def covarianceMatrix(
+      s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
+    val key = d + "|" + ContentStamp.of(d)
+    covMemo.synchronized(Option(covMemo.get(key))).getOrElse {
+      val v = computeCovarianceMatrix(s, d)
+      covMemo.synchronized(covMemo.put(key, v))
+      v
+    }
+  }
+
+  private def computeCovarianceMatrix(
       s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
     val rows = covMoments(s, d)
       .select(col("i"), col("j"), covCol, col("sua"), col("n")).collect()
@@ -427,26 +453,49 @@ object Similarity {
         (col("dim") % 8).as("wd"), col("xu"))
   }
 
-  /** One (scheme, total_qerr_u, mse) audit row: train the PQ quantizer on
-    * `xu`, re-encode, and sum every (vector, subspace)'s minimal integer
-    * L2² quantization error — an exact BIGINT total (order-free), with the
+  /** One (scheme, total_qerr_u, mse) audit row: encode `xu` against
+    * `cents` and sum every (vector, subspace)'s minimal integer L2²
+    * quantization error — an exact BIGINT total (order-free), with the
     * per-dimension MSE formed once from integers both engines agree on.
     */
   private def pqQerrRow(s: SparkSession, d: String, xu: DataFrame,
-      scheme: String, dim: Int): DataFrame = {
-    val cents = trainCents(xu)
-    val wA = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("c_id"))
-    val minD2 = xu.join(broadcast(cents), Seq("sub", "wd"))
-      .groupBy(col("vec_id"), col("sub"), col("c_id"))
-      .agg(sum((col("xu") - col("cu")) * (col("xu") - col("cu"))).as("d2"))
-      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      cents: DataFrame, scheme: String, dim: Int): DataFrame = {
     val n = embeddings(s, d).agg(count(lit(1)).as("n"))
-    minD2.agg(sum(col("d2")).as("t")).crossJoin(n)
+    qerrAgainst(xu, cents).crossJoin(n)
       .select(lit(scheme).as("scheme"), col("t").as("total_qerr_u"),
         round(col("t").cast("double") / col("n") / dim.toDouble
           / 1000000000000.0, 6).as("mse"))
   }
+
+  /** Session-scoped cache of the OPQ-ROTATED coordinate table — the
+    * rotate-once-at-ingest production shape (the rotation is part of the
+    * index build, not the query): both OPQ audits start from it, and the
+    * build also embeds the covariance/eigensolve driver work (itself
+    * memoized in [[covarianceMatrix]]).
+    */
+  private val sharedOpqXu = new SessionFrameCache(4)
+  def opqXuShared(s: SparkSession, d: String): DataFrame = {
+    val (basis, mean) = opqBasis(s, d)
+    sharedOpqXu.getOrBuild(s, d)(opqXu(s, d, basis, mean))
+  }
+
+  /** Unpersist and drop every shared rotated-coordinate frame of `s`. */
+  def releaseOpqXu(s: SparkSession): Unit = sharedOpqXu.release(s)
+
+  /** Session-scoped cache of the codebook trained in the rotated space —
+    * the OPQ family's train-once artifact, same lifecycle as
+    * [[pqCodebookShared]].
+    */
+  private val sharedOpqCents = new SessionFrameCache(4)
+  def opqCentsShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (the TextOps lock
+    // discipline: derived → parent only, no jobs under two monitors)
+    val xu = opqXuShared(s, d)
+    sharedOpqCents.getOrBuild(s, d)(trainCents(xu))
+  }
+
+  /** Unpersist and drop every shared rotated-codebook frame of `s`. */
+  def releaseOpqCents(s: SparkSession): Unit = sharedOpqCents.release(s)
 
   /** Session-scoped cache of the trained PQ codebook — per-subspace k=16
     * centroids from ONE Lloyd step (L2 assignment) over the deterministic
@@ -463,18 +512,39 @@ object Similarity {
   def pqCodebookShared(s: SparkSession, d: String): DataFrame =
     sharedPqCodebook.getOrBuild(s, d)(trainCents(pqXu(s, d)))
 
-  /** One PQ training pass over any (vec_id, sub, wd, xu) coordinate
-    * table: vec_id<16 seed subvectors → L2 assignment → per-dimension
-    * member means rounded back to micro-units (the single rounding in the
-    * PQ pipeline). Factored out of [[pqCodebookShared]] so the OPQ audit
-    * trains the SAME quantizer over rotated coordinates.
+  /** One Lloyd training iteration over any (vec_id, sub, wd, xu)
+    * coordinate table: L2 re-assignment to `cents`, then per-dimension
+    * member means rounded back to micro-units (the single rounding per
+    * iteration). A centroid losing every member simply vanishes — the
+    * same natural-death rule the SQL replay expresses by grouping only
+    * over assigned members.
     */
-  private def trainCents(xu: DataFrame): DataFrame = {
-    val seeds = xu.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu"))
-    pqAssign(xu, seeds).join(xu, Seq("vec_id", "sub"))
+  private def lloydUpdate(xu: DataFrame, cents: DataFrame): DataFrame =
+    pqAssign(xu, cents).join(xu, Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("c_id"), col("wd"))
       .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+
+  /** One PQ training pass (seed assignment + one [[lloydUpdate]]) over any
+    * (vec_id, sub, wd, xu) coordinate table: the family's standard
+    * one-iteration codebook. Factored out of [[pqCodebookShared]] so the
+    * OPQ audit trains the SAME quantizer over rotated coordinates and the
+    * training curve can iterate it.
+    */
+  private def trainCents(xu: DataFrame): DataFrame =
+    lloydUpdate(xu, xu.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu")))
+
+  /** Exact total quantization error of `xu` against `cents`: per
+    * (vector, subspace) minimal integer L2², summed — one (t) row.
+    */
+  private def qerrAgainst(xu: DataFrame, cents: DataFrame): DataFrame = {
+    val wA = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("c_id"))
+    xu.join(broadcast(cents), Seq("sub", "wd"))
+      .groupBy(col("vec_id"), col("sub"), col("c_id"))
+      .agg(sum((col("xu") - col("cu")) * (col("xu") - col("cu"))).as("d2"))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      .agg(sum(col("d2")).as("t"))
   }
 
   /** Unpersist and drop every shared PQ codebook frame of session `s`. */
@@ -1492,11 +1562,41 @@ object Similarity {
     // embeddings are where the rotation pays (same lesson as the residual
     // code-gain audit above).
     "sim_opq_code_gain" -> ((s, d) => {
-      val (basis, mean) = opqBasis(s, d)
+      val (_, mean) = opqBasis(s, d)
       val dim = mean.length
-      pqQerrRow(s, d, pqXu(s, d), "raw", dim)
-        .unionAll(pqQerrRow(s, d, centeredXu(s, d, mean), "centered", dim))
-        .unionAll(pqQerrRow(s, d, opqXu(s, d, basis, mean), "opq", dim))
+      val cxu = centeredXu(s, d, mean)
+      // raw and opq rungs read the session-shared codebooks (identical
+      // arithmetic to training in place — trainCents(pqXu) IS the shared
+      // codebook's definition); only the centered middle rung trains fresh
+      pqQerrRow(s, d, pqXu(s, d), pqCodebookShared(s, d), "raw", dim)
+        .unionAll(pqQerrRow(s, d, cxu, trainCents(cxu), "centered", dim))
+        .unionAll(pqQerrRow(s, d, opqXuShared(s, d), opqCentsShared(s, d), "opq", dim))
+    }),
+
+    // The TRAINING-COST-vs-MSE curve the one-Lloyd-step codebook the PQ
+    // family standardizes on was chosen against, made runnable: 4 Lloyd
+    // iterations over the shared coordinate scan, each iteration one
+    // bounded-broadcast re-assignment + one keyed mean update (the
+    // codebook is 1024 rows — only IT iterates; the corpus is scanned
+    // once per round, never shuffled on itself), with the exact BIGINT
+    // quantization-error total read after every round. Iteration 1 IS
+    // the family codebook (spec-pinned equal to sim_opq_code_gain's raw
+    // rung); the curve shows where extra rounds stop paying. Empty
+    // centroids die naturally (group-by over assigned members only) in
+    // both engines. Static unrolled SQL oracle — no data-dependent
+    // literals, full hash-match.
+    "sim_pq_train_curve" -> ((s, d) => {
+      val xu = pqXu(s, d)
+      val n = embeddings(s, d).agg(count(lit(1)).as("n"))
+      def row(cents: DataFrame, iter: Int): DataFrame =
+        qerrAgainst(xu, cents).crossJoin(n)
+          .select(lit(iter).cast("int").as("iter"), col("t").as("total_qerr_u"),
+            round(col("t").cast("double") / col("n") / 64.0
+              / 1000000000000.0, 6).as("mse"))
+      Iterator.iterate(trainCents(xu))(lloydUpdate(xu, _))
+        .take(4).zipWithIndex
+        .map { case (c, i) => row(c, i + 1) }
+        .reduce(_ unionAll _)
     }),
 
     // Does the OPQ rotation's quantization-error gain move RETRIEVAL? ADC
@@ -1509,7 +1609,6 @@ object Similarity {
     // This is the decision-grade number next to the MSE audit: a
     // deployment pays for the rotation only if THIS moves.
     "sim_opq_recall" -> ((s, d) => {
-      val (basis, mean) = opqBasis(s, d)
       def adcTop5(xu: DataFrame, cents: DataFrame, codes: DataFrame): DataFrame = {
         val lut = xu.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
@@ -1531,8 +1630,8 @@ object Similarity {
             round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_5"))
       val rawTop5 =
         adcTop5(pqXu(s, d), pqCodebookShared(s, d), pqCodesShared(s, d))
-      val oxu = opqXu(s, d, basis, mean)
-      val ocents = trainCents(oxu)
+      val oxu = opqXuShared(s, d)
+      val ocents = opqCentsShared(s, d)
       recallRow(rawTop5, "raw")
         .unionAll(recallRow(adcTop5(oxu, ocents, pqAssign(oxu, ocents)), "opq"))
     }),
@@ -1971,6 +2070,64 @@ object Similarity {
               GROUP BY 1, 2)"""
 
   /** ADC top-5: the codes-only ranking sim_pq_adc returns. */
+  /** Unrolled 4-round Lloyd replay for sim_pq_train_curve: per round one
+    * distance table serves BOTH that round's error total and the next
+    * round's re-assignment — the same double duty the Spark plan's shared
+    * scan does. Static (seeds are vec_id<16, structure data-independent).
+    */
+  private val pqTrainCurveSql: String = {
+    def dist(cents: String, out: String) = s""",
+      $out AS (SELECT x.vec_id, x.sb, k.c_id,
+                      sum((x.xu - k.cu) * (x.xu - k.cu)) AS d2
+               FROM xu x JOIN $cents k ON x.sb = k.sb AND x.wd = k.wd
+               GROUP BY 1, 2, 3)"""
+    def update(assign: String, out: String) = s""",
+      $out AS (SELECT x.sb, a.c_id, x.wd,
+                      CAST(round(CAST(sum(x.xu) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cu
+               FROM $assign a JOIN xu x
+                 ON a.vec_id = x.vec_id AND a.sb = x.sb
+               GROUP BY 1, 2, 3)"""
+    def argmin(d: String, out: String) = s""",
+      $out AS (SELECT vec_id, sb, c_id FROM $d
+               QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                 ORDER BY d2, c_id) = 1)"""
+    def tot(d: String, out: String) = s""",
+      $out AS (SELECT CAST(sum(d2) AS BIGINT) AS t FROM (
+                 SELECT d2 FROM $d
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                   ORDER BY d2, c_id) = 1))"""
+    val rounds = (1 to 4).map { k =>
+      val in = if (k == 1) {
+        // round 1: assign to seeds, update → c1
+        argmin("a1d", "a1") + update("a1", "c1")
+      } else {
+        // round k: re-assign to c(k-1)'s distance table, update → ck
+        argmin(s"dist${k - 1}", s"a$k") + update(s"a$k", s"c$k")
+      }
+      in + dist(s"c$k", s"dist$k") + tot(s"dist$k", s"t$k")
+    }.mkString
+    val outs = (1 to 4).map { k =>
+      s"""
+      SELECT CAST($k AS INTEGER) AS iter, t$k.t AS total_qerr_u,
+             round(CAST(t$k.t AS DOUBLE) / n.n / 64.0
+               / 1000000000000.0, 6) AS mse
+      FROM t$k, n"""
+    }.mkString("\n      UNION ALL")
+    s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      xu AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
+                    CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      seeds AS (SELECT vec_id AS c_id, sb, wd, xu AS cu FROM xu WHERE vec_id < 16),
+      a1d AS (SELECT x.vec_id, x.sb, s.c_id,
+                     sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
+              FROM xu x JOIN seeds s ON x.sb = s.sb AND x.wd = s.wd
+              GROUP BY 1, 2, 3)$rounds
+      $outs"""
+  }
+
   private val pqAdcSql: String = pqAdcCtes + """
       SELECT q_id, vec_id,
              round(CAST(adc_u AS DOUBLE) / 1000000000000.0, 6) AS adc_d2,
@@ -2225,6 +2382,7 @@ object Similarity {
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
     "sim_ivfpq_residual" -> pqIvfpqResidualSql,
     "sim_ivfpq_code_gain" -> pqCodeGainSql,
+    "sim_pq_train_curve" -> pqTrainCurveSql,
     "sim_ivfpq_residual_recall" -> s"""
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

@@ -397,6 +397,13 @@ object Temporal {
     "stream_dedup_metrics" -> ((s, d) =>
       graft.streaming.DedupIngest.metrics(s, d)),
 
+    // CHAINED stateful operators: dropDuplicatesWithinWatermark feeding a
+    // session_window aggregation in one streaming query — the
+    // never-double-count session table under re-delivery, oracled against
+    // the same batch sessions SQL (graft.streaming.SessionDedupStream).
+    "stream_session_dedup" -> ((s, d) =>
+      graft.streaming.SessionDedupStream(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -791,6 +798,8 @@ object Temporal {
     "w3b_session_window" -> sessionWindowSql,
     // the streaming session_window must reproduce the batch answer
     "stream_session_window" -> sessionWindowSql,
+    // …and so must the dedup→session chain: re-deliveries leave no trace
+    "stream_session_dedup" -> sessionWindowSql,
     "w7_attribution" -> """
       WITH w AS (
         SELECT event_type, value,

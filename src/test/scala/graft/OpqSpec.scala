@@ -63,6 +63,21 @@ class OpqSpec extends SparkSpec {
       s"raw leg ${byScheme("raw")._1} vs sim_pq_recall total $pqHits")
   }
 
+  test("training curve: iteration 1 is the family codebook; totals exact") {
+    val curve = graft.SparkEntry.queries("sim_pq_train_curve")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    curve.foreach { case (_, tot, _) => assert(tot > 0) }
+    // iteration 1 = seed-assign + one Lloyd update = exactly the codebook
+    // every PQ query trains — its error must equal the code-gain audit's
+    // raw rung
+    val rawTotal = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
+      .filter("scheme = 'raw'").head().getLong(1)
+    assert(curve.head._2 === rawTotal,
+      s"curve iter1 ${curve.head._2} vs code-gain raw $rawTotal")
+  }
+
   test("audit emits one exact row per rung with consistent mse") {
     val rows = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -488,6 +488,10 @@ class PlanSpec extends SparkSpec {
       // the exact-L2 broadcast-probe ground truth (sim_pq_recall's
       // declared baseline class); both ADC legs are equi-keyed
       "sim_opq_recall",
+      // four 1-row scalar(corpus size) annotates (one per Lloyd round) —
+      // the annotate-with-constant shape; every training join is
+      // equi-keyed on the 1024-row broadcast codebook
+      "sim_pq_train_curve",
       // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
       // λ legs run keyed per probe over the same ≤20 rows
       "sim_mmr_lambda_sweep",

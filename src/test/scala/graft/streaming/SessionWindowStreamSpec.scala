@@ -41,4 +41,27 @@ class SessionWindowStreamSpec extends SparkSpec {
       (2L, 1L, 0.0))       // user 2 singleton
     assert(got === expected)
   }
+
+  // The chained dedup→session query on the same fixture: id 3 (00:40,
+  // user 1) is re-delivered two batches behind. With the nudge batch both
+  // watermark versions are live when it arrives, so the late filter drops
+  // it (00:40 < the 03:01 watermark from max ts 05:00 − 119 min) before
+  // it can re-open user 1's already-flushed session — the output is
+  // EXACTLY the plain session answer. (Without the nudge this fixture
+  // measurably double-counts: the re-delivery passes the still-zero
+  // lagged late filter after dedup state was already evicted.)
+  test("dedup→session chain: the re-delivered slice leaves no trace") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("session-dedup-stream-spec")
+    events.map { case (id, t, u) => (id, t, u, "view", 1.0, null: String) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SessionDedupStream(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set(
+      (1L, 3L, 40 * 60.0),
+      (1L, 1L, 0.0),
+      (2L, 1L, 0.0))
+    assert(got === expected)
+  }
 }
