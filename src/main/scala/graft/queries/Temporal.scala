@@ -404,6 +404,12 @@ object Temporal {
     "stream_session_dedup" -> ((s, d) =>
       graft.streaming.SessionDedupStream(s, d)),
 
+    // The chain's TWO-operator monitoring surface: per batch, input rows,
+    // late drops, dedup keys in state, and open session windows in state —
+    // every cell replayed in SQL from the staged split + watermark rules.
+    "stream_session_dedup_metrics" -> ((s, d) =>
+      graft.streaming.SessionDedupStream.metrics(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -800,6 +806,51 @@ object Temporal {
     "stream_session_window" -> sessionWindowSql,
     // …and so must the dedup→session chain: re-deliveries leave no trace
     "stream_session_dedup" -> sessionWindowSql,
+    // the chain's per-batch two-operator state replay: batch 0 holds all
+    // N dedup keys and one state row per MERGED session; batch 1 evicts
+    // dedup to the 2·delay horizon and flushes sessions whose close
+    // (last event + gap) ≤ the watermark; batch 2's re-deliveries are
+    // raw-ts late-dropped or dedup-suppressed (no state movement);
+    // batch 3's U per-user sentinels add U keys and U open sessions.
+    "stream_session_dedup_metrics" -> """
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t, user_id FROM events),
+      wm AS (SELECT max(t) - INTERVAL 119 MINUTES AS w FROM e),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM e),
+      ded1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+               WHERE t + INTERVAL 119 MINUTES >= wm.w),
+      g AS (SELECT user_id, event_id, epoch_us(t) AS us,
+                   CASE WHEN epoch_us(t) - lag(epoch_us(t), 1)
+                          OVER (PARTITION BY user_id ORDER BY t, event_id)
+                        > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+            FROM e),
+      sess AS (SELECT user_id, us,
+                      sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM g),
+      sgrp AS (SELECT user_id, sid, max(us) AS last_us
+               FROM sess GROUP BY 1, 2),
+      s_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sgrp),
+      s_open AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sgrp, wm
+                 WHERE last_us + 30 * 60 * 1000000 > epoch_us(wm.w)),
+      sl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE event_id % 10 = 3),
+      drp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+              WHERE event_id % 10 = 3 AND t < wm.w)
+      SELECT CAST(0 AS INTEGER) AS batch_ord, n.n AS input_rows,
+             CAST(0 AS BIGINT) AS dropped_rows, n.n AS dedup_state,
+             s_all.n AS session_state
+      FROM n, s_all
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             ded1.n, s_open.n
+      FROM ded1, s_open
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), sl.n, drp.n, ded1.n, s_open.n
+      FROM sl, drp, ded1, s_open
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), u.u, CAST(0 AS BIGINT),
+             ded1.n + u.u, s_open.n + u.u
+      FROM u, ded1, s_open""",
     "w7_attribution" -> """
       WITH w AS (
         SELECT event_type, value,

@@ -43,8 +43,12 @@ import org.apache.spark.sql.functions._
   */
 object SessionDedupStream {
 
-  def apply(spark: SparkSession, sfDir: String): DataFrame =
-    graft.tables.Tables.withShufflePartitions(spark, 4) {
+  /** Stage the four-batch replay and drain the chained query; returns the
+    * drained session rows plus the per-micro-batch progress — shared by
+    * the output query ([[apply]]) and the monitoring query ([[metrics]]).
+    */
+  private def run(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
       val staged = Files.createTempDirectory("stream-session-dedup")
       try {
         val raw = spark.read.parquet(s"$sfDir/events.parquet")
@@ -76,9 +80,61 @@ object SessionDedupStream {
             sum(when(col("event_id") >= 0, 1L).otherwise(0L)).as("n_events"),
             ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
               / 1000000.0).as("duration_sec"))
-        Drain.toMemory(spark, "stream_session_dedup", sessions)
-          .filter(col("n_events") > 0)
-          .select(col("user_id"), col("n_events"), col("duration_sec"))
+        Drain.toMemoryWithProgress(spark, "stream_session_dedup", sessions)
       } finally StagedEvents.deleteRecursively(staged)
+  }
+
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      run(spark, sfDir)._1
+        .filter(col("n_events") > 0)
+        .select(col("user_id"), col("n_events"), col("duration_sec"))
     }
+
+  /** The TWO-OPERATOR state-boundedness contract of the chain, one row
+    * per data batch: input rows, late-filter drops, and numRowsTotal per
+    * state operator (dedup keys / open session windows) — every cell
+    * replayed in SQL. The replay rules compose the pinned singles:
+    *
+    *   batch 0 (all N): nothing evicted (watermark 0) — dedup holds all
+    *     N keys, session state holds every merged session (one state row
+    *     per SESSION, not per event — spec-pinned).
+    *   batch 1 (nudge): eviction wm = max − delay. Dedup evicts to the
+    *     2·delay horizon (ts ≥ max − 2·delay); sessions whose close
+    *     (last event + gap) ≤ wm flush and leave state — the open
+    *     sessions are those with close > wm.
+    *   batch 2 (slice): late filter drops raw ts < wm; the rest are
+    *     dedup-suppressed. Neither state moves.
+    *   batch 3 (per-user sentinels): U unique new keys pass dedup
+    *     (+U dedup rows) and open U far-future sessions (+U session
+    *     rows); eviction wm is still the batch-2 watermark, so the real
+    *     open sessions remain.
+    *
+    * Both columns are horizon-bounded at any stream length: dedup by the
+    * 2·delay key horizon, sessions by the set still open within gap of
+    * the watermark — the pair a production monitor alerts on.
+    */
+  def metrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val (_, progress) = run(spark, sfDir)
+      val rows = progress
+        .filter(p => p.numInputRows > 0)
+        .sortBy(_.batchId)
+        .zipWithIndex
+        .map { case (p, ord) =>
+          val (dedupOps, sessOps) = p.stateOperators
+            .partition(_.operatorName.toLowerCase.contains("dedup"))
+          (ord, p.numInputRows,
+            p.stateOperators.map(_.numRowsDroppedByWatermark).sum,
+            dedupOps.map(_.numRowsTotal).sum,
+            sessOps.map(_.numRowsTotal).sum)
+        }
+      rows.toSeq
+        .toDF("batch_ord", "input_rows", "dropped_rows", "dedup_state", "session_state")
+        .select(col("batch_ord").cast("int").as("batch_ord"),
+          col("input_rows"), col("dropped_rows"),
+          col("dedup_state"), col("session_state"))
+    }
+  }
 }

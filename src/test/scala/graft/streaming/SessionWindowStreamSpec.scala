@@ -64,4 +64,30 @@ class SessionWindowStreamSpec extends SparkSpec {
       (2L, 1L, 0.0))
     assert(got === expected)
   }
+
+  // Two-operator state metrics on the same fixture. max ts = 05:00, so
+  // wm after batch 0 = 03:01; dedup's 2·delay horizon keeps ts ≥ 01:02
+  // → ids 4 (01:10:00.000001) and 5 (05:00) = 2 keys; sessions closing
+  // (last + 30 min) ≤ 03:01 flush → only user 2's (close 05:30) stays
+  // open = 1. Batch 2's re-delivered id 3 (00:40) is late-dropped; batch
+  // 3's two per-user sentinels add 2 dedup keys and 2 far-future
+  // sessions. Also pins one state row per merged SESSION, not per event
+  // (batch 0 reads 3, not 5).
+  test("dedup→session chain metrics: " +
+      "(0,5,0,5,3), (1,1,0,2,1), (2,1,1,2,1), (3,2,0,4,3)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("session-dedup-metrics-spec")
+    events.map { case (id, t, u) => (id, t, u, "view", 1.0, null: String) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SessionDedupStream.metrics(spark, dir.toString)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList.sortBy(_._1)
+    assert(got === List(
+      (0, 5L, 0L, 5L, 3L),
+      (1, 1L, 0L, 2L, 1L),
+      (2, 1L, 1L, 2L, 1L),
+      (3, 2L, 0L, 4L, 3L)))
+  }
 }
