@@ -35,5 +35,6 @@ object SparkEntry {
       ("emb_pca_topk" -> graft.queries.Similarity.pcaOracleSql(spark, sfDir)) +
       ("emb_whitening" -> graft.queries.Similarity.whiteningOracleSql(spark, sfDir)) +
       ("sim_opq_code_gain" -> graft.queries.Similarity.opqOracleSql(spark, sfDir)) +
-      ("sim_opq_recall" -> graft.queries.Similarity.opqRecallSql(spark, sfDir))
+      ("sim_opq_recall" -> graft.queries.Similarity.opqRecallSql(spark, sfDir)) +
+      ("sim_opq_ivfpq_gain" -> graft.queries.Similarity.opqIvfpqGainSql(spark, sfDir))
 }

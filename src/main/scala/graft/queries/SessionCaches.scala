@@ -44,6 +44,7 @@ object SessionCaches {
     Similarity.residualCodesShared(s, d)
     Similarity.opqXuShared(s, d)
     Similarity.opqCentsShared(s, d)
+    Similarity.opqCodesShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
@@ -71,7 +72,9 @@ object SessionCaches {
     Similarity.releaseResidualCodes(s)
     Similarity.releaseResidualCents(s)
     Similarity.releaseIvfpqCells(s)
-    // the rotated codebook derives from the rotated coordinates
+    // the rotated codes derive from the codebook, which derives from the
+    // rotated coordinates: release depth-first
+    Similarity.releaseOpqCodes(s)
     Similarity.releaseOpqCents(s)
     Similarity.releaseOpqXu(s)
     TextOps.releaseBpeCorpus(s)

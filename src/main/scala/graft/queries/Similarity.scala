@@ -268,7 +268,16 @@ object Similarity {
       SELECT '$scheme' AS scheme, CAST(hit_$sfx.n AS BIGINT) AS n_hits,
              round(CAST(hit_$sfx.n AS DOUBLE) / 50.0, 6) AS recall_at_5
       FROM hit_$sfx"""
-    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("raw")},${opqTrainChain("opq")},
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("raw")},${opqTrainChain("opq")},$opqExactCtes${adc("raw")}${adc("opq")}
+      ${out("raw", "raw")}
+      UNION ALL${out("opq", "opq")}"""
+  }
+
+  /** Exact raw-space baseline CTEs shared by the generated OPQ oracles:
+    * `ex` = every (probe, candidate) integer-L2² pair, `x` = the exact
+    * top-5 per probe.
+    */
+  private val opqExactCtes: String = """
       ex AS (SELECT p.vec_id AS q_id, b.vec_id,
                     sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
              FROM xu_raw p JOIN xu_raw b ON p.sb = b.sb AND p.wd = b.wd
@@ -276,7 +285,57 @@ object Similarity {
              GROUP BY 1, 2),
       x AS (SELECT q_id, vec_id FROM ex
             QUALIFY row_number() OVER (PARTITION BY q_id
-              ORDER BY d2, vec_id) <= 5)${adc("raw")}${adc("opq")}
+              ORDER BY d2, vec_id) <= 5)"""
+
+  /** DuckDB SQL for sim_opq_ivfpq_gain — the raw-geometry IVF-PQ
+    * candidate set (16 full-vector coarse seeds, nprobe=2) with each
+    * scheme's codes/LUT restricted to it, ADC top-10, exact re-rank to
+    * top-5, recall vs the exact top-5. The candidate CTEs replay the
+    * Spark plan's shared coarse-cell directory exactly.
+    */
+  def opqIvfpqGainSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    def leg(sfx: String) = s""",
+      codes_$sfx AS (SELECT vec_id, sb, c_id FROM cd_$sfx
+                     QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                       ORDER BY d2, c_id) = 1),
+      lut_$sfx AS (SELECT vec_id AS q_id, sb, c_id, d2
+                   FROM cd_$sfx WHERE vec_id < 10),
+      adcd_$sfx AS (SELECT cn.q_id, cn.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+                    FROM cand cn JOIN codes_$sfx cd ON cn.vec_id = cd.vec_id
+                    JOIN lut_$sfx l
+                      ON l.q_id = cn.q_id AND l.sb = cd.sb AND l.c_id = cd.c_id
+                    GROUP BY 1, 2),
+      adc10_$sfx AS (SELECT q_id, vec_id FROM adcd_$sfx
+                     QUALIFY row_number() OVER (PARTITION BY q_id
+                       ORDER BY adc_u, vec_id) <= 10),
+      rr_$sfx AS (SELECT e.q_id, e.vec_id
+                  FROM ex e JOIN adc10_$sfx t
+                    ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+                  QUALIFY row_number() OVER (PARTITION BY e.q_id
+                    ORDER BY e.d2, e.vec_id) <= 5),
+      hit_$sfx AS (SELECT count(*) AS n FROM rr_$sfx r
+                   JOIN x ON r.q_id = x.q_id AND r.vec_id = x.vec_id)"""
+    def out(sfx: String, scheme: String) = s"""
+      SELECT '$scheme' AS scheme,
+             round(CAST(hit_$sfx.n AS DOUBLE) / 50.0, 6) AS recall_at_depth10
+      FROM hit_$sfx"""
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("raw")},${opqTrainChain("opq")},$opqExactCtes,
+      cellsd AS (SELECT x.vec_id, s.c16, sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
+                 FROM xu_raw x JOIN (SELECT vec_id AS c16, sb, wd, xu AS cu
+                                     FROM xu_raw WHERE vec_id < 16) s
+                   ON x.sb = s.sb AND x.wd = s.wd
+                 GROUP BY 1, 2),
+      cells AS (SELECT vec_id, c16 AS cell FROM cellsd
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, c16) = 1),
+      pcells AS (SELECT vec_id AS q_id, c16 AS cell FROM cellsd
+                 WHERE vec_id < 10
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, c16) <= 2),
+      cand AS (SELECT p.q_id, c.vec_id FROM cells c
+               JOIN pcells p ON c.cell = p.cell
+               WHERE c.vec_id <> p.q_id)${leg("raw")}${leg("opq")}
       ${out("raw", "raw")}
       UNION ALL${out("opq", "opq")}"""
   }
@@ -497,6 +556,21 @@ object Similarity {
   /** Unpersist and drop every shared rotated-codebook frame of `s`. */
   def releaseOpqCents(s: SparkSession): Unit = sharedOpqCents.release(s)
 
+  /** Session-scoped cache of the rotated-space CODE TABLE — encode once,
+    * every rotated-ADC consumer scans codes (the [[pqCodesShared]]
+    * lifecycle in the rotated space).
+    */
+  private val sharedOpqCodes = new SessionFrameCache(4)
+  def opqCodesShared(s: SparkSession, d: String): DataFrame = {
+    // parents materialized OUTSIDE this cache's monitor (lock discipline)
+    val xu = opqXuShared(s, d)
+    val cents = opqCentsShared(s, d)
+    sharedOpqCodes.getOrBuild(s, d)(pqAssign(xu, cents))
+  }
+
+  /** Unpersist and drop every shared rotated-code frame of `s`. */
+  def releaseOpqCodes(s: SparkSession): Unit = sharedOpqCodes.release(s)
+
   /** Session-scoped cache of the trained PQ codebook — per-subspace k=16
     * centroids from ONE Lloyd step (L2 assignment) over the deterministic
     * vec_id<16 seed subvectors; per-dimension member means rounded back to
@@ -533,6 +607,34 @@ object Similarity {
   private def trainCents(xu: DataFrame): DataFrame =
     lloydUpdate(xu, xu.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu")))
+
+  /** Shrunk-shortlist recall read-out shared by the code-quality audits
+    * (sim_ivfpq_code_gain, sim_opq_ivfpq_gain): ADC top-10 shortlist →
+    * exact integer-L2 re-rank → top-5 → recall vs the exact top-5. Depth
+    * 10 is the regime where ADC ORDERING is the binding constraint (the
+    * production 50×k shortlist forgives most code noise).
+    */
+  private def ivfpqRecallAtDepth10(
+      s: SparkSession, d: String, adcr: DataFrame, scheme: String): DataFrame = {
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+    val shortlist = adcr
+      .withColumn("r", row_number().over(wShort)).filter(col("r") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    val vu = pqVu(s, d)
+    val probes = vu.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vu").as("qu"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val top5 = vu.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    top5.join(pqExactTop5(s, d), Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(scheme).as("scheme"),
+        round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_depth10"))
+  }
 
   /** Exact total quantization error of `xu` against `cents`: per
     * (vector, subspace) minimal integer L2², summed — one (t) row.
@@ -1505,26 +1607,8 @@ object Similarity {
     // frames come from the already-shared code tables and one extra
     // bounded rank window each.
     "sim_ivfpq_code_gain" -> ((s, d) => {
-      def recallAtDepth10(adcr: DataFrame, scheme: String): DataFrame = {
-        val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
-        val shortlist = adcr
-          .withColumn("r", row_number().over(wShort)).filter(col("r") <= 10)
-          .select(col("q_id"), col("vec_id"))
-        val vu = pqVu(s, d)
-        val probes = vu.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("vu").as("qu"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
-        val top5 = vu.join(broadcast(shortlist), Seq("vec_id"))
-          .join(broadcast(probes), Seq("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
-          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-          .select(col("q_id"), col("vec_id"))
-        top5.join(pqExactTop5(s, d), Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(scheme).as("scheme"),
-            round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_depth10"))
-      }
+      def recallAtDepth10(adcr: DataFrame, scheme: String): DataFrame =
+        ivfpqRecallAtDepth10(s, d, adcr, scheme)
       val rawAdcr = {
         val scores = ivfpqCellScores(s, d)
         val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
@@ -1599,6 +1683,40 @@ object Similarity {
         .reduce(_ unionAll _)
     }),
 
+    // The END-TO-END rung of the FAISS OPQ ladder: IVF-PQ over
+    // OPQ-rotated codes, read at the depth-10 regime where ADC ordering
+    // binds — directly comparable to sim_ivfpq_code_gain's raw 0.50 /
+    // residual 0.42 rows because the CANDIDATE SET is identical by
+    // construction (the raw-geometry coarse cells; rotation preserves L2
+    // so cell assignment is the same quantizer, and reusing the shared
+    // cell directory isolates CODE quality with zero confound). Both
+    // legs: candidates → codes → per-probe LUT → ADC top-10 → exact
+    // re-rank top-5 → recall vs exact top-5.
+    "sim_opq_ivfpq_gain" -> ((s, d) => {
+      val scores = ivfpqCellScores(s, d)
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+      val probeCells = scores.filter(col("vec_id") < 10)
+        .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
+        .select(col("vec_id").as("q_id"), col("c16").as("cell"))
+      val cand = ivfpqCellsShared(s, d).join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      def adcOver(codes: DataFrame, lut: DataFrame): DataFrame =
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("q_id", "sub", "c_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc_u"))
+      val oxu = opqXuShared(s, d)
+      val olut = oxu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
+        .join(broadcast(opqCentsShared(s, d)), Seq("sub", "wd"))
+        .groupBy(col("q_id"), col("sub"), col("c_id"))
+        .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
+      ivfpqRecallAtDepth10(s, d, adcOver(pqCodesShared(s, d), pqLut(s, d)), "raw")
+        .unionAll(
+          ivfpqRecallAtDepth10(s, d, adcOver(opqCodesShared(s, d), olut), "opq"))
+    }),
+
     // Does the OPQ rotation's quantization-error gain move RETRIEVAL? ADC
     // top-5 recall against the exact raw-space integer-L2 top-5 (the
     // rotation-invariant ground truth — orthogonal maps preserve L2, so
@@ -1631,9 +1749,9 @@ object Similarity {
       val rawTop5 =
         adcTop5(pqXu(s, d), pqCodebookShared(s, d), pqCodesShared(s, d))
       val oxu = opqXuShared(s, d)
-      val ocents = opqCentsShared(s, d)
       recallRow(rawTop5, "raw")
-        .unionAll(recallRow(adcTop5(oxu, ocents, pqAssign(oxu, ocents)), "opq"))
+        .unionAll(recallRow(
+          adcTop5(oxu, opqCentsShared(s, d), opqCodesShared(s, d)), "opq"))
     }),
 
     // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, λ = 1/2): greedy

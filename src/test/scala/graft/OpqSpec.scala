@@ -78,6 +78,18 @@ class OpqSpec extends SparkSpec {
       s"curve iter1 ${curve.head._2} vs code-gain raw $rawTotal")
   }
 
+  test("IVF-PQ gain audit: raw leg reproduces the code-gain raw row") {
+    val gain = graft.SparkEntry.queries("sim_opq_ivfpq_gain")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gain.keySet === Set("raw", "opq"))
+    gain.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // identical candidates + identical raw codes/LUT ⇒ the raw leg must
+    // equal sim_ivfpq_code_gain's raw row exactly
+    val cg = graft.SparkEntry.queries("sim_ivfpq_code_gain")(spark, sf)
+      .filter("scheme = 'raw'").head().getDouble(1)
+    assert(gain("raw") === cg, s"gain raw ${gain("raw")} vs code-gain raw $cg")
+  }
+
   test("audit emits one exact row per rung with consistent mse") {
     val rows = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -492,6 +492,9 @@ class PlanSpec extends SparkSpec {
       // the annotate-with-constant shape; every training join is
       // equi-keyed on the 1024-row broadcast codebook
       "sim_pq_train_curve",
+      // the 16-seed coarse scoring + exact broadcast-probe baseline
+      // (sim_ivfpq_code_gain's class); candidate/ADC joins are equi-keyed
+      "sim_opq_ivfpq_gain",
       // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
       // λ legs run keyed per probe over the same ≤20 rows
       "sim_mmr_lambda_sweep",
