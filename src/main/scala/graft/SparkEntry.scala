@@ -36,5 +36,6 @@ object SparkEntry {
       ("emb_whitening" -> graft.queries.Similarity.whiteningOracleSql(spark, sfDir)) +
       ("sim_opq_code_gain" -> graft.queries.Similarity.opqOracleSql(spark, sfDir)) +
       ("sim_opq_recall" -> graft.queries.Similarity.opqRecallSql(spark, sfDir)) +
-      ("sim_opq_ivfpq_gain" -> graft.queries.Similarity.opqIvfpqGainSql(spark, sfDir))
+      ("sim_opq_ivfpq_gain" -> graft.queries.Similarity.opqIvfpqGainSql(spark, sfDir)) +
+      ("sim_opq_rerank_gain" -> graft.queries.Similarity.opqRerankGainSql(spark, sfDir))
 }

@@ -287,6 +287,41 @@ object Similarity {
             QUALIFY row_number() OVER (PARTITION BY q_id
               ORDER BY d2, vec_id) <= 5)"""
 
+  /** DuckDB SQL for sim_opq_rerank_gain — whole-corpus ADC top-50 per
+    * scheme, exact re-rank to top-5, recall vs the exact top-5.
+    */
+  def opqRerankGainSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    def leg(sfx: String) = s""",
+      codes_$sfx AS (SELECT vec_id, sb, c_id FROM cd_$sfx
+                     QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                       ORDER BY d2, c_id) = 1),
+      lut_$sfx AS (SELECT vec_id AS q_id, sb, c_id, d2
+                   FROM cd_$sfx WHERE vec_id < 10),
+      adcd_$sfx AS (SELECT l.q_id, cds.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+                    FROM codes_$sfx cds JOIN lut_$sfx l
+                      ON cds.sb = l.sb AND cds.c_id = l.c_id
+                    WHERE cds.vec_id <> l.q_id
+                    GROUP BY 1, 2),
+      adc50_$sfx AS (SELECT q_id, vec_id FROM adcd_$sfx
+                     QUALIFY row_number() OVER (PARTITION BY q_id
+                       ORDER BY adc_u, vec_id) <= 50),
+      rr_$sfx AS (SELECT e.q_id, e.vec_id
+                  FROM ex e JOIN adc50_$sfx t
+                    ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+                  QUALIFY row_number() OVER (PARTITION BY e.q_id
+                    ORDER BY e.d2, e.vec_id) <= 5),
+      hit_$sfx AS (SELECT count(*) AS n FROM rr_$sfx r
+                   JOIN x ON r.q_id = x.q_id AND r.vec_id = x.vec_id)"""
+    def out(sfx: String, scheme: String) = s"""
+      SELECT '$scheme' AS scheme,
+             round(CAST(hit_$sfx.n AS DOUBLE) / 50.0, 6) AS recall_at_depth50
+      FROM hit_$sfx"""
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("raw")},${opqTrainChain("opq")},$opqExactCtes${leg("raw")}${leg("opq")}
+      ${out("raw", "raw")}
+      UNION ALL${out("opq", "opq")}"""
+  }
+
   /** DuckDB SQL for sim_opq_ivfpq_gain — the raw-geometry IVF-PQ
     * candidate set (16 full-vector coarse seeds, nprobe=2) with each
     * scheme's codes/LUT restricted to it, ADC top-10, exact re-rank to
@@ -615,10 +650,18 @@ object Similarity {
     * production 50×k shortlist forgives most code noise).
     */
   private def ivfpqRecallAtDepth10(
-      s: SparkSession, d: String, adcr: DataFrame, scheme: String): DataFrame = {
+      s: SparkSession, d: String, adcr: DataFrame, scheme: String): DataFrame =
+    pqRecallAtDepth(s, d, adcr, scheme, 10, "recall_at_depth10")
+
+  /** Generalized shrunk-shortlist recall: ADC top-`depth` shortlist →
+    * exact integer-L2 re-rank → top-5 → recall vs the exact top-5,
+    * emitted under `outCol`.
+    */
+  private def pqRecallAtDepth(s: SparkSession, d: String, adcr: DataFrame,
+      scheme: String, depth: Int, outCol: String): DataFrame = {
     val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
     val shortlist = adcr
-      .withColumn("r", row_number().over(wShort)).filter(col("r") <= 10)
+      .withColumn("r", row_number().over(wShort)).filter(col("r") <= depth)
       .select(col("q_id"), col("vec_id"))
     val vu = pqVu(s, d)
     val probes = vu.filter(col("vec_id") < 10)
@@ -633,8 +676,18 @@ object Similarity {
     top5.join(pqExactTop5(s, d), Seq("q_id", "vec_id"))
       .agg(count(lit(1)).as("n_hits"))
       .select(lit(scheme).as("scheme"),
-        round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_depth10"))
+        round(col("n_hits").cast("double") / 50.0, 6).as(outCol))
   }
+
+  /** Per-probe ADC lookup table in the ROTATED space — [[pqLut]]'s shape
+    * over the shared rotated coordinates/codebook.
+    */
+  private def opqLut(s: SparkSession, d: String): DataFrame =
+    opqXuShared(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
+      .join(broadcast(opqCentsShared(s, d)), Seq("sub", "wd"))
+      .groupBy(col("q_id"), col("sub"), col("c_id"))
+      .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
 
   /** Exact total quantization error of `xu` against `cents`: per
     * (vector, subspace) minimal integer L2², summed — one (t) row.
@@ -1706,15 +1759,28 @@ object Similarity {
           .join(broadcast(lut), Seq("q_id", "sub", "c_id"))
           .groupBy(col("q_id"), col("vec_id"))
           .agg(sum(col("d2")).as("adc_u"))
-      val oxu = opqXuShared(s, d)
-      val olut = oxu.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
-        .join(broadcast(opqCentsShared(s, d)), Seq("sub", "wd"))
-        .groupBy(col("q_id"), col("sub"), col("c_id"))
-        .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
       ivfpqRecallAtDepth10(s, d, adcOver(pqCodesShared(s, d), pqLut(s, d)), "raw")
         .unionAll(
-          ivfpqRecallAtDepth10(s, d, adcOver(opqCodesShared(s, d), olut), "opq"))
+          ivfpqRecallAtDepth10(s, d, adcOver(opqCodesShared(s, d), opqLut(s, d)), "opq"))
+    }),
+
+    // The PRODUCTION-regime leg: whole-corpus ADC shortlist at depth 50
+    // (the measured raw depth-recall point 0.72 from the re-rank curve)
+    // → exact re-rank → recall@5, raw vs rotated codes. Completes the
+    // three-regime table next to sim_opq_recall (whole-corpus ADC@5) and
+    // sim_opq_ivfpq_gain (candidate-restricted depth 10): where in the
+    // retrieval stack does the rotation actually pay?
+    "sim_opq_rerank_gain" -> ((s, d) => {
+      def fullAdc(codes: DataFrame, lut: DataFrame): DataFrame =
+        codes.join(broadcast(lut), Seq("sub", "c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc_u"))
+      pqRecallAtDepth(s, d, fullAdc(pqCodesShared(s, d), pqLut(s, d)),
+          "raw", 50, "recall_at_depth50")
+        .unionAll(pqRecallAtDepth(s, d,
+          fullAdc(opqCodesShared(s, d), opqLut(s, d)),
+          "opq", 50, "recall_at_depth50"))
     }),
 
     // Does the OPQ rotation's quantization-error gain move RETRIEVAL? ADC

@@ -90,6 +90,20 @@ class OpqSpec extends SparkSpec {
     assert(gain("raw") === cg, s"gain raw ${gain("raw")} vs code-gain raw $cg")
   }
 
+  test("re-rank gain audit: two schemes, recall bounded, raw consistent " +
+      "with the depth-recall curve shape") {
+    val gain = graft.SparkEntry.queries("sim_opq_rerank_gain")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gain.keySet === Set("raw", "opq"))
+    gain.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // depth-50 re-rank can never do worse than the direct ADC top-5 —
+    // the shortlist contains the ADC top-5 by construction
+    val adc5 = graft.SparkEntry.queries("sim_opq_recall")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gain("raw") >= adc5("raw"), s"${gain("raw")} < ${adc5("raw")}")
+    assert(gain("opq") >= adc5("opq"), s"${gain("opq")} < ${adc5("opq")}")
+  }
+
   test("audit emits one exact row per rung with consistent mse") {
     val rows = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -495,6 +495,9 @@ class PlanSpec extends SparkSpec {
       // the 16-seed coarse scoring + exact broadcast-probe baseline
       // (sim_ivfpq_code_gain's class); candidate/ADC joins are equi-keyed
       "sim_opq_ivfpq_gain",
+      // the exact broadcast-probe baseline again; both whole-corpus ADC
+      // legs and the re-rank gathers are equi-keyed
+      "sim_opq_rerank_gain",
       // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
       // λ legs run keyed per probe over the same ≤20 rows
       "sim_mmr_lambda_sweep",
