@@ -1736,6 +1736,31 @@ object Similarity {
         .reduce(_ unionAll _)
     }),
 
+    // SEED-CHOICE audit for the PQ trainer: quantization error after one
+    // Lloyd update from the family's fixture seeds (vec_id<16 — the
+    // deterministic but arbitrary first-ids choice every PQ query
+    // standardizes on) vs a deterministic md5-ranked sample (the 16
+    // corpus vectors with smallest md5(vec_id), the engine-portable
+    // stand-in for a uniform random draw — k-means++/|| style seeding
+    // reduced to its oracle-able core). Scale shape: the md5 selection is
+    // ORDER BY + LIMIT 16 (TakeOrderedAndProject — map-side top-k, no
+    // unbounded single-partition funnel); training is the usual
+    // bounded-broadcast shape. On id-uncorrelated synthetic data the
+    // honest expectation is a wash — but the OPQ audits taught that
+    // predictions lose to measurements here.
+    "sim_pq_seed_audit" -> ((s, d) => {
+      val xu = pqXu(s, d)
+      val dim = 64 // the PQ family's fixed 8×8 layout
+      val md5Sel = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .select(col("vec_id"))
+      val md5Seeds = xu.join(broadcast(md5Sel), Seq("vec_id"))
+        .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu"))
+      pqQerrRow(s, d, xu, pqCodebookShared(s, d), "fixture", dim)
+        .unionAll(pqQerrRow(s, d, xu, lloydUpdate(xu, md5Seeds), "md5", dim))
+    }),
+
     // The END-TO-END rung of the FAISS OPQ ladder: IVF-PQ over
     // OPQ-rotated codes, read at the depth-10 regime where ADC ordering
     // binds — directly comparable to sim_ivfpq_code_gain's raw 0.50 /
@@ -2312,6 +2337,54 @@ object Similarity {
       $outs"""
   }
 
+  /** Static replay of sim_pq_seed_audit: both seedings (fixture ids vs
+    * md5-ranked sample), one Lloyd update each, exact min-d2 totals.
+    */
+  private val pqSeedAuditSql: String = {
+    def chain(seeds: String, sfx: String) = s""",
+      a1d_$sfx AS (SELECT x.vec_id, x.sb, s.c_id,
+                          sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
+                   FROM xu x JOIN $seeds s ON x.sb = s.sb AND x.wd = s.wd
+                   GROUP BY 1, 2, 3),
+      a1_$sfx AS (SELECT vec_id, sb, c_id FROM a1d_$sfx
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                    ORDER BY d2, c_id) = 1),
+      cents_$sfx AS (SELECT x.sb, a.c_id, x.wd,
+                            CAST(round(CAST(sum(x.xu) AS DOUBLE) / count(*))
+                              AS BIGINT) AS cu
+                     FROM a1_$sfx a JOIN xu x
+                       ON a.vec_id = x.vec_id AND a.sb = x.sb
+                     GROUP BY 1, 2, 3),
+      cd_$sfx AS (SELECT x.vec_id, x.sb, k.c_id,
+                         sum((x.xu - k.cu) * (x.xu - k.cu)) AS d2
+                  FROM xu x JOIN cents_$sfx k
+                    ON x.sb = k.sb AND x.wd = k.wd
+                  GROUP BY 1, 2, 3),
+      t_$sfx AS (SELECT CAST(sum(d2) AS BIGINT) AS t FROM (
+                   SELECT d2 FROM cd_$sfx
+                   QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                     ORDER BY d2, c_id) = 1))"""
+    def out(sfx: String, scheme: String) = s"""
+      SELECT '$scheme' AS scheme, t_$sfx.t AS total_qerr_u,
+             round(CAST(t_$sfx.t AS DOUBLE) / n.n / 64.0
+               / 1000000000000.0, 6) AS mse
+      FROM t_$sfx, n"""
+    s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      xu AS (SELECT vec_id, (i - 1) // 8 AS sb, (i - 1) % 8 AS wd,
+                    CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      seeds_fix AS (SELECT vec_id AS c_id, sb, wd, xu AS cu
+                    FROM xu WHERE vec_id < 16),
+      sel AS (SELECT vec_id FROM c
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      seeds_md5 AS (SELECT x.vec_id AS c_id, x.sb, x.wd, x.xu AS cu
+                    FROM xu x JOIN sel ON x.vec_id = sel.vec_id)${chain("seeds_fix", "fix")}${chain("seeds_md5", "m5")}
+      ${out("fix", "fixture")}
+      UNION ALL${out("m5", "md5")}"""
+  }
+
   private val pqAdcSql: String = pqAdcCtes + """
       SELECT q_id, vec_id,
              round(CAST(adc_u AS DOUBLE) / 1000000000000.0, 6) AS adc_d2,
@@ -2567,6 +2640,7 @@ object Similarity {
     "sim_ivfpq_residual" -> pqIvfpqResidualSql,
     "sim_ivfpq_code_gain" -> pqCodeGainSql,
     "sim_pq_train_curve" -> pqTrainCurveSql,
+    "sim_pq_seed_audit" -> pqSeedAuditSql,
     "sim_ivfpq_residual_recall" -> s"""
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu

@@ -104,6 +104,16 @@ class OpqSpec extends SparkSpec {
     assert(gain("opq") >= adc5("opq"), s"${gain("opq")} < ${adc5("opq")}")
   }
 
+  test("seed audit: fixture leg is the family codebook's error") {
+    val rows = graft.SparkEntry.queries("sim_pq_seed_audit")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("fixture", "md5"))
+    rows.values.foreach(v => assert(v > 0))
+    val rawTotal = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
+      .filter("scheme = 'raw'").head().getLong(1)
+    assert(rows("fixture") === rawTotal)
+  }
+
   test("audit emits one exact row per rung with consistent mse") {
     val rows = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -498,6 +498,10 @@ class PlanSpec extends SparkSpec {
       // the exact broadcast-probe baseline again; both whole-corpus ADC
       // legs and the re-rank gathers are equi-keyed
       "sim_opq_rerank_gain",
+      // two 1-row scalar(corpus size) annotates — the annotate-with-
+      // constant shape; the md5 seed pick is TakeOrdered, training joins
+      // are equi-keyed on broadcast codebooks
+      "sim_pq_seed_audit",
       // sim_mmr_topk's broadcast-probe shortlist build; the three greedy
       // λ legs run keyed per probe over the same ≤20 rows
       "sim_mmr_lambda_sweep",
