@@ -1,4 +1,7 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
 
 /** Benchmark main. Prints ONE JSON line with per-query wall seconds.
@@ -13,6 +16,44 @@ import org.apache.spark.sql.DataFrame
 object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Per-query COST counters (judge r09 task: the 11× driver-vs-builder
+    * wall-time dispute on dedup_minhash_estimate was unadjudicable from
+    * seconds alone — identical jobs + shuffle bytes with divergent seconds
+    * proves "environment", mechanically). One listener accumulates job
+    * count and shuffle WRITE bytes; the timed loop snapshots the deltas
+    * around each query's three reps. Unlike wall seconds, both counters
+    * are plan-determined: same code + data + warm cache state ⇒ same
+    * numbers on any machine.
+    */
+  private final class CostListener extends SparkListener {
+    val jobsStarted = new AtomicLong
+    val jobsEnded = new AtomicLong
+    val shuffleWriteBytes = new AtomicLong
+    override def onJobStart(e: SparkListenerJobStart): Unit =
+      jobsStarted.incrementAndGet()
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      jobsEnded.incrementAndGet()
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      shuffleWriteBytes.addAndGet(
+        e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    /** The listener bus is async; a snapshot taken right after an action
+      * returns can miss in-flight events. All events are POSTED by then,
+      * so quiescence (counters stable for 100 ms, bounded at 3 s) means
+      * the queue drained.
+      */
+    def drain(): Unit = {
+      val deadline = System.nanoTime() + 3_000_000_000L
+      var last = (-1L, -1L, -1L)
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val cur = (jobsStarted.get, jobsEnded.get, shuffleWriteBytes.get)
+        if (cur == last && cur._1 == cur._2) stable += 1 else stable = 0
+        last = cur
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +91,8 @@ object Bench {
     // q1_agg), which interleaved whole-suite passes never do — each query
     // returned to cold code paths 50 queries later. The warm-up above
     // already paid classload/codegen once.
+    val cost = new CostListener
+    spark.sparkContext.addSparkListener(cost)
     val results = ordered.map { case (name, fn) =>
       // Full collection BEFORE each query: otherwise a query's timing
       // inherits whatever garbage the previous 50 queries left, and which
@@ -59,16 +102,22 @@ object Bench {
       // query of non-timed collection buys per-query numbers that compare
       // across rounds.
       System.gc()
+      cost.drain()
+      val jobs0 = cost.jobsEnded.get
+      val shuf0 = cost.shuffleWriteBytes.get
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      cost.drain()
+      val jobs = cost.jobsEnded.get - jobs0
+      val shufMb = (cost.shuffleWriteBytes.get - shuf0) / 1048576.0
       // keep min AND median: a wide min/med spread marks a context-noise
       // reading (GC pause, JIT re-profile) that needs no fresh-JVM Profile
       // triage — three rounds of >=2x regression triage (r05-r07) reduced
       // to exactly this distinction
-      (name, reps.head, reps(reps.size / 2))
+      (name, reps.head, reps(reps.size / 2), jobs, shufMb)
     }
     // Stdout contract: the driver captures only the LAST ~2.2 KB of stdout,
     // so a 95-query map (~2.4 KB) printed as one line gets FRONT-truncated
@@ -79,16 +128,19 @@ object Bench {
     // that always survives the tail capture whole.
     def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
-    val byName = results.map { case (k, mn, _) => k -> mn }.toMap
-    // BENCH_LOCAL carries the rep spread in "queries" (r08+ schema) AND a
-    // plain min-seconds map in "queries_min", so tooling that predates the
-    // {"min","med"} objects (round-over-round diff scripts parsing numeric
-    // values) keeps a stable field instead of breaking on the new shape.
-    // The stdout contract line below stays plain min-seconds throughout.
-    val qs = results.map { case (k, mn, md) =>
-      s"\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) + "}"
+    val byName = results.map { case (k, mn, _, _, _) => k -> mn }.toMap
+    // BENCH_LOCAL carries the rep spread PLUS the plan-determined cost
+    // counters in "queries" (r10 schema: {"min","med","jobs","shuffle_mb"}
+    // — jobs/shuffle are the 3-rep totals) AND a plain min-seconds map in
+    // "queries_min", so tooling that predates the objects (round-over-round
+    // diff scripts parsing numeric values) keeps a stable field instead of
+    // breaking on the new shape. The stdout contract line below stays
+    // plain min-seconds throughout.
+    val qs = results.map { case (k, mn, md, jobs, shufMb) =>
+      s"\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) +
+        ",\"jobs\":" + jobs + ",\"shuffle_mb\":" + fmt(shufMb) + "}"
     }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, mn, _) => s"\"$k\":" + fmt(mn) }
+    val qsMin = results.map { case (k, mn, _, _, _) => s"\"$k\":" + fmt(mn) }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""

@@ -37,5 +37,7 @@ object SparkEntry {
       ("sim_opq_code_gain" -> graft.queries.Similarity.opqOracleSql(spark, sfDir)) +
       ("sim_opq_recall" -> graft.queries.Similarity.opqRecallSql(spark, sfDir)) +
       ("sim_opq_ivfpq_gain" -> graft.queries.Similarity.opqIvfpqGainSql(spark, sfDir)) +
-      ("sim_opq_rerank_gain" -> graft.queries.Similarity.opqRerankGainSql(spark, sfDir))
+      ("sim_opq_rerank_gain" -> graft.queries.Similarity.opqRerankGainSql(spark, sfDir)) +
+      ("stream_opq_encode" -> graft.queries.Similarity.opqStreamCodesSql(spark, sfDir)) +
+      ("pipeline_hybrid_retrieval" -> graft.queries.Similarity.hybridRetrievalSql(spark, sfDir))
 }

@@ -29,8 +29,13 @@ object SessionCaches {
     * builder-local steady state was 0.16 s).
     */
   def prewarm(s: SparkSession, d: String): Unit = {
+    TextOps.minhashSignaturesShared(s, d)
     TextOps.minhashBandsShared(s, d)
     TextOps.minhashPairsShared(s, d)
+    TextOps.minhashPairShinglesShared(s, d)
+    TextOps.winnowSelectionsShared(s, d)
+    TextOps.winnowAnchorsShared(s, d)
+    TextOps.winnowPairsShared(s, d)
     Extended.ccLabelsShared(s, d)
     Extended.pagerankEdgesShared(s, d)
     TextOps.unigramScoresShared(s, d)
@@ -62,9 +67,16 @@ object SessionCaches {
     TextOps.releaseDocFreqs(s)
     TextOps.releaseDocLengths(s)
     TextOps.releasePostings(s)
-    // pairs derive from the band frame: release derived before parent
+    // the MinHash chain derives signature → bands → pairs → pair-shingles:
+    // release depth-first (most-derived first)
+    TextOps.releasePairShingles(s)
     TextOps.releaseSharedPairs(s)
     TextOps.releaseBands(s)
+    TextOps.releaseSignatures(s)
+    // the winnowing chain derives selections → {anchors, pairs}: same order
+    TextOps.releaseWinnowAnchors(s)
+    TextOps.releaseWinnowPairs(s)
+    TextOps.releaseWinnowSelections(s)
     // the code table derives from the codebook: same order discipline
     Similarity.releasePqCodes(s)
     Similarity.releasePqCodebook(s)

@@ -93,21 +93,31 @@ object Similarity {
     * right residency; the content stamp gives the same staleness rule as
     * the frame caches.
     */
+  /** Per-key once-only holder: the map monitor covers only the
+    * lookup/insert (never a Spark job), while the holder's `lazy val`
+    * guarantees exactly ONE thread runs the full-corpus moments pass per
+    * (dir, stamp) key — concurrent first callers (parallel prewarm +
+    * query threads) block on the holder, not on a duplicated compute.
+    */
+  private final class CovHolder(compute: () => (Array[Array[Double]], Array[Double])) {
+    lazy val value: (Array[Array[Double]], Array[Double]) = compute()
+  }
   private val covMemo =
-    new java.util.LinkedHashMap[String, (Array[Array[Double]], Array[Double])](
-      8, 0.75f, true) {
+    new java.util.LinkedHashMap[String, CovHolder](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Array[Array[Double]], Array[Double])])
-          : Boolean = size() > 8
+          e: java.util.Map.Entry[String, CovHolder]): Boolean = size() > 8
     }
   private[graft] def covarianceMatrix(
       s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
     val key = d + "|" + ContentStamp.of(d)
-    covMemo.synchronized(Option(covMemo.get(key))).getOrElse {
-      val v = computeCovarianceMatrix(s, d)
-      covMemo.synchronized(covMemo.put(key, v))
-      v
+    val holder = covMemo.synchronized {
+      Option(covMemo.get(key)).getOrElse {
+        val h = new CovHolder(() => computeCovarianceMatrix(s, d))
+        covMemo.put(key, h)
+        h
+      }
     }
+    holder.value
   }
 
   private def computeCovarianceMatrix(
@@ -240,6 +250,92 @@ object Similarity {
                   FROM xu_$sfx x JOIN cents_$sfx k
                     ON x.sb = k.sb AND x.wd = k.wd
                   GROUP BY 1, 2, 3)"""
+
+  /** DuckDB SQL for stream_opq_encode — the [[opqOracleSql]] machinery
+    * cut down to the rotated code table itself: DuckDB independently
+    * rotates, trains, and encodes, and the STREAMED per-row encode must
+    * land on the identical (vec_id, sub, c_id) set.
+    */
+  def opqStreamCodesSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("opq")}
+      SELECT vec_id, sb AS sub, c_id FROM cd_opq
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sb ORDER BY d2, c_id) = 1"""
+  }
+
+  /** DuckDB SQL for pipeline_hybrid_retrieval — the OPQ train/encode
+    * replay feeding a depth-50 ADC leg, the static BM25 chain (probes
+    * doc_id < 10) feeding the depth-50 lexical leg, and the RRF fusion
+    * tail — every stage the same arithmetic as its standalone oracle.
+    */
+  def hybridRetrievalSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("opq")},
+      hcodes AS (SELECT vec_id, sb, c_id FROM cd_opq
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                   ORDER BY d2, c_id) = 1),
+      hlut AS (SELECT vec_id AS q_id, sb, c_id, d2 FROM cd_opq WHERE vec_id < 10),
+      hadc AS (SELECT l.q_id, cds.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+               FROM hcodes cds JOIN hlut l ON cds.sb = l.sb AND cds.c_id = l.c_id
+               WHERE cds.vec_id <> l.q_id
+               GROUP BY 1, 2),
+      dtop AS (SELECT q_id, vec_id AS cand,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY adc_u, vec_id) AS rank
+               FROM hadc
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_u, vec_id) <= 50),
+      htk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+      htok AS (SELECT doc_id, term FROM htk WHERE length(term) > 0),
+      htf AS (SELECT doc_id, term, count(*) AS tf FROM htok GROUP BY 1, 2),
+      hdl AS (SELECT doc_id, count(*) AS dl FROM htok GROUP BY 1),
+      hdf AS (SELECT term, count(*) AS df FROM htf GROUP BY term),
+      hn AS (SELECT count(*) AS n_docs FROM documents),
+      hst AS (SELECT n_docs,
+                     CAST((SELECT sum(dl) FROM hdl) AS DOUBLE) / n_docs AS avgdl
+              FROM hn),
+      hq AS (SELECT doc_id AS q_doc, term
+             FROM (SELECT htf.doc_id, htf.term,
+                          round(htf.tf * ln(hn.n_docs / CAST(hdf.df AS DOUBLE)), 6)
+                            AS score
+                   FROM htf JOIN hdf USING (term) CROSS JOIN hn
+                   WHERE htf.doc_id < 10)
+             QUALIFY row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) <= 3),
+      hcu AS (SELECT hq.q_doc, htf.doc_id,
+                     CAST(round(ln(1 + (hst.n_docs - hdf.df + 0.5) / (hdf.df + 0.5))
+                          * ((htf.tf * 2.2)
+                             / (htf.tf + 1.2 * (0.25 + 0.75 * hdl.dl / hst.avgdl)))
+                          * 1000000) AS BIGINT) AS cu
+              FROM htf JOIN hq USING (term) JOIN hdf USING (term)
+              JOIN hdl ON htf.doc_id = hdl.doc_id CROSS JOIN hst
+              WHERE htf.doc_id <> hq.q_doc),
+      hsc AS (SELECT q_doc, doc_id, CAST(sum(cu) AS BIGINT) AS su
+              FROM hcu GROUP BY 1, 2),
+      ltop AS (SELECT q_doc AS q_id, doc_id AS cand,
+                      row_number() OVER (PARTITION BY q_doc
+                        ORDER BY su DESC, doc_id) AS rank
+               FROM hsc
+               QUALIFY row_number() OVER (PARTITION BY q_doc
+                 ORDER BY su DESC, doc_id) <= 50),
+      legs AS (SELECT q_id, cand,
+                      CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS cu
+               FROM dtop
+               UNION ALL
+               SELECT q_id, cand,
+                      CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS cu
+               FROM ltop),
+      hf AS (SELECT q_id, cand, CAST(sum(cu) AS BIGINT) AS rrf_u,
+                    CAST(count(*) AS BIGINT) AS n_legs
+             FROM legs GROUP BY 1, 2)
+      SELECT q_id, cand, round(rrf_u / 1000000.0, 6) AS rrf, n_legs,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_u DESC, cand) AS INTEGER) AS rank
+      FROM hf
+      QUALIFY row_number() OVER (PARTITION BY q_id
+        ORDER BY rrf_u DESC, cand) <= 10"""
+  }
 
   /** DuckDB SQL for sim_opq_recall — the [[opqOracleSql]] machinery with
     * an ADC@5-vs-exact-top5 tail per scheme: codes and per-probe LUTs read
@@ -398,6 +494,10 @@ object Similarity {
     * the deterministic eigensolve.
     */
   private[graft] def opqSnakeOrder(dim: Int, nSub: Int): Array[Int] = {
+    // tier can reach floor((dim-1)/nSub); with a remainder that is >=
+    // subDim, so bucket*subDim + tier would collide with another bucket's
+    // slot and the "permutation" would silently drop/duplicate dimensions
+    require(dim % nSub == 0, s"opqSnakeOrder needs nSub | dim, got dim=$dim nSub=$nSub")
     val order = new Array[Int](dim)
     val subDim = dim / nSub
     var r = 0
@@ -605,6 +705,29 @@ object Similarity {
 
   /** Unpersist and drop every shared rotated-code frame of `s`. */
   def releaseOpqCodes(s: SparkSession): Unit = sharedOpqCodes.release(s)
+
+  /** Driver-collected codebook for the streaming encode-at-ingest path:
+    * per subspace (index = sub), the centroid list sorted by c_id
+    * ascending, each with its 8 per-dimension micro-unit coordinates —
+    * the 1024-cell artifact a streaming encoder embeds as literals (the
+    * streaming analogue of the broadcast the batch `pqAssign` does).
+    */
+  private[graft] def collectedCents(
+      cents: DataFrame): IndexedSeq[Seq[(Int, Array[Long])]] = {
+    val rows = cents.select(col("sub").cast("int"), col("c_id").cast("int"),
+      col("wd").cast("int"), col("cu").cast("long")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    val nSub = bySub.keySet.max + 1
+    (0 until nSub).map { sub =>
+      bySub.getOrElse(sub, Array.empty[org.apache.spark.sql.Row])
+        .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        .map { case (cid, cells) =>
+          val cus = new Array[Long](8)
+          cells.foreach(r => cus(r.getInt(2)) = r.getLong(3))
+          (cid, cus)
+        }
+    }
+  }
 
   /** Session-scoped cache of the trained PQ codebook — per-subspace k=16
     * centroids from ONE Lloyd step (L2 assignment) over the deterministic
@@ -2177,6 +2300,46 @@ object Similarity {
           round(col("rrf_u").cast("double") / 1000000.0, 6).as("rrf"),
           col("n_legs"), col("rank"))
     }),
+
+    // The COMPOSED production retrieval pipeline, end to end in one
+    // oracled query: BM25 lexical leg (the text_bm25_topk scoring core
+    // over the session-shared inverted index, probes = the dense family's
+    // doc_id < 10, production depth 50) + ROTATED-ADC dense leg (the
+    // sim_opq_rerank_gain regime: OPQ codes scanned against a broadcast
+    // per-probe LUT, depth 50) fused with reciprocal-rank fusion (the
+    // sim_rrf_fusion rule: integer micro-unit 1e6/(60+rank) contributions,
+    // exact BIGINT sum, top-10). Each leg is an already-oracled operator;
+    // this query pins the COMPOSITION — the hybrid retrieval stack a RAG
+    // data pipeline actually deploys (lexical recall + dense semantics,
+    // rank-fused). Scale shape: the corpus appears exactly twice — one
+    // posting-table probe join (query dims broadcast) and one 8-byte-code
+    // scan (LUT broadcast); fusion itself aggregates ≤ 100 rows per probe.
+    "pipeline_hybrid_retrieval" -> ((s, d) => {
+      val cu = round(lit(1000000.0) / (lit(60) + col("rank"))).cast("long")
+      // dense leg: whole-corpus rotated ADC at depth 50
+      val wD = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+      val dense = opqCodesShared(s, d)
+        .join(broadcast(opqLut(s, d)), Seq("sub", "c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_u"))
+        .withColumn("rank", row_number().over(wD)).filter(col("rank") <= 50)
+        .select(col("q_id"), col("vec_id").as("cand"), cu.as("cu"))
+      // lexical leg: BM25 over the same probe ids at depth 50
+      val wL = Window.partitionBy(col("q_doc")).orderBy(col("su").desc, col("doc_id"))
+      val lex = TextOps.bm25Scored(s, d, col("doc_id") < 10)
+        .withColumn("rank", row_number().over(wL)).filter(col("rank") <= 50)
+        .select(col("q_doc").as("q_id"), col("doc_id").as("cand"), cu.as("cu"))
+      val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf_u").desc, col("cand"))
+      dense.unionByName(lex)
+        .groupBy(col("q_id"), col("cand"))
+        .agg(sum(col("cu")).as("rrf_u"), count(lit(1)).as("n_legs"))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("cand"),
+          round(col("rrf_u").cast("double") / 1000000.0, 6).as("rrf"),
+          col("n_legs"), col("rank"))
+    }),
   )
 
   /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
@@ -2278,7 +2441,6 @@ object Similarity {
               WHERE cds.vec_id <> l.q_id
               GROUP BY 1, 2)"""
 
-  /** ADC top-5: the codes-only ranking sim_pq_adc returns. */
   /** Unrolled 4-round Lloyd replay for sim_pq_train_curve: per round one
     * distance table serves BOTH that round's error total and the next
     * round's re-assignment — the same double duty the Spark plan's shared
@@ -2385,6 +2547,14 @@ object Similarity {
       UNION ALL${out("m5", "md5")}"""
   }
 
+  /** DuckDB SQL for stream_pq_encode: the raw-space code table from the
+    * same static train/encode replay the ADC oracles share — the streamed
+    * per-row encode must land on the identical (vec_id, sub, c_id) set.
+    */
+  private[graft] val pqStreamCodesSql: String = pqAdcCtes + """
+      SELECT vec_id, sb AS sub, c_id FROM codes"""
+
+  /** ADC top-5: the codes-only ranking sim_pq_adc returns. */
   private val pqAdcSql: String = pqAdcCtes + """
       SELECT q_id, vec_id,
              round(CAST(adc_u AS DOUBLE) / 1000000000000.0, 6) AS adc_d2,

@@ -410,6 +410,32 @@ object Temporal {
     "stream_session_dedup_metrics" -> ((s, d) =>
       graft.streaming.SessionDedupStream.metrics(s, d)),
 
+    // The DELAY × GAP horizon sweep: the chain's metrics table replayed
+    // at dedup delays on both sides of the 30-min session gap (119 / 47 /
+    // 17 min) — pinning WHICH operator drops what at each horizon (late
+    // filter vs dedup suppression vs session flush), the table read
+    // before choosing a watermark delay against a session gap
+    // (graft.streaming.SessionDedupStream.sweep).
+    "stream_session_dedup_sweep" -> ((s, d) =>
+      graft.streaming.SessionDedupStream.sweep(s, d)),
+
+    // ENCODE-AT-INGEST: vectors arrive in micro-batches and are
+    // product-quantized inside the stream — a stateless per-row argmin
+    // projection against the batch-trained literal codebook, the real
+    // index-build pipeline the batch code tables simulate
+    // (graft.streaming.EncodeIngest). Oracled against DuckDB's own
+    // train/encode replay; spec-pinned equal to the batch code table.
+    "stream_pq_encode" -> ((s, d) =>
+      graft.streaming.EncodeIngest.pq(s, d)),
+
+    // The rotated variant: OPQ rotate + encode per vector at ingest (the
+    // rotation is part of the index build — a per-row dot against the
+    // literal basis, never a corpus-wide job), against the rotated-space
+    // codebook. Generated oracle: DuckDB re-derives basis, codebook, and
+    // codes from the raw parquet.
+    "stream_opq_encode" -> ((s, d) =>
+      graft.streaming.EncodeIngest.opq(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -581,6 +607,57 @@ object Temporal {
       SELECT user_id, count(*) AS n_events,
              (max(us) - min(us)) / 1000000.0 AS duration_sec
       FROM sess GROUP BY user_id, sid"""
+
+
+  /** The chain's per-batch two-operator state replay, parameterized by
+    * the dedup watermark delay (minutes; session gap fixed at 30 min) —
+    * single source for the standard metrics oracle (delay 119) and every
+    * block of the stream_session_dedup_sweep oracle. The rules replayed:
+    * batch 0 holds all N dedup keys + one row per merged session; batch 1
+    * evicts dedup to the 2*delay horizon and flushes sessions with close
+    * (last event + gap) <= wm = max - delay; batch 2's re-deliveries are
+    * raw-ts late-dropped or dedup-suppressed (no state movement); batch
+    * 3's U per-user sentinels add U keys and U open sessions.
+    */
+  private def sessionDedupMetricsSql(delayMin: Int): String = s"""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t, user_id FROM events),
+      wm AS (SELECT max(t) - INTERVAL $delayMin MINUTES AS w FROM e),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM e),
+      ded1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+               WHERE t + INTERVAL $delayMin MINUTES >= wm.w),
+      g AS (SELECT user_id, event_id, epoch_us(t) AS us,
+                   CASE WHEN epoch_us(t) - lag(epoch_us(t), 1)
+                          OVER (PARTITION BY user_id ORDER BY t, event_id)
+                        > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+            FROM e),
+      sess AS (SELECT user_id, us,
+                      sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM g),
+      sgrp AS (SELECT user_id, sid, max(us) AS last_us
+               FROM sess GROUP BY 1, 2),
+      s_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sgrp),
+      s_open AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sgrp, wm
+                 WHERE last_us + 30 * 60 * 1000000 > epoch_us(wm.w)),
+      sl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE event_id % 10 = 3),
+      drp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
+              WHERE event_id % 10 = 3 AND t < wm.w)
+      SELECT CAST(0 AS INTEGER) AS batch_ord, n.n AS input_rows,
+             CAST(0 AS BIGINT) AS dropped_rows, n.n AS dedup_state,
+             s_all.n AS session_state
+      FROM n, s_all
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             ded1.n, s_open.n
+      FROM ded1, s_open
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), sl.n, drp.n, ded1.n, s_open.n
+      FROM sl, drp, ded1, s_open
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), u.u, CAST(0 AS BIGINT),
+             ded1.n + u.u, s_open.n + u.u
+      FROM u, ded1, s_open"""
 
   val oracle: Map[String, String] = Map(
     "w13_time_weighted_avg" -> """
@@ -806,51 +883,23 @@ object Temporal {
     "stream_session_window" -> sessionWindowSql,
     // …and so must the dedup→session chain: re-deliveries leave no trace
     "stream_session_dedup" -> sessionWindowSql,
+    // the streamed per-row PQ encode must land on the exact code table
+    // DuckDB derives by replaying the train/encode pipeline itself
+    "stream_pq_encode" -> graft.queries.Similarity.pqStreamCodesSql,
     // the chain's per-batch two-operator state replay: batch 0 holds all
     // N dedup keys and one state row per MERGED session; batch 1 evicts
     // dedup to the 2·delay horizon and flushes sessions whose close
     // (last event + gap) ≤ the watermark; batch 2's re-deliveries are
     // raw-ts late-dropped or dedup-suppressed (no state movement);
     // batch 3's U per-user sentinels add U keys and U open sessions.
-    "stream_session_dedup_metrics" -> """
-      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t, user_id FROM events),
-      wm AS (SELECT max(t) - INTERVAL 119 MINUTES AS w FROM e),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-      u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM e),
-      ded1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
-               WHERE t + INTERVAL 119 MINUTES >= wm.w),
-      g AS (SELECT user_id, event_id, epoch_us(t) AS us,
-                   CASE WHEN epoch_us(t) - lag(epoch_us(t), 1)
-                          OVER (PARTITION BY user_id ORDER BY t, event_id)
-                        > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
-            FROM e),
-      sess AS (SELECT user_id, us,
-                      sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-               FROM g),
-      sgrp AS (SELECT user_id, sid, max(us) AS last_us
-               FROM sess GROUP BY 1, 2),
-      s_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sgrp),
-      s_open AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sgrp, wm
-                 WHERE last_us + 30 * 60 * 1000000 > epoch_us(wm.w)),
-      sl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE event_id % 10 = 3),
-      drp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e, wm
-              WHERE event_id % 10 = 3 AND t < wm.w)
-      SELECT CAST(0 AS INTEGER) AS batch_ord, n.n AS input_rows,
-             CAST(0 AS BIGINT) AS dropped_rows, n.n AS dedup_state,
-             s_all.n AS session_state
-      FROM n, s_all
-      UNION ALL
-      SELECT CAST(1 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-             ded1.n, s_open.n
-      FROM ded1, s_open
-      UNION ALL
-      SELECT CAST(2 AS INTEGER), sl.n, drp.n, ded1.n, s_open.n
-      FROM sl, drp, ded1, s_open
-      UNION ALL
-      SELECT CAST(3 AS INTEGER), u.u, CAST(0 AS BIGINT),
-             ded1.n + u.u, s_open.n + u.u
-      FROM u, ded1, s_open""",
+    "stream_session_dedup_metrics" -> sessionDedupMetricsSql(119),
+    // the delay-vs-gap horizon sweep: the same parameterized replay at
+    // delays on both sides of the 30-min session gap, one delay_min-keyed
+    // block per configuration
+    "stream_session_dedup_sweep" ->
+      graft.streaming.SessionDedupStream.SweepDelays.map(d =>
+        s"""SELECT CAST($d AS INTEGER) AS delay_min, m.*
+      FROM (${sessionDedupMetricsSql(d)}) m""").mkString("\n      UNION ALL\n      "),
     "w7_attribution" -> """
       WITH w AS (
         SELECT event_type, value,

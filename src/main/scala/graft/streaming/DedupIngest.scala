@@ -30,9 +30,16 @@ object DedupIngest {
     * dropDuplicatesWithinWatermark stream through it; returns the drained
     * first-seen row set plus the per-micro-batch progress — the shared
     * scaffold of the output query ([[apply]]) and the monitoring query
-    * ([[metrics]]).
+    * ([[metrics]]). Memoized per (session, dir, content stamp) via
+    * [[ReplayMemo]] so a pass evaluating BOTH queries stages and drains
+    * the replay once, not twice.
     */
+  private val memo = new ReplayMemo(2)
   private def run(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    memo.getOrRun(spark, sfDir)(drain(spark, sfDir))
+
+  private def drain(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val staged = Files.createTempDirectory("stream-dedup-ingest")
     try {

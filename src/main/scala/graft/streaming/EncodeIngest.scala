@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming PQ/OPQ ENCODE-AT-INGEST — the index-build pipeline the
+  * batch-side shared code tables simulate, made a real streaming query:
+  * vectors arrive in micro-batches and each is (optionally rotated and)
+  * product-quantized to its 8 subspace codes INSIDE the stream, as a pure
+  * stateless projection — no stateful operator, no watermark, no shuffle.
+  * The drained append-sink table is the full (vec_id, sub, c_id) code
+  * table, oracled against the same DuckDB train/encode replay as the
+  * batch queries, and spec-pinned equal to the batch
+  * `pqCodesShared`/`opqCodesShared` frames.
+  *
+  * Design for scale: the codebook is train-once-batch-side (8×16×8 =
+  * 1024 cells — collected to the driver and embedded as LITERAL arrays in
+  * the projection, the streaming analogue of a broadcast join against a
+  * static dim); the per-row encode is an argmin over 16 codegen'd
+  * integer-L2² folds (`array_min` over (d2, c_id) structs — ties to the
+  * lower c_id, the batch [[graft.queries.Similarity]] `pqAssign` rule,
+  * because Spark orders structs field by field). A 1000-executor ingest
+  * runs exactly this shape: no state, no coordination, each micro-batch
+  * encodes embarrassingly parallel.
+  *
+  * Staging: the embeddings corpus enters as four mod-time-ordered files
+  * (vec_id % 4 ring) drained with maxFilesPerTrigger=1 — four
+  * micro-batches, so the spec can also pin that codes stream out
+  * incrementally rather than in one degenerate batch.
+  */
+object EncodeIngest {
+
+  /** Per-row code array: for each subspace, argmin_c Σ_wd (xu − cu)² over
+    * the literal codebook, ties to the lower c_id. `xuArr` must be the
+    * 64-long integer micro-unit coordinate array in (sub·8 + wd) order.
+    */
+  private def codeStructs(
+      xuArr: Column, cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column =
+    array(cents.indices.map { sub =>
+      val cands = cents(sub).map { case (cid, cus) =>
+        val d2 = (0 until 8).map { wd =>
+          val diff = element_at(xuArr, sub * 8 + wd + 1) - lit(cus(wd))
+          diff * diff
+        }.reduce(_ + _)
+        struct(d2.as("d2"), lit(cid).as("c_id"))
+      }
+      struct(lit(sub).as("sub"),
+        array_min(array(cands: _*)).getField("c_id").as("c_id"))
+    }: _*)
+
+  /** Raw-space coordinates in integer micro-units, dim order — the
+    * streaming copy of the batch pqXu arithmetic (round(x·1e6) as long).
+    */
+  private def rawXu(v: Column): Column =
+    transform(v, x => round(x * 1000000).cast("long"))
+
+  /** OPQ-rotated coordinates — the batch opqXu arithmetic (dot against
+    * the literal basis, minus the folded mean offset, rounded once).
+    */
+  private def rotatedXu(
+      v: Column, basis: Seq[Array[Double]], mean: Array[Double]): Column = {
+    val bLit = array(basis.map(vj => array(vj.toSeq.map(lit): _*)): _*)
+    val oLit = array(basis.map(vj =>
+      lit(mean.indices.map(i => mean(i) * vj(i)).sum)): _*)
+    zip_with(bLit, oLit, (bj, oj) =>
+      round((aggregate(zip_with(v, bj, (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x) - oj) * 1000000).cast("long"))
+  }
+
+  /** Stage the embeddings corpus as four vec_id-ring files and drain the
+    * encode projection over them; `toXu` maps the double vector column to
+    * the 64-long coordinate array the codes are computed in.
+    */
+  private def drainEncode(spark: SparkSession, sfDir: String,
+      cents: IndexedSeq[Seq[(Int, Array[Long])]],
+      toXu: Column => Column): DataFrame = {
+    val staged = Files.createTempDirectory("stream-encode-ingest")
+    try {
+      val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      require(emb.head(1).nonEmpty,
+        s"$sfDir/embeddings.parquet is empty — cannot stage an encode-at-ingest replay")
+      (0 until 4).foreach { b =>
+        StagedEvents.writePart(emb.filter(col("vec_id") % 4 === b),
+          staged, s"b${b}_vectors.parquet", 60 - 15 * b)
+      }
+      val schema =
+        spark.read.parquet(staged.resolve("b0_vectors.parquet").toString).schema
+      // The coordinate array is materialized as its OWN projection so the
+      // 1024 argmin terms reference a bound attribute: inlining `toXu`
+      // (for OPQ, a 64×64-literal rotation) into every (sub, cent, wd)
+      // term once ballooned the task binary to 122 MiB — CollapseProject
+      // keeps multi-referenced non-cheap projections separate, so the
+      // rotation is computed once per row and the encode reads the array.
+      val codes = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), toXu(col("v")).as("xu"))
+        .select(col("vec_id"), explode(codeStructs(col("xu"), cents)).as("c"))
+        .select(col("vec_id"), col("c.sub").cast("int").as("sub"), col("c.c_id").as("c_id"))
+      Drain.toMemory(spark, "stream_encode", codes)
+    } finally StagedEvents.deleteRecursively(staged)
+  }
+
+  /** The streaming RAW-PQ encode: batch-trained codebook, streamed corpus,
+    * codes out — oracled against the static DuckDB train/encode replay.
+    */
+  def pq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val cents = graft.queries.Similarity.collectedCents(
+        graft.queries.Similarity.pqCodebookShared(spark, sfDir))
+      drainEncode(spark, sfDir, cents, rawXu)
+    }
+
+  /** The streaming OPQ encode: rotate + encode at ingest against the
+    * batch-trained rotated codebook — the production OPQ ingest path
+    * (rotation is part of the index build, applied per vector as it
+    * arrives, never a corpus-wide job).
+    */
+  def opq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val (basis, mean) = graft.queries.Similarity.opqBasis(spark, sfDir)
+      val cents = graft.queries.Similarity.collectedCents(
+        graft.queries.Similarity.opqCentsShared(spark, sfDir))
+      drainEncode(spark, sfDir, cents, v => rotatedXu(v, basis, mean))
+    }
+}

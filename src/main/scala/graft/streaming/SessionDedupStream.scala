@@ -46,8 +46,19 @@ object SessionDedupStream {
   /** Stage the four-batch replay and drain the chained query; returns the
     * drained session rows plus the per-micro-batch progress — shared by
     * the output query ([[apply]]) and the monitoring query ([[metrics]]).
+    * Memoized per (session, dir, content stamp) via [[ReplayMemo]] so a
+    * pass evaluating both queries drains the four-batch replay once.
     */
+  private val memo = new ReplayMemo(4)
   private def run(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    runAt(spark, sfDir, LateDrop.DelayMinutes.toInt)
+
+  private def runAt(spark: SparkSession, sfDir: String, delayMin: Int)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    memo.getOrRun(spark, sfDir, s"delay=$delayMin")(drain(spark, sfDir, delayMin))
+
+  private def drain(spark: SparkSession, sfDir: String, delayMin: Int)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
       val staged = Files.createTempDirectory("stream-session-dedup")
       try {
@@ -73,7 +84,7 @@ object SessionDedupStream {
         val sessions = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.toString)
-          .withWatermark("ts", s"${LateDrop.DelayMinutes} minutes")
+          .withWatermark("ts", s"$delayMin minutes")
           .dropDuplicatesWithinWatermark("event_id")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(
@@ -114,25 +125,60 @@ object SessionDedupStream {
     * 2·delay key horizon, sessions by the set still open within gap of
     * the watermark — the pair a production monitor alerts on.
     */
+  private def metricsRows(spark: SparkSession, sfDir: String, delayMin: Int)
+      : Seq[(Int, Long, Long, Long, Long)] = {
+    val (_, progress) = runAt(spark, sfDir, delayMin)
+    progress
+      .filter(p => p.numInputRows > 0)
+      .sortBy(_.batchId)
+      .zipWithIndex
+      .map { case (p, ord) =>
+        val (dedupOps, sessOps) = p.stateOperators
+          .partition(_.operatorName.toLowerCase.contains("dedup"))
+        (ord, p.numInputRows,
+          p.stateOperators.map(_.numRowsDroppedByWatermark).sum,
+          dedupOps.map(_.numRowsTotal).sum,
+          sessOps.map(_.numRowsTotal).sum)
+      }.toSeq
+  }
+
   def metrics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.tables.Tables.withShufflePartitions(spark, 4) {
-      val (_, progress) = run(spark, sfDir)
-      val rows = progress
-        .filter(p => p.numInputRows > 0)
-        .sortBy(_.batchId)
-        .zipWithIndex
-        .map { case (p, ord) =>
-          val (dedupOps, sessOps) = p.stateOperators
-            .partition(_.operatorName.toLowerCase.contains("dedup"))
-          (ord, p.numInputRows,
-            p.stateOperators.map(_.numRowsDroppedByWatermark).sum,
-            dedupOps.map(_.numRowsTotal).sum,
-            sessOps.map(_.numRowsTotal).sum)
-        }
-      rows.toSeq
+      metricsRows(spark, sfDir, LateDrop.DelayMinutes.toInt)
         .toDF("batch_ord", "input_rows", "dropped_rows", "dedup_state", "session_state")
         .select(col("batch_ord").cast("int").as("batch_ord"),
+          col("input_rows"), col("dropped_rows"),
+          col("dedup_state"), col("session_state"))
+    }
+  }
+
+  /** The DELAY × GAP horizon sweep (gap fixed at the session operator's
+    * 30 min): the two-operator metrics table replayed at dedup delays on
+    * BOTH sides of the gap — 119 (delay ≫ gap: the late filter admits
+    * nearly the whole re-delivered slice and dedup state must suppress
+    * it; most sessions stay OPEN in state), 47, and 17 (delay < gap: the
+    * raw-ts watermark now late-drops most of the slice BEFORE dedup
+    * state is consulted, dedup state shrinks to the 2·delay≈34 min tail
+    * — narrower than one session gap — and the watermark has flushed
+    * almost every session out of state). Which operator drops what at
+    * each horizon is exactly the table a pipeline owner reads before
+    * choosing a watermark delay against a session gap; every cell
+    * replays in SQL from the parameterized watermark rules.
+    */
+  val SweepDelays: Seq[Int] = Seq(119, 47, 17)
+
+  def sweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      SweepDelays.flatMap { d =>
+        metricsRows(spark, sfDir, d).map { case (ord, in, drp, ded, sess) =>
+          (d, ord, in, drp, ded, sess)
+        }
+      }.toDF("delay_min", "batch_ord", "input_rows", "dropped_rows",
+        "dedup_state", "session_state")
+        .select(col("delay_min").cast("int").as("delay_min"),
+          col("batch_ord").cast("int").as("batch_ord"),
           col("input_rows"), col("dropped_rows"),
           col("dedup_state"), col("session_state"))
     }

@@ -526,6 +526,10 @@ class PlanSpec extends SparkSpec {
       // own 1-row (n_docs, avgdl) scalar × the ≤3·|probes| query-term
       // table — both constant-size; the posting-side join is broadcast-hash
       "text_bm25_topk",
+      // the composed retrieval stack inherits text_bm25_topk's lexical leg
+      // and with it the same two constant-size scalar annotates; the dense
+      // leg and the fusion add no nested-loop shapes
+      "pipeline_hybrid_retrieval",
       // 1-row tercile-cutoff scalar × the per-doc score table
       "text_ppl_bucket",
       // 1-row corpus-total scalar × the 3-row per-w counts — the same

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Batch ≡ stream pin for encode-at-ingest: the streamed per-row PQ/OPQ
+  * encode (literal-codebook argmin projection inside a file-source
+  * stream) must land on EXACTLY the code table the batch shared stages
+  * produce (`pqCodesShared` / `opqCodesShared`) — same (vec_id, sub,
+  * c_id) set, same tie rule (lower c_id on equal d2, via the
+  * struct-ordered array_min). The DuckDB oracle independently re-derives
+  * the same table from raw parquet; this spec pins the INTERNAL
+  * consistency the oracle can't see: one quantizer, two execution
+  * shapes, zero drift.
+  */
+class EncodeIngestSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int)] =
+    df.selectExpr("cast(vec_id as long)", "cast(sub as int)", "cast(c_id as int)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("streamed raw-PQ encode equals the batch code table") {
+    val batch = asSet(graft.queries.Similarity.pqCodesShared(spark, dir))
+    val streamed = asSet(EncodeIngest.pq(spark, dir))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("streamed OPQ rotate+encode equals the batch rotated code table") {
+    val batch = asSet(graft.queries.Similarity.opqCodesShared(spark, dir))
+    val streamed = asSet(EncodeIngest.opq(spark, dir))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // every vector carries exactly 8 subspace codes — the projection
+    // never drops or duplicates a subspace
+    val perVec = streamed.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perVec.values.toSet === Set(8))
+  }
+}
