@@ -2554,6 +2554,22 @@ object Similarity {
   private[graft] val pqStreamCodesSql: String = pqAdcCtes + """
       SELECT vec_id, sb AS sub, c_id FROM codes"""
 
+  /** DuckDB SQL for stream_ivfpq_index: the full streaming index row —
+    * coarse cell (argmin over the 16 raw seed vectors, ties to the lower
+    * cell — the batch ivfpqCellsShared rule) joined with the PQ codes,
+    * all independently re-derived from raw parquet.
+    */
+  private[graft] val ivfpqStreamIndexSql: String = pqAdcCtes + """,
+      cseed AS (SELECT vec_id AS cell, sb, wd, xu AS cu FROM xu WHERE vec_id < 16),
+      cd2 AS (SELECT x.vec_id, s.cell, sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
+              FROM xu x JOIN cseed s ON x.sb = s.sb AND x.wd = s.wd
+              GROUP BY 1, 2),
+      cellasn AS (SELECT vec_id, cell FROM cd2
+                  QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) = 1)
+      SELECT cds.vec_id, a.cell, cds.sb AS sub, cds.c_id
+      FROM codes cds JOIN cellasn a ON cds.vec_id = a.vec_id"""
+
   /** ADC top-5: the codes-only ranking sim_pq_adc returns. */
   private val pqAdcSql: String = pqAdcCtes + """
       SELECT q_id, vec_id,

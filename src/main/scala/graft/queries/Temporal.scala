@@ -436,6 +436,21 @@ object Temporal {
     "stream_opq_encode" -> ((s, d) =>
       graft.streaming.EncodeIngest.opq(s, d)),
 
+    // The COMPLETE streaming IVF-PQ index build: coarse cell assignment
+    // (the inverted-list routing decision — at scale, the partitioning)
+    // + PQ codes in ONE stateless projection per arriving vector; the
+    // drained table is the full (vec_id, cell, sub, c_id) index row.
+    "stream_ivfpq_index" -> ((s, d) =>
+      graft.streaming.EncodeIngest.ivfpq(s, d)),
+
+    // Ingest FAN-IN: the raw-PQ encode over TWO staged file sources
+    // unioned into one streaming query — the per-region multi-feed shape;
+    // codes are per-row and order-free, so the drained table must equal
+    // the single-source (and batch) code table exactly. Same oracle as
+    // stream_pq_encode by construction.
+    "stream_pq_encode_fanin" -> ((s, d) =>
+      graft.streaming.EncodeIngest.pqFanIn(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -886,6 +901,11 @@ object Temporal {
     // the streamed per-row PQ encode must land on the exact code table
     // DuckDB derives by replaying the train/encode pipeline itself
     "stream_pq_encode" -> graft.queries.Similarity.pqStreamCodesSql,
+    // the two-source fan-in must leave no trace: same oracle exactly
+    "stream_pq_encode_fanin" -> graft.queries.Similarity.pqStreamCodesSql,
+    // the full streaming index row: coarse cell + codes, independently
+    // re-derived (assignment argmin over the 16 raw seed vectors)
+    "stream_ivfpq_index" -> graft.queries.Similarity.ivfpqStreamIndexSql,
     // the chain's per-batch two-operator state replay: batch 0 holds all
     // N dedup keys and one state row per MERGED session; batch 1 evicts
     // dedup to the 2·delay horizon and flushes sessions whose close

@@ -69,38 +69,77 @@ object EncodeIngest {
         lit(0.0), (acc, x) => acc + x) - oj) * 1000000).cast("long"))
   }
 
+  /** Per-row coarse IVF cell: argmin over the 16 literal seed vectors of
+    * the full 64-dim integer L2², ties to the lower cell id — the batch
+    * `ivfpqCellsShared` rule as a stateless streaming projection.
+    */
+  private def cellCol(xuArr: Column, seeds: Seq[(Int, Array[Long])]): Column = {
+    val cands = seeds.map { case (cell, cus) =>
+      val d2 = cus.indices.map { i =>
+        val diff = element_at(xuArr, i + 1) - lit(cus(i))
+        diff * diff
+      }.reduce(_ + _)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    array_min(array(cands: _*)).getField("cell")
+  }
+
   /** Stage the embeddings corpus as four vec_id-ring files and drain the
     * encode projection over them; `toXu` maps the double vector column to
-    * the 64-long coordinate array the codes are computed in.
+    * the 64-long coordinate array the codes are computed in. With
+    * `cellSeeds` set, each output row also carries the coarse IVF cell —
+    * the complete streaming IVF-PQ index row. `sources` > 1 splits the
+    * ring across that many staged directories read by a UNION of file
+    * sources — the multi-feed ingest fan-in (codes are per-row and
+    * order-free, so the union needs no coordination).
     */
   private def drainEncode(spark: SparkSession, sfDir: String,
       cents: IndexedSeq[Seq[(Int, Array[Long])]],
-      toXu: Column => Column): DataFrame = {
+      toXu: Column => Column,
+      cellSeeds: Option[Seq[(Int, Array[Long])]] = None,
+      sources: Int = 1): DataFrame = {
     val staged = Files.createTempDirectory("stream-encode-ingest")
     try {
       val emb = graft.tables.Tables.embeddings(spark, sfDir)
       require(emb.head(1).nonEmpty,
         s"$sfDir/embeddings.parquet is empty — cannot stage an encode-at-ingest replay")
-      (0 until 4).foreach { b =>
-        StagedEvents.writePart(emb.filter(col("vec_id") % 4 === b),
-          staged, s"b${b}_vectors.parquet", 60 - 15 * b)
+      val dirs = (0 until sources).map { src =>
+        val dir = if (sources == 1) staged else {
+          val d = staged.resolve(s"src$src"); Files.createDirectories(d); d
+        }
+        (0 until 4).foreach { b =>
+          StagedEvents.writePart(
+            emb.filter(col("vec_id") % (4 * sources) === (b * sources + src)),
+            dir, s"b${b}_vectors.parquet", 60 - 15 * b)
+        }
+        dir
       }
       val schema =
-        spark.read.parquet(staged.resolve("b0_vectors.parquet").toString).schema
+        spark.read.parquet(dirs.head.resolve("b0_vectors.parquet").toString).schema
+      def source(dir: java.nio.file.Path) =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString)
       // The coordinate array is materialized as its OWN projection so the
       // 1024 argmin terms reference a bound attribute: inlining `toXu`
       // (for OPQ, a 64×64-literal rotation) into every (sub, cent, wd)
       // term once ballooned the task binary to 122 MiB — CollapseProject
       // keeps multi-referenced non-cheap projections separate, so the
       // rotation is computed once per row and the encode reads the array.
-      val codes = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.toString)
+      val base = dirs.map(source).reduce(_ unionByName _)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .select(col("vec_id"), toXu(col("v")).as("xu"))
-        .select(col("vec_id"), explode(codeStructs(col("xu"), cents)).as("c"))
-        .select(col("vec_id"), col("c.sub").cast("int").as("sub"), col("c.c_id").as("c_id"))
+      val codes = cellSeeds match {
+        case None =>
+          base.select(col("vec_id"), explode(codeStructs(col("xu"), cents)).as("c"))
+            .select(col("vec_id"), col("c.sub").cast("int").as("sub"), col("c.c_id").as("c_id"))
+        case Some(seeds) =>
+          base.select(col("vec_id"), cellCol(col("xu"), seeds).as("cell"),
+              explode(codeStructs(col("xu"), cents)).as("c"))
+            .select(col("vec_id"), col("cell"),
+              col("c.sub").cast("int").as("sub"), col("c.c_id").as("c_id"))
+      }
       Drain.toMemory(spark, "stream_encode", codes)
     } finally StagedEvents.deleteRecursively(staged)
   }
@@ -126,5 +165,50 @@ object EncodeIngest {
       val cents = graft.queries.Similarity.collectedCents(
         graft.queries.Similarity.opqCentsShared(spark, sfDir))
       drainEncode(spark, sfDir, cents, v => rotatedXu(v, basis, mean))
+    }
+
+  /** The 16 coarse seed vectors (vec_id < 16) in integer micro-units,
+    * collected via the SAME Spark round() arithmetic as the batch pqXu —
+    * driver-side math.round would round negative halves differently.
+    */
+  private def collectSeeds(spark: SparkSession, sfDir: String): Seq[(Int, Array[Long])] =
+    graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int"),
+        transform(transform(col("embedding"), x => x.cast("double")),
+          x => round(x * 1000000).cast("long")).as("xu"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** The COMPLETE streaming IVF-PQ index build: each arriving vector is
+    * coarse-quantized to its inverted-list cell (argmin over the 16
+    * literal seed vectors — at scale this IS the partitioning decision)
+    * AND product-quantized to its 8 codes, in one stateless projection.
+    * The drained (vec_id, cell, sub, c_id) table is the full index row,
+    * oracled against DuckDB's independent assign+train+encode replay and
+    * spec-pinned equal to the batch ivfpqCellsShared ⋈ pqCodesShared join.
+    */
+  def ivfpq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val cents = graft.queries.Similarity.collectedCents(
+        graft.queries.Similarity.pqCodebookShared(spark, sfDir))
+      val seeds = collectSeeds(spark, sfDir)
+      drainEncode(spark, sfDir, cents, rawXu, cellSeeds = Some(seeds))
+    }
+
+  /** The ingest FAN-IN: the raw-PQ encode over TWO staged sources (their
+    * files interleave by mod time) unioned into one streaming query —
+    * pins that the stateless encode composes with source union without
+    * re-ordering effects: codes are per-row and order-free, so the
+    * drained table equals the single-source (and batch) code table
+    * exactly. The multi-feed shape a production ingest actually runs
+    * (per-region feeds → one index build).
+    */
+  def pqFanIn(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val cents = graft.queries.Similarity.collectedCents(
+        graft.queries.Similarity.pqCodebookShared(spark, sfDir))
+      drainEncode(spark, sfDir, cents, rawXu, sources = 2)
     }
 }

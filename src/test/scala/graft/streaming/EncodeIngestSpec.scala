@@ -27,6 +27,30 @@ class EncodeIngestSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streamed IVF-PQ index equals the batch cell⋈codes join") {
+    import org.apache.spark.sql.functions.col
+    val batch = graft.queries.Similarity.ivfpqCellsShared(spark, dir)
+      .join(graft.queries.Similarity.pqCodesShared(spark, dir), Seq("vec_id"))
+      .selectExpr("cast(vec_id as long)", "cast(cell as int)",
+        "cast(sub as int)", "cast(c_id as int)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val streamed = EncodeIngest.ivfpq(spark, dir)
+      .selectExpr("cast(vec_id as long)", "cast(cell as int)",
+        "cast(sub as int)", "cast(c_id as int)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // every vector routes to exactly ONE cell
+    val cellsPerVec = streamed.groupBy(_._1).view.mapValues(_.map(_._2).toSet.size).toMap
+    assert(cellsPerVec.values.toSet === Set(1))
+  }
+
+  test("two-source fan-in leaves no trace: equals the single-source code table") {
+    val single = asSet(EncodeIngest.pq(spark, dir))
+    val fanIn = asSet(EncodeIngest.pqFanIn(spark, dir))
+    assert(fanIn === single)
+  }
+
   test("streamed OPQ rotate+encode equals the batch rotated code table") {
     val batch = asSet(graft.queries.Similarity.opqCodesShared(spark, dir))
     val streamed = asSet(EncodeIngest.opq(spark, dir))
