@@ -333,6 +333,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(q_doc"), p)
   }
 
+  test("pipeline_hybrid_retrieval: both corpus passes probe-broadcast; fusion keyed") {
+    // the composed retrieval stack touches the corpus exactly twice — the
+    // posting-table probe join (lexical leg) and the 8-byte code scan
+    // (dense leg) — and BOTH must join against BROADCAST probe-side dims
+    // (the corpus never shuffles for a probe); every ranking window is
+    // keyed by the probe id, never a global sort
+    val p = plan("pipeline_hybrid_retrieval")
+    assert(countOf(p, "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("hashpartitioning(q_id"), p)
+    assert(p.contains("hashpartitioning(q_doc"), p)
+  }
+
   test("text_chunk_windows: pure per-row chunking — zero shuffles") {
     // chunking must run at scan speed: filter + offset explode + slice +
     // hash are all per-row; any exchange would mean a refactor broke the
