@@ -451,6 +451,14 @@ object Temporal {
     "stream_pq_encode_fanin" -> ((s, d) =>
       graft.streaming.EncodeIngest.pqFanIn(s, d)),
 
+    // The SERVING side streamed: probe queries arrive in micro-batches
+    // and are answered against the static batch-built code table — a
+    // stream-static inner join feeding one complete-mode aggregation,
+    // ranking batch-side over the bounded drained aggregate
+    // (graft.streaming.ProbeStream). Must equal sim_pq_adc exactly.
+    "stream_adc_probe" -> ((s, d) =>
+      graft.streaming.ProbeStream.adcTop5(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -906,6 +914,8 @@ object Temporal {
     // the full streaming index row: coarse cell + codes, independently
     // re-derived (assignment argmin over the 16 raw seed vectors)
     "stream_ivfpq_index" -> graft.queries.Similarity.ivfpqStreamIndexSql,
+    // the streamed serving path must produce the batch ADC top-5 exactly
+    "stream_adc_probe" -> graft.queries.Similarity.oracle("sim_pq_adc"),
     // the chain's per-batch two-operator state replay: batch 0 holds all
     // N dedup keys and one state row per MERGED session; batch 1 evicts
     // dedup to the 2·delay horizon and flushes sessions whose close

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The SERVING side of the PQ index, streamed — the inverse regime of
+  * [[EncodeIngest]]: queries arrive in micro-batches and are answered
+  * against the STATIC batch-built code table (a stream-static inner
+  * join), the shape a deployed ANN service actually runs (the index is
+  * an ingest artifact; the query stream is the live traffic).
+  *
+  * Per arriving probe: the per-probe ADC lookup table (sub, c_id, d2 —
+  * 8×16 = 128 rows) is computed as a stateless literal-codebook
+  * projection (no aggregation needed in-stream for the LUT, unlike the
+  * batch pqLut's groupBy — the same argmin-free unrolled arithmetic as
+  * the encode queries), exploded, and joined onto the static code table;
+  * the per-(probe, candidate) ADC total is ONE complete-mode streaming
+  * aggregation. Ranking runs BATCH-side over the bounded drained
+  * aggregate (the stream_topk discipline — window functions don't run
+  * inside a stream). Mechanically each micro-batch joins its ≤|probes|
+  * LUT rows against the static relation — the probe side is the small
+  * side per batch, exactly the broadcast direction the batch adcScores
+  * plan pins.
+  *
+  * Oracle: the SAME static SQL as sim_pq_adc — the streamed serving path
+  * must produce the identical top-5 table.
+  */
+object ProbeStream {
+
+  /** Per-row LUT entries: for every (sub, c_id) cell of the literal
+    * codebook, the integer L2² between the probe's subvector and the
+    * centroid — 128 structs off the bound coordinate-array attribute.
+    */
+  private def lutStructs(
+      xuArr: Column, cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column =
+    array(cents.indices.flatMap { sub =>
+      cents(sub).map { case (cid, cus) =>
+        val d2 = (0 until 8).map { wd =>
+          val diff = element_at(xuArr, sub * 8 + wd + 1) - lit(cus(wd))
+          diff * diff
+        }.reduce(_ + _)
+        struct(lit(sub).as("sub"), lit(cid).as("c_id"), d2.as("d2"))
+      }
+    }: _*)
+
+  def adcTop5(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val cents = graft.queries.Similarity.collectedCents(
+        graft.queries.Similarity.pqCodebookShared(spark, sfDir))
+      val codes = graft.queries.Similarity.pqCodesShared(spark, sfDir)
+      val staged = Files.createTempDirectory("stream-adc-probe")
+      try {
+        val probes = graft.tables.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 10)
+        require(probes.head(1).nonEmpty,
+          s"$sfDir/embeddings.parquet has no probe rows — cannot stage a probe stream")
+        StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 0),
+          staged, "b0_probes.parquet", 60)
+        StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 1),
+          staged, "b1_probes.parquet", 45)
+        val schema =
+          spark.read.parquet(staged.resolve("b0_probes.parquet").toString).schema
+        val scores = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .select(col("vec_id").as("q_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .select(col("q_id"),
+            transform(col("v"), x => round(x * 1000000).cast("long")).as("xu"))
+          .select(col("q_id"), explode(lutStructs(col("xu"), cents)).as("l"))
+          .select(col("q_id"), col("l.sub").as("sub"),
+            col("l.c_id").as("c_id"), col("l.d2").as("d2"))
+          .join(codes, Seq("sub", "c_id")) // stream-static inner join
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc_u"))
+        val drained =
+          Drain.toMemory(spark, "stream_adc_probe", scores, mode = "complete")
+        val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+        drained
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id"),
+            round(col("adc_u").cast("double") / 1000000000000.0, 6).as("adc_d2"),
+            col("rank"))
+      } finally StagedEvents.deleteRecursively(staged)
+    }
+}
