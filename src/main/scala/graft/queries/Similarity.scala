@@ -2301,6 +2301,27 @@ object Similarity {
           col("n_legs"), col("rank"))
     }),
 
+    // The ENCODE SCAN throughput shape: the whole corpus product-quantized
+    // in ONE pure projection pass — the streaming encode's literal-codebook
+    // argmin expression (EncodeIngest.codeStructs: array_min over
+    // (d2, c_id) structs, ties to the lower c_id) run batch-side, zero
+    // shuffles, whole-stage codegen. This is the number BENCH tracks for
+    // the per-row encode cost itself, separated from streaming micro-batch
+    // overhead (stream_pq_encode = this + staging + 4 drains) AND from the
+    // join-based batch encode (pqCodesShared's broadcast-join + window
+    // argmin); all three land on the identical code table. At 1000
+    // executors this is the saturating map-only pass an index build wants.
+    "sim_pq_encode_scan" -> ((s, d) => {
+      val cents = collectedCents(pqCodebookShared(s, d))
+      fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          transform(col("v"), x => round(x * 1000000).cast("long")).as("xu"))
+        .select(col("vec_id"),
+          explode(graft.streaming.EncodeIngest.codeStructs(col("xu"), cents)).as("c"))
+        .select(col("vec_id"), col("c.sub").cast("int").as("sub"), col("c.c_id").as("c_id"))
+    }),
+
     // The COMPOSED production retrieval pipeline, end to end in one
     // oracled query: BM25 lexical leg (the text_bm25_topk scoring core
     // over the session-shared inverted index, probes = the dense family's
@@ -2820,6 +2841,9 @@ object Similarity {
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
     "sim_ivf_topk" -> ivfTopkSql,
     "sim_pq_adc" -> pqAdcSql,
+    // the batch encode-scan must land on the same code table as the
+    // streamed encode and the join-based shared stage
+    "sim_pq_encode_scan" -> pqStreamCodesSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,

@@ -36,7 +36,7 @@ object EncodeIngest {
     * the literal codebook, ties to the lower c_id. `xuArr` must be the
     * 64-long integer micro-unit coordinate array in (sub·8 + wd) order.
     */
-  private def codeStructs(
+  private[graft] def codeStructs(
       xuArr: Column, cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column =
     array(cents.indices.map { sub =>
       val cands = cents(sub).map { case (cid, cus) =>
