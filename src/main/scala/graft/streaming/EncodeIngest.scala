@@ -16,12 +16,11 @@ import org.apache.spark.sql.functions._
   * `pqCodesShared`/`opqCodesShared` frames.
   *
   * Design for scale: the codebook is train-once-batch-side (8×16×8 =
-  * 1024 cells — collected to the driver and embedded as LITERAL arrays in
+  * 1024 cells — collected to the driver and embedded as a DATA literal in
   * the projection, the streaming analogue of a broadcast join against a
-  * static dim); the per-row encode is an argmin over 16 codegen'd
-  * integer-L2² folds (`array_min` over (d2, c_id) structs — ties to the
-  * lower c_id, the batch [[graft.queries.Similarity]] `pqAssign` rule,
-  * because Spark orders structs field by field). A 1000-executor ingest
+  * static dim); the per-row encode is an argmin fold over the literal
+  * (strict less-than keeps the first = lowest c_id on ties, the batch
+  * [[graft.queries.Similarity]] `pqAssign` rule). A 1000-executor ingest
   * runs exactly this shape: no state, no coordination, each micro-batch
   * encodes embarrassingly parallel.
   *
@@ -32,23 +31,59 @@ import org.apache.spark.sql.functions._
   */
 object EncodeIngest {
 
+  /** The codebook as a DATA literal — array<struct<sub, c_id, cu[8]>>,
+    * c_id ascending within each sub (the tie order). The first cut
+    * UNROLLED the 8×16×8 arithmetic into ~1024 expression terms instead:
+    * that tree serialized as a ~2 MiB task binary and, worse, the
+    * generated Java for the Generate node blew past janino's method
+    * limits (19 codegen failures per bench sweep, interpreted fallback).
+    * As data + higher-order folds the expression tree is constant-size,
+    * codegen survives, and the arithmetic is bit-identical.
+    */
+  private[streaming] def centsLit(cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column =
+    array(cents.indices.flatMap { sub =>
+      cents(sub).map { case (cid, cus) =>
+        struct(lit(sub).as("sub"), lit(cid).as("c_id"),
+          array(cus.toSeq.map(lit): _*).as("cu"))
+      }
+    }: _*)
+
+  /** Integer L2² between an 8-slot slice of `xuArr` (starting at
+    * `start`, 1-based) and the centroid coordinates `cu` — one zip_with
+    * fold, exact BIGINT.
+    */
+  private[streaming] def sliceD2(xuArr: Column, start: Column, cu: Column): Column =
+    aggregate(
+      zip_with(slice(xuArr, start, lit(8)), cu, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Fold an array of (d2-able) candidate structs to the argmin struct —
+    * strict less-than keeps the FIRST candidate on ties, so an array
+    * ordered by ascending id replays the batch (d2, id)-ascending rule.
+    */
+  private def argminFold(cands: Column, d2Of: Column => Column,
+      idOf: Column => Column): Column =
+    aggregate(cands,
+      struct(lit(Long.MaxValue).as("d2"), lit(-1).as("id")),
+      (acc, c) => {
+        val d2 = d2Of(c)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), idOf(c).as("id"))).otherwise(acc)
+      }).getField("id")
+
   /** Per-row code array: for each subspace, argmin_c Σ_wd (xu − cu)² over
     * the literal codebook, ties to the lower c_id. `xuArr` must be the
     * 64-long integer micro-unit coordinate array in (sub·8 + wd) order.
     */
   private[graft] def codeStructs(
-      xuArr: Column, cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column =
-    array(cents.indices.map { sub =>
-      val cands = cents(sub).map { case (cid, cus) =>
-        val d2 = (0 until 8).map { wd =>
-          val diff = element_at(xuArr, sub * 8 + wd + 1) - lit(cus(wd))
-          diff * diff
-        }.reduce(_ + _)
-        struct(d2.as("d2"), lit(cid).as("c_id"))
-      }
-      struct(lit(sub).as("sub"),
-        array_min(array(cands: _*)).getField("c_id").as("c_id"))
-    }: _*)
+      xuArr: Column, cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column = {
+    val cl = centsLit(cents)
+    transform(sequence(lit(0), lit(cents.size - 1)), sub =>
+      struct(sub.cast("int").as("sub"),
+        argminFold(filter(cl, c => c.getField("sub") === sub),
+          c => sliceD2(xuArr, sub * 8 + 1, c.getField("cu")),
+          c => c.getField("c_id")).as("c_id")))
+  }
 
   /** Raw-space coordinates in integer micro-units, dim order — the
     * streaming copy of the batch pqXu arithmetic (round(x·1e6) as long).
@@ -71,17 +106,18 @@ object EncodeIngest {
 
   /** Per-row coarse IVF cell: argmin over the 16 literal seed vectors of
     * the full 64-dim integer L2², ties to the lower cell id — the batch
-    * `ivfpqCellsShared` rule as a stateless streaming projection.
+    * `ivfpqCellsShared` rule as a stateless streaming projection (seeds
+    * as a data literal + folds, the [[centsLit]] codegen discipline).
     */
-  private def cellCol(xuArr: Column, seeds: Seq[(Int, Array[Long])]): Column = {
-    val cands = seeds.map { case (cell, cus) =>
-      val d2 = cus.indices.map { i =>
-        val diff = element_at(xuArr, i + 1) - lit(cus(i))
-        diff * diff
-      }.reduce(_ + _)
-      struct(d2.as("d2"), lit(cell).as("cell"))
-    }
-    array_min(array(cands: _*)).getField("cell")
+  private[graft] def cellCol(xuArr: Column, seeds: Seq[(Int, Array[Long])]): Column = {
+    val seedsLit = array(seeds.map { case (cell, cus) =>
+      struct(lit(cell).as("cell"), array(cus.toSeq.map(lit): _*).as("cu"))
+    }: _*)
+    argminFold(seedsLit,
+      s => aggregate(
+        zip_with(xuArr, s.getField("cu"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x),
+      s => s.getField("cell"))
   }
 
   /** Stage the embeddings corpus as four vec_id-ring files and drain the

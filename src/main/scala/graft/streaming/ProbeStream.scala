@@ -32,19 +32,16 @@ object ProbeStream {
 
   /** Per-row LUT entries: for every (sub, c_id) cell of the literal
     * codebook, the integer L2² between the probe's subvector and the
-    * centroid — 128 structs off the bound coordinate-array attribute.
+    * centroid — one transform over the 128-entry codebook DATA literal
+    * (the EncodeIngest.centsLit codegen discipline: data + folds, never
+    * ~1024 unrolled expression terms).
     */
   private def lutStructs(
       xuArr: Column, cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column =
-    array(cents.indices.flatMap { sub =>
-      cents(sub).map { case (cid, cus) =>
-        val d2 = (0 until 8).map { wd =>
-          val diff = element_at(xuArr, sub * 8 + wd + 1) - lit(cus(wd))
-          diff * diff
-        }.reduce(_ + _)
-        struct(lit(sub).as("sub"), lit(cid).as("c_id"), d2.as("d2"))
-      }
-    }: _*)
+    transform(EncodeIngest.centsLit(cents), c =>
+      struct(c.getField("sub").as("sub"), c.getField("c_id").as("c_id"),
+        EncodeIngest.sliceD2(xuArr, c.getField("sub") * 8 + 1,
+          c.getField("cu")).as("d2")))
 
   def adcTop5(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
