@@ -270,6 +270,21 @@ object Similarity {
     */
   def hybridRetrievalSql(s: SparkSession, d: String): String = {
     val (basis, mean) = opqBasis(s, d)
+    s"""${hybridCtes(basis, mean)}
+      SELECT q_id, cand, round(rrf_u / 1000000.0, 6) AS rrf, n_legs,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_u DESC, cand) AS INTEGER) AS rank
+      FROM hf
+      QUALIFY row_number() OVER (PARTITION BY q_id
+        ORDER BY rrf_u DESC, cand) <= 10"""
+  }
+
+  /** The WITH chain both hybrid oracles share: the OPQ train/encode
+    * replay, the depth-50 ADC leg (dtop), the BM25 chain at doc_id < 10
+    * (ltop), and the RRF fusion (hf).
+    */
+  private def hybridCtes(
+      basis: Seq[Array[Double]], mean: Array[Double]): String = {
     s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("opq")},
       hcodes AS (SELECT vec_id, sb, c_id FROM cd_opq
                  QUALIFY row_number() OVER (PARTITION BY vec_id, sb
@@ -328,13 +343,31 @@ object Similarity {
                FROM ltop),
       hf AS (SELECT q_id, cand, CAST(sum(cu) AS BIGINT) AS rrf_u,
                     CAST(count(*) AS BIGINT) AS n_legs
-             FROM legs GROUP BY 1, 2)
-      SELECT q_id, cand, round(rrf_u / 1000000.0, 6) AS rrf, n_legs,
-             CAST(row_number() OVER (PARTITION BY q_id
-               ORDER BY rrf_u DESC, cand) AS INTEGER) AS rank
-      FROM hf
-      QUALIFY row_number() OVER (PARTITION BY q_id
-        ORDER BY rrf_u DESC, cand) <= 10"""
+             FROM legs GROUP BY 1, 2)"""
+  }
+
+  /** DuckDB SQL for pipeline_hybrid_gain — the fusion audit: recall@5 of
+    * the dense leg alone, the lexical leg alone, and the RRF fusion,
+    * against the exact raw-space integer-L2 top-5 (the rotation-invariant
+    * dense ground truth the OPQ audits share). One WITH chain serves the
+    * retrieval oracle and this audit.
+    */
+  def hybridGainSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    def hit(src: String, scheme: String) = s"""
+      SELECT '$scheme' AS scheme, CAST(count(*) AS BIGINT) AS n_hits,
+             round(CAST(count(*) AS DOUBLE) / 50.0, 6) AS recall_at_5
+      FROM (SELECT q_id, cand FROM $src) t
+      JOIN x ON t.q_id = x.q_id AND t.cand = x.vec_id"""
+    s"""${hybridCtes(basis, mean)},$opqExactCtes,
+      d5 AS (SELECT q_id, cand FROM dtop WHERE rank <= 5),
+      l5 AS (SELECT q_id, cand FROM ltop WHERE rank <= 5),
+      r5 AS (SELECT q_id, cand FROM hf
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_u DESC, cand) <= 5)
+      ${hit("d5", "dense")}
+      UNION ALL${hit("l5", "lexical")}
+      UNION ALL${hit("r5", "rrf")}"""
   }
 
   /** DuckDB SQL for sim_opq_recall — the [[opqOracleSql]] machinery with
@@ -2361,6 +2394,71 @@ object Similarity {
           round(col("rrf_u").cast("double") / 1000000.0, 6).as("rrf"),
           col("n_legs"), col("rank"))
     }),
+
+    // The FUSION AUDIT — measure, don't guess, for the composed stack:
+    // recall@5 of the dense leg alone, the lexical leg alone, and the
+    // RRF fusion, all against the exact raw-space integer-L2 top-5 (the
+    // rotation-invariant dense ground truth every OPQ audit shares). On
+    // THIS corpus documents and embeddings are statistically independent,
+    // so the honest expectation is that mixing lexical rank DILUTES dense
+    // recall — the negative result a pipeline owner needs pinned before
+    // trusting RRF: fusion pays only when the modalities correlate, and
+    // this table is the cheap test that tells you whether yours do.
+    "pipeline_hybrid_gain" -> ((s, d) => {
+      val exact = pqExactTop5(s, d).withColumnRenamed("vec_id", "cand")
+      def recallRow(top5: DataFrame, scheme: String): DataFrame =
+        top5.join(exact, Seq("q_id", "cand"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(scheme).as("scheme"), col("n_hits"),
+            round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_5"))
+      val hybrid = queries("pipeline_hybrid_retrieval")(s, d)
+      val wD = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+      val dense5 = opqCodesShared(s, d)
+        .join(broadcast(opqLut(s, d)), Seq("sub", "c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_u"))
+        .withColumn("r", row_number().over(wD)).filter(col("r") <= 5)
+        .select(col("q_id"), col("vec_id").as("cand"))
+      val wL = Window.partitionBy(col("q_doc")).orderBy(col("su").desc, col("doc_id"))
+      val lex5 = TextOps.bm25Scored(s, d, col("doc_id") < 10)
+        .withColumn("r", row_number().over(wL)).filter(col("r") <= 5)
+        .select(col("q_doc").as("q_id"), col("doc_id").as("cand"))
+      val rrf5 = hybrid.filter(col("rank") <= 5).select(col("q_id"), col("cand"))
+      recallRow(dense5, "dense")
+        .unionAll(recallRow(lex5, "lexical"))
+        .unionAll(recallRow(rrf5, "rrf"))
+    }),
+
+    // INDEX COMPACTION — the physical inverted-list layout step: the
+    // IVF-PQ index (cell + codes) repartitioned BY CELL and written
+    // partitionBy(cell), so each inverted list is one contiguous
+    // partition directory a probe's nprobe cells can open directly
+    // (partition pruning — pinned in CompactionSpec) while every other
+    // list is never read. The query emits the per-cell inventory read
+    // BACK from the compacted layout: the write→read round trip must
+    // lose nothing vs the logical table (the oracle re-derives it from
+    // raw parquet). repartition(cell) before partitionBy keeps exactly
+    // one writer task per cell — one file per list, not one per
+    // (task × cell) fragment; at 100 TB this is the compaction job that
+    // turns a streamed append log into a servable index.
+    "sim_ivfpq_compaction" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-compaction")
+      try {
+        ivfpqCellsShared(s, d).join(pqCodesShared(s, d), Seq("vec_id"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+        // bounded (≤16 rows): collected so the result outlives the temp dir
+        s.read.parquet(dir.toString)
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(countDistinct(col("vec_id")).as("n_vectors"),
+            count(lit(1)).as("n_codes"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("cell", "n_vectors", "n_codes")
+      } finally graft.streaming.StagedEvents.deleteRecursively(dir)
+    }),
   )
 
   /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
@@ -2580,16 +2678,30 @@ object Similarity {
     * cell — the batch ivfpqCellsShared rule) joined with the PQ codes,
     * all independently re-derived from raw parquet.
     */
-  private[graft] val ivfpqStreamIndexSql: String = pqAdcCtes + """,
+  private val cellAsnCtes: String = """,
       cseed AS (SELECT vec_id AS cell, sb, wd, xu AS cu FROM xu WHERE vec_id < 16),
       cd2 AS (SELECT x.vec_id, s.cell, sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
               FROM xu x JOIN cseed s ON x.sb = s.sb AND x.wd = s.wd
               GROUP BY 1, 2),
       cellasn AS (SELECT vec_id, cell FROM cd2
                   QUALIFY row_number() OVER (PARTITION BY vec_id
-                    ORDER BY d2, cell) = 1)
+                    ORDER BY d2, cell) = 1)"""
+
+  private[graft] val ivfpqStreamIndexSql: String = pqAdcCtes + cellAsnCtes + """
       SELECT cds.vec_id, a.cell, cds.sb AS sub, cds.c_id
       FROM codes cds JOIN cellasn a ON cds.vec_id = a.vec_id"""
+
+  /** DuckDB SQL for sim_ivfpq_compaction: the per-cell inventory of the
+    * compacted inverted-list layout — the physical round-trip (write
+    * partitionBy(cell), read back, aggregate) must lose nothing vs the
+    * logical index table DuckDB re-derives from raw parquet.
+    */
+  private[graft] val ivfpqCompactionSql: String = pqAdcCtes + cellAsnCtes + """
+      SELECT a.cell,
+             CAST(count(DISTINCT cds.vec_id) AS BIGINT) AS n_vectors,
+             CAST(count(*) AS BIGINT) AS n_codes
+      FROM codes cds JOIN cellasn a ON cds.vec_id = a.vec_id
+      GROUP BY 1"""
 
   /** ADC top-5: the codes-only ranking sim_pq_adc returns. */
   private val pqAdcSql: String = pqAdcCtes + """
@@ -2844,6 +2956,9 @@ object Similarity {
     // the batch encode-scan must land on the same code table as the
     // streamed encode and the join-based shared stage
     "sim_pq_encode_scan" -> pqStreamCodesSql,
+    // the compacted layout's per-cell inventory must equal the logical
+    // index table re-derived from raw parquet
+    "sim_ivfpq_compaction" -> ivfpqCompactionSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,
