@@ -40,5 +40,7 @@ object SparkEntry {
       ("sim_opq_rerank_gain" -> graft.queries.Similarity.opqRerankGainSql(spark, sfDir)) +
       ("stream_opq_encode" -> graft.queries.Similarity.opqStreamCodesSql(spark, sfDir)) +
       ("pipeline_hybrid_retrieval" -> graft.queries.Similarity.hybridRetrievalSql(spark, sfDir)) +
-      ("pipeline_hybrid_gain" -> graft.queries.Similarity.hybridGainSql(spark, sfDir))
+      ("pipeline_hybrid_gain" -> graft.queries.Similarity.hybridGainSql(spark, sfDir)) +
+      ("pipeline_hybrid_ksweep" -> graft.queries.Similarity.hybridKsweepSql(spark, sfDir)) +
+      ("sim_opq_train_curve" -> graft.queries.Similarity.opqTrainCurveSql(spark, sfDir))
 }

@@ -263,6 +263,57 @@ object Similarity {
       QUALIFY row_number() OVER (PARTITION BY vec_id, sb ORDER BY d2, c_id) = 1"""
   }
 
+  /** DuckDB SQL for sim_opq_train_curve — the pqTrainCurveSql round
+    * structure reading the [[opqSqlPrefix]]'s rotated xu_opq coordinates
+    * (generated: the basis/mean enter as literals). Per round one
+    * distance table serves both that round's error total and the next
+    * round's re-assignment, same as the raw-space replay.
+    */
+  def opqTrainCurveSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    def dist(cents: String, out: String) = s""",
+      $out AS (SELECT x.vec_id, x.sb, k.c_id,
+                      sum((x.xu - k.cu) * (x.xu - k.cu)) AS d2
+               FROM xu_opq x JOIN $cents k ON x.sb = k.sb AND x.wd = k.wd
+               GROUP BY 1, 2, 3)"""
+    def update(assign: String, out: String) = s""",
+      $out AS (SELECT x.sb, a.c_id, x.wd,
+                      CAST(round(CAST(sum(x.xu) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cu
+               FROM $assign a JOIN xu_opq x
+                 ON a.vec_id = x.vec_id AND a.sb = x.sb
+               GROUP BY 1, 2, 3)"""
+    def argmin(dt: String, out: String) = s""",
+      $out AS (SELECT vec_id, sb, c_id FROM $dt
+               QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                 ORDER BY d2, c_id) = 1)"""
+    def tot(dt: String, out: String) = s""",
+      $out AS (SELECT CAST(sum(d2) AS BIGINT) AS t FROM (
+                 SELECT d2 FROM $dt
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                   ORDER BY d2, c_id) = 1))"""
+    val rounds = (1 to 4).map { k =>
+      val in = if (k == 1) argmin("oa1d", "oa1") + update("oa1", "oc1")
+      else argmin(s"odist${k - 1}", s"oa$k") + update(s"oa$k", s"oc$k")
+      in + dist(s"oc$k", s"odist$k") + tot(s"odist$k", s"ot$k")
+    }.mkString
+    val outs = (1 to 4).map { k =>
+      s"""
+      SELECT CAST($k AS INTEGER) AS iter, ot$k.t AS total_qerr_u,
+             round(CAST(ot$k.t AS DOUBLE) / n.n / 64.0
+               / 1000000000000.0, 6) AS mse
+      FROM ot$k, n"""
+    }.mkString("\n      UNION ALL")
+    s"""${opqSqlPrefix(basis, mean)},
+      oseeds AS (SELECT vec_id AS c_id, sb, wd, xu AS cu
+                 FROM xu_opq WHERE vec_id < 16),
+      oa1d AS (SELECT x.vec_id, x.sb, s.c_id,
+                      sum((x.xu - s.cu) * (x.xu - s.cu)) AS d2
+               FROM xu_opq x JOIN oseeds s ON x.sb = s.sb AND x.wd = s.wd
+               GROUP BY 1, 2, 3)$rounds
+      $outs"""
+  }
+
   /** DuckDB SQL for pipeline_hybrid_retrieval — the OPQ train/encode
     * replay feeding a depth-50 ADC leg, the static BM25 chain (probes
     * doc_id < 10) feeding the depth-50 lexical leg, and the RRF fusion
@@ -368,6 +419,35 @@ object Similarity {
       ${hit("d5", "dense")}
       UNION ALL${hit("l5", "lexical")}
       UNION ALL${hit("r5", "rrf")}"""
+  }
+
+  /** DuckDB SQL for pipeline_hybrid_ksweep — the shared hybrid WITH
+    * chain's depth-50 leg tables fused at every k in the sweep, each
+    * fusion's top-5 scored against the exact raw-space top-5.
+    */
+  def hybridKsweepSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    s"""${hybridCtes(basis, mean)},$opqExactCtes,
+      kks(k) AS (VALUES (5), (20), (60), (240)),
+      klegs AS (SELECT k, q_id, cand,
+                       CAST(round(1000000.0 / (k + rank)) AS BIGINT) AS cu
+                FROM dtop CROSS JOIN kks
+                UNION ALL
+                SELECT k, q_id, cand,
+                       CAST(round(1000000.0 / (k + rank)) AS BIGINT) AS cu
+                FROM ltop CROSS JOIN kks),
+      kf AS (SELECT k, q_id, cand, CAST(sum(cu) AS BIGINT) AS rrf_u
+             FROM klegs GROUP BY 1, 2, 3),
+      k5 AS (SELECT k, q_id, cand FROM kf
+             QUALIFY row_number() OVER (PARTITION BY k, q_id
+               ORDER BY rrf_u DESC, cand) <= 5),
+      kh AS (SELECT k, CAST(count(*) AS BIGINT) AS n_hits
+             FROM k5 JOIN x ON k5.q_id = x.q_id AND k5.cand = x.vec_id
+             GROUP BY k)
+      SELECT kks.k, coalesce(kh.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             round(CAST(coalesce(kh.n_hits, 0) AS DOUBLE) / 50.0, 6)
+               AS recall_at_5
+      FROM kks LEFT JOIN kh ON kks.k = kh.k"""
   }
 
   /** DuckDB SQL for sim_opq_recall — the [[opqOracleSql]] machinery with
@@ -835,6 +915,31 @@ object Similarity {
         round(col("n_hits").cast("double") / 50.0, 6).as(outCol))
   }
 
+  /** The hybrid stack's DENSE leg: whole-corpus rotated ADC per probe,
+    * ranked to depth 50 — (q_id, cand, rank). Factored so the retrieval
+    * query, the gain audit, and the k sweep rank the SAME leg table.
+    */
+  private def hybridDenseLeg(s: SparkSession, d: String): DataFrame = {
+    val wD = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+    opqCodesShared(s, d)
+      .join(broadcast(opqLut(s, d)), Seq("sub", "c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_u"))
+      .withColumn("rank", row_number().over(wD)).filter(col("rank") <= 50)
+      .select(col("q_id"), col("vec_id").as("cand"), col("rank"))
+  }
+
+  /** The hybrid stack's LEXICAL leg: BM25 over the same probe ids,
+    * ranked to depth 50 — (q_id, cand, rank).
+    */
+  private def hybridLexLeg(s: SparkSession, d: String): DataFrame = {
+    val wL = Window.partitionBy(col("q_doc")).orderBy(col("su").desc, col("doc_id"))
+    TextOps.bm25Scored(s, d, col("doc_id") < 10)
+      .withColumn("rank", row_number().over(wL)).filter(col("rank") <= 50)
+      .select(col("q_doc").as("q_id"), col("doc_id").as("cand"), col("rank"))
+  }
+
   /** Per-probe ADC lookup table in the ROTATED space — [[pqLut]]'s shape
     * over the shared rotated coordinates/codebook.
     */
@@ -998,6 +1103,27 @@ object Similarity {
       .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc_u"))
+    ivfpqExactTail(s, d, adcr)
+  }
+
+  /** Nprobe=2 probe cells against the FIXTURE coarse quantizer
+    * (q_id, cell) — the ≤20-row broadcast every fixture-cell IVF-PQ
+    * probe starts from, exposed for the streamed serving variants.
+    */
+  private[graft] def ivfpqProbeCells(s: SparkSession, d: String): DataFrame = {
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+    ivfpqCellScores(s, d).filter(col("vec_id") < 10)
+      .withColumn("r", row_number().over(wCell)).filter(col("r") <= 2)
+      .select(col("vec_id").as("q_id"), col("c16").as("cell"))
+  }
+
+  /** The IVF-PQ pipeline's exact tail downstream of the per-(probe,
+    * candidate) ADC totals: top-50 shortlist, exact integer-L2 re-rank,
+    * top-5 with 6dp distances. Shared by [[ivfpqFrom]] and the streamed
+    * compacted-layout probe (whose ADC stage runs in-stream).
+    */
+  private[graft] def ivfpqExactTail(
+      s: SparkSession, d: String, adcr: DataFrame): DataFrame = {
     val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
     val shortlist = adcr
       .withColumn("r", row_number().over(wShort)).filter(col("r") <= 50)
@@ -1892,6 +2018,32 @@ object Similarity {
         .reduce(_ unionAll _)
     }),
 
+    // The training curve IN THE ROTATED SPACE — sim_pq_train_curve's 4
+    // unrolled Lloyd rounds over the OPQ coordinates: does the rotation
+    // change where extra training rounds stop paying? Iteration 1 IS the
+    // shared OPQ codebook (trainCents over opqXuShared — the exact
+    // arithmetic sim_opq_code_gain's "opq" rung reads), so the curve's
+    // first point cross-pins the family artifact; rounds 2-4 read the
+    // residual headroom training can still claim after the rotation has
+    // already decorrelated the subspaces. Same scale shape as the raw
+    // curve: only the 1024-row codebook iterates, the session-shared
+    // rotated corpus is scanned once per round, never shuffled on
+    // itself. Oracle: generated — DuckDB re-derives the rotation from
+    // the basis literals and unrolls the same 4 rounds.
+    "sim_opq_train_curve" -> ((s, d) => {
+      val xu = opqXuShared(s, d)
+      val n = embeddings(s, d).agg(count(lit(1)).as("n"))
+      def row(cents: DataFrame, iter: Int): DataFrame =
+        qerrAgainst(xu, cents).crossJoin(n)
+          .select(lit(iter).cast("int").as("iter"), col("t").as("total_qerr_u"),
+            round(col("t").cast("double") / col("n") / 64.0
+              / 1000000000000.0, 6).as("mse"))
+      Iterator.iterate(trainCents(xu))(lloydUpdate(xu, _))
+        .take(4).zipWithIndex
+        .map { case (c, i) => row(c, i + 1) }
+        .reduce(_ unionAll _)
+    }),
+
     // SEED-CHOICE audit for the PQ trainer: quantization error after one
     // Lloyd update from the family's fixture seeds (vec_id<16 — the
     // deterministic but arbitrary first-ids choice every PQ query
@@ -2370,22 +2522,9 @@ object Similarity {
     // scan (LUT broadcast); fusion itself aggregates ≤ 100 rows per probe.
     "pipeline_hybrid_retrieval" -> ((s, d) => {
       val cu = round(lit(1000000.0) / (lit(60) + col("rank"))).cast("long")
-      // dense leg: whole-corpus rotated ADC at depth 50
-      val wD = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
-      val dense = opqCodesShared(s, d)
-        .join(broadcast(opqLut(s, d)), Seq("sub", "c_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("d2")).as("adc_u"))
-        .withColumn("rank", row_number().over(wD)).filter(col("rank") <= 50)
-        .select(col("q_id"), col("vec_id").as("cand"), cu.as("cu"))
-      // lexical leg: BM25 over the same probe ids at depth 50
-      val wL = Window.partitionBy(col("q_doc")).orderBy(col("su").desc, col("doc_id"))
-      val lex = TextOps.bm25Scored(s, d, col("doc_id") < 10)
-        .withColumn("rank", row_number().over(wL)).filter(col("rank") <= 50)
-        .select(col("q_doc").as("q_id"), col("doc_id").as("cand"), cu.as("cu"))
       val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf_u").desc, col("cand"))
-      dense.unionByName(lex)
+      hybridDenseLeg(s, d).unionByName(hybridLexLeg(s, d))
+        .select(col("q_id"), col("cand"), cu.as("cu"))
         .groupBy(col("q_id"), col("cand"))
         .agg(sum(col("cu")).as("rrf_u"), count(lit(1)).as("n_legs"))
         .withColumn("rank", row_number().over(wF))
@@ -2412,22 +2551,49 @@ object Similarity {
           .select(lit(scheme).as("scheme"), col("n_hits"),
             round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_5"))
       val hybrid = queries("pipeline_hybrid_retrieval")(s, d)
-      val wD = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
-      val dense5 = opqCodesShared(s, d)
-        .join(broadcast(opqLut(s, d)), Seq("sub", "c_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("d2")).as("adc_u"))
-        .withColumn("r", row_number().over(wD)).filter(col("r") <= 5)
-        .select(col("q_id"), col("vec_id").as("cand"))
-      val wL = Window.partitionBy(col("q_doc")).orderBy(col("su").desc, col("doc_id"))
-      val lex5 = TextOps.bm25Scored(s, d, col("doc_id") < 10)
-        .withColumn("r", row_number().over(wL)).filter(col("r") <= 5)
-        .select(col("q_doc").as("q_id"), col("doc_id").as("cand"))
+      val dense5 = hybridDenseLeg(s, d).filter(col("rank") <= 5)
+        .select(col("q_id"), col("cand"))
+      val lex5 = hybridLexLeg(s, d).filter(col("rank") <= 5)
+        .select(col("q_id"), col("cand"))
       val rrf5 = hybrid.filter(col("rank") <= 5).select(col("q_id"), col("cand"))
       recallRow(dense5, "dense")
         .unionAll(recallRow(lex5, "lexical"))
         .unionAll(recallRow(rrf5, "rrf"))
+    }),
+
+    // The RRF k-constant SWEEP over the hybrid stack —
+    // pipeline_hybrid_gain parameterized by the fusion's only knob:
+    // k ∈ {5, 20, 60, 240} (small k weights the top ranks steeply; large
+    // k flattens toward leg-count voting). Both legs are ranked ONCE at
+    // depth 50; the sweep is a 4-value literal explode over the bounded
+    // leg rows plus per-(k, probe) top-5 windows — never a re-scan of
+    // either corpus pass. On this corpus (independent modalities, the
+    // lexical leg is noise) the honest expectation: small k lets the
+    // noise leg's top ranks override dense evidence, large k converges
+    // to two-leg consensus — the curve a pipeline owner reads before
+    // trusting k=60's default.
+    "pipeline_hybrid_ksweep" -> ((s, d) => {
+      import s.implicits._
+      val ks = Seq(5, 20, 60, 240)
+      val legs = hybridDenseLeg(s, d).unionByName(hybridLexLeg(s, d))
+      val wK = Window.partitionBy(col("k"), col("q_id"))
+        .orderBy(col("rrf_u").desc, col("cand"))
+      val top5 = legs
+        .select(col("q_id"), col("cand"), col("rank"),
+          explode(array(ks.map(lit): _*)).as("k"))
+        .select(col("k"), col("q_id"), col("cand"),
+          round(lit(1000000.0) / (col("k") + col("rank"))).cast("long").as("cu"))
+        .groupBy(col("k"), col("q_id"), col("cand"))
+        .agg(sum(col("cu")).as("rrf_u"))
+        .withColumn("r", row_number().over(wK)).filter(col("r") <= 5)
+        .select(col("k"), col("q_id"), col("cand"))
+      val exact = pqExactTop5(s, d).withColumnRenamed("vec_id", "cand")
+      val hits = top5.join(exact, Seq("q_id", "cand"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+      ks.toDF("k").join(hits, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 50.0, 6)
+            .as("recall_at_5"))
     }),
 
     // INDEX COMPACTION — the physical inverted-list layout step: the

@@ -459,6 +459,15 @@ object Temporal {
     "stream_adc_probe" -> ((s, d) =>
       graft.streaming.ProbeStream.adcTop5(s, d)),
 
+    // The streamed IVF-PQ probe against the COMPACTED inverted-list
+    // layout (partitionBy(cell) directories): the static candidate scan
+    // carries the probed cells as a literal filter, so it opens ONLY the
+    // nprobe lists' directories (partition pruning — CompactionSpec);
+    // ADC runs in-stream, the exact re-rank tail batch-side. Must land
+    // on sim_ivfpq_topk's own oracle.
+    "stream_compacted_probe" -> ((s, d) =>
+      graft.streaming.CompactedProbe.ivfpqTop5(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -916,6 +925,9 @@ object Temporal {
     "stream_ivfpq_index" -> graft.queries.Similarity.ivfpqStreamIndexSql,
     // the streamed serving path must produce the batch ADC top-5 exactly
     "stream_adc_probe" -> graft.queries.Similarity.oracle("sim_pq_adc"),
+    // the compacted-layout probe must produce the batch IVF-PQ top-5:
+    // the physical layout and the streamed ADC leg change NOTHING
+    "stream_compacted_probe" -> graft.queries.Similarity.oracle("sim_ivfpq_topk"),
     // the chain's per-batch two-operator state replay: batch 0 holds all
     // N dedup keys and one state row per MERGED session; batch 1 evicts
     // dedup to the 2·delay horizon and flushes sessions whose close

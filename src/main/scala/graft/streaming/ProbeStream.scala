@@ -36,7 +36,7 @@ object ProbeStream {
     * (the EncodeIngest.centsLit codegen discipline: data + folds, never
     * ~1024 unrolled expression terms).
     */
-  private def lutStructs(
+  private[streaming] def lutStructs(
       xuArr: Column, cents: IndexedSeq[Seq[(Int, Array[Long])]]): Column =
     transform(EncodeIngest.centsLit(cents), c =>
       struct(c.getField("sub").as("sub"), c.getField("c_id").as("c_id"),

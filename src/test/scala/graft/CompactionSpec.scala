@@ -47,4 +47,49 @@ class CompactionSpec extends SparkSpec {
         === Set(someCell))
     } finally graft.streaming.StagedEvents.deleteRecursively(dir)
   }
+
+  test("the streamed probe's candidate scan reads exactly the probed cells' files") {
+    val dir = Files.createTempDirectory("compacted-probe-spec")
+    try {
+      graft.queries.Similarity.ivfpqCellsShared(spark, sf)
+        .join(graft.queries.Similarity.pqCodesShared(spark, sf), Seq("vec_id"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+      val allCells = spark.read.parquet(dir.toString)
+        .select(col("cell").cast("int")).distinct().collect().map(_.getInt(0)).sorted
+      assert(allCells.length >= 3, s"need ≥3 lists to prove pruning: ${allCells.toSeq}")
+      val probed = allCells.take(2).toSeq
+
+      val codes =
+        graft.streaming.CompactedProbe.compactedCodes(spark, dir.toString, probed)
+      val plan = codes.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+      assert(codes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+        === probed.toSet)
+
+      // physical pin: with one file per list, files read == cells probed
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case qs: QueryStageExec       => scans(qs.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(scans)
+        }
+      codes.collect()
+      val numFiles =
+        scans(codes.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+      assert(numFiles === probed.size.toLong,
+        s"scan read $numFiles files for ${probed.size} probed cells")
+    } finally graft.streaming.StagedEvents.deleteRecursively(dir)
+  }
+
+  test("streamed compacted probe lands on the batch IVF-PQ top-5 exactly") {
+    val batch = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = graft.streaming.CompactedProbe.ivfpqTop5(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
 }

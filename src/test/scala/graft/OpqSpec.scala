@@ -78,6 +78,34 @@ class OpqSpec extends SparkSpec {
       s"curve iter1 ${curve.head._2} vs code-gain raw $rawTotal")
   }
 
+  test("rotated training curve: iteration 1 is the shared OPQ codebook") {
+    val curve = graft.SparkEntry.queries("sim_opq_train_curve")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    curve.foreach { case (_, tot, _) => assert(tot > 0) }
+    // iteration 1 = trainCents over the rotated coordinates = exactly the
+    // session-shared OPQ codebook — its error must equal the code-gain
+    // audit's opq rung
+    val opqTotal = graft.SparkEntry.queries("sim_opq_code_gain")(spark, sf)
+      .filter("scheme = 'opq'").head().getLong(1)
+    assert(curve.head._2 === opqTotal,
+      s"curve iter1 ${curve.head._2} vs code-gain opq $opqTotal")
+  }
+
+  test("RRF k sweep: the k=60 row reproduces the fusion audit's rrf row") {
+    val sweep = graft.SparkEntry.queries("pipeline_hybrid_ksweep")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sweep.keySet === Set(5, 20, 60, 240))
+    sweep.values.foreach { case (hits, rec) =>
+      assert(hits >= 0 && hits <= 50)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val rrf = graft.SparkEntry.queries("pipeline_hybrid_gain")(spark, sf)
+      .filter("scheme = 'rrf'").head().getLong(1)
+    assert(sweep(60)._1 === rrf, s"k=60 ${sweep(60)._1} vs gain rrf $rrf")
+  }
+
   test("IVF-PQ gain audit: raw leg reproduces the code-gain raw row") {
     val gain = graft.SparkEntry.queries("sim_opq_ivfpq_gain")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

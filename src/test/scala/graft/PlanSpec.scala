@@ -543,6 +543,14 @@ class PlanSpec extends SparkSpec {
       // and with it the same two constant-size scalar annotates; the dense
       // leg and the fusion add no nested-loop shapes
       "pipeline_hybrid_retrieval",
+      // the fusion audit and the k sweep compose the retrieval stack's
+      // legs (bm25's scalar annotates) with the exact broadcast-probe
+      // ground truth (sim_opq_recall's declared baseline class)
+      "pipeline_hybrid_gain", "pipeline_hybrid_ksweep",
+      // sim_pq_train_curve's four scalar(corpus size) annotates over the
+      // rotated coordinates; every training join is equi-keyed on the
+      // 1024-row broadcast codebook
+      "sim_opq_train_curve",
       // 1-row tercile-cutoff scalar × the per-doc score table
       "text_ppl_bucket",
       // 1-row corpus-total scalar × the 3-row per-w counts — the same
