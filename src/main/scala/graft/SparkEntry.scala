@@ -39,6 +39,7 @@ object SparkEntry {
       ("sim_opq_ivfpq_gain" -> graft.queries.Similarity.opqIvfpqGainSql(spark, sfDir)) +
       ("sim_opq_rerank_gain" -> graft.queries.Similarity.opqRerankGainSql(spark, sfDir)) +
       ("stream_opq_encode" -> graft.queries.Similarity.opqStreamCodesSql(spark, sfDir)) +
+      ("stream_opq_probe" -> graft.queries.Similarity.opqAdcProbeSql(spark, sfDir)) +
       ("pipeline_hybrid_retrieval" -> graft.queries.Similarity.hybridRetrievalSql(spark, sfDir)) +
       ("pipeline_hybrid_gain" -> graft.queries.Similarity.hybridGainSql(spark, sfDir)) +
       ("pipeline_hybrid_ksweep" -> graft.queries.Similarity.hybridKsweepSql(spark, sfDir)) +

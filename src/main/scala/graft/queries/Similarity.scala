@@ -263,6 +263,30 @@ object Similarity {
       QUALIFY row_number() OVER (PARTITION BY vec_id, sb ORDER BY d2, c_id) = 1"""
   }
 
+  /** DuckDB SQL for stream_opq_probe — the rotated-space ADC top-5 per
+    * probe: the [[opqSqlPrefix]]/[[opqTrainChain]] train/encode replay
+    * feeding per-probe LUTs and the code-table join, ranked to 5. The
+    * streamed rotate→LUT→join path must land on the identical table.
+    */
+  def opqAdcProbeSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    s"""${opqSqlPrefix(basis, mean)},${opqTrainChain("opq")},
+      pcodes AS (SELECT vec_id, sb, c_id FROM cd_opq
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sb
+                   ORDER BY d2, c_id) = 1),
+      plut AS (SELECT vec_id AS q_id, sb, c_id, d2 FROM cd_opq WHERE vec_id < 10),
+      padc AS (SELECT l.q_id, cds.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+               FROM pcodes cds JOIN plut l ON cds.sb = l.sb AND cds.c_id = l.c_id
+               WHERE cds.vec_id <> l.q_id
+               GROUP BY 1, 2)
+      SELECT q_id, vec_id, round(adc_u / 1000000000000.0, 6) AS adc_d2,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_u, vec_id) AS INTEGER) AS rank
+      FROM padc
+      QUALIFY row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_u, vec_id) <= 5"""
+  }
+
   /** DuckDB SQL for sim_opq_train_curve — the pqTrainCurveSql round
     * structure reading the [[opqSqlPrefix]]'s rotated xu_opq coordinates
     * (generated: the basis/mean enter as literals). Per round one
@@ -2625,6 +2649,44 @@ object Similarity {
           .toDF("cell", "n_vectors", "n_codes")
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
+
+    // INDEX MAINTENANCE — the append→fragment→merge loop a streamed
+    // index actually lives: half the corpus is compacted first (one
+    // file per list), the other half lands later as an APPEND into the
+    // same partitioned layout (a second file per touched list — the
+    // fragmentation a streaming sink accumulates batch after batch),
+    // then the re-compaction job rewrites one file per list
+    // (fragmented-then-merged pinned file-count-by-file-count in
+    // CompactionSpec). The emitted read-back inventory must equal the
+    // SAME logical table as sim_ivfpq_compaction — the maintenance loop
+    // loses nothing (oracle shared). At 100 TB this is the recurring
+    // LSM-style merge that keeps probe-side reads at one file per list.
+    "sim_ivfpq_recompaction" -> ((s, d) => {
+      import s.implicits._
+      val idx = ivfpqCellsShared(s, d).join(pqCodesShared(s, d), Seq("vec_id"))
+      val log = java.nio.file.Files.createTempDirectory("ivfpq-append-log")
+      val merged = java.nio.file.Files.createTempDirectory("ivfpq-recompacted")
+      try {
+        idx.filter(col("vec_id") % 2 === 0).repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(log.toString)
+        idx.filter(col("vec_id") % 2 === 1).repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(log.toString)
+        s.read.parquet(log.toString)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(merged.toString)
+        // bounded (≤16 rows): collected so the result outlives the temp dirs
+        s.read.parquet(merged.toString)
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(countDistinct(col("vec_id")).as("n_vectors"),
+            count(lit(1)).as("n_codes"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("cell", "n_vectors", "n_codes")
+      } finally {
+        graft.streaming.StagedEvents.deleteRecursively(log)
+        graft.streaming.StagedEvents.deleteRecursively(merged)
+      }
+    }),
   )
 
   /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
@@ -3125,6 +3187,8 @@ object Similarity {
     // the compacted layout's per-cell inventory must equal the logical
     // index table re-derived from raw parquet
     "sim_ivfpq_compaction" -> ivfpqCompactionSql,
+    // the maintenance loop must lose nothing: same logical inventory
+    "sim_ivfpq_recompaction" -> ivfpqCompactionSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,

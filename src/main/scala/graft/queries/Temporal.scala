@@ -459,6 +459,16 @@ object Temporal {
     "stream_adc_probe" -> ((s, d) =>
       graft.streaming.ProbeStream.adcTop5(s, d)),
 
+    // The ROTATED serving path end-to-end: the probe vector is
+    // OPQ-rotated IN-STREAM (per-row literal-basis projection — the
+    // same arithmetic the encode path runs at ingest), its LUT computed
+    // in the rotated space, candidates from the static rotated code
+    // table. With stream_opq_encode this closes the OPQ lifecycle:
+    // rotate+encode at ingest, rotate+probe at serve, no corpus-wide
+    // rotation job anywhere.
+    "stream_opq_probe" -> ((s, d) =>
+      graft.streaming.ProbeStream.opqTop5(s, d)),
+
     // The streamed IVF-PQ probe against the COMPACTED inverted-list
     // layout (partitionBy(cell) directories): the static candidate scan
     // carries the probed cells as a literal filter, so it opens ONLY the

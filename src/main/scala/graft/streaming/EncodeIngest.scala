@@ -94,7 +94,7 @@ object EncodeIngest {
   /** OPQ-rotated coordinates — the batch opqXu arithmetic (dot against
     * the literal basis, minus the folded mean offset, rounded once).
     */
-  private def rotatedXu(
+  private[streaming] def rotatedXu(
       v: Column, basis: Seq[Array[Double]], mean: Array[Double]): Column = {
     val bLit = array(basis.map(vj => array(vj.toSeq.map(lit): _*)): _*)
     val oLit = array(basis.map(vj =>

@@ -45,44 +45,73 @@ object ProbeStream {
 
   def adcTop5(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
-      val cents = graft.queries.Similarity.collectedCents(
-        graft.queries.Similarity.pqCodebookShared(spark, sfDir))
-      val codes = graft.queries.Similarity.pqCodesShared(spark, sfDir)
-      val staged = Files.createTempDirectory("stream-adc-probe")
-      try {
-        val probes = graft.tables.Tables.embeddings(spark, sfDir)
-          .filter(col("vec_id") < 10)
-        require(probes.head(1).nonEmpty,
-          s"$sfDir/embeddings.parquet has no probe rows — cannot stage a probe stream")
-        StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 0),
-          staged, "b0_probes.parquet", 60)
-        StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 1),
-          staged, "b1_probes.parquet", 45)
-        val schema =
-          spark.read.parquet(staged.resolve("b0_probes.parquet").toString).schema
-        val scores = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(staged.toString)
-          .select(col("vec_id").as("q_id"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-          .select(col("q_id"),
-            transform(col("v"), x => round(x * 1000000).cast("long")).as("xu"))
-          .select(col("q_id"), explode(lutStructs(col("xu"), cents)).as("l"))
-          .select(col("q_id"), col("l.sub").as("sub"),
-            col("l.c_id").as("c_id"), col("l.d2").as("d2"))
-          .join(codes, Seq("sub", "c_id")) // stream-static inner join
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("d2")).as("adc_u"))
-        val drained =
-          Drain.toMemory(spark, "stream_adc_probe", scores, mode = "complete")
-        val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
-        drained
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("vec_id"),
-            round(col("adc_u").cast("double") / 1000000000000.0, 6).as("adc_d2"),
-            col("rank"))
-      } finally StagedEvents.deleteRecursively(staged)
+      probeTop5(spark, sfDir, "stream_adc_probe",
+        graft.queries.Similarity.collectedCents(
+          graft.queries.Similarity.pqCodebookShared(spark, sfDir)),
+        graft.queries.Similarity.pqCodesShared(spark, sfDir),
+        v => transform(v, x => round(x * 1000000).cast("long")))
     }
+
+  /** The ROTATED serving path end-to-end: the arriving probe vector is
+    * OPQ-rotated in-stream (the literal 64×64 basis, the same per-row
+    * arithmetic the encode path runs — rotation is a per-row projection
+    * at BOTH ends of the index lifecycle, never a corpus job), the LUT
+    * is computed in the rotated space, and candidates come from the
+    * static rotated code table. Oracle: generated — DuckDB re-derives
+    * rotation, training, codes, and per-probe LUTs from the basis
+    * literals and must land on the identical top-5.
+    */
+  def opqTop5(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val (basis, mean) = graft.queries.Similarity.opqBasis(spark, sfDir)
+      probeTop5(spark, sfDir, "stream_opq_probe",
+        graft.queries.Similarity.collectedCents(
+          graft.queries.Similarity.opqCentsShared(spark, sfDir)),
+        graft.queries.Similarity.opqCodesShared(spark, sfDir),
+        v => EncodeIngest.rotatedXu(v, basis, mean))
+    }
+
+  /** The shared serving harness: stage the probes as two micro-batch
+    * files, map each arriving vector to its integer coordinates via
+    * `toXu`, project the per-probe LUT, join the static code table,
+    * aggregate ADC totals in complete mode, rank batch-side.
+    */
+  private def probeTop5(spark: SparkSession, sfDir: String, name: String,
+      cents: IndexedSeq[Seq[(Int, Array[Long])]], codes: DataFrame,
+      toXu: Column => Column): DataFrame = {
+    val staged = Files.createTempDirectory(name)
+    try {
+      val probes = graft.tables.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 10)
+      require(probes.head(1).nonEmpty,
+        s"$sfDir/embeddings.parquet has no probe rows — cannot stage a probe stream")
+      StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 0),
+        staged, "b0_probes.parquet", 60)
+      StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 1),
+        staged, "b1_probes.parquet", 45)
+      val schema =
+        spark.read.parquet(staged.resolve("b0_probes.parquet").toString).schema
+      val scores = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("q_id"), toXu(col("v")).as("xu"))
+        .select(col("q_id"), explode(lutStructs(col("xu"), cents)).as("l"))
+        .select(col("q_id"), col("l.sub").as("sub"),
+          col("l.c_id").as("c_id"), col("l.d2").as("d2"))
+        .join(codes, Seq("sub", "c_id")) // stream-static inner join
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_u"))
+      val drained = Drain.toMemory(spark, name, scores, mode = "complete")
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+      drained
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("adc_u").cast("double") / 1000000000000.0, 6).as("adc_d2"),
+          col("rank"))
+    } finally StagedEvents.deleteRecursively(staged)
+  }
 }

@@ -85,6 +85,50 @@ class CompactionSpec extends SparkSpec {
     } finally graft.streaming.StagedEvents.deleteRecursively(dir)
   }
 
+  test("append fragments the lists; re-compaction restores one file per list") {
+    import scala.jdk.CollectionConverters._
+    def filesPerCell(root: java.nio.file.Path): Map[String, Int] = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toVector
+        .groupBy(_.getParent.getFileName.toString)
+        .map { case (cell, fs) => cell -> fs.size }
+      finally walk.close()
+    }
+    val idx = graft.queries.Similarity.ivfpqCellsShared(spark, sf)
+      .join(graft.queries.Similarity.pqCodesShared(spark, sf), Seq("vec_id"))
+    val log = Files.createTempDirectory("recompaction-spec-log")
+    val merged = Files.createTempDirectory("recompaction-spec-merged")
+    try {
+      idx.filter(col("vec_id") % 2 === 0).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(log.toString)
+      idx.filter(col("vec_id") % 2 === 1).repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(log.toString)
+      // the append left at least one list fragmented
+      assert(filesPerCell(log).values.max >= 2, filesPerCell(log).toString)
+
+      spark.read.parquet(log.toString)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(merged.toString)
+      val after = filesPerCell(merged)
+      assert(after.nonEmpty && after.values.forall(_ === 1), after.toString)
+
+      // and the merge lost nothing: same (cell, vec_id, sub, c_id) set
+      val before = idx.select(col("cell").cast("long"), col("vec_id"),
+        col("sub").cast("long"), col("c_id").cast("long"))
+        .collect().map(_.toString).sorted.toSeq
+      val read = spark.read.parquet(merged.toString)
+        .select(col("cell").cast("long"), col("vec_id"),
+          col("sub").cast("long"), col("c_id").cast("long"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(read === before)
+    } finally {
+      graft.streaming.StagedEvents.deleteRecursively(log)
+      graft.streaming.StagedEvents.deleteRecursively(merged)
+    }
+  }
+
   test("streamed compacted probe lands on the batch IVF-PQ top-5 exactly") {
     val batch = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
       .collect().map(_.toString).sorted.toSeq

@@ -61,4 +61,33 @@ class EncodeIngestSpec extends SparkSpec {
     val perVec = streamed.groupBy(_._1).view.mapValues(_.size).toMap
     assert(perVec.values.toSet === Set(8))
   }
+
+  test("streamed rotated probe equals the batch rotated-ADC top-5") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // batch side rebuilt from the PUBLIC shared stages: per-probe LUT in
+    // the rotated space joined onto the rotated code table, exact BIGINT
+    // ADC totals, same (adc_u, vec_id) rank rule
+    val lut = graft.queries.Similarity.opqXuShared(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("sub"), col("wd"), col("xu").as("qu"))
+      .join(broadcast(graft.queries.Similarity.opqCentsShared(spark, dir)),
+        Seq("sub", "wd"))
+      .groupBy(col("q_id"), col("sub"), col("c_id"))
+      .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+    val batch = graft.queries.Similarity.opqCodesShared(spark, dir)
+      .join(broadcast(lut), Seq("sub", "c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_u"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = ProbeStream.opqTop5(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
