@@ -2650,6 +2650,40 @@ object Similarity {
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
 
+    // The SERVING-COST table for the inverted-list layout — the cost
+    // twin of sim_ivfpq_probe_sweep's recall curve: per nprobe ∈
+    // {1,2,4,8}, how many inverted lists a probe set opens and how many
+    // 1-byte codes it scans (8 per vector in a touched list), plus the
+    // corpus fraction scanned per probe. Read next to the sweep's recall
+    // column this is the complete recall-vs-cost tradeoff the nprobe
+    // knob buys — and the row counts are exactly what the compacted
+    // partitionBy(cell) layout turns into files opened. Everything is
+    // bounded: probe ranks are a ≤160-row frame, list sizes a 16-row
+    // aggregate; the corpus is scanned once for each.
+    "sim_ivfpq_scan_cost" -> ((s, d) => {
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
+      val pr = ivfpqCellScores(s, d).filter(col("vec_id") < 10)
+        .withColumn("pr", row_number().over(wCell)).filter(col("pr") <= 8)
+        .select(col("vec_id").as("q_id"), col("c16").as("cell"), col("pr"))
+      val sizes = ivfpqCellsShared(s, d)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vec"))
+      val n = embeddings(s, d).agg(count(lit(1)).as("n"))
+      val nq = pr.select(countDistinct(col("q_id")).as("nq"))
+      pr.join(broadcast(sizes), Seq("cell"))
+        .select(col("q_id"), col("pr"), col("n_vec"),
+          explode(array(Seq(1, 2, 4, 8).map(lit): _*)).as("np"))
+        .filter(col("pr") <= col("np"))
+        .groupBy(col("np"))
+        .agg(count(lit(1)).as("cells_touched"),
+          (sum(col("n_vec")) * 8).cast("long").as("codes_scanned"),
+          sum(col("n_vec")).as("sv"))
+        .crossJoin(n).crossJoin(nq)
+        .select(col("np").as("nprobe"), col("cells_touched"),
+          col("codes_scanned"),
+          round(col("sv").cast("double") / col("n") / col("nq"), 6)
+            .as("scanned_frac"))
+    }),
+
     // INDEX MAINTENANCE — the append→fragment→merge loop a streamed
     // index actually lives: half the corpus is compacted first (one
     // file per list), the other half lands later as an APPEND into the
@@ -2918,6 +2952,29 @@ object Similarity {
   private[graft] val ivfpqStreamIndexSql: String = pqAdcCtes + cellAsnCtes + """
       SELECT cds.vec_id, a.cell, cds.sb AS sub, cds.c_id
       FROM codes cds JOIN cellasn a ON cds.vec_id = a.vec_id"""
+
+  /** DuckDB SQL for sim_ivfpq_scan_cost: probe cell ranks off the same
+    * cd2 distance table, list sizes off the same cellasn assignment, the
+    * nprobe legs a VALUES cross join — the lists-opened / codes-scanned
+    * cost table per nprobe.
+    */
+  private val ivfpqScanCostSql: String = pqAdcCtes + cellAsnCtes + """,
+      spr AS (SELECT vec_id AS q_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cell) AS pr
+              FROM cd2 WHERE vec_id < 10),
+      ssz AS (SELECT cell, count(*) AS n_vec FROM cellasn GROUP BY cell),
+      snn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      snq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS nq FROM spr),
+      snp(np) AS (VALUES (1), (2), (4), (8)),
+      slegs AS (SELECT np, q_id, n_vec FROM spr JOIN ssz USING (cell)
+                CROSS JOIN snp WHERE pr <= np)
+      SELECT np AS nprobe, CAST(count(*) AS BIGINT) AS cells_touched,
+             CAST(8 * sum(n_vec) AS BIGINT) AS codes_scanned,
+             round(CAST(sum(n_vec) AS DOUBLE) / snn.n / snq.nq, 6)
+               AS scanned_frac
+      FROM slegs, snn, snq
+      GROUP BY 1, snn.n, snq.nq"""
 
   /** DuckDB SQL for sim_ivfpq_compaction: the per-cell inventory of the
     * compacted inverted-list layout — the physical round-trip (write
@@ -3189,6 +3246,7 @@ object Similarity {
     "sim_ivfpq_compaction" -> ivfpqCompactionSql,
     // the maintenance loop must lose nothing: same logical inventory
     "sim_ivfpq_recompaction" -> ivfpqCompactionSql,
+    "sim_ivfpq_scan_cost" -> ivfpqScanCostSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,

@@ -551,6 +551,9 @@ class PlanSpec extends SparkSpec {
       // rotated coordinates; every training join is equi-keyed on the
       // 1024-row broadcast codebook
       "sim_opq_train_curve",
+      // the 16-seed coarse scoring + two 1-row scalar annotates (corpus
+      // size, probe count) over the 4-row cost table
+      "sim_ivfpq_scan_cost",
       // 1-row tercile-cutoff scalar × the per-doc score table
       "text_ppl_bucket",
       // 1-row corpus-total scalar × the 3-row per-w counts — the same
