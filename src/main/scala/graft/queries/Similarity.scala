@@ -474,6 +474,36 @@ object Similarity {
       FROM kks LEFT JOIN kh ON kks.k = kh.k"""
   }
 
+  /** DuckDB SQL for pipeline_hybrid_depth_curve — the shared hybrid
+    * chain's depth-50 leg tables cut at every depth in the sweep before
+    * the k=60 fusion, each fusion's top-5 scored against the exact
+    * raw-space top-5.
+    */
+  def hybridDepthCurveSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    s"""${hybridCtes(basis, mean)},$opqExactCtes,
+      dds(depth) AS (VALUES (5), (10), (25), (50)),
+      dlegs AS (SELECT depth, q_id, cand,
+                       CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS cu
+                FROM dtop CROSS JOIN dds WHERE rank <= depth
+                UNION ALL
+                SELECT depth, q_id, cand,
+                       CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS cu
+                FROM ltop CROSS JOIN dds WHERE rank <= depth),
+      dfu AS (SELECT depth, q_id, cand, CAST(sum(cu) AS BIGINT) AS rrf_u
+              FROM dlegs GROUP BY 1, 2, 3),
+      dcut AS (SELECT depth, q_id, cand FROM dfu
+               QUALIFY row_number() OVER (PARTITION BY depth, q_id
+                 ORDER BY rrf_u DESC, cand) <= 5),
+      dhit AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_hits
+               FROM dcut JOIN x ON dcut.q_id = x.q_id AND dcut.cand = x.vec_id
+               GROUP BY depth)
+      SELECT dds.depth, coalesce(dhit.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             round(CAST(coalesce(dhit.n_hits, 0) AS DOUBLE) / 50.0, 6)
+               AS recall_at_5
+      FROM dds LEFT JOIN dhit ON dds.depth = dhit.depth"""
+  }
+
   /** DuckDB SQL for sim_opq_recall — the [[opqOracleSql]] machinery with
     * an ADC@5-vs-exact-top5 tail per scheme: codes and per-probe LUTs read
     * off the same cd_ distances, the exact baseline is the raw-space
@@ -2650,6 +2680,36 @@ object Similarity {
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
 
+    // The DEPTH curve for the hybrid stack — the ksweep's orthogonal
+    // knob: recall@5 of the k=60 fusion when BOTH legs are cut at depth
+    // ∈ {5, 10, 25, 50} before fusing. Depth is the production cost
+    // lever (each leg's depth is rows fetched per query); the curve
+    // reads how much fused quality the cheaper shortlists give up. Same
+    // sweep shape as the k sweep: legs ranked ONCE, a literal explode
+    // filters them per depth, per-(depth, probe) top-5 windows.
+    "pipeline_hybrid_depth_curve" -> ((s, d) => {
+      import s.implicits._
+      val depths = Seq(5, 10, 25, 50)
+      val cu = round(lit(1000000.0) / (lit(60) + col("rank"))).cast("long")
+      val wD = Window.partitionBy(col("depth"), col("q_id"))
+        .orderBy(col("rrf_u").desc, col("cand"))
+      val top5 = hybridDenseLeg(s, d).unionByName(hybridLexLeg(s, d))
+        .select(col("q_id"), col("cand"), col("rank"), cu.as("cu"),
+          explode(array(depths.map(lit): _*)).as("depth"))
+        .filter(col("rank") <= col("depth"))
+        .groupBy(col("depth"), col("q_id"), col("cand"))
+        .agg(sum(col("cu")).as("rrf_u"))
+        .withColumn("r", row_number().over(wD)).filter(col("r") <= 5)
+        .select(col("depth"), col("q_id"), col("cand"))
+      val exact = pqExactTop5(s, d).withColumnRenamed("vec_id", "cand")
+      val hits = top5.join(exact, Seq("q_id", "cand"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_hits"))
+      depths.toDF("depth").join(hits, Seq("depth"), "left")
+        .select(col("depth"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 50.0, 6)
+            .as("recall_at_5"))
+    }),
+
     // The SERVING-COST table for the inverted-list layout — the cost
     // twin of sim_ivfpq_probe_sweep's recall curve: per nprobe ∈
     // {1,2,4,8}, how many inverted lists a probe set opens and how many
@@ -2720,6 +2780,40 @@ object Similarity {
         graft.streaming.StagedEvents.deleteRecursively(log)
         graft.streaming.StagedEvents.deleteRecursively(merged)
       }
+    }),
+
+    // The MERGE-DECISION metric that schedules the recompaction: four
+    // mod-4 slices of the corpus appended into the partitionBy(cell)
+    // layout in sequence (each append writes ≤1 file per touched list —
+    // the repartition(cell) guarantee), and after every batch the
+    // PHYSICAL list/file counts are read off the directory: n_files
+    // grows by one per touched list per batch while n_lists saturates,
+    // and merge_due fires when files exceed 2× lists — the
+    // fragmentation watermark an index maintenance job polls. The
+    // oracle re-derives the expected counts LOGICALLY from the cell
+    // assignment (distinct (cell, batch) pairs), so physical layout
+    // state hash-matching SQL is the claim: the directory contains
+    // exactly what the write protocol predicts, batch by batch.
+    "sim_ivfpq_frag_trigger" -> ((s, d) => {
+      import s.implicits._
+      val idx = ivfpqCellsShared(s, d).join(pqCodesShared(s, d), Seq("vec_id"))
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-frag-log")
+      try {
+        val rows = (0 until 4).map { b =>
+          idx.filter(col("vec_id") % 4 === b).repartition(col("cell"))
+            .write.mode(if (b == 0) "overwrite" else "append")
+            .partitionBy("cell").parquet(dir.toString)
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(dir)
+          val files =
+            try walk.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toVector
+            finally walk.close()
+          val lists = files.map(_.getParent.getFileName.toString).distinct.size
+          (b, lists.toLong, files.size.toLong, files.size > 2L * lists)
+        }
+        rows.toDF("batch", "n_lists", "n_files", "merge_due")
+      } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
   )
 
@@ -2975,6 +3069,21 @@ object Similarity {
                AS scanned_frac
       FROM slegs, snn, snq
       GROUP BY 1, snn.n, snq.nq"""
+
+  /** DuckDB SQL for sim_ivfpq_frag_trigger: the EXPECTED list/file
+    * counts after each mod-4 append, derived logically — files after
+    * batch k = distinct (cell, batch≤k) pairs, because each append
+    * writes exactly one file per touched list.
+    */
+  private val ivfpqFragTriggerSql: String = pqAdcCtes + cellAsnCtes + """,
+      fb AS (SELECT DISTINCT cell, vec_id % 4 AS b FROM cellasn),
+      fk(k) AS (VALUES (0), (1), (2), (3))
+      SELECT CAST(k AS INTEGER) AS batch,
+             CAST(count(DISTINCT cell) AS BIGINT) AS n_lists,
+             CAST(count(*) AS BIGINT) AS n_files,
+             count(*) > 2 * count(DISTINCT cell) AS merge_due
+      FROM fk JOIN fb ON fb.b <= fk.k
+      GROUP BY 1"""
 
   /** DuckDB SQL for sim_ivfpq_compaction: the per-cell inventory of the
     * compacted inverted-list layout — the physical round-trip (write
@@ -3247,6 +3356,8 @@ object Similarity {
     // the maintenance loop must lose nothing: same logical inventory
     "sim_ivfpq_recompaction" -> ivfpqCompactionSql,
     "sim_ivfpq_scan_cost" -> ivfpqScanCostSql,
+    // the directory must contain exactly what the write protocol predicts
+    "sim_ivfpq_frag_trigger" -> ivfpqFragTriggerSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq_topk" -> pqIvfpqSql,
     "sim_ivfpq_trained" -> pqIvfpqTrainedSql,

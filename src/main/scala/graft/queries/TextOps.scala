@@ -1359,6 +1359,38 @@ object TextOps {
           round(col("su").cast("double") / 1000000.0, 6).as("bm25"), col("rank"))
     }),
 
+    // The TEXT-side analogue of the IVF-PQ compaction story: the
+    // session-shared posting table physically laid out for SERVING —
+    // terms hashed into 16 md5 buckets (the portable '0x'||substr rule),
+    // repartitioned by bucket and written partitionBy(bucket), so a
+    // query's terms resolve to bucket directories a probe opens directly
+    // (one file per bucket; bucket-pruned reads pinned in
+    // CompactionSpec) while every other shard of the index is never
+    // read. The emitted per-bucket inventory (terms, postings, tokens)
+    // is read BACK from the compacted layout and must equal the logical
+    // posting table DuckDB re-derives from raw text — the write→read
+    // round trip loses nothing. At 100 TB this is Lucene's term
+    // dictionary sharding re-expressed as a Spark layout job.
+    "text_postings_compaction" -> ((s, d) => {
+      import s.implicits._
+      val bucketed = postingsShared(s, d).withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+          % 16).cast("int"))
+      val dir = java.nio.file.Files.createTempDirectory("postings-compacted")
+      try {
+        bucketed.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir.toString)
+        // bounded (16 rows): collected so the result outlives the temp dir
+        s.read.parquet(dir.toString)
+          .groupBy(col("bucket").cast("int").as("bucket"))
+          .agg(countDistinct(col("term")).as("n_terms"),
+            count(lit(1)).as("n_postings"), sum(col("tf")).as("n_tokens"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq.toDF("bucket", "n_terms", "n_postings", "n_tokens")
+      } finally graft.streaming.StagedEvents.deleteRecursively(dir)
+    }),
+
     // Unigram-LM perplexity proxy (the KenLM-style quality filter every
     // pretraining pipeline runs: drop documents whose average token
     // negative-log-probability under a corpus LM is an outlier). The LM here
@@ -2411,6 +2443,19 @@ object TextOps {
                   AS INTEGER) AS rank
       FROM sc
       QUALIFY row_number() OVER (PARTITION BY q_doc ORDER BY su DESC, doc_id) <= 5""",
+    "text_postings_compaction" -> """
+      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                  FROM documents),
+      tok AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      pb AS (SELECT term, tf,
+                    ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS bucket
+             FROM tf)
+      SELECT CAST(bucket AS INTEGER) AS bucket,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(count(*) AS BIGINT) AS n_postings,
+             CAST(sum(tf) AS BIGINT) AS n_tokens
+      FROM pb GROUP BY 1""",
     "text_heavy_hitters" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),

@@ -129,6 +129,29 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("term-posting buckets: probe terms' buckets read without opening the rest") {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    val dir = Files.createTempDirectory("postings-compaction-spec")
+    try {
+      graft.queries.TextOps.postingsShared(spark, sf).withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+          % 16).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir.toString)
+      val buckets = spark.read.parquet(dir.toString)
+        .select(col("bucket").cast("int")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      assert(buckets.length >= 3, s"need ≥3 buckets: ${buckets.toSeq}")
+      val probeBuckets = buckets.take(2)
+      val pruned = spark.read.parquet(dir.toString)
+        .filter(col("bucket").isin(probeBuckets.map(Int.box): _*))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+      assert(pruned.select(col("bucket").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet === probeBuckets.toSet)
+    } finally graft.streaming.StagedEvents.deleteRecursively(dir)
+  }
+
   test("streamed compacted probe lands on the batch IVF-PQ top-5 exactly") {
     val batch = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
       .collect().map(_.toString).sorted.toSeq

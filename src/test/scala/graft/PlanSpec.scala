@@ -547,6 +547,7 @@ class PlanSpec extends SparkSpec {
       // legs (bm25's scalar annotates) with the exact broadcast-probe
       // ground truth (sim_opq_recall's declared baseline class)
       "pipeline_hybrid_gain", "pipeline_hybrid_ksweep",
+      "pipeline_hybrid_depth_curve",
       // sim_pq_train_curve's four scalar(corpus size) annotates over the
       // rotated coordinates; every training join is equi-keyed on the
       // 1024-row broadcast codebook
