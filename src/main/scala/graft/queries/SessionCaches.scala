@@ -50,6 +50,7 @@ object SessionCaches {
     Similarity.opqXuShared(s, d)
     Similarity.opqCentsShared(s, d)
     Similarity.opqCodesShared(s, d)
+    Similarity.hybridLegsShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
@@ -57,6 +58,9 @@ object SessionCaches {
   }
 
   def releaseAll(s: SparkSession): Unit = {
+    // the hybrid legs derive from BOTH the posting tables and the rotated
+    // code table — the most-derived frame in the graph, released first
+    Similarity.releaseHybridLegs(s)
     // label frames are backed by CC checkpoint blocks: release them before
     // the checkpoints so nothing cached ever points at freed lineage
     Extended.releaseCcLabels(s)

@@ -969,6 +969,30 @@ object Similarity {
         round(col("n_hits").cast("double") / 50.0, 6).as(outCol))
   }
 
+  /** Session-scoped cache of the hybrid stack's two RANKED leg tables —
+    * (q_id, cand, rank, leg) at depth 50, leg ∈ {dense, lex}. FOUR
+    * queries (retrieval, the gain audit, the k sweep, the depth curve)
+    * fuse/cut/score the same legs, and the gain audit replays the
+    * retrieval query inline on top — without this cache each invocation
+    * re-ran the whole-corpus rotated-ADC pass AND the BM25 probe pass.
+    * The cached frame is ≤ 2·50·|probes| narrow rows; in production the
+    * legs are the per-modality retrieval services a fusion layer
+    * consumes, computed once per query batch.
+    */
+  private val sharedHybridLegs = new SessionFrameCache(4)
+  def hybridLegsShared(s: SparkSession, d: String): DataFrame = {
+    // parents materialized OUTSIDE this cache's monitor (the TextOps
+    // lock discipline: acquisition order is derived → parent only)
+    val dense = hybridDenseLeg(s, d)
+    val lex = hybridLexLeg(s, d)
+    sharedHybridLegs.getOrBuild(s, d)(
+      dense.withColumn("leg", lit("dense"))
+        .unionByName(lex.withColumn("leg", lit("lex"))))
+  }
+
+  /** Unpersist and drop every shared hybrid-leg frame of session `s`. */
+  def releaseHybridLegs(s: SparkSession): Unit = sharedHybridLegs.release(s)
+
   /** The hybrid stack's DENSE leg: whole-corpus rotated ADC per probe,
     * ranked to depth 50 — (q_id, cand, rank). Factored so the retrieval
     * query, the gain audit, and the k sweep rank the SAME leg table.
@@ -2577,7 +2601,7 @@ object Similarity {
     "pipeline_hybrid_retrieval" -> ((s, d) => {
       val cu = round(lit(1000000.0) / (lit(60) + col("rank"))).cast("long")
       val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf_u").desc, col("cand"))
-      hybridDenseLeg(s, d).unionByName(hybridLexLeg(s, d))
+      hybridLegsShared(s, d)
         .select(col("q_id"), col("cand"), cu.as("cu"))
         .groupBy(col("q_id"), col("cand"))
         .agg(sum(col("cu")).as("rrf_u"), count(lit(1)).as("n_legs"))
@@ -2605,9 +2629,10 @@ object Similarity {
           .select(lit(scheme).as("scheme"), col("n_hits"),
             round(col("n_hits").cast("double") / 50.0, 6).as("recall_at_5"))
       val hybrid = queries("pipeline_hybrid_retrieval")(s, d)
-      val dense5 = hybridDenseLeg(s, d).filter(col("rank") <= 5)
+      val legs = hybridLegsShared(s, d)
+      val dense5 = legs.filter(col("leg") === "dense" && col("rank") <= 5)
         .select(col("q_id"), col("cand"))
-      val lex5 = hybridLexLeg(s, d).filter(col("rank") <= 5)
+      val lex5 = legs.filter(col("leg") === "lex" && col("rank") <= 5)
         .select(col("q_id"), col("cand"))
       val rrf5 = hybrid.filter(col("rank") <= 5).select(col("q_id"), col("cand"))
       recallRow(dense5, "dense")
@@ -2629,7 +2654,7 @@ object Similarity {
     "pipeline_hybrid_ksweep" -> ((s, d) => {
       import s.implicits._
       val ks = Seq(5, 20, 60, 240)
-      val legs = hybridDenseLeg(s, d).unionByName(hybridLexLeg(s, d))
+      val legs = hybridLegsShared(s, d)
       val wK = Window.partitionBy(col("k"), col("q_id"))
         .orderBy(col("rrf_u").desc, col("cand"))
       val top5 = legs
@@ -2693,7 +2718,7 @@ object Similarity {
       val cu = round(lit(1000000.0) / (lit(60) + col("rank"))).cast("long")
       val wD = Window.partitionBy(col("depth"), col("q_id"))
         .orderBy(col("rrf_u").desc, col("cand"))
-      val top5 = hybridDenseLeg(s, d).unionByName(hybridLexLeg(s, d))
+      val top5 = hybridLegsShared(s, d)
         .select(col("q_id"), col("cand"), col("rank"), cu.as("cu"),
           explode(array(depths.map(lit): _*)).as("depth"))
         .filter(col("rank") <= col("depth"))
