@@ -459,6 +459,16 @@ object Temporal {
     "stream_adc_probe" -> ((s, d) =>
       graft.streaming.ProbeStream.adcTop5(s, d)),
 
+    // The serving path's per-batch state contract: the complete-mode
+    // ADC aggregation holds one state row per (probe, candidate) group
+    // — probes-so-far × (corpus − 1) after each batch, replayed exactly
+    // in SQL. The honest complete-mode cost (state scales with the
+    // corpus, unlike the horizon-bounded ingest operators) and the
+    // measured reason ranking runs batch-side. Shares stream_adc_probe's
+    // single drain via the replay memo.
+    "stream_probe_metrics" -> ((s, d) =>
+      graft.streaming.ProbeStream.adcMetrics(s, d)),
+
     // The ROTATED serving path end-to-end: the probe vector is
     // OPQ-rotated IN-STREAM (per-row literal-basis projection — the
     // same arithmetic the encode path runs at ingest), its LUT computed
@@ -938,6 +948,19 @@ object Temporal {
     // the compacted-layout probe must produce the batch IVF-PQ top-5:
     // the physical layout and the streamed ADC leg change NOTHING
     "stream_compacted_probe" -> graft.queries.Similarity.oracle("sim_ivfpq_topk"),
+    // the serving state contract: complete-mode agg state = one row per
+    // (probe, candidate) group — probes-so-far × (corpus − 1) per batch,
+    // inputs the parity split
+    "stream_probe_metrics" -> """
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      p AS (SELECT vec_id FROM embeddings WHERE vec_id < 10),
+      b0 AS (SELECT CAST(count(*) AS BIGINT) AS k FROM p WHERE vec_id % 2 = 0),
+      b1 AS (SELECT CAST(count(*) AS BIGINT) AS k FROM p WHERE vec_id % 2 = 1)
+      SELECT CAST(0 AS INTEGER) AS batch_ord, b0.k AS input_rows,
+             b0.k * (n.n - 1) AS state_rows FROM b0, n
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), b1.k, (b0.k + b1.k) * (n.n - 1)
+      FROM b0, b1, n""",
     // the chain's per-batch two-operator state replay: batch 0 holds all
     // N dedup keys and one state row per MERGED session; batch 1 evicts
     // dedup to the 2·delay horizon and flushes sessions whose close

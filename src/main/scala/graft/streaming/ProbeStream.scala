@@ -43,14 +43,47 @@ object ProbeStream {
         EncodeIngest.sliceD2(xuArr, c.getField("sub") * 8 + 1,
           c.getField("cu")).as("d2")))
 
+  /** One drain per (session, dir, query) — the top-5 and metrics queries
+    * over the same replay share it ([[ReplayMemo]], the DedupIngest
+    * apply/metrics discipline).
+    */
+  private val memo = new ReplayMemo(4)
+
+  private def adcDrain(spark: SparkSession, sfDir: String) =
+    drainProbes(spark, sfDir, "stream_adc_probe",
+      graft.queries.Similarity.collectedCents(
+        graft.queries.Similarity.pqCodebookShared(spark, sfDir)),
+      graft.queries.Similarity.pqCodesShared(spark, sfDir),
+      v => transform(v, x => round(x * 1000000).cast("long")))
+
   def adcTop5(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
-      probeTop5(spark, sfDir, "stream_adc_probe",
-        graft.queries.Similarity.collectedCents(
-          graft.queries.Similarity.pqCodebookShared(spark, sfDir)),
-        graft.queries.Similarity.pqCodesShared(spark, sfDir),
-        v => transform(v, x => round(x * 1000000).cast("long")))
+      rankTop5(adcDrain(spark, sfDir)._1)
     }
+
+  /** The serving path's per-batch STATE CONTRACT, replayed in SQL: the
+    * complete-mode ADC aggregation holds one state row per (probe,
+    * candidate) group, so after each batch numRowsTotal must equal
+    * probes-arrived-so-far × (corpus − 1) — the honest cost of
+    * complete-mode serving (state scales with the CORPUS, unlike the
+    * watermarked ingest operators whose state is horizon-bounded), and
+    * the measured reason the ranking tail runs batch-side over the
+    * bounded drained aggregate rather than as more streaming state.
+    * input_rows pins the staged parity split batch by batch.
+    */
+  def adcMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val (_, progress) = adcDrain(spark, sfDir)
+      progress.filter(_.numInputRows > 0).sortBy(_.batchId).zipWithIndex
+        .map { case (p, ord) =>
+          (ord, p.numInputRows, p.stateOperators.map(_.numRowsTotal).sum)
+        }
+        .toSeq.toDF("batch_ord", "input_rows", "state_rows")
+        .select(col("batch_ord").cast("int").as("batch_ord"),
+          col("input_rows"), col("state_rows"))
+    }
+  }
 
   /** The ROTATED serving path end-to-end: the arriving probe vector is
     * OPQ-rotated in-stream (the literal 64×64 basis, the same per-row
@@ -64,54 +97,60 @@ object ProbeStream {
   def opqTop5(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
       val (basis, mean) = graft.queries.Similarity.opqBasis(spark, sfDir)
-      probeTop5(spark, sfDir, "stream_opq_probe",
+      rankTop5(drainProbes(spark, sfDir, "stream_opq_probe",
         graft.queries.Similarity.collectedCents(
           graft.queries.Similarity.opqCentsShared(spark, sfDir)),
         graft.queries.Similarity.opqCodesShared(spark, sfDir),
-        v => EncodeIngest.rotatedXu(v, basis, mean))
+        v => EncodeIngest.rotatedXu(v, basis, mean))._1)
     }
 
   /** The shared serving harness: stage the probes as two micro-batch
     * files, map each arriving vector to its integer coordinates via
     * `toXu`, project the per-probe LUT, join the static code table,
-    * aggregate ADC totals in complete mode, rank batch-side.
+    * aggregate ADC totals in complete mode. One drain per (session,
+    * dir, name) via the memo; the ranking tail is [[rankTop5]].
     */
-  private def probeTop5(spark: SparkSession, sfDir: String, name: String,
+  private def drainProbes(spark: SparkSession, sfDir: String, name: String,
       cents: IndexedSeq[Seq[(Int, Array[Long])]], codes: DataFrame,
-      toXu: Column => Column): DataFrame = {
-    val staged = Files.createTempDirectory(name)
-    try {
-      val probes = graft.tables.Tables.embeddings(spark, sfDir)
-        .filter(col("vec_id") < 10)
-      require(probes.head(1).nonEmpty,
-        s"$sfDir/embeddings.parquet has no probe rows — cannot stage a probe stream")
-      StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 0),
-        staged, "b0_probes.parquet", 60)
-      StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 1),
-        staged, "b1_probes.parquet", 45)
-      val schema =
-        spark.read.parquet(staged.resolve("b0_probes.parquet").toString).schema
-      val scores = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.toString)
-        .select(col("vec_id").as("q_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .select(col("q_id"), toXu(col("v")).as("xu"))
-        .select(col("q_id"), explode(lutStructs(col("xu"), cents)).as("l"))
-        .select(col("q_id"), col("l.sub").as("sub"),
-          col("l.c_id").as("c_id"), col("l.d2").as("d2"))
-        .join(codes, Seq("sub", "c_id")) // stream-static inner join
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("d2")).as("adc_u"))
-      val drained = Drain.toMemory(spark, name, scores, mode = "complete")
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
-      drained
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id"),
-          round(col("adc_u").cast("double") / 1000000000000.0, 6).as("adc_d2"),
-          col("rank"))
-    } finally StagedEvents.deleteRecursively(staged)
+      toXu: Column => Column) =
+    memo.getOrRun(spark, sfDir, tag = name) {
+      val staged = Files.createTempDirectory(name)
+      try {
+        val probes = graft.tables.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 10)
+        require(probes.head(1).nonEmpty,
+          s"$sfDir/embeddings.parquet has no probe rows — cannot stage a probe stream")
+        StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 0),
+          staged, "b0_probes.parquet", 60)
+        StagedEvents.writePart(probes.filter(col("vec_id") % 2 === 1),
+          staged, "b1_probes.parquet", 45)
+        val schema =
+          spark.read.parquet(staged.resolve("b0_probes.parquet").toString).schema
+        val scores = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .select(col("vec_id").as("q_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .select(col("q_id"), toXu(col("v")).as("xu"))
+          .select(col("q_id"), explode(lutStructs(col("xu"), cents)).as("l"))
+          .select(col("q_id"), col("l.sub").as("sub"),
+            col("l.c_id").as("c_id"), col("l.d2").as("d2"))
+          .join(codes, Seq("sub", "c_id")) // stream-static inner join
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc_u"))
+        Drain.toMemoryWithProgress(spark, name, scores, mode = "complete")
+      } finally StagedEvents.deleteRecursively(staged)
+    }
+
+  /** Batch-side ranking tail over the bounded drained ADC aggregate. */
+  private def rankTop5(drained: DataFrame): DataFrame = {
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_u"), col("vec_id"))
+    drained
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"),
+        round(col("adc_u").cast("double") / 1000000000000.0, 6).as("adc_d2"),
+        col("rank"))
   }
 }
