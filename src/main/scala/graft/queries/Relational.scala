@@ -220,7 +220,7 @@ object Relational {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.isDirectory(warehouse)) return
     // tagged dirs of other (dead) JVMs, plus untagged pre-UUID legacy names
-    val pat = ("^(?:orders|customer)_bck_[0-9a-f]{8}(?:_(?!" + jvmTag + ")[0-9a-f]{8})?$").r
+    val pat = ("^(?:orders|customer|postings)_bck_[0-9a-f]{8}(?:_(?!" + jvmTag + ")[0-9a-f]{8})?$").r
     val cutoff = System.currentTimeMillis() - staleBucketMs
     val listing = java.nio.file.Files.list(warehouse)
     try listing.iterator().asScala.foreach { p =>
@@ -266,7 +266,37 @@ object Relational {
     partitionedEventsDir(s, d)
     zorderedEventsDir(s, d)
     bucketedOrdersCustomer(s, d)
+    bucketedPostings(s, d)
     ()
+  }
+
+  /** The posting table written `bucketBy(16, term)` + sorted — the
+    * lexical index's co-located layout: term-keyed aggregations and
+    * joins read buckets in place with ZERO exchange on the posting side
+    * (Lucene's per-shard term locality as Spark bucketing; the
+    * shuffle-free twin of [[bucketedOrdersCustomer]]'s key-join story).
+    * Same staging lifecycle: per-(dir, JVM) managed table, dropped in
+    * [[releaseBucketedTables]], stale foreign-tag dirs swept.
+    */
+  def bucketedPostings(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val t = s"postings_bck_${key}_$jvmTag"
+    // parent materialized OUTSIDE this monitor (the lock discipline)
+    val postings = TextOps.postingsShared(s, d)
+    synchronized {
+      val wh = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      if (!s.catalog.tableExists(t)) {
+        sweepStaleBucketDirs(wh)
+        postings.coalesce(1).write
+          .bucketBy(16, "term").sortBy("term")
+          .mode("overwrite").saveAsTable(t)
+        stagedBucketTables += t
+        stagedBucketDirs += wh.resolve(t)
+      }
+    }
+    t
   }
 
   /** Drop every bucketed table this JVM staged (managed tables: the DROP

@@ -1391,6 +1391,26 @@ object TextOps {
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
 
+    // The ZERO-SHUFFLE posting join over the BUCKETED lexical index:
+    // the posting table staged `bucketBy(16, term)` (the co-located
+    // layout bucketedOrdersCustomer proves for key joins, applied to
+    // the term dictionary), then per-source document frequencies for
+    // the even/odd doc halves joined on term — grouping AND join key
+    // both equal the bucket key, so the whole plan runs without a
+    // single Exchange (PlanSpec-pinned): the cross-corpus vocabulary
+    // comparison (df drift per shared term) where at 100 TB neither
+    // posting side can afford to move.
+    "text_postings_bucketed_join" -> ((s, d) => {
+      val p = s.table(graft.queries.Relational.bucketedPostings(s, d))
+      val dfA = p.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("df_a"))
+      val dfB = p.filter(col("doc_id") % 2 === 1)
+        .groupBy(col("term")).agg(count(lit(1)).as("df_b"))
+      dfA.join(dfB, Seq("term"))
+        .select(col("term"), col("df_a"), col("df_b"),
+          (col("df_a") - col("df_b")).as("df_gap"))
+    }),
+
     // Unigram-LM perplexity proxy (the KenLM-style quality filter every
     // pretraining pipeline runs: drop documents whose average token
     // negative-log-probability under a corpus LM is an outlier). The LM here
@@ -2456,6 +2476,17 @@ object TextOps {
              CAST(count(*) AS BIGINT) AS n_postings,
              CAST(sum(tf) AS BIGINT) AS n_tokens
       FROM pb GROUP BY 1""",
+    "text_postings_bucketed_join" -> """
+      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                  FROM documents),
+      tok AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      a AS (SELECT term, CAST(count(*) AS BIGINT) AS df_a FROM tf
+            WHERE doc_id % 2 = 0 GROUP BY term),
+      b AS (SELECT term, CAST(count(*) AS BIGINT) AS df_b FROM tf
+            WHERE doc_id % 2 = 1 GROUP BY term)
+      SELECT a.term, df_a, df_b, df_a - df_b AS df_gap
+      FROM a JOIN b ON a.term = b.term""",
     "text_heavy_hitters" -> """
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                   FROM documents),

@@ -64,4 +64,21 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_bucketed")
     }
   }
+
+  test("bucketed posting self-join: the whole plan runs without one exchange") {
+    // grouping key AND join key both equal the bucket key (term), so the
+    // per-half df aggregations and the final join all consume the bucket
+    // partitioning in place — zero Exchange anywhere in the plan. Pin the
+    // shuffle planner (no broadcast) so the layout is what's under test.
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1")
+    try {
+      val q = SparkEntry.queries("text_postings_bucketed_join")(spark, sf)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed posting plan still exchanges:\n" + p)
+      assert(q.count() > 0)
+    } finally spark.conf.set(thrKey, prev)
+  }
 }
