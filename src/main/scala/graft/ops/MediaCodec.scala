@@ -106,6 +106,42 @@ object MediaCodec {
       case _ => None
     }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of an image
+    * payload: nearest-neighbor resample to the 8×8 grid (the same
+    * src(x·w/8, y·h/8) index map as [[resizedChecksum]]), per-cell
+    * integer luma (r+g+b), bit (y·8+x) set iff 64·luma ≥ Σ lumas — the
+    * integer-exact form of "luma ≥ mean", so no division ever rounds a
+    * boundary bit differently across engines. None for non-images.
+    */
+  def aHash(payload: Array[Byte]): Option[Long] =
+    decode(payload) match {
+      case Some(m) if m.kind == "png" || m.kind == "bmp" =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val luma = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val rgb = img.getRGB(x * w / 8, y * h / 8) & 0xffffff
+            val l = ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            luma(y * 8 + x) = l
+            total += l
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (luma(i) * 64 >= total) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      case _ => None
+    }
+
   /** Audio feature facts: frame count at `window` samples per frame, zero
     * crossings, total energy, loudest-frame energy. */
   case class AudioFeatures(
@@ -291,6 +327,38 @@ object MediaSynth {
         }
         Some(expected(id).copy(width = Some(ow), height = Some(oh), checksum = acc))
     }
+
+  /** What aHash(payload(id)) must return for an image id — the 8×8
+    * nearest-neighbor luma grid replayed over the pixel arithmetic, no
+    * codec involved. None for WAV ids.
+    */
+  def expectedAHash(id: Long): Option[Long] = kindOf(id) match {
+    case "wav" => None
+    case kind =>
+      val (w, h) = if (kind == "png") pngDims(id) else bmpDims(id)
+      val luma = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val rgb = (if (kind == "png") pngRgb(id, x * w / 8, y * h / 8)
+                     else bmpRgb(id, x * w / 8, y * h / 8)) & 0xffffff
+          val l = ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          luma(y * 8 + x) = l
+          total += l
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (luma(i) * 64 >= total) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+  }
 
   /** What audioFeatures(payload(id), window) must return for a WAV id —
     * the same integer folds over the sample arithmetic. None for images.

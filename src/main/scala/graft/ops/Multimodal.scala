@@ -158,6 +158,53 @@ object Multimodal {
     }
   }
 
+  /** Stage-once parquet table for the perceptual-hash dedup fixture: the
+    * n base payloads PLUS an exact re-ingest of every id % 10 == 0
+    * payload under media_id + 1000 — the duplicate-upload shape a media
+    * lake dedups. Content is arithmetic in the base id, so the staged
+    * bytes are identical across JVMs and the planted pairs are known in
+    * closed form.
+    */
+  def phashTableDir(spark: SparkSession, n: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_phash_table_$n"
+    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      val schema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false)))
+      implicit val enc = RowEncoder.encoderFor(schema)
+      spark.range(0, n, 1, 8).toDF("media_id")
+        .mapPartitions(rows => rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = MediaSynth.payload(id)
+          if (id % 10 == 0) Seq(Row(id, p), Row(id + 1000L, p))
+          else Seq(Row(id, p))
+        })
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  val phashType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** (media_id, ahash) over the phash fixture table: scan the BINARY
+    * column, decode + hash per partition (WAV rows drop out — the
+    * route-by-modality shape). The dedup banding downstream is plain
+    * DataFrame logic.
+    */
+  def imageHashes(spark: SparkSession, n: Int): DataFrame = {
+    val dir = phashTableDir(spark, n)
+    implicit val enc = RowEncoder.encoderFor(phashType)
+    spark.read.parquet(dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.aHash(r.getAs[Array[Byte]]("media"))
+          .map(h => Row(r.getAs[Long]("media_id"), h))
+      }
+    }
+  }
+
   val resizedMetaType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType),

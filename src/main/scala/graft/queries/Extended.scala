@@ -587,6 +587,36 @@ object Extended {
     "mm_decode_scan" -> ((s, d) =>
       graft.ops.Multimodal.decodedScan(s, 120)),
 
+    // IMAGE near-dup detection — the dedup family crossed into the
+    // multimodal lake: every image payload is decoded and reduced to a
+    // 64-bit average-hash perceptual fingerprint (8×8 nearest-neighbor
+    // luma grid thresholded at the integer-exact mean), the hashes are
+    // banded 4×16 bits (SimHash's pigeonhole: Hamming ≤ 6 pairs with 3
+    // band-bit errors must agree on ≥1 band... a near-dup pair shares a
+    // band unless its differing bits spread 4-wide), in-bucket pairs are
+    // verified by exact Hamming distance, and pairs at ≤ 6 emit. The
+    // fixture plants exact duplicate uploads (media_id + 1000, same
+    // payload) which MUST surface at Hamming 0; DuckDB replays hash +
+    // banding + Hamming from the generator's closed-form aHash — the
+    // engine can only match by really decoding and hashing every image.
+    "mm_phash_dedup" -> ((s, d) => {
+      val hs = graft.ops.Multimodal.imageHashes(s, 120)
+      val b = hs.select(col("media_id"), col("ahash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("bj"),
+          shiftright(col("ahash"), j * 16).bitwiseAND(lit(65535L)).as("bv"))): _*))
+          .as("bd"))
+        .select(col("media_id"), col("ahash"),
+          col("bd.bj").as("bj"), col("bd.bv").as("bv"))
+      b.as("x").join(b.as("y"), Seq("bj", "bv"))
+        .filter(col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+          col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
+    }),
+
     // Image feature-extract: decode + nearest-neighbor resize to 12×8 per
     // partition; WAV rows route out of the image path (the mixed-modality
     // table shape). Every output pixel is an exact copy of one input
@@ -1525,6 +1555,30 @@ object Extended {
     // from the staged binary-column table, so the two share one oracle.
     "mm_decode_meta" -> decodeMetaOracle,
     "mm_decode_scan" -> decodeMetaOracle,
+    // mm_phash_dedup: the closed-form aHash per fixture id (planted
+    // duplicate uploads re-use their base id's hash) + the banding /
+    // exact-Hamming pairing replayed in SQL — matching requires really
+    // decoding and hashing every staged image
+    "mm_phash_dedup" -> {
+      val ids = (0L until 120L) ++
+        (0L until 120L).filter(_ % 10 == 0).map(_ + 1000L)
+      val rows = ids.flatMap { mid =>
+        val base = if (mid >= 1000L) mid - 1000L else mid
+        graft.ops.MediaSynth.expectedAHash(base).map(h => s"($mid, $h)")
+      }.mkString(",\n        ")
+      s"""
+      WITH h(media_id, ahash) AS (VALUES
+        $rows),
+      b AS (SELECT media_id, ahash, j, (ahash >> (j * 16)) & 65535 AS bv
+            FROM h, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+      p AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+                   x.ahash AS ha, y.ahash AS hb
+            FROM b x JOIN b y ON x.j = y.j AND x.bv = y.bv
+                 AND x.media_id < y.media_id)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      FROM p WHERE bit_count(xor(ha, hb)) <= 6"""
+    },
     "mm_image_resize" -> {
       val rows = (0L until 120L).flatMap { id =>
         graft.ops.MediaSynth.expectedResized(id, 12, 8)

@@ -459,6 +459,16 @@ object Temporal {
     "stream_adc_probe" -> ((s, d) =>
       graft.streaming.ProbeStream.adcTop5(s, d)),
 
+    // ENCODE-AT-INGEST for the lexical index: documents arrive in
+    // micro-batches, are posting-ized per row (stateless — a document's
+    // tfs need only its own token array), routed to md5 term buckets,
+    // and APPENDED into the partitionBy(bucket) layout — the
+    // bucket-routed posting append a live corpus feed runs; the
+    // read-back inventory must equal the batch compaction's logical
+    // table exactly (same oracle — multi-batch append loses nothing).
+    "stream_postings_ingest" -> ((s, d) =>
+      graft.streaming.PostingsIngest.inventory(s, d)),
+
     // The serving path's per-batch state contract: the complete-mode
     // ADC aggregation holds one state row per (probe, candidate) group
     // — probes-so-far × (corpus − 1) after each batch, replayed exactly
@@ -948,6 +958,9 @@ object Temporal {
     // the compacted-layout probe must produce the batch IVF-PQ top-5:
     // the physical layout and the streamed ADC leg change NOTHING
     "stream_compacted_probe" -> graft.queries.Similarity.oracle("sim_ivfpq_topk"),
+    // the streamed bucket-routed posting append must land on the exact
+    // logical posting inventory the batch compaction oracles
+    "stream_postings_ingest" -> graft.queries.TextOps.oracle("text_postings_compaction"),
     // the serving state contract: complete-mode agg state = one row per
     // (probe, candidate) group — probes-so-far × (corpus − 1) per batch,
     // inputs the parity split
