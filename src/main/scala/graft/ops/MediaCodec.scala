@@ -142,6 +142,37 @@ object MediaCodec {
       case _ => None
     }
 
+  /** 64-bit difference-hash (dHash) perceptual fingerprint: nearest-
+    * neighbor resample to a 9×8 luma grid, bit (y·8+x) set iff
+    * luma(x+1, y) > luma(x, y) — the horizontal-gradient hash that
+    * separates smooth images aHash collapses (aHash thresholds against
+    * the global mean, so any monotone gradient hashes half-and-half;
+    * dHash reads the gradient's DIRECTION cell by cell). Same integer
+    * arithmetic discipline; None for non-images.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    decode(payload) match {
+      case Some(m) if m.kind == "png" || m.kind == "bmp" =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        def luma(gx: Int, gy: Int): Long = {
+          val rgb = img.getRGB(gx * w / 9, gy * h / 8) & 0xffffff
+          ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (luma(x + 1, y) > luma(x, y)) hash |= (1L << (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      case _ => None
+    }
+
   /** Audio feature facts: frame count at `window` samples per frame, zero
     * crossings, total energy, loudest-frame energy. */
   case class AudioFeatures(
@@ -356,6 +387,31 @@ object MediaSynth {
       while (i < 64) {
         if (luma(i) * 64 >= total) hash |= (1L << i)
         i += 1
+      }
+      Some(hash)
+  }
+
+  /** What dHash(payload(id)) must return for an image id — the 9×8
+    * horizontal-gradient grid replayed over the pixel arithmetic.
+    */
+  def expectedDHash(id: Long): Option[Long] = kindOf(id) match {
+    case "wav" => None
+    case kind =>
+      val (w, h) = if (kind == "png") pngDims(id) else bmpDims(id)
+      def luma(gx: Int, gy: Int): Long = {
+        val rgb = (if (kind == "png") pngRgb(id, gx * w / 9, gy * h / 8)
+                   else bmpRgb(id, gx * w / 9, gy * h / 8)) & 0xffffff
+        ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x + 1, y) > luma(x, y)) hash |= (1L << (y * 8 + x))
+          x += 1
+        }
+        y += 1
       }
       Some(hash)
   }

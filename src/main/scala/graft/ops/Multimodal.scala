@@ -205,6 +205,57 @@ object Multimodal {
     }
   }
 
+  /** DECODE-AT-INGEST for the media lake: the staged BINARY-column table
+    * read as a file STREAM (4 micro-batches of 2 part files), every
+    * payload decoded per row INSIDE the stream — a stateless
+    * mapPartitions projection, no state store, the EncodeIngest shape
+    * applied to media — and appended to the sink. The drained table must
+    * equal the batch decode exactly (same closed-form oracle as
+    * mm_decode_meta / mm_decode_scan): arrival batching changes nothing.
+    */
+  def decodedStream(spark: SparkSession, n: Int): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val dir = mediaTableDir(spark, n)
+      val schema = spark.read.parquet(dir).schema
+      implicit val enc = RowEncoder.encoderFor(decodedMetaType)
+      val decoded = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dir)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getAs[Long]("media_id")
+            val m = MediaCodec.decode(r.getAs[Array[Byte]]("media")).getOrElse(
+              throw new IllegalStateException(s"staged payload $id failed to decode"))
+            Row(id, m.kind,
+              m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+              Int.box(m.channels),
+              m.nSamples.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull,
+              m.durationUs.map(Long.box).orNull, m.checksum)
+          }
+        }
+      graft.streaming.Drain.toMemory(spark, "stream_media_decode", decoded.toDF())
+    }
+
+  val hashesType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** (media_id, ahash, dhash) over the phash fixture table — both
+    * perceptual schemes from one decode pass, for the scheme audit.
+    */
+  def perceptualHashes(spark: SparkSession, n: Int): DataFrame = {
+    val dir = phashTableDir(spark, n)
+    implicit val enc = RowEncoder.encoderFor(hashesType)
+    spark.read.parquet(dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]]("media")
+        for (a <- MediaCodec.aHash(p); dh <- MediaCodec.dHash(p))
+          yield Row(r.getAs[Long]("media_id"), a, dh)
+      }
+    }
+  }
+
   val resizedMetaType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType),

@@ -617,6 +617,50 @@ object Extended {
         .filter(col("hamming") <= 6)
     }),
 
+    // The HASH-SCHEME audit — measure, don't guess, for the image dedup:
+    // aHash (global-mean threshold) vs dHash (horizontal gradient
+    // direction) over the identical fixture + banding + Hamming ≤ 6
+    // pipeline. The textbook claim is that dHash separates the smooth
+    // images aHash collapses — and on THIS corpus the measurement says
+    // the OPPOSITE (ahash 265 pairs / 27 exact; dhash 1397 / 567):
+    // the synthetic pixels are linear ramps in x, so the horizontal
+    // gradient DIRECTION is globally constant and dHash degenerates to
+    // near-constant codes, while aHash still sees the id-dependent
+    // mod-256 wrap positions. The textbook intuition assumes natural
+    // images; on structured content you must audit the scheme against
+    // YOUR corpus — which is exactly what this 2-row table is. The
+    // planted duplicate uploads stay at 100% recall under both schemes
+    // (n_planted = 8 = every planted image pair, spec-pinned).
+    "mm_hash_scheme_audit" -> ((s, d) => {
+      val hs = graft.ops.Multimodal.perceptualHashes(s, 120)
+      def pairsOf(hcol: String): DataFrame = {
+        val b = hs.select(col("media_id"), col(hcol).as("hv"))
+          .select(col("media_id"), col("hv"),
+            explode(array((0 until 4).map(j => struct(lit(j).as("bj"),
+              shiftright(col("hv"), j * 16).bitwiseAND(lit(65535L)).as("bv"))): _*))
+              .as("bd"))
+          .select(col("media_id"), col("hv"),
+            col("bd.bj").as("bj"), col("bd.bv").as("bv"))
+        b.as("x").join(b.as("y"), Seq("bj", "bv"))
+          .filter(col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+            col("x.hv").as("ha"), col("y.hv").as("hb"))
+          .distinct()
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+          .filter(col("hamming") <= 6)
+      }
+      def auditRow(scheme: String, hcol: String): DataFrame =
+        pairsOf(hcol).agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("hamming") === 0, 1L)), lit(0L)).as("n_hamming0"),
+          coalesce(sum(when(col("hamming") === 0 &&
+            col("id_b") === col("id_a") + 1000, 1L)), lit(0L)).as("n_planted"))
+          .select(lit(scheme).as("scheme"), col("n_pairs"),
+            col("n_hamming0"), col("n_planted"))
+      auditRow("ahash", "ahash").unionAll(auditRow("dhash", "dhash"))
+    }),
+
     // Image feature-extract: decode + nearest-neighbor resize to 12×8 per
     // partition; WAV rows route out of the image path (the mixed-modality
     // table shape). Every output pixel is an exact copy of one input
@@ -1578,6 +1622,38 @@ object Extended {
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
       FROM p WHERE bit_count(xor(ha, hb)) <= 6"""
+    },
+    // mm_hash_scheme_audit: both schemes' closed-form hashes through the
+    // same banding/Hamming replay, reduced to the 2-row audit
+    "mm_hash_scheme_audit" -> {
+      val ids = (0L until 120L) ++
+        (0L until 120L).filter(_ % 10 == 0).map(_ + 1000L)
+      def values(fn: Long => Option[Long]) = ids.flatMap { mid =>
+        val base = if (mid >= 1000L) mid - 1000L else mid
+        fn(base).map(h => s"($mid, $h)")
+      }.mkString(",\n        ")
+      def chain(sfx: String, vals: String) = s"""
+      h_$sfx(media_id, hv) AS (VALUES
+        $vals),
+      b_$sfx AS (SELECT media_id, hv, j, (hv >> (j * 16)) & 65535 AS bv
+                 FROM h_$sfx, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+      p_$sfx AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+                        x.hv AS ha, y.hv AS hb
+                 FROM b_$sfx x JOIN b_$sfx y ON x.j = y.j AND x.bv = y.bv
+                      AND x.media_id < y.media_id),
+      f_$sfx AS (SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+                 FROM p_$sfx WHERE bit_count(xor(ha, hb)) <= 6)"""
+      def outRow(scheme: String, sfx: String) = s"""
+      SELECT '$scheme' AS scheme, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(coalesce(sum(CASE WHEN hamming = 0 THEN 1 END), 0)
+               AS BIGINT) AS n_hamming0,
+             CAST(coalesce(sum(CASE WHEN hamming = 0 AND id_b = id_a + 1000
+               THEN 1 END), 0) AS BIGINT) AS n_planted
+      FROM f_$sfx"""
+      s"""
+      WITH ${chain("a", values(graft.ops.MediaSynth.expectedAHash))},${chain("d", values(graft.ops.MediaSynth.expectedDHash))}
+      ${outRow("ahash", "a")}
+      UNION ALL${outRow("dhash", "d")}"""
     },
     "mm_image_resize" -> {
       val rows = (0L until 120L).flatMap { id =>

@@ -459,6 +459,13 @@ object Temporal {
     "stream_adc_probe" -> ((s, d) =>
       graft.streaming.ProbeStream.adcTop5(s, d)),
 
+    // DECODE-AT-INGEST for the media lake: the staged BINARY column read
+    // as a file stream, every payload decoded per row inside the stream
+    // (stateless — the EncodeIngest shape applied to media); the drained
+    // table shares the batch decode's closed-form oracle exactly.
+    "stream_media_decode" -> ((s, d) =>
+      graft.ops.Multimodal.decodedStream(s, 120)),
+
     // ENCODE-AT-INGEST for the lexical index: documents arrive in
     // micro-batches, are posting-ized per row (stateless — a document's
     // tfs need only its own token array), routed to md5 term buckets,
@@ -958,6 +965,9 @@ object Temporal {
     // the compacted-layout probe must produce the batch IVF-PQ top-5:
     // the physical layout and the streamed ADC leg change NOTHING
     "stream_compacted_probe" -> graft.queries.Similarity.oracle("sim_ivfpq_topk"),
+    // the streamed per-row media decode must land on the batch decode's
+    // closed-form table exactly
+    "stream_media_decode" -> graft.queries.Extended.oracle("mm_decode_meta"),
     // the streamed bucket-routed posting append must land on the exact
     // logical posting inventory the batch compaction oracles
     "stream_postings_ingest" -> graft.queries.TextOps.oracle("text_postings_compaction"),
