@@ -93,6 +93,20 @@ object LateDrop {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
   }
 
+  /** One staged drain per (session, dir, stamp) — the output query and
+    * the metrics query read the same replay ([[ReplayMemo]], the
+    * DedupIngest apply/metrics discipline).
+    */
+  private val memo = new ReplayMemo(2)
+
+  private def run(spark: SparkSession, sfDir: String) =
+    memo.getOrRun(spark, sfDir, tag = "late_drop") {
+      val staged = stage(spark, sfDir)
+      try Drain.toMemoryWithProgress(
+        spark, "stream_drop_late", hourlyAgg(spark, staged))
+      finally StagedEvents.deleteRecursively(staged)
+    }
+
   /** The APPEND-mode hourly aggregate under the staged late-arrival replay:
     * every window the watermark finalized, with dropped stragglers absent
     * and admitted stragglers counted. Oracle-matched (the split, the
@@ -100,17 +114,13 @@ object LateDrop {
     */
   def droppedLateAgg(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
-      val staged = stage(spark, sfDir)
-      try {
-        val (out, _) = Drain.toMemoryWithProgress(
-          spark, "stream_drop_late", hourlyAgg(spark, staged))
-        out.filter(col("event_type").isNotNull)
-          .select(
-            date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
-            col("event_type"),
-            col("n"),
-            (col("value_cents") / 100.0).as("value_sum"))
-      } finally StagedEvents.deleteRecursively(staged)
+      val (out, _) = run(spark, sfDir)
+      out.filter(col("event_type").isNotNull)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+          col("event_type"),
+          col("n"),
+          (col("value_cents") / 100.0).as("value_sum"))
     }
 
   /** Per-batch observability of the same run: the observe() row counter,
@@ -129,10 +139,8 @@ object LateDrop {
   def lateMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.tables.Tables.withShufflePartitions(spark, 4) {
-      val staged = stage(spark, sfDir)
-      try {
-        val (_, progress) = Drain.toMemoryWithProgress(
-          spark, "stream_late_metrics", hourlyAgg(spark, staged))
+      {
+        val (_, progress) = run(spark, sfDir)
         val rows = progress
           .filter(p => p.numInputRows > 0)
           .sortBy(_.batchId)
@@ -147,7 +155,7 @@ object LateDrop {
         rows.toSeq.toDF("batch_ord", "input_rows", "dropped_rows", "state_rows")
           .select(col("batch_ord").cast("int").as("batch_ord"),
             col("input_rows"), col("dropped_rows"), col("state_rows"))
-      } finally StagedEvents.deleteRecursively(staged)
+      }
     }
   }
 }
