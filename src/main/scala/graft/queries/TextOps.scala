@@ -1119,6 +1119,41 @@ object TextOps {
         .select(col("doc_id"))
     }),
 
+    // The training-data LAST MILE, end to end: quality ∧ language ∧
+    // near-dup-removal (the pipeline_filter_dedup survivors), then the
+    // PER-SOURCE mix table the trainer is actually handed — surviving
+    // docs and tokens per source, the balanced sampling threshold
+    // (sample_mix_weights' integer rule over the SURVIVORS, keyed by
+    // source), and the md5-reproducible kept-count under it. Four
+    // already-oracled operators composed into the one table that
+    // decides what a training run reads. Scale shape: the filter legs
+    // are the oracled pipelines, the mix math runs over the
+    // |sources|-row post-aggregation frame, and the kept-count is one
+    // broadcast join + keyed conditional sum over the survivor ids.
+    "pipeline_train_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keep = queries("pipeline_filter_dedup")(s, d)
+      val surv = documents(s, d).join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("toks"))
+      val counts = surv.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val thr = counts
+        .withColumn("n_total", sum(col("n_docs")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          least(lit(10000L),
+            expr("(10000 * n_total) div (k * n_docs)")).as("thr"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+      surv.select(col("doc_id"), col("source"), bucket.as("b"))
+        .join(broadcast(thr), "source")
+        .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("thr"))
+        .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // Edit-distance verification of the near-dup candidates — the exact
     // second stage a production dedup pipeline runs AFTER banding: LSH
     // recalls candidates, Levenshtein confirms them (MinHash Jaccard can
@@ -2568,5 +2603,37 @@ object TextOps {
       SELECT q.doc_id FROM quality q
       JOIN english e ON q.doc_id = e.doc_id
       WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)""",
+    "pipeline_train_mix" -> s"""
+      WITH neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
+      quality AS (SELECT doc_id FROM documents
+                  WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          / CAST(length(text) AS DOUBLE), 6) >= 0.81),
+      english AS (SELECT doc_id
+                  FROM (${graft.functions.LangId.langIdSql})
+                  WHERE lang_pred = 'en'),
+      keep AS (SELECT q.doc_id FROM quality q
+               JOIN english e ON q.doc_id = e.doc_id
+               WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)),
+      stok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks
+               FROM (SELECT doc_id,
+                            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                     FROM documents) u
+               WHERE length(t) > 0 GROUP BY doc_id),
+      surv AS (SELECT d.doc_id, d.source, coalesce(s.toks, 0) AS toks
+               FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+               LEFT JOIN stok s ON d.doc_id = s.doc_id),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens
+            FROM surv GROUP BY source),
+      t AS (SELECT source, n_docs, n_tokens,
+                   CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
+                                     // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
+            FROM c)
+      SELECT t.source, t.n_docs, t.n_tokens, t.thr,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+                                % 10000 < t.thr
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM surv s JOIN t ON s.source = t.source
+      GROUP BY 1, 2, 3, 4""",
   )
 }
