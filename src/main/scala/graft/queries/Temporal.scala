@@ -175,6 +175,71 @@ object Temporal {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
     }),
+
+    // CDC changelog → SCD2 (type-2 slowly-changing dimension): the event
+    // log is read as a per-user changelog of an attribute (the value's
+    // integer tier); consecutive no-op "changes" are compacted away with
+    // one lag() pass, then row_number/lead turn the survivors into
+    // versioned validity intervals [valid_from_us, valid_to_us). Both
+    // window passes share the SAME (user_id) partitioning and (us,
+    // event_id) ordering, so Catalyst plans ONE shuffle + one sort and
+    // runs the three window functions in two chained WindowExecs with no
+    // second exchange — the whole dimension build is a single pass per
+    // key, no join, no self-aggregation. The open interval is the BIGINT
+    // max sentinel (never a raw timestamp, per the oracle-parity rules);
+    // (us, event_id) is the unique ordering key that makes version
+    // numbers deterministic under ts collisions. At 100 TB the log shards
+    // by key — no task ever holds more than one user's history, and the
+    // no-op compaction drops rows BEFORE the second window materializes
+    // version state.
+    "cdc_scd2" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          (floor(col("value")).cast("long") % 5L).as("tier"))
+        .withColumn("prev_tier", lag(col("tier"), 1).over(wOrd))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+        .withColumn("version", row_number().over(wOrd))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("us"), 1).over(wOrd), lit(Long.MaxValue)))
+        .select(col("user_id"), col("version"), col("tier"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          (col("valid_to_us") === Long.MaxValue).as("is_current"))
+    }),
+
+    // CDC merge/upsert: a base snapshot (latest value-bearing row per key
+    // before the cutoff) merged with a changelog (rows at/after the
+    // cutoff, 'error' events acting as delete tombstones) under
+    // latest-wins semantics — the MERGE INTO of a lakehouse table done as
+    // UNION + one per-key argmax window instead of a join: tombstones and
+    // upserts resolve in the same ranking (a delete followed by a later
+    // upsert correctly resurrects the key), and `n_changes` counts the
+    // changelog rows folded into each key. Two shuffles total, both keyed
+    // by user_id (one builds the snapshot, one merges); in production the
+    // snapshot is a stored table, so the marginal cost of applying a
+    // changelog batch is ONE shuffle of base ∪ delta — no full-outer
+    // join, no driver loop, and skew is bounded by rows-per-key in the
+    // delta, not the log.
+    "cdc_merge_upsert" -> ((s, d) => {
+      val cutoffUs = lit(1705708800000000L) // 2024-01-20 00:00:00 UTC in micros
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val wKey = Window.partitionBy(col("user_id")).orderBy(col("us").desc, col("event_id").desc)
+      val base = ev.filter(col("us") < cutoffUs && col("event_type") =!= "error")
+        .withColumn("rn", row_number().over(wKey)).filter(col("rn") === 1)
+        .select(col("user_id"), col("us"), col("event_id"), col("cents"),
+          lit(false).as("tomb"), lit(0L).as("is_chg"))
+      val delta = ev.filter(col("us") >= cutoffUs)
+        .select(col("user_id"), col("us"), col("event_id"), col("cents"),
+          (col("event_type") === "error").as("tomb"), lit(1L).as("is_chg"))
+      base.unionByName(delta)
+        .withColumn("rn", row_number().over(wKey))
+        .withColumn("n_changes", sum(col("is_chg")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1 && !col("tomb"))
+        .select(col("user_id"), col("cents"), col("us").as("last_us"),
+          (col("is_chg") === 1L).as("updated"), col("n_changes"))
+    }),
   )
 
   /** Extra queries appended below keep `queries` and `oracle` aligned. */
@@ -1117,6 +1182,47 @@ object Temporal {
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM w GROUP BY 1, 2""",
+    "cdc_scd2" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+               CAST(floor(value) AS BIGINT) % 5 AS tier
+        FROM events),
+      lagged AS (
+        SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_tier
+        FROM e),
+      changes AS (SELECT * FROM lagged WHERE prev_tier IS NULL OR tier <> prev_tier),
+      v AS (
+        SELECT user_id, tier, us,
+               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version,
+               coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+                        9223372036854775807) AS valid_to_us
+        FROM changes)
+      SELECT user_id, CAST(version AS INTEGER) AS version, tier,
+             us AS valid_from_us, valid_to_us,
+             valid_to_us = 9223372036854775807 AS is_current
+      FROM v""",
+    "cdc_merge_upsert" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      base AS (
+        SELECT user_id, us, event_id, cents, FALSE AS tomb, CAST(0 AS BIGINT) AS is_chg
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY us DESC, event_id DESC) AS rn
+              FROM e WHERE us < 1705708800000000 AND event_type <> 'error')
+        WHERE rn = 1),
+      delta AS (
+        SELECT user_id, us, event_id, cents, event_type = 'error' AS tomb,
+               CAST(1 AS BIGINT) AS is_chg
+        FROM e WHERE us >= 1705708800000000),
+      merged AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY us DESC, event_id DESC) AS rn,
+               CAST(sum(is_chg) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+      SELECT user_id, cents, us AS last_us, is_chg = 1 AS updated, n_changes
+      FROM merged WHERE rn = 1 AND NOT tomb""",
   )
 
   val all: Map[String, Q] = queries ++ sessionQueries
