@@ -1832,6 +1832,43 @@ object TextOps {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
     }),
+
+    // ROC-AUC of the linear quality scorer, per source — the evaluation
+    // half a trained quality gate needs before its threshold is trusted.
+    // AUC is the Mann-Whitney rank statistic, computed WITHOUT a global
+    // sort: docs aggregate per (source, score) first (integer scores →
+    // bounded distinct-score groups, map-side combined), then one keyed
+    // window over the tiny score-group table accumulates negatives-below,
+    // and AUC = Σ pos_g·(neg_below + ½·neg_g) / (P·N) with ties counting
+    // half — kept exact as the INTEGER numerator 2·Σ pos_g·(2·neg_below
+    // + neg_g), one float division at the very end (round 6). At 100 TB
+    // the corpus scan is the only heavy stage; the window runs over
+    // |sources| × |distinct scores| rows, never over documents. The
+    // labels are is-English (the text_quality_probe target), so this
+    // measures how well the fixed-weight lexical logit separates English
+    // — the honest per-source answer varies from near-random to strong,
+    // which is exactly what the curve is for.
+    "text_quality_auc" -> ((s, d) => {
+      def ratioU(pat: String) =
+        expr(s"(length(regexp_replace(text, '$pat', '')) * 1000000L) div length(text)")
+      val scored = fanOut(documents(s, d), s)
+        .withColumn("logit_u",
+          lit(-900000L) + lit(2L) * ratioU("[^A-Za-z]") - lit(4L) * ratioU("[^0-9]")
+            + ratioU("[^ ]") - lit(3L) * ratioU("[^A-Z]"))
+        .select(col("source"), col("logit_u"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val g = scored.groupBy(col("source"), col("logit_u"))
+        .agg(sum(col("y")).as("pos_g"), (count(lit(1)) - sum(col("y"))).as("neg_g"))
+      val wBelow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("logit_u"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      g.withColumn("neg_below", coalesce(sum(col("neg_g")).over(wBelow), lit(0L)))
+        .groupBy(col("source"))
+        .agg(sum(col("pos_g")).as("n_pos"), sum(col("neg_g")).as("n_neg"),
+          sum(col("pos_g") * (lit(2L) * col("neg_below") + col("neg_g"))).as("num2"))
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    }),
   )
 
   /** Max Hamming distance for dedup_simhash_pairs; must stay < the band
@@ -2635,5 +2672,31 @@ object TextOps {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM surv s JOIN t ON s.source = t.source
       GROUP BY 1, 2, 3, 4""",
+    "text_quality_auc" -> """
+      WITH f AS (
+        SELECT source,
+               CAST(-900000
+                 + 2 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000 // length(text))
+                 - 4 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000 // length(text))
+                 +     (length(regexp_replace(text, '[^ ]', '', 'g')) * 1000000 // length(text))
+                 - 3 * (length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1000000 // length(text))
+                 AS BIGINT) AS logit_u,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      g AS (SELECT source, logit_u,
+                   CAST(sum(y) AS BIGINT) AS pos_g,
+                   CAST(count(*) - sum(y) AS BIGINT) AS neg_g
+            FROM f GROUP BY 1, 2),
+      cum AS (SELECT *,
+                     coalesce(CAST(sum(neg_g) OVER (PARTITION BY source ORDER BY logit_u
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                              0) AS neg_below
+              FROM g)
+      SELECT source,
+             CAST(sum(pos_g) AS BIGINT) AS n_pos,
+             CAST(sum(neg_g) AS BIGINT) AS n_neg,
+             round(CAST(sum(pos_g * (2 * neg_below + neg_g)) AS BIGINT)
+                   / (2.0 * sum(pos_g) * sum(neg_g)), 6) AS auc
+      FROM cum GROUP BY 1""",
   )
 }
