@@ -51,6 +51,7 @@ object SessionCaches {
     Similarity.opqCentsShared(s, d)
     Similarity.opqCodesShared(s, d)
     Similarity.hybridLegsShared(s, d)
+    Similarity.knnGraphShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
@@ -61,6 +62,9 @@ object SessionCaches {
     // the hybrid legs derive from BOTH the posting tables and the rotated
     // code table — the most-derived frame in the graph, released first
     Similarity.releaseHybridLegs(s)
+    // the NN-Descent history derives only from the raw embeddings scan
+    // (its per-round checkpoints are freed at build time)
+    Similarity.releaseKnnGraph(s)
     // label frames are backed by CC checkpoint blocks: release them before
     // the checkpoints so nothing cached ever points at freed lineage
     Extended.releaseCcLabels(s)

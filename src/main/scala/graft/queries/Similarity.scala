@@ -2840,7 +2840,176 @@ object Similarity {
         rows.toDF("batch", "n_lists", "n_files", "merge_due")
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
+
+    // NN-Descent style k-NN GRAPH construction (Dong et al. 2011, WWW —
+    // "Efficient K-Nearest Neighbor Graph Construction") — the graph-ANN
+    // index family the inverted-list operators can't express: every node
+    // ends with its K approximate nearest neighbors, built WITHOUT any
+    // N² pass. Init partitions the corpus into md5 blocks TWICE under
+    // different salts and brute-forces only in-block pairs (2·N·blocksize
+    // distances) — the overlap is what lets later rounds cross block
+    // boundaries (see [[knnGraphShared]]); each round then expands
+    // every node's candidates to neighbors ∪ REVERSE neighbors ∪ two-hop
+    // neighbors-of-neighbors — the "a neighbor of my neighbor is likely my
+    // neighbor" closure the paper's local join exploits — and re-ranks to
+    // top-K by exact cosine. Per round: two self-joins of the K-bounded
+    // edge list (≤ N·(K²+2K) candidate rows, never N²) + two keyed joins
+    // onto the vector table for the distance evaluation + one per-node
+    // top-K window; everything shuffles on node id, so at 100 TB the
+    // rounds are a fixed number of keyed shuffles of a K-bounded edge
+    // list. The whole 3-iteration history is ONE session-shared frame
+    // ([[knnGraphShared]]) the graph query and the convergence curve both
+    // read. Ranking is on the 6dp-rounded cosine with nbr-id tiebreak, so
+    // the graph replays bit-for-bit in the generated DuckDB CTE chain
+    // (every per-round CTE MATERIALIZED — the text_bpe_train lesson: the
+    // doubly-referenced round CTE inlines exponentially otherwise).
+    "sim_knn_graph" -> ((s, d) =>
+      knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"), col("rank"), col("cos"))),
+
+    // The convergence audit of the same build: recall@K per round against
+    // the EXACT top-K of a deterministic md5 10% probe sample — the
+    // brute-force leg costs |probes|·N distances (linear, not quadratic:
+    // the audit stays runnable at scale precisely because the sample is
+    // bounded), shares its tie rule with the graph, and reads the graph
+    // rounds from the session-shared frame. The measured curve is the
+    // stopping rule an index-build job consults: when the recall delta
+    // per round flattens, iterating further buys nothing.
+    "sim_knn_graph_curve" -> ((s, d) => {
+      val g = knnGraphShared(s, d)
+      val vecs = ivfBase(s, d)
+      val probes = vecs
+        .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10L === 0L)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nbr"))
+      val exact = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nbr"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= KnnK)
+        .select(col("q_id"), col("nbr"))
+      val perIter = g.groupBy(col("iter")).agg(count(lit(1)).as("n_edges"))
+      val hits = g.select(col("iter"), col("vec_id").as("q_id"), col("nbr"))
+        .join(exact, Seq("q_id", "nbr"))
+        .groupBy(col("iter")).agg(count(lit(1)).as("n_hits"))
+      perIter.join(hits, Seq("iter"), "left")
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("iter"), col("n_edges"),
+          round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+    }),
   )
+
+  /** Neighbors kept per node, md5 init blocks, and expansion rounds of the
+    * NN-Descent build — shared between the Spark side and the generated
+    * oracle so the two can never drift.
+    */
+  private val KnnK = 8
+  private val KnnBlocks = 16
+  private val KnnIters = 4
+
+  /** Exact-cosine re-rank of a candidate edge set to top-K per node —
+    * the primitive both the init and every NN-Descent round apply. Two
+    * keyed joins onto the vector table, one per-node window on the
+    * 6dp-rounded cosine with nbr tiebreak (the oracle's exact tie rule).
+    */
+  private def knnRank(cand: DataFrame, vecs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr"))
+    cand
+      .join(vecs.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(vecs.select(col("vec_id").as("nbr"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        round(dot(col("v"), col("nv")) / (col("nrm") * col("nn")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+  }
+
+  /** Session-scoped cache of the FULL NN-Descent iteration history —
+    * (iter, vec_id, nbr, rank, cos) for iter ∈ 0..KnnIters. The final
+    * graph query and the convergence curve both read it; without the
+    * cache each would re-run every expansion round. Builds only from the
+    * raw embeddings scan (no parent shared frame — no lock-order
+    * obligations).
+    */
+  private val sharedKnnGraph = new SessionFrameCache(4)
+  def knnGraphShared(s: SparkSession, d: String): DataFrame =
+    sharedKnnGraph.getOrBuild(s, d) {
+      val vecs = ivfBase(s, d)
+      // TWO differently-salted block assignments: a single partition would
+      // trap the whole build — neighbors, reverse neighbors, and two-hop
+      // expansions of a one-block init all stay inside the init block, so
+      // no round can ever cross it (measured: recall flat over rounds).
+      // Overlapping a second salted partition makes every node a bridge
+      // between two blocks, and the two-hop closure then mixes globally.
+      def blkPairs(salt: String): DataFrame = {
+        val b = vecs.select(col("vec_id"),
+          (conv(substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % KnnBlocks).as("blk"))
+        b.join(b.withColumnRenamed("vec_id", "nbr"), Seq("blk"))
+          .filter(col("vec_id") =!= col("nbr"))
+          .select(col("vec_id"), col("nbr"))
+      }
+      val init = blkPairs("b1").union(blkPairs("b2")).distinct()
+      // Each round references the previous graph THREE times (forward,
+      // reverse, two-hop). persist() alone is NOT enough: the LOGICAL plan
+      // still nests three copies of the prior round's plan, so by round t
+      // the analyzer/canonicalizer walks 3^t nodes — measured 44 s to
+      // "scan" an already-cached 4000-row result, all of it planning. The
+      // connectedComponents discipline applies: localCheckpoint per round
+      // truncates the plan to a constant-size LogicalRDD, and the round
+      // blocks are freed deterministically once the unioned history has
+      // materialized (after which, per the CC contract, the rounds cannot
+      // be re-executed — only the cached union is ever read again).
+      def persistedIds = s.sparkContext.getPersistentRDDs.keySet
+      val preIds = persistedIds
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var g = knnRank(init, vecs).withColumn("iter", lit(0)).localCheckpoint(true)
+      rounds += g
+      for (t <- 1 to KnnIters) {
+        val edges = g.select(col("vec_id"), col("nbr"))
+        val rev = edges.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
+        val hop = edges
+          .join(edges.select(col("vec_id").as("nbr"), col("nbr").as("nbr2")), Seq("nbr"))
+          .select(col("vec_id"), col("nbr2").as("nbr"))
+          .filter(col("vec_id") =!= col("nbr"))
+        val cand = edges.union(rev).union(hop).distinct()
+        g = knnRank(cand, vecs).withColumn("iter", lit(t)).localCheckpoint(true)
+        rounds += g
+      }
+      // the unioned history checkpoints too, so it owns its own blocks and
+      // never re-reads a round frame; only then can the rounds be freed
+      // (peak storage: the rounds plus one union of them, all K-bounded)
+      val accIdsBefore = persistedIds
+      val acc = rounds.reduce(_ unionByName _).localCheckpoint(true)
+      val roundIds = accIdsBefore -- preIds
+      val live = s.sparkContext.getPersistentRDDs
+      roundIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      // the history's own checkpoint blocks are registered for the
+      // deterministic release path (the CC liveCcCheckpoints discipline —
+      // SharedCacheLifecycleSpec's zero-persisted-blocks contract)
+      liveKnnCheckpoints.synchronized {
+        liveKnnCheckpoints.getOrElseUpdate(s, scala.collection.mutable.Set.empty[Int]) ++=
+          (persistedIds -- accIdsBefore -- roundIds)
+      }
+      acc
+    }
+
+  private val liveKnnCheckpoints =
+    new scala.collection.mutable.WeakHashMap[SparkSession, scala.collection.mutable.Set[Int]]()
+
+  /** Unpersist and drop the shared NN-Descent iteration frames of `s`,
+    * including the history's localCheckpoint blocks (a released history
+    * cannot be re-executed — checkpoint lineage is truncated).
+    */
+  def releaseKnnGraph(s: SparkSession): Unit = {
+    sharedKnnGraph.release(s)
+    liveKnnCheckpoints.synchronized {
+      liveKnnCheckpoints.remove(s).foreach { ids =>
+        val live = s.sparkContext.getPersistentRDDs
+        ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      }
+    }
+  }
 
   /** Canonical DuckDB SQL for the brute-force cosine top-5 — single source
     * for sim_cosine_topk AND the neighbor set of sim_knn_label.
@@ -3309,7 +3478,84 @@ object Similarity {
       FROM atop a LEFT JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
       GROUP BY 1"""
 
+  /** Generated CTE chain replaying the NN-Descent build round for round.
+    * Every round CTE is MATERIALIZED — each is referenced three times by
+    * the next round's expansion, and DuckDB inlines plain CTEs per
+    * reference (the measured text_bpe_train 2^k cliff).
+    */
+  private def knnOracleCtes: String = {
+    val cosExpr = "round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)"
+    val sb = new StringBuilder
+    sb.append(s"""
+      c AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      blk AS MATERIALIZED (
+        SELECT vec_id,
+               ('0x' || substr(md5('b1' || vec_id::VARCHAR), 1, 15))::BIGINT % $KnnBlocks AS b1,
+               ('0x' || substr(md5('b2' || vec_id::VARCHAR), 1, 15))::BIGINT % $KnnBlocks AS b2
+        FROM c),
+      cand0 AS (SELECT DISTINCT a.vec_id, e.vec_id AS nbr
+                FROM blk a JOIN blk e
+                  ON (a.b1 = e.b1 OR a.b2 = e.b2) AND a.vec_id <> e.vec_id),
+      g0 AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT cd.vec_id, cd.nbr, $cosExpr AS cos,
+                 row_number() OVER (PARTITION BY cd.vec_id
+                   ORDER BY $cosExpr DESC, cd.nbr) AS rank
+          FROM cand0 cd JOIN c x ON x.vec_id = cd.vec_id JOIN c y ON y.vec_id = cd.nbr)
+        WHERE rank <= $KnnK)""")
+    for (t <- 1 to KnnIters) {
+      val p = s"g${t - 1}"
+      sb.append(s""",
+      cand$t AS (
+        SELECT DISTINCT vec_id, nbr FROM (
+          SELECT vec_id, nbr FROM $p
+          UNION ALL SELECT nbr AS vec_id, vec_id AS nbr FROM $p
+          UNION ALL SELECT x.vec_id, y.nbr
+                    FROM $p x JOIN $p y ON x.nbr = y.vec_id
+                    WHERE x.vec_id <> y.nbr)),
+      g$t AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT cd.vec_id, cd.nbr, $cosExpr AS cos,
+                 row_number() OVER (PARTITION BY cd.vec_id
+                   ORDER BY $cosExpr DESC, cd.nbr) AS rank
+          FROM cand$t cd JOIN c x ON x.vec_id = cd.vec_id JOIN c y ON y.vec_id = cd.nbr)
+        WHERE rank <= $KnnK)""")
+    }
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_knn_graph" -> s"""
+      WITH $knnOracleCtes
+      SELECT vec_id, nbr, CAST(rank AS INTEGER) AS rank, cos FROM g$KnnIters""",
+    "sim_knn_graph_curve" -> {
+      val allg = (0 to KnnIters)
+        .map(t => s"SELECT $t AS iter, vec_id, nbr FROM g$t")
+        .mkString("\n          UNION ALL ")
+      s"""
+      WITH $knnOracleCtes,
+      allg AS (
+          $allg),
+      probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c
+                 WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 10 = 0),
+      exact AS (SELECT q_id, nbr FROM (
+          SELECT p.q_id, x.vec_id AS nbr,
+                 row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY round(list_dot_product(p.qv, x.v) / (p.qn * x.nrm), 6) DESC,
+                            x.vec_id) AS r
+          FROM probes p JOIN c x ON x.vec_id <> p.q_id)
+        WHERE r <= $KnnK),
+      per AS (SELECT iter, CAST(count(*) AS BIGINT) AS n_edges FROM allg GROUP BY 1),
+      hits AS (SELECT a.iter, CAST(count(*) AS BIGINT) AS n_hits
+               FROM allg a JOIN exact e ON a.vec_id = e.q_id AND a.nbr = e.nbr
+               GROUP BY 1)
+      SELECT per.iter, per.n_edges,
+             round(coalesce(hits.n_hits, 0) / (SELECT count(*) FROM exact), 6) AS recall
+      FROM per LEFT JOIN hits ON per.iter = hits.iter"""
+    },
     "arr_stats" -> """
       SELECT vec_id,
              round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,

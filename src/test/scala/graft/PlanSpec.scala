@@ -573,7 +573,12 @@ class PlanSpec extends SparkSpec {
       "w12_rolling_active",
       // 1-row scalar(total, n_sources) × the |sources|-row share table —
       // the same annotate-with-constant shape as text_tfidf's n_docs
-      "sample_mix_schedule")
+      "sample_mix_schedule",
+      // the NN-Descent convergence audit: its exact ground-truth leg is
+      // the declared broadcast-probe brute-force baseline class (bounded
+      // md5 10% sample × corpus), plus a 1-row scalar(n_exact) annotate;
+      // the graph build itself is all equi-joins
+      "sim_knn_graph_curve")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
