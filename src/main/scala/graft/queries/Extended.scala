@@ -1082,6 +1082,62 @@ object Extended {
         .select(col("epoch").cast("int").as("epoch"),
           col("n_docs"), col("order_fp"), col("head_docs"))
     }),
+
+    // Declarative data-quality expectations (the dbt-test / Great
+    // Expectations surface): one row per named check with its violation
+    // count and verdict. The per-ROW predicates (range, accepted values,
+    // non-blank, non-null) fold into ONE conditional-sum scan per table —
+    // adding a check to a table costs an expression, never a pass — and
+    // only the two checks that are genuinely relational (key uniqueness,
+    // referential integrity) pay a shuffle: a keyed dup-count and a
+    // LEFT ANTI probe of orders against the broadcast customer dim. The
+    // verdict rows union into one bounded table; at 100 TB the suite's
+    // cost is one scan per fact table plus those two keyed steps, which
+    // is what lets a pipeline run its expectations on EVERY load instead
+    // of sampling.
+    "diag_expectations" -> ((s, d) => {
+      def chk(name: String, tbl: String, v: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"), lit(tbl).as("tbl"), v.as("n_violations"))
+      val li = lineitem(s, d).agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("qty"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("flag"))
+        .select(explode(array(
+          chk("l_quantity_in_1_50", "lineitem", col("qty")),
+          chk("l_returnflag_accepted", "lineitem", col("flag")))).as("c"))
+        .select(col("c.*"))
+      val doc = documents(s, d).agg(
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L).otherwise(0L))
+          .as("blank"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("len"))
+        .select(explode(array(
+          chk("text_nonblank", "documents", col("blank")),
+          chk("n_chars_consistent", "documents", col("len")))).as("c"))
+        .select(col("c.*"))
+      val dup = orders(s, d).groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") > 1L, col("n") - 1L)), lit(0L)).as("v"))
+        .select(chk("o_orderkey_unique", "orders", col("v")).as("c"))
+        .select(col("c.*"))
+      val orphans = orders(s, d)
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(chk("o_custkey_refs_customer", "orders", col("v")).as("c"))
+        .select(col("c.*"))
+      // a deliberately-failing expectation (values above 450 exist), so the
+      // suite's output demonstrably carries BOTH verdicts and the counting
+      // path is proven live, not vacuously zero
+      val ev = events(s, d).agg(
+        sum(when(col("value").isNull || col("value") > 450.0, 1L).otherwise(0L))
+          .as("v"))
+        .select(chk("value_le_450", "events", col("v")).as("c"))
+        .select(col("c.*"))
+      li.unionByName(doc).unionByName(dup).unionByName(orphans).unionByName(ev)
+        .select(col("check_name"), col("tbl"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    }),
   )
 
   /** The pure approx-percentile aggregation a 100 TB job runs in place of
@@ -1304,6 +1360,33 @@ object Extended {
   }
 
   val oracle: Map[String, String] = Map(
+    "diag_expectations" -> """
+      WITH li AS (
+        SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+               CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS flag
+        FROM lineitem),
+      doc AS (
+        SELECT CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank,
+               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS len
+        FROM documents),
+      dup AS (
+        SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT) AS v
+        FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)),
+      orph AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      ev AS (
+        SELECT CAST(sum(CASE WHEN value IS NULL OR value > 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM events),
+      u AS (
+        SELECT 'l_quantity_in_1_50' AS check_name, 'lineitem' AS tbl, qty AS n_violations FROM li
+        UNION ALL SELECT 'l_returnflag_accepted', 'lineitem', flag FROM li
+        UNION ALL SELECT 'text_nonblank', 'documents', blank FROM doc
+        UNION ALL SELECT 'n_chars_consistent', 'documents', len FROM doc
+        UNION ALL SELECT 'o_orderkey_unique', 'orders', v FROM dup
+        UNION ALL SELECT 'o_custkey_refs_customer', 'orders', v FROM orph
+        UNION ALL SELECT 'value_le_450', 'events', v FROM ev)
+      SELECT check_name, tbl, n_violations, n_violations = 0 AS pass FROM u""",
     "a12_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS flag,
              coalesce(l_linestatus, 'ALL') AS status,

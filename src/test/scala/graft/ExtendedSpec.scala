@@ -528,4 +528,23 @@ class ExtendedSpec extends SparkSpec {
         s"$flag: winsorized mean $win implausibly far from raw $raw")
     }
   }
+
+  test("diag_expectations: both verdicts live, RI probe is a broadcast anti-join") {
+    val df = graft.queries.Extended.queries("diag_expectations")(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(rows.length == 7, s"expected 7 checks, got ${rows.map(_._1)}")
+    assert(rows.map(_._1).distinct.length == 7, "duplicate check names")
+    rows.foreach { case (name, v, pass) =>
+      assert(pass == (v == 0L), s"$name verdict inconsistent with count $v")
+    }
+    // the suite must demonstrate both verdicts, or the counting path is
+    // unproven: value_le_450 is the deliberately-failing expectation
+    assert(rows.exists(!_._3) && rows.exists(_._3), s"one-sided verdicts: $rows")
+    assert(!rows.find(_._1 == "value_le_450").get._3, "planted failure didn't fire")
+    // referential integrity must probe as a broadcast LEFT ANTI join —
+    // a shuffled anti-join of the fact table would be the 100 TB bottleneck
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
 }
