@@ -176,6 +176,14 @@ object Temporal {
         .filter(col("rk") <= 3)
     }),
 
+    // The SCD2 build as a STATEFUL streaming query — cdc_scd2's streaming
+    // twin, oracled against the SAME SQL. SCD2 is order-sensitive, so the
+    // state machine buffers each key's events and folds only the prefix
+    // the watermark has made FINAL per invocation (event-time-ordered
+    // processing); versions emit as they close, the open version flushes
+    // by data sentinel / event-time timeout (graft.streaming.StreamScd2).
+    "stream_scd2" -> ((s, d) => graft.streaming.StreamScd2(s, d)),
+
     // CDC changelog → SCD2 (type-2 slowly-changing dimension): the event
     // log is read as a per-user changelog of an attribute (the value's
     // integer tier); consecutive no-op "changes" are compacted away with
@@ -793,6 +801,29 @@ object Temporal {
              ded1.n + u.u, s_open.n + u.u
       FROM u, ded1, s_open"""
 
+  /** The SCD2 dimension build replayed in SQL — shared verbatim by the
+    * batch query (cdc_scd2) and its streaming twin (stream_scd2).
+    */
+  private val scd2Sql: String = """
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+               CAST(floor(value) AS BIGINT) % 5 AS tier
+        FROM events),
+      lagged AS (
+        SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_tier
+        FROM e),
+      changes AS (SELECT * FROM lagged WHERE prev_tier IS NULL OR tier <> prev_tier),
+      v AS (
+        SELECT user_id, tier, us,
+               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version,
+               coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+                        9223372036854775807) AS valid_to_us
+        FROM changes)
+      SELECT user_id, CAST(version AS INTEGER) AS version, tier,
+             us AS valid_from_us, valid_to_us,
+             valid_to_us = 9223372036854775807 AS is_current
+      FROM v"""
+
   val oracle: Map[String, String] = Map(
     "w13_time_weighted_avg" -> """
       WITH e AS (SELECT user_id, event_id,
@@ -1182,25 +1213,10 @@ object Temporal {
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM w GROUP BY 1, 2""",
-    "cdc_scd2" -> """
-      WITH e AS (
-        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
-               CAST(floor(value) AS BIGINT) % 5 AS tier
-        FROM events),
-      lagged AS (
-        SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_tier
-        FROM e),
-      changes AS (SELECT * FROM lagged WHERE prev_tier IS NULL OR tier <> prev_tier),
-      v AS (
-        SELECT user_id, tier, us,
-               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version,
-               coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
-                        9223372036854775807) AS valid_to_us
-        FROM changes)
-      SELECT user_id, CAST(version AS INTEGER) AS version, tier,
-             us AS valid_from_us, valid_to_us,
-             valid_to_us = 9223372036854775807 AS is_current
-      FROM v""",
+    "cdc_scd2" -> scd2Sql,
+    // the streaming SCD2 must reproduce the batch dimension exactly —
+    // same oracle by construction
+    "stream_scd2" -> scd2Sql,
     "cdc_merge_upsert" -> """
       WITH e AS (
         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type,
