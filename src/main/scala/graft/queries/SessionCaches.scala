@@ -36,6 +36,8 @@ object SessionCaches {
     TextOps.winnowSelectionsShared(s, d)
     TextOps.winnowAnchorsShared(s, d)
     TextOps.winnowPairsShared(s, d)
+    TextOps.nearDupPairsShared(s, d)
+    TextOps.filterSurvivorsShared(s, d)
     Extended.ccLabelsShared(s, d)
     Extended.pagerankEdgesShared(s, d)
     TextOps.unigramScoresShared(s, d)
@@ -81,6 +83,9 @@ object SessionCaches {
     TextOps.releaseSharedPairs(s)
     TextOps.releaseBands(s)
     TextOps.releaseSignatures(s)
+    // the near-dup chain derives pairs → survivors: derived first
+    TextOps.releaseFilterSurvivors(s)
+    TextOps.releaseNearDupPairs(s)
     // the winnowing chain derives selections → {anchors, pairs}: same order
     TextOps.releaseWinnowAnchors(s)
     TextOps.releaseWinnowPairs(s)

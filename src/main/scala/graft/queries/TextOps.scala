@@ -182,6 +182,98 @@ object TextOps {
   /** Unpersist and drop every shared pair-shingle frame of session `s`. */
   def releasePairShingles(s: SparkSession): Unit = sharedPairShingles.release(s)
 
+  /** Session-scoped cache of the exact n-gram-Jaccard VERDICT frame
+    * (da, db, jaccard > 0.8) — tiny, bounded by the near-dup set
+    * (lifecycle: [[SessionFrameCache]]). Three consumers start from it:
+    * `dedup_ngram_jaccard` itself, `pipeline_filter_dedup`'s near-dup
+    * removal leg, and (through the survivors) `pipeline_train_mix`.
+    * Before this cache, each of the three re-aggregated the corpus-sized
+    * shingle stream into the df-capped group frame per invocation
+    * (~7.3 s/sweep in the r10 driver artifact, much of it the same
+    * aggregation three times over) — the same re-derivation pattern the
+    * MinHash (r07) and winnowing (r10) chains were lifted out of.
+    */
+  private val sharedNearDupPairs = new SessionFrameCache(4)
+  def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
+    sharedNearDupPairs.getOrBuild(s, d) {
+      // ONE groupBy over the postings builds the per-shingle doc list; the
+      // hot-shingle df-cap (> HotShingleDfCap docs ⇒ boilerplate, no dedup
+      // signal, O(df²) pair cost) is a filter on that SAME aggregation —
+      // zero extra passes — and in-bucket pair expansion replaces the
+      // posting self-join (which would re-shuffle both sides and hand any
+      // skewed key a quadratic reducer; bucket size is bounded by the cap,
+      // so the k² expansion is bounded too). The oracle SQL applies the
+      // identical cap, so results stay hash-equal at every scale; at
+      // sf0.01 max df < the cap and nothing drops. The join key is a
+      // 60-bit integer derived from md5(shingle), not the shingle string:
+      // the shuffle ships 8 bytes per posting instead of the n-gram text,
+      // and because the oracle applies the SAME md5-derived mapping, both
+      // engines see identical equalities by construction.
+      val grp = shingles(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("h"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= HotShingleDfCap)
+        .persist() // consumed by the pair expansion and the per-doc sizes
+      val inter = grp.filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"))
+        .filter(col("da") < col("db")) // md5-collision twin postings of one doc
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      val sizes = grp.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val out = inter
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jaccard") > 0.8)
+        .select(col("da"), col("db"), col("jaccard"))
+      // materialize the verdict frame while grp's blocks are live, then
+      // free grp immediately (materialize-then-unpersist): the session
+      // keeps only the tiny pair frame, never the corpus-sized shingle
+      // groups. getOrBuild's outer persist+count are no-ops on an
+      // already-materialized frame at the same storage level.
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      grp.unpersist(blocking = false)
+      out
+    }
+
+  /** Unpersist and drop every shared near-dup verdict frame of session `s`. */
+  def releaseNearDupPairs(s: SparkSession): Unit = sharedNearDupPairs.release(s)
+
+  /** Session-scoped cache of the filter∧dedup SURVIVOR id-set — the
+    * documents passing the quality gate ∧ language gate ∧ near-dup removal
+    * (lifecycle: [[SessionFrameCache]]). `pipeline_filter_dedup` returns it
+    * and `pipeline_train_mix` starts from it; without the cache the mix
+    * query re-ran both per-row gates AND the whole near-dup chain inside
+    * its own invocation (99 jobs in the r10 artifact). |survivors| ≤
+    * |corpus| ids — one long column, trivially cacheable at any scale.
+    */
+  private val sharedFilterSurvivors = new SessionFrameCache(4)
+  def filterSurvivorsShared(s: SparkSession, d: String): DataFrame = {
+    // parent (verdict frame) materialized OUTSIDE this cache's monitor
+    // (see minhashPairsShared for the lock discipline)
+    val nearDup = nearDupPairsShared(s, d)
+    sharedFilterSurvivors.getOrBuild(s, d) {
+      val quality = queries("text_quality")(s, d)
+        .filter(col("alpha_ratio") >= 0.81).select(col("doc_id"))
+      val english = queries("text_lang_id")(s, d)
+        .filter(col("lang_pred") === "en").select(col("doc_id"))
+      quality
+        .join(english, Seq("doc_id"))
+        .join(nearDup.select(col("db")).distinct(),
+          col("doc_id") === col("db"), "left_anti")
+        .select(col("doc_id"))
+    }
+  }
+
+  /** Unpersist and drop every shared survivor frame of session `s`. */
+  def releaseFilterSurvivors(s: SparkSession): Unit = sharedFilterSurvivors.release(s)
+
   /** Session-scoped cache of the per-doc unigram-LM score table
     * (lifecycle: [[SessionFrameCache]] — previously a bare per-invocation
     * `.cache()` that only `catalog.clearCache()` freed). text_ppl_bucket
@@ -965,39 +1057,11 @@ object TextOps {
     // shingle string: the shuffle ships 8 bytes per posting instead of the
     // n-gram text, and because the oracle applies the SAME md5-derived
     // mapping, both engines see identical equalities by construction.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      // ONE groupBy over the postings builds the per-shingle doc list; the
-      // hot-shingle df-cap (> HotShingleDfCap docs ⇒ boilerplate, no dedup
-      // signal, O(df²) pair cost) is a filter on that SAME aggregation —
-      // zero extra passes — and in-bucket pair expansion replaces the
-      // posting self-join (which would re-shuffle both sides and hand any
-      // skewed key a quadratic reducer; bucket size is now bounded by the
-      // cap, so the k² expansion is bounded too). The oracle SQL applies
-      // the identical cap, so results stay hash-equal at every scale; at
-      // sf0.01 max df < the cap and nothing drops.
-      val grp = shingles(s, d)
-        .select(col("doc_id"),
-          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-        .groupBy(col("h"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) <= HotShingleDfCap)
-        .cache() // consumed by the pair expansion and the per-doc sizes
-      val inter = grp.filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          "flatten(transform(ids, (x, i) -> " +
-            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
-        .select(col("p.da").as("da"), col("p.db").as("db"))
-        .filter(col("da") < col("db")) // md5-collision twin postings of one doc
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-      val sizes = grp.select(explode(col("ids")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-        .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("jaccard") > 0.8)
-        .select(col("da"), col("db"), col("jaccard"))
-    }),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      // Session-shared verdict frame (see [[nearDupPairsShared]] for the
+      // plan): the shingle aggregation runs once per (session, corpus)
+      // across this query, pipeline_filter_dedup, and pipeline_train_mix.
+      nearDupPairsShared(s, d)),
 
     // MinHash + LSH banding: 16 hash functions, 4 bands × 4 rows; candidate
     // pairs share ≥1 band. This is the 100 TB dedup path: signatures are
@@ -1106,18 +1170,11 @@ object TextOps {
     // language gate (en) ∧ near-dup removal (drop the larger id of every
     // Jaccard>0.8 pair) → the surviving corpus. Each stage is one of the
     // oracle-checked operators above; this pins their composition.
-    "pipeline_filter_dedup" -> ((s, d) => {
-      val quality = queries("text_quality")(s, d)
-        .filter(col("alpha_ratio") >= 0.81).select(col("doc_id"))
-      val english = queries("text_lang_id")(s, d)
-        .filter(col("lang_pred") === "en").select(col("doc_id"))
-      val nearDup = queries("dedup_ngram_jaccard")(s, d)
-        .select(col("db")).distinct()
-      quality
-        .join(english, Seq("doc_id"))
-        .join(nearDup, col("doc_id") === col("db"), "left_anti")
-        .select(col("doc_id"))
-    }),
+    "pipeline_filter_dedup" -> ((s, d) =>
+      // Session-shared survivor set (see [[filterSurvivorsShared]]): the
+      // gates and the near-dup chain run once per (session, corpus), not
+      // once per consumer.
+      filterSurvivorsShared(s, d)),
 
     // The training-data LAST MILE, end to end: quality ∧ language ∧
     // near-dup-removal (the pipeline_filter_dedup survivors), then the
@@ -1132,7 +1189,7 @@ object TextOps {
     // broadcast join + keyed conditional sum over the survivor ids.
     "pipeline_train_mix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val keep = queries("pipeline_filter_dedup")(s, d)
+      val keep = filterSurvivorsShared(s, d)
       val surv = documents(s, d).join(keep, Seq("doc_id"))
         .select(col("doc_id"), col("source"),
           size(filter(split(trim(col("text")), "\\s+"),
