@@ -116,10 +116,8 @@ object Multimodal {
     * media_id, so the staged bytes are identical across JVMs and rounds;
     * the `_SUCCESS` marker makes re-staging a no-op.
     */
-  def mediaTableDir(spark: SparkSession, n: Int): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_media_table_$n"
-    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
-    if (!java.nio.file.Files.exists(done)) {
+  def mediaTableDir(spark: SparkSession, n: Int): String =
+    stageOnce(s"${sys.props("java.io.tmpdir")}/graft_media_table_$n") { tmp =>
       val schema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("media", BinaryType, nullable = false)))
@@ -129,10 +127,49 @@ object Multimodal {
           val id = r.getLong(0)
           Row(id, MediaSynth.payload(id))
         })
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(tmp)
     }
-    dir
-  }
+
+  /** JVM-local serialization of the stage-once writes below. */
+  private val stageLock = new Object
+
+  /** Stage-once discipline for the fixture tables: build into a UNIQUE
+    * temp dir, then atomically rename into place. A reader can therefore
+    * never observe a partially (re)written layout — `dir` either does not
+    * exist yet or is one complete committed write (the old
+    * exists(_SUCCESS) check-then-write-in-place let one JVM overwrite the
+    * staged parquet while another was mid-scan of it). The rename is the
+    * cross-JVM guard: two concurrent sessions race, the loser's move
+    * fails against the winner's committed dir and its temp is discarded.
+    * The JVM-local lock serializes the common single-JVM case.
+    */
+  private def stageOnce(dir: String)(write: String => Unit): String =
+    stageLock.synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val root = Paths.get(dir)
+      val done = root.resolve("_SUCCESS")
+      if (!Files.exists(done)) {
+        val tmp = Paths.get(dir + "." + java.util.UUID.randomUUID() + ".tmp")
+        write(tmp.toString)
+        try {
+          // a dir without the marker can only be pre-rename-era garbage
+          // (nothing writes into `dir` directly anymore): clear it so the
+          // atomic move can land
+          if (Files.exists(root))
+            graft.streaming.StagedEvents.deleteRecursively(root)
+          Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: java.nio.file.FileSystemException =>
+            // another JVM committed between our check and the move: keep
+            // the winner's table, discard ours — but a still-uncommitted
+            // dir means something else broke, and that must fail loudly
+            graft.streaming.StagedEvents.deleteRecursively(tmp)
+            require(Files.exists(done),
+              s"staging race left $dir without a committed _SUCCESS marker")
+        }
+      }
+      dir
+    }
 
   /** `mm_decode_scan`: the decode pipeline over the staged BINARY-column
     * parquet table — scan → per-partition JDK decode, one pipelined
@@ -165,10 +202,8 @@ object Multimodal {
     * bytes are identical across JVMs and the planted pairs are known in
     * closed form.
     */
-  def phashTableDir(spark: SparkSession, n: Int): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_phash_table_$n"
-    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
-    if (!java.nio.file.Files.exists(done)) {
+  def phashTableDir(spark: SparkSession, n: Int): String =
+    stageOnce(s"${sys.props("java.io.tmpdir")}/graft_phash_table_$n") { tmp =>
       val schema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("media", BinaryType, nullable = false)))
@@ -180,10 +215,8 @@ object Multimodal {
           if (id % 10 == 0) Seq(Row(id, p), Row(id + 1000L, p))
           else Seq(Row(id, p))
         })
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(tmp)
     }
-    dir
-  }
 
   val phashType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

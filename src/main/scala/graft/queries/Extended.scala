@@ -1176,17 +1176,17 @@ object Extended {
     */
   def connectedComponents(s: SparkSession, edges: DataFrame): (DataFrame, Int) = {
     val sc = s.sparkContext
-    def persisted(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    // LAZY checkpoint: registration happens now (so the id diff is exact),
-    // the blocks materialize on the NEXT action — which is always the
-    // fingerprint below, so each round runs ONE job, not checkpoint-count
-    // plus fingerprint
+    // LAZY checkpoint: registration happens now, the blocks materialize on
+    // the NEXT action — which is always the fingerprint below, so each
+    // round runs ONE job, not checkpoint-count plus fingerprint. The ids
+    // are read off the frame's OWN plan (SessionCaches.checkpointRddIds),
+    // never a global persistent-set diff — a concurrent thread persisting
+    // its own blocks in the window must not be swept by this build.
     def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-      val pre = persisted()
       val out = df.localCheckpoint(false)
-      (out, persisted() -- pre)
+      (out, SessionCaches.checkpointRddIds(out))
     }
 
     // large-star: every node u sends its strictly-larger neighbors to
@@ -1230,11 +1230,10 @@ object Extended {
     // nodes to label = every endpoint of the ORIGINAL edges; its own eager
     // checkpoint because round 1 frees cur's blocks out from under it
     val (nodes, nodesIds) = {
-      val pre = persisted()
       val out = cur.select(col("src").as("node"))
         .union(cur.select(col("dst").as("node"))).distinct()
         .localCheckpoint(true)
-      (out, persisted() -- pre)
+      (out, SessionCaches.checkpointRddIds(out))
     }
     var converged = cnt == 0L
     var rounds = 0
@@ -1259,7 +1258,7 @@ object Extended {
     // PER SESSION for deterministic release once the consumer is done
     liveCcCheckpoints.synchronized {
       liveCcCheckpoints.getOrElseUpdate(s, scala.collection.mutable.Set[Int]()) ++=
-        (held ++ persisted().intersect(nodesIds))
+        (held ++ nodesIds.filter(sc.getPersistentRDDs.contains))
     }
     (labels, rounds)
   }

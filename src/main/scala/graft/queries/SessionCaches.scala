@@ -18,6 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SessionCaches {
 
+  /** The RDD ids persisted by `df`'s OWN `localCheckpoint` — read off the
+    * plan's `LogicalRDD` leaves, never by diffing the context-global
+    * persistent-RDD set before/after the build: the global set is shared
+    * by every thread on the context, so a concurrent build persisting its
+    * own checkpoint inside the diff window would be swept by this build's
+    * release — and an unpersisted localCheckpoint block makes its owning
+    * frame unrecoverable (lineage truncated).
+    */
+  private[queries] def checkpointRddIds(df: DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+
   /** Materialize every session-shared stage for data dir `d` — the shared
     * MinHash pair frame, the converged CC label frame, the staged
     * events/bucketed layouts, and the synthesized mzML runs — so that no

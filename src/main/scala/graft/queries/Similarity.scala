@@ -2959,9 +2959,10 @@ object Similarity {
       // truncates the plan to a constant-size LogicalRDD, and the round
       // blocks are freed deterministically once the unioned history has
       // materialized (after which, per the CC contract, the rounds cannot
-      // be re-executed — only the cached union is ever read again).
-      def persistedIds = s.sparkContext.getPersistentRDDs.keySet
-      val preIds = persistedIds
+      // be re-executed — only the cached union is ever read again). Each
+      // frame's checkpoint ids are read off its OWN plan
+      // ([[SessionCaches.checkpointRddIds]]), so a concurrent build
+      // persisting blocks during this window is never swept.
       val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var g = knnRank(init, vecs).withColumn("iter", lit(0)).localCheckpoint(true)
       rounds += g
@@ -2979,17 +2980,16 @@ object Similarity {
       // the unioned history checkpoints too, so it owns its own blocks and
       // never re-reads a round frame; only then can the rounds be freed
       // (peak storage: the rounds plus one union of them, all K-bounded)
-      val accIdsBefore = persistedIds
       val acc = rounds.reduce(_ unionByName _).localCheckpoint(true)
-      val roundIds = accIdsBefore -- preIds
       val live = s.sparkContext.getPersistentRDDs
-      roundIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      rounds.flatMap(SessionCaches.checkpointRddIds).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
       // the history's own checkpoint blocks are registered for the
       // deterministic release path (the CC liveCcCheckpoints discipline —
       // SharedCacheLifecycleSpec's zero-persisted-blocks contract)
       liveKnnCheckpoints.synchronized {
         liveKnnCheckpoints.getOrElseUpdate(s, scala.collection.mutable.Set.empty[Int]) ++=
-          (persistedIds -- accIdsBefore -- roundIds)
+          SessionCaches.checkpointRddIds(acc)
       }
       acc
     }

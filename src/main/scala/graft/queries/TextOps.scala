@@ -1908,7 +1908,13 @@ object TextOps {
     "text_quality_auc" -> ((s, d) => {
       def ratioU(pat: String) =
         expr(s"(length(regexp_replace(text, '$pat', '')) * 1000000L) div length(text)")
+      // guards mirrored EXACTLY in the oracle SQL: a zero-length text
+      // would make Spark's integer div yield a null logit group while
+      // DuckDB's `//` raises division-by-zero, and a single-class source
+      // has a zero AUC denominator (Spark NaN row vs DuckDB error) — both
+      // engines must take the same branch on such data, not diverge.
       val scored = fanOut(documents(s, d), s)
+        .filter(length(col("text")) > 0)
         .withColumn("logit_u",
           lit(-900000L) + lit(2L) * ratioU("[^A-Za-z]") - lit(4L) * ratioU("[^0-9]")
             + ratioU("[^ ]") - lit(3L) * ratioU("[^A-Z]"))
@@ -1924,7 +1930,9 @@ object TextOps {
         .agg(sum(col("pos_g")).as("n_pos"), sum(col("neg_g")).as("n_neg"),
           sum(col("pos_g") * (lit(2L) * col("neg_below") + col("neg_g"))).as("num2"))
         .select(col("source"), col("n_pos"), col("n_neg"),
-          round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+            .as("auc"))
     }),
   )
 
@@ -2739,7 +2747,7 @@ object TextOps {
                  - 3 * (length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1000000 // length(text))
                  AS BIGINT) AS logit_u,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        FROM documents),
+        FROM documents WHERE length(text) > 0),
       g AS (SELECT source, logit_u,
                    CAST(sum(y) AS BIGINT) AS pos_g,
                    CAST(count(*) - sum(y) AS BIGINT) AS neg_g
@@ -2752,8 +2760,10 @@ object TextOps {
       SELECT source,
              CAST(sum(pos_g) AS BIGINT) AS n_pos,
              CAST(sum(neg_g) AS BIGINT) AS n_neg,
-             round(CAST(sum(pos_g * (2 * neg_below + neg_g)) AS BIGINT)
-                   / (2.0 * sum(pos_g) * sum(neg_g)), 6) AS auc
+             CASE WHEN sum(pos_g) > 0 AND sum(neg_g) > 0
+                  THEN round(CAST(sum(pos_g * (2 * neg_below + neg_g)) AS BIGINT)
+                             / (2.0 * sum(pos_g) * sum(neg_g)), 6)
+             END AS auc
       FROM cum GROUP BY 1""",
   )
 }

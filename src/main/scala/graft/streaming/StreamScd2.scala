@@ -48,9 +48,15 @@ object StreamScd2 {
   private def foldSafe(user: Long, s: Scd2State, safeUs: Long, flush: Boolean,
       out: ArrayBuffer[VersionRow]): Scd2State = {
     val sorted = s.buf.sortBy(e => (e._1, e._2))
+    // strictly below the watermark: Spark's late filter only drops rows
+    // with RAW event time < watermark (pinned empirically, LateDropSpec),
+    // so an event timestamped EXACTLY at the watermark can still arrive in
+    // a later batch — folding the boundary timestamp eagerly would emit
+    // versions out of (us, event_id) order. The boundary event stays
+    // buffered until the watermark passes it.
     val (safe, rest) =
       if (flush) (sorted, Vector.empty[(Long, Long, Long)])
-      else sorted.span(_._1 <= safeUs)
+      else sorted.span(_._1 < safeUs)
     var (version, openFrom, openTier, hasOpen) =
       (s.version, s.openFrom, s.openTier, s.hasOpen)
     safe.foreach { case (us, _, tier) =>
@@ -104,7 +110,14 @@ object StreamScd2 {
         .transform(graft.tables.Tables.toEventTime(_, "ts"))
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"),
-          coalesce((floor(col("value")).cast("long") % 5L), lit(0L)).as("tier"),
+          // tier 0 ONLY for the staged flush sentinels (event_id == -1,
+          // synthesized with null value; dropped before folding). A real
+          // event with null value violates the non-null contract shared
+          // with batch cdc_scd2 and must fail LOUDLY (non-nullable Ev.tier
+          // rejects the null at deserialization) — a silent coalesce would
+          // fold a fabricated tier 0 indistinguishable from real data.
+          when(col("event_id") === -1L, lit(0L))
+            .otherwise(floor(col("value")).cast("long") % 5L).as("tier"),
           col("ts").as("tsm"))
         .withWatermark("tsm", "30 minutes")
         .as[Ev]
