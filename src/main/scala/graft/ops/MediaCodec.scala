@@ -113,34 +113,47 @@ object MediaCodec {
     * integer-exact form of "luma ≥ mean", so no division ever rounds a
     * boundary bit differently across engines. None for non-images.
     */
-  def aHash(payload: Array[Byte]): Option[Long] =
+  def aHash(payload: Array[Byte]): Option[Long] = imageFold(payload)(aHashOf)
+
+  /** Decode an image payload and apply a (w, h, rgb) hash fold; None for
+    * non-images. The folds themselves ([[aHashOf]]/[[dHashOf]]/[[pHashOf]])
+    * are shared with the closed-form generator replays in [[MediaSynth]],
+    * so the engine path and the oracle can never drift on the grid/threshold
+    * arithmetic — what the oracle still forces the engine to do is really
+    * decode the staged bytes back into those pixels.
+    */
+  private def imageFold(payload: Array[Byte])(
+      f: (Int, Int, (Int, Int) => Int) => Long): Option[Long] =
     decode(payload) match {
       case Some(m) if m.kind == "png" || m.kind == "bmp" =>
         val img = ImageIO.read(new ByteArrayInputStream(payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val luma = new Array[Long](64)
-        var total = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val rgb = img.getRGB(x * w / 8, y * h / 8) & 0xffffff
-            val l = ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            luma(y * 8 + x) = l
-            total += l
-            x += 1
-          }
-          y += 1
-        }
-        var hash = 0L
-        var i = 0
-        while (i < 64) {
-          if (luma(i) * 64 >= total) hash |= (1L << i)
-          i += 1
-        }
-        Some(hash)
+        Some(f(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y)))
       case _ => None
     }
+
+  private[ops] def aHashOf(w: Int, h: Int, rgb: (Int, Int) => Int): Long = {
+    val luma = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val c = rgb(x * w / 8, y * h / 8) & 0xffffff
+        val l = ((c >> 16) & 0xff).toLong + ((c >> 8) & 0xff) + (c & 0xff)
+        luma(y * 8 + x) = l
+        total += l
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (luma(i) * 64 >= total) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
 
   /** 64-bit difference-hash (dHash) perceptual fingerprint: nearest-
     * neighbor resample to a 9×8 luma grid, bit (y·8+x) set iff
@@ -150,28 +163,96 @@ object MediaCodec {
     * dHash reads the gradient's DIRECTION cell by cell). Same integer
     * arithmetic discipline; None for non-images.
     */
-  def dHash(payload: Array[Byte]): Option[Long] =
-    decode(payload) match {
-      case Some(m) if m.kind == "png" || m.kind == "bmp" =>
-        val img = ImageIO.read(new ByteArrayInputStream(payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        def luma(gx: Int, gy: Int): Long = {
-          val rgb = img.getRGB(gx * w / 9, gy * h / 8) & 0xffffff
-          ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-        }
-        var hash = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (luma(x + 1, y) > luma(x, y)) hash |= (1L << (y * 8 + x))
-            x += 1
-          }
-          y += 1
-        }
-        Some(hash)
-      case _ => None
+  def dHash(payload: Array[Byte]): Option[Long] = imageFold(payload)(dHashOf)
+
+  private[ops] def dHashOf(w: Int, h: Int, rgb: (Int, Int) => Int): Long = {
+    def luma(gx: Int, gy: Int): Long = {
+      val c = rgb(gx * w / 9, gy * h / 8) & 0xffffff
+      ((c >> 16) & 0xff).toLong + ((c >> 8) & 0xff) + (c & 0xff)
     }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) hash |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** 64-bit DCT perceptual hash (the REAL pHash): nearest-neighbor
+    * resample to a 32×32 luma grid, separable 2-D DCT-II, keep the
+    * top-left 8×8 low-frequency block, bit (q·8+p) set iff coefficient
+    * F(p,q) exceeds the MEDIAN of the 63 AC coefficients (DC excluded —
+    * it only encodes overall brightness). Unlike aHash (global mean) and
+    * dHash (local gradient direction), the DCT block reads the image's
+    * coarse SPECTRUM, which survives blur/resize/brightness edits.
+    *
+    * Integer-exact: the cosine basis is fixed-point at 2^20
+    * ([[dctBasis]] — rounded once at class init, so every JVM and the
+    * closed-form oracle replay share identical basis integers), and the
+    * folds are pure Long arithmetic with no overflow (|F| ≤ 765 · 2^40 ·
+    * 1024 < 2^63). None for non-images.
+    */
+  def pHash(payload: Array[Byte]): Option[Long] = imageFold(payload)(pHashOf)
+
+  /** DCT-II basis rows u = 0..7 over x = 0..31, fixed point at 2^20:
+    * C(u, x) = round(cos(π·(2x+1)·u / 64) · 2^20).
+    */
+  private[ops] val dctBasis: Array[Array[Long]] = Array.tabulate(8, 32)((u, x) =>
+    Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 64.0) * (1L << 20)))
+
+  private[ops] def pHashOf(w: Int, h: Int, rgb: (Int, Int) => Int): Long = {
+    // 32×32 nearest-neighbor luma grid (same src-index map as the other
+    // folds, just a denser grid for the transform)
+    val luma = Array.tabulate(32, 32) { (y, x) =>
+      val c = rgb(x * w / 32, y * h / 32) & 0xffffff
+      ((c >> 16) & 0xff).toLong + ((c >> 8) & 0xff) + (c & 0xff)
+    }
+    // separable DCT: rows first (t(p)(y) = Σ_x luma(y)(x)·C(p,x)), then
+    // columns — only the 8 lowest frequencies each way are ever computed
+    val t = Array.ofDim[Long](8, 32)
+    var p = 0
+    while (p < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += luma(y)(x) * dctBasis(p)(x); x += 1 }
+        t(p)(y) = s
+        y += 1
+      }
+      p += 1
+    }
+    val f = new Array[Long](64)
+    var q = 0
+    while (q < 8) {
+      var pp = 0
+      while (pp < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += t(pp)(y) * dctBasis(q)(y); y += 1 }
+        f(q * 8 + pp) = s
+        pp += 1
+      }
+      q += 1
+    }
+    // median of the 63 AC coefficients: element 31 of the sorted range —
+    // strict > against it balances the bits near 32/32
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (f(i) > med) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
 
   /** Audio feature facts: frame count at `window` samples per frame, zero
     * crossings, total energy, loudest-frame energy. */
@@ -359,61 +440,91 @@ object MediaSynth {
         Some(expected(id).copy(width = Some(ow), height = Some(oh), checksum = acc))
     }
 
+  /** The (w, h, rgb) triple of an image id's generator arithmetic — the
+    * no-codec source the closed-form hash replays fold over. None for WAV.
+    */
+  private def imageOf(id: Long): Option[(Int, Int, (Int, Int) => Int)] =
+    kindOf(id) match {
+      case "wav" => None
+      case "png" =>
+        val (w, h) = pngDims(id); Some((w, h, (x, y) => pngRgb(id, x, y)))
+      case _ =>
+        val (w, h) = bmpDims(id); Some((w, h, (x, y) => bmpRgb(id, x, y)))
+    }
+
   /** What aHash(payload(id)) must return for an image id — the 8×8
     * nearest-neighbor luma grid replayed over the pixel arithmetic, no
-    * codec involved. None for WAV ids.
+    * codec involved (the fold itself is MediaCodec's, shared by
+    * construction). None for WAV ids.
     */
-  def expectedAHash(id: Long): Option[Long] = kindOf(id) match {
-    case "wav" => None
-    case kind =>
-      val (w, h) = if (kind == "png") pngDims(id) else bmpDims(id)
-      val luma = new Array[Long](64)
-      var total = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          val rgb = (if (kind == "png") pngRgb(id, x * w / 8, y * h / 8)
-                     else bmpRgb(id, x * w / 8, y * h / 8)) & 0xffffff
-          val l = ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          luma(y * 8 + x) = l
-          total += l
-          x += 1
-        }
-        y += 1
-      }
-      var hash = 0L
-      var i = 0
-      while (i < 64) {
-        if (luma(i) * 64 >= total) hash |= (1L << i)
-        i += 1
-      }
-      Some(hash)
-  }
+  def expectedAHash(id: Long): Option[Long] =
+    imageOf(id).map { case (w, h, rgb) => MediaCodec.aHashOf(w, h, rgb) }
 
   /** What dHash(payload(id)) must return for an image id — the 9×8
     * horizontal-gradient grid replayed over the pixel arithmetic.
     */
-  def expectedDHash(id: Long): Option[Long] = kindOf(id) match {
-    case "wav" => None
-    case kind =>
-      val (w, h) = if (kind == "png") pngDims(id) else bmpDims(id)
-      def luma(gx: Int, gy: Int): Long = {
-        val rgb = (if (kind == "png") pngRgb(id, gx * w / 9, gy * h / 8)
-                   else bmpRgb(id, gx * w / 9, gy * h / 8)) & 0xffffff
-        ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+  def expectedDHash(id: Long): Option[Long] =
+    imageOf(id).map { case (w, h, rgb) => MediaCodec.dHashOf(w, h, rgb) }
+
+  /** What pHash(payload(id)) must return for an image id — the 32×32
+    * grid + fixed-point DCT replayed over the pixel arithmetic.
+    */
+  def expectedPHash(id: Long): Option[Long] =
+    imageOf(id).map { case (w, h, rgb) => MediaCodec.pHashOf(w, h, rgb) }
+
+  // ---- TEXTURED image family (hash-scheme audit's second corpus) ----
+  // The base fixtures are linear ramps in x, which DEGENERATE dHash (the
+  // horizontal gradient direction is globally constant — the r10 audit's
+  // own finding), so scheme comparisons on them say nothing about
+  // discrimination. These quadratic + cross-term pixels make the local
+  // gradient direction vary cell to cell: every scheme has signal, and
+  // the audit can measure collision rates where the schemes actually
+  // differ. All images (no WAV routing — this corpus exists only to
+  // compare image hashes), png/bmp alternating by id parity.
+
+  def texKindOf(id: Long): String = if (id % 2 == 0) "png" else "bmp"
+  private def texDims(id: Long) = (24 + (id % 7).toInt, 18 + (id % 5).toInt)
+  private def texRgb(id: Long, x: Int, y: Int): Int =
+    (((x * x * 3 + y * y * 7 + x * y + id * 13) % 256).toInt << 16) |
+      (((x * x + y * y * 5 + x * y * 3 + id * 29) % 256).toInt << 8) |
+      ((x * x * 7 + y * y + x * y * 11 + id * 5) % 256).toInt
+
+  /** The textured payload for `id` — real PNG/BMP bytes, content
+    * arithmetic in id so staging is identical across JVMs and the
+    * closed-form hashes are exact.
+    */
+  def texturedPayload(id: Long): Array[Byte] = {
+    val kind = texKindOf(id)
+    val (w, h) = texDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, texRgb(id, x, y))
+        x += 1
       }
-      var hash = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (luma(x + 1, y) > luma(x, y)) hash |= (1L << (y * 8 + x))
-          x += 1
-        }
-        y += 1
-      }
-      Some(hash)
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, kind, out), s"no JDK $kind writer")
+    out.toByteArray
+  }
+
+  private def texImageOf(id: Long): (Int, Int, (Int, Int) => Int) = {
+    val (w, h) = texDims(id)
+    (w, h, (x, y) => texRgb(id, x, y))
+  }
+
+  /** Closed-form aHash/dHash/pHash of the textured family. */
+  def expectedAHashTex(id: Long): Long = {
+    val (w, h, rgb) = texImageOf(id); MediaCodec.aHashOf(w, h, rgb)
+  }
+  def expectedDHashTex(id: Long): Long = {
+    val (w, h, rgb) = texImageOf(id); MediaCodec.dHashOf(w, h, rgb)
+  }
+  def expectedPHashTex(id: Long): Long = {
+    val (w, h, rgb) = texImageOf(id); MediaCodec.pHashOf(w, h, rgb)
   }
 
   /** What audioFeatures(payload(id), window) must return for a WAV id —

@@ -218,12 +218,34 @@ object Multimodal {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Stage-once parquet table of the TEXTURED image family (the
+    * hash-scheme audit's second corpus — quadratic/cross-term pixels
+    * where all three perceptual schemes have signal), with the same
+    * planted duplicate-upload shape as [[phashTableDir]]
+    * (id % 10 == 0 re-ingested under media_id + 1000).
+    */
+  def texTableDir(spark: SparkSession, n: Int): String =
+    stageOnce(s"${sys.props("java.io.tmpdir")}/graft_tex_table_$n") { tmp =>
+      val schema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false)))
+      implicit val enc = RowEncoder.encoderFor(schema)
+      spark.range(0, n, 1, 8).toDF("media_id")
+        .mapPartitions(rows => rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = MediaSynth.texturedPayload(id)
+          if (id % 10 == 0) Seq(Row(id, p), Row(id + 1000L, p))
+          else Seq(Row(id, p))
+        })
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   val phashType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("ahash", LongType, nullable = false)))
+    StructField("phash", LongType, nullable = false)))
 
-  /** (media_id, ahash) over the phash fixture table: scan the BINARY
-    * column, decode + hash per partition (WAV rows drop out — the
+  /** (media_id, phash) over the phash fixture table: scan the BINARY
+    * column, decode + DCT-hash per partition (WAV rows drop out — the
     * route-by-modality shape). The dedup banding downstream is plain
     * DataFrame logic.
     */
@@ -232,7 +254,7 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(phashType)
     spark.read.parquet(dir).mapPartitions { rows =>
       rows.flatMap { r =>
-        MediaCodec.aHash(r.getAs[Array[Byte]]("media"))
+        MediaCodec.pHash(r.getAs[Array[Byte]]("media"))
           .map(h => Row(r.getAs[Long]("media_id"), h))
       }
     }
@@ -272,22 +294,30 @@ object Multimodal {
   val hashesType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("ahash", LongType, nullable = false),
-    StructField("dhash", LongType, nullable = false)))
+    StructField("dhash", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
 
-  /** (media_id, ahash, dhash) over the phash fixture table — both
-    * perceptual schemes from one decode pass, for the scheme audit.
-    */
-  def perceptualHashes(spark: SparkSession, n: Int): DataFrame = {
-    val dir = phashTableDir(spark, n)
+  private def hashesAt(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc = RowEncoder.encoderFor(hashesType)
     spark.read.parquet(dir).mapPartitions { rows =>
       rows.flatMap { r =>
         val p = r.getAs[Array[Byte]]("media")
-        for (a <- MediaCodec.aHash(p); dh <- MediaCodec.dHash(p))
-          yield Row(r.getAs[Long]("media_id"), a, dh)
+        for (a <- MediaCodec.aHash(p); dh <- MediaCodec.dHash(p);
+             ph <- MediaCodec.pHash(p))
+          yield Row(r.getAs[Long]("media_id"), a, dh, ph)
       }
     }
   }
+
+  /** (media_id, ahash, dhash, phash) over the phash fixture table — all
+    * three perceptual schemes from one decode pass, for the scheme audit.
+    */
+  def perceptualHashes(spark: SparkSession, n: Int): DataFrame =
+    hashesAt(spark, phashTableDir(spark, n))
+
+  /** The same three-scheme hash table over the TEXTURED corpus. */
+  def texturedHashes(spark: SparkSession, n: Int): DataFrame =
+    hashesAt(spark, texTableDir(spark, n))
 
   val resizedMetaType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

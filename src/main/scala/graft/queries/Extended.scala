@@ -14,6 +14,35 @@ object Extended {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Banded Hamming pairing over a (media_id, hv: 64-bit hash) frame:
+    * explode 4×16-bit bands, ONE groupBy(band, value) + in-bucket pair
+    * expansion via higher-order functions (the same shape every text-side
+    * banded family uses — never a posting self-join, which would
+    * re-shuffle both sides and hand a hot bucket a quadratic reducer),
+    * then exact Hamming verification at ≤ 6. Bucket sizes are bounded by
+    * banding construction, so the k² expansion is bounded too.
+    */
+  private def bandedHammingPairs(hs: DataFrame): DataFrame =
+    hs.select(col("media_id"), col("hv"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("bj"),
+          shiftright(col("hv"), j * 16).bitwiseAND(lit(65535L)).as("bv"))): _*))
+          .as("bd"))
+      .select(col("media_id"), col("hv"),
+        col("bd.bj").as("bj"), col("bd.bv").as("bv"))
+      .groupBy(col("bj"), col("bv"))
+      .agg(array_sort(collect_list(struct(col("media_id"), col("hv")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ms, (a, i) -> transform(slice(ms, i + 2, size(ms)), " +
+          "b -> struct(a.media_id AS id_a, b.media_id AS id_b, " +
+          "a.hv AS ha, b.hv AS hb))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.ha").as("ha"), col("p.hb").as("hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 6)
+
   val queries: Map[String, Q] = Map(
     // A12: ROLLUP — the (flag, status) aggregate at all three granularities
     // in ONE pass (Spark expands grouping sets inside a single shuffle
@@ -589,76 +618,52 @@ object Extended {
 
     // IMAGE near-dup detection — the dedup family crossed into the
     // multimodal lake: every image payload is decoded and reduced to a
-    // 64-bit average-hash perceptual fingerprint (8×8 nearest-neighbor
-    // luma grid thresholded at the integer-exact mean), the hashes are
-    // banded 4×16 bits (SimHash's pigeonhole: Hamming ≤ 6 pairs with 3
-    // band-bit errors must agree on ≥1 band... a near-dup pair shares a
-    // band unless its differing bits spread 4-wide), in-bucket pairs are
-    // verified by exact Hamming distance, and pairs at ≤ 6 emit. The
-    // fixture plants exact duplicate uploads (media_id + 1000, same
-    // payload) which MUST surface at Hamming 0; DuckDB replays hash +
-    // banding + Hamming from the generator's closed-form aHash — the
-    // engine can only match by really decoding and hashing every image.
-    "mm_phash_dedup" -> ((s, d) => {
-      val hs = graft.ops.Multimodal.imageHashes(s, 120)
-      val b = hs.select(col("media_id"), col("ahash"),
-        explode(array((0 until 4).map(j => struct(lit(j).as("bj"),
-          shiftright(col("ahash"), j * 16).bitwiseAND(lit(65535L)).as("bv"))): _*))
-          .as("bd"))
-        .select(col("media_id"), col("ahash"),
-          col("bd.bj").as("bj"), col("bd.bv").as("bv"))
-      b.as("x").join(b.as("y"), Seq("bj", "bv"))
-        .filter(col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-          col("x.ahash").as("ha"), col("y.ahash").as("hb"))
-        .distinct()
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
-        .filter(col("hamming") <= 6)
-    }),
+    // 64-bit DCT perceptual fingerprint (32×32 luma grid → fixed-point
+    // DCT-II → 8×8 low-frequency block thresholded at the AC median —
+    // the REAL pHash), the hashes are banded 4×16 bits (SimHash's
+    // pigeonhole: a Hamming ≤ 6 pair must agree on ≥1 band unless its
+    // differing bits spread 4-wide), in-bucket pairs are verified by
+    // exact Hamming distance, and pairs at ≤ 6 emit. The fixture plants
+    // exact duplicate uploads (media_id + 1000, same payload) which MUST
+    // surface at Hamming 0; DuckDB replays hash + banding + Hamming from
+    // the generator's closed-form pHash — the engine can only match by
+    // really decoding and hashing every image.
+    "mm_phash_dedup" -> ((s, d) =>
+      bandedHammingPairs(
+        graft.ops.Multimodal.imageHashes(s, 120)
+          .select(col("media_id"), col("phash").as("hv")))),
 
     // The HASH-SCHEME audit — measure, don't guess, for the image dedup:
     // aHash (global-mean threshold) vs dHash (horizontal gradient
-    // direction) over the identical fixture + banding + Hamming ≤ 6
-    // pipeline. The textbook claim is that dHash separates the smooth
-    // images aHash collapses — and on THIS corpus the measurement says
-    // the OPPOSITE (ahash 265 pairs / 27 exact; dhash 1397 / 567):
-    // the synthetic pixels are linear ramps in x, so the horizontal
-    // gradient DIRECTION is globally constant and dHash degenerates to
-    // near-constant codes, while aHash still sees the id-dependent
-    // mod-256 wrap positions. The textbook intuition assumes natural
-    // images; on structured content you must audit the scheme against
-    // YOUR corpus — which is exactly what this 2-row table is. The
-    // planted duplicate uploads stay at 100% recall under both schemes
-    // (n_planted = 8 = every planted image pair, spec-pinned).
+    // direction) vs DCT pHash (spectral median) over the identical
+    // banding + Hamming ≤ 6 pipeline, on TWO corpora. On the linear-ramp
+    // corpus the textbook prediction REVERSES: the horizontal gradient
+    // direction is globally constant, so dHash degenerates to
+    // near-constant codes and floods false pairs, while aHash still sees
+    // the id-dependent mod-256 wrap positions. The textured corpus
+    // (quadratic + cross-term pixels) is where the schemes actually
+    // discriminate — gradient direction varies cell to cell and each
+    // scheme's collision rate reflects its real selectivity. The
+    // textbook intuition assumes natural images; on structured content
+    // you must audit the scheme against YOUR corpus — which is exactly
+    // what this 6-row table is. Planted duplicate uploads stay at 100%
+    // recall under every scheme on both corpora (8 image pairs on ramp,
+    // 12 on textured — spec-pinned).
     "mm_hash_scheme_audit" -> ((s, d) => {
-      val hs = graft.ops.Multimodal.perceptualHashes(s, 120)
-      def pairsOf(hcol: String): DataFrame = {
-        val b = hs.select(col("media_id"), col(hcol).as("hv"))
-          .select(col("media_id"), col("hv"),
-            explode(array((0 until 4).map(j => struct(lit(j).as("bj"),
-              shiftright(col("hv"), j * 16).bitwiseAND(lit(65535L)).as("bv"))): _*))
-              .as("bd"))
-          .select(col("media_id"), col("hv"),
-            col("bd.bj").as("bj"), col("bd.bv").as("bv"))
-        b.as("x").join(b.as("y"), Seq("bj", "bv"))
-          .filter(col("x.media_id") < col("y.media_id"))
-          .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-            col("x.hv").as("ha"), col("y.hv").as("hb"))
-          .distinct()
-          .select(col("id_a"), col("id_b"),
-            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
-          .filter(col("hamming") <= 6)
+      def auditRows(corpus: String, hs: DataFrame): DataFrame = {
+        def row(scheme: String): DataFrame =
+          bandedHammingPairs(hs.select(col("media_id"), col(scheme).as("hv")))
+            .agg(
+              count(lit(1)).as("n_pairs"),
+              coalesce(sum(when(col("hamming") === 0, 1L)), lit(0L)).as("n_hamming0"),
+              coalesce(sum(when(col("hamming") === 0 &&
+                col("id_b") === col("id_a") + 1000, 1L)), lit(0L)).as("n_planted"))
+            .select(lit(corpus).as("corpus"), lit(scheme).as("scheme"),
+              col("n_pairs"), col("n_hamming0"), col("n_planted"))
+        row("ahash").unionAll(row("dhash")).unionAll(row("phash"))
       }
-      def auditRow(scheme: String, hcol: String): DataFrame =
-        pairsOf(hcol).agg(
-          count(lit(1)).as("n_pairs"),
-          coalesce(sum(when(col("hamming") === 0, 1L)), lit(0L)).as("n_hamming0"),
-          coalesce(sum(when(col("hamming") === 0 &&
-            col("id_b") === col("id_a") + 1000, 1L)), lit(0L)).as("n_planted"))
-          .select(lit(scheme).as("scheme"), col("n_pairs"),
-            col("n_hamming0"), col("n_planted"))
-      auditRow("ahash", "ahash").unionAll(auditRow("dhash", "dhash"))
+      auditRows("ramp", graft.ops.Multimodal.perceptualHashes(s, 120))
+        .unionAll(auditRows("textured", graft.ops.Multimodal.texturedHashes(s, 120)))
     }),
 
     // Image feature-extract: decode + nearest-neighbor resize to 12×8 per
@@ -1681,7 +1686,7 @@ object Extended {
     // from the staged binary-column table, so the two share one oracle.
     "mm_decode_meta" -> decodeMetaOracle,
     "mm_decode_scan" -> decodeMetaOracle,
-    // mm_phash_dedup: the closed-form aHash per fixture id (planted
+    // mm_phash_dedup: the closed-form DCT pHash per fixture id (planted
     // duplicate uploads re-use their base id's hash) + the banding /
     // exact-Hamming pairing replayed in SQL — matching requires really
     // decoding and hashing every staged image
@@ -1690,29 +1695,33 @@ object Extended {
         (0L until 120L).filter(_ % 10 == 0).map(_ + 1000L)
       val rows = ids.flatMap { mid =>
         val base = if (mid >= 1000L) mid - 1000L else mid
-        graft.ops.MediaSynth.expectedAHash(base).map(h => s"($mid, $h)")
+        graft.ops.MediaSynth.expectedPHash(base).map(h => s"($mid, $h)")
       }.mkString(",\n        ")
       s"""
-      WITH h(media_id, ahash) AS (VALUES
+      WITH h(media_id, phash) AS (VALUES
         $rows),
-      b AS (SELECT media_id, ahash, j, (ahash >> (j * 16)) & 65535 AS bv
+      b AS (SELECT media_id, phash, j, (phash >> (j * 16)) & 65535 AS bv
             FROM h, (SELECT unnest([0, 1, 2, 3]) AS j) js),
       p AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
-                   x.ahash AS ha, y.ahash AS hb
+                   x.phash AS ha, y.phash AS hb
             FROM b x JOIN b y ON x.j = y.j AND x.bv = y.bv
                  AND x.media_id < y.media_id)
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
       FROM p WHERE bit_count(xor(ha, hb)) <= 6"""
     },
-    // mm_hash_scheme_audit: both schemes' closed-form hashes through the
-    // same banding/Hamming replay, reduced to the 2-row audit
+    // mm_hash_scheme_audit: all three schemes' closed-form hashes on both
+    // corpora through the same banding/Hamming replay — the 6-row audit
     "mm_hash_scheme_audit" -> {
-      val ids = (0L until 120L) ++
+      val rampIds = (0L until 120L) ++
         (0L until 120L).filter(_ % 10 == 0).map(_ + 1000L)
-      def values(fn: Long => Option[Long]) = ids.flatMap { mid =>
+      def rampValues(fn: Long => Option[Long]) = rampIds.flatMap { mid =>
         val base = if (mid >= 1000L) mid - 1000L else mid
         fn(base).map(h => s"($mid, $h)")
+      }.mkString(",\n        ")
+      def texValues(fn: Long => Long) = rampIds.map { mid =>
+        val base = if (mid >= 1000L) mid - 1000L else mid
+        s"($mid, ${fn(base)})"
       }.mkString(",\n        ")
       def chain(sfx: String, vals: String) = s"""
       h_$sfx(media_id, hv) AS (VALUES
@@ -1725,17 +1734,23 @@ object Extended {
                       AND x.media_id < y.media_id),
       f_$sfx AS (SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
                  FROM p_$sfx WHERE bit_count(xor(ha, hb)) <= 6)"""
-      def outRow(scheme: String, sfx: String) = s"""
-      SELECT '$scheme' AS scheme, CAST(count(*) AS BIGINT) AS n_pairs,
+      def outRow(corpus: String, scheme: String, sfx: String) = s"""
+      SELECT '$corpus' AS corpus, '$scheme' AS scheme,
+             CAST(count(*) AS BIGINT) AS n_pairs,
              CAST(coalesce(sum(CASE WHEN hamming = 0 THEN 1 END), 0)
                AS BIGINT) AS n_hamming0,
              CAST(coalesce(sum(CASE WHEN hamming = 0 AND id_b = id_a + 1000
                THEN 1 END), 0) AS BIGINT) AS n_planted
       FROM f_$sfx"""
+      import graft.ops.MediaSynth._
       s"""
-      WITH ${chain("a", values(graft.ops.MediaSynth.expectedAHash))},${chain("d", values(graft.ops.MediaSynth.expectedDHash))}
-      ${outRow("ahash", "a")}
-      UNION ALL${outRow("dhash", "d")}"""
+      WITH ${chain("ra", rampValues(expectedAHash))},${chain("rd", rampValues(expectedDHash))},${chain("rp", rampValues(expectedPHash))},${chain("ta", texValues(expectedAHashTex))},${chain("td", texValues(expectedDHashTex))},${chain("tp", texValues(expectedPHashTex))}
+      ${outRow("ramp", "ahash", "ra")}
+      UNION ALL${outRow("ramp", "dhash", "rd")}
+      UNION ALL${outRow("ramp", "phash", "rp")}
+      UNION ALL${outRow("textured", "ahash", "ta")}
+      UNION ALL${outRow("textured", "dhash", "td")}
+      UNION ALL${outRow("textured", "phash", "tp")}"""
     },
     "mm_image_resize" -> {
       val rows = (0L until 120L).flatMap { id =>
