@@ -67,6 +67,7 @@ object SessionCaches {
     Similarity.opqCodesShared(s, d)
     Similarity.hybridLegsShared(s, d)
     Similarity.knnGraphShared(s, d)
+    Similarity.knnBaseGraphShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)

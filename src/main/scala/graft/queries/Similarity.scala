@@ -2897,6 +2897,88 @@ object Similarity {
         .select(col("iter"), col("n_edges"),
           round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
     }),
+
+    // INCREMENTAL kNN-graph maintenance — the graph analogue of
+    // sim_ivfpq_recompaction's append→merge loop: a vector batch (~1/8 of
+    // the corpus by salted md5) arrives AFTER the base graph was built,
+    // and instead of a full NN-Descent rebuild the index absorbs it in
+    // three bounded steps: (1) each new node seeds from its two salted
+    // blocks over the CURRENT corpus and ranks to top-K; (2) one search
+    // hop through the base graph (neighbors of my seed neighbors) and a
+    // re-rank — the standard search-based insert; (3) the AFFECTED base
+    // neighborhoods (nodes a new node now points at) re-rank their old
+    // edges against the new arrivals; every other base node keeps its
+    // edges untouched. Cost: O(batch · blocksize + batch · K²) distance
+    // evaluations, never a corpus-wide round — at 100 TB this is the
+    // difference between an hourly index refresh and a weekly rebuild.
+    // Output: per-cohort (new / affected / untouched / overall) edge
+    // recall against the from-scratch FULL rebuild (the session-shared
+    // frame), hash-matched in DuckDB by replaying base build + insert +
+    // comparison. What the metric shows: the incremental graph tracks the
+    // rebuild closely everywhere except where the insert's locality
+    // assumption bites — and it QUANTIFIES that bite per cohort, which is
+    // the number an index-maintenance job alarms on.
+    "sim_knn_graph_incremental" -> ((s, d) => {
+      val vecs = ivfBase(s, d)
+      val base = knnBaseGraphShared(s, d).select(col("vec_id"), col("nbr"))
+      val full = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      // (1) new-node seeds: in-block mates under both salts, current corpus
+      def seedPairs(salt: String): DataFrame = {
+        val b = vecs.select(col("vec_id"),
+          (conv(substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % KnnBlocks).as("blk"))
+        b.filter(knnBatchPred).select(col("vec_id"), col("blk"))
+          .join(b.select(col("vec_id").as("nbr"), col("blk")), Seq("blk"))
+          .filter(col("vec_id") =!= col("nbr"))
+          .select(col("vec_id"), col("nbr"))
+      }
+      val n0 = knnRank(seedPairs("b1").union(seedPairs("b2")).distinct(), vecs)
+        .select(col("vec_id"), col("nbr"))
+      // (2) one search hop through the base graph + re-rank
+      val hop = n0
+        .join(base.select(col("vec_id").as("nbr"), col("nbr").as("nbr2")), Seq("nbr"))
+        .select(col("vec_id"), col("nbr2").as("nbr"))
+        .filter(col("vec_id") =!= col("nbr"))
+      val n1 = knnRank(n0.union(hop).distinct(), vecs)
+        .select(col("vec_id"), col("nbr"))
+      // (3) affected base neighborhoods: old edges ∪ reverse new edges
+      val newIds = vecs.filter(knnBatchPred).select(col("vec_id"))
+      val aff = n1.select(col("nbr").as("vec_id")).distinct()
+        .join(newIds, Seq("vec_id"), "left_anti")
+      val affCand = base.join(aff, Seq("vec_id"))
+        .union(n1.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
+          .join(aff, Seq("vec_id")))
+        .distinct()
+      val ga = knnRank(affCand, vecs).select(col("vec_id"), col("nbr"))
+      val ginc = base.join(aff, Seq("vec_id"), "left_anti")
+        .unionByName(ga).unionByName(n1)
+      // cohort labels + recall vs the from-scratch rebuild
+      val cohorts = vecs.select(col("vec_id"), knnBatchPred.as("nw"))
+        .join(aff.select(col("vec_id"), lit(true).as("af")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("nw"), "new").when(col("af"), "affected")
+            .otherwise("untouched").as("cohort"))
+      val incC = ginc.join(cohorts, Seq("vec_id"))
+      val per = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_nodes"))
+        .join(incC.groupBy(col("cohort")).agg(count(lit(1)).as("n_edges")), Seq("cohort"))
+        .join(full.join(cohorts, Seq("vec_id"))
+          .groupBy(col("cohort")).agg(count(lit(1)).as("n_full")), Seq("cohort"))
+        .join(incC.join(full, Seq("vec_id", "nbr"))
+          .groupBy(col("cohort")).agg(count(lit(1)).as("n_hits")), Seq("cohort"), "left")
+        .select(col("cohort"), col("n_nodes"), col("n_edges"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / col("n_full"), 6).as("recall"))
+      // the overall row: three 1-row scalar aggregates annotated together
+      // (the declared constant-size cross-join shape)
+      val overall = cohorts.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(ginc.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(ginc.join(full, Seq("vec_id", "nbr")).agg(count(lit(1)).as("n_hits"))
+          .crossJoin(full.agg(count(lit(1)).as("n_full"))))
+        .select(lit("overall").as("cohort"), col("n_nodes"), col("n_edges"),
+          col("n_hits"), round(col("n_hits") / col("n_full"), 6).as("recall"))
+      per.unionByName(overall)
+    }),
   )
 
   /** Neighbors kept per node, md5 init blocks, and expansion rounds of the
@@ -2933,8 +3015,36 @@ object Similarity {
     */
   private val sharedKnnGraph = new SessionFrameCache(4)
   def knnGraphShared(s: SparkSession, d: String): DataFrame =
-    sharedKnnGraph.getOrBuild(s, d) {
-      val vecs = ivfBase(s, d)
+    sharedKnnGraph.getOrBuild(s, d)(nnDescentHistory(s, ivfBase(s, d)))
+
+  /** The append-batch membership predicate of the incremental-maintenance
+    * pair: ~1/8 of the corpus by a salted md5 bucket of vec_id — shared
+    * verbatim with the DuckDB oracle, so both engines split identically.
+    * The base graph is built WITHOUT these vectors; the incremental query
+    * then inserts them and repairs the affected neighborhoods.
+    */
+  private def knnBatchPred =
+    conv(substring(md5(concat(lit("inc"), col("vec_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % 8L === 0L
+
+  /** Session-scoped cache of the BASE-corpus NN-Descent graph (final
+    * round only) — the "index that already exists" the incremental
+    * insert starts from, exactly like the staged IVF-PQ layout
+    * `sim_ivfpq_recompaction` appends into.
+    */
+  private val sharedKnnBase = new SessionFrameCache(4)
+  def knnBaseGraphShared(s: SparkSession, d: String): DataFrame =
+    sharedKnnBase.getOrBuild(s, d) {
+      nnDescentHistory(s, ivfBase(s, d).filter(!knnBatchPred))
+        .filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"), col("rank"), col("cos"))
+    }
+
+  /** One full NN-Descent history build over `vecs` — shared by the
+    * full-corpus frame and the base-only frame. Returns the checkpointed
+    * union (iter, vec_id, nbr, rank, cos), iter ∈ 0..KnnIters.
+    */
+  private def nnDescentHistory(s: SparkSession, vecs: DataFrame): DataFrame = {
       // TWO differently-salted block assignments: a single partition would
       // trap the whole build — neighbors, reverse neighbors, and two-hop
       // expansions of a one-block init all stay inside the init block, so
@@ -2992,7 +3102,7 @@ object Similarity {
           SessionCaches.checkpointRddIds(acc)
       }
       acc
-    }
+  }
 
   private val liveKnnCheckpoints =
     new scala.collection.mutable.WeakHashMap[SparkSession, scala.collection.mutable.Set[Int]]()
@@ -3003,6 +3113,7 @@ object Similarity {
     */
   def releaseKnnGraph(s: SparkSession): Unit = {
     sharedKnnGraph.release(s)
+    sharedKnnBase.release(s)
     liveKnnCheckpoints.synchronized {
       liveKnnCheckpoints.remove(s).foreach { ids =>
         val live = s.sparkContext.getPersistentRDDs
@@ -3483,46 +3594,63 @@ object Similarity {
     * the next round's expansion, and DuckDB inlines plain CTEs per
     * reference (the measured text_bpe_train 2^k cliff).
     */
-  private def knnOracleCtes: String = {
-    val cosExpr = "round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)"
+  private val knnCosExpr = "round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)"
+
+  /** The exact-cosine top-K re-rank of a candidate CTE — the SQL twin of
+    * [[knnRank]], referenced by every chain and by the incremental insert.
+    * `vecsCte` names the vector CTE the distances evaluate against.
+    */
+  private def knnRankSql(candCte: String, vecsCte: String): String = s"""
+        SELECT * FROM (
+          SELECT cd.vec_id, cd.nbr, $knnCosExpr AS cos,
+                 row_number() OVER (PARTITION BY cd.vec_id
+                   ORDER BY $knnCosExpr DESC, cd.nbr) AS rank
+          FROM $candCte cd JOIN $vecsCte x ON x.vec_id = cd.vec_id
+               JOIN $vecsCte y ON y.vec_id = cd.nbr)
+        WHERE rank <= $KnnK"""
+
+  /** The batch-split predicate shared verbatim with [[knnBatchPred]]. */
+  private val knnBatchSql =
+    "('0x' || substr(md5('inc' || vec_id::VARCHAR), 1, 15))::BIGINT % 8 = 0"
+
+  private def knnOracleCtes: String = knnChainCtes("", "")
+
+  /** Generated CTE chain replaying an NN-Descent build round for round,
+    * with every name prefixed `pfx` (so two chains — the full corpus and
+    * the base-only corpus of the incremental twin — coexist in one WITH)
+    * and the vector source optionally filtered. Every round CTE is
+    * MATERIALIZED — each is referenced three times by the next round's
+    * expansion, and DuckDB inlines plain CTEs per reference (the measured
+    * text_bpe_train 2^k cliff).
+    */
+  private def knnChainCtes(pfx: String, srcWhere: String): String = {
+    val (c, blk) = (s"${pfx}c", s"${pfx}blk")
     val sb = new StringBuilder
     sb.append(s"""
-      c AS MATERIALIZED (
+      $c AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        FROM embeddings),
-      blk AS MATERIALIZED (
+        FROM embeddings $srcWhere),
+      $blk AS MATERIALIZED (
         SELECT vec_id,
                ('0x' || substr(md5('b1' || vec_id::VARCHAR), 1, 15))::BIGINT % $KnnBlocks AS b1,
                ('0x' || substr(md5('b2' || vec_id::VARCHAR), 1, 15))::BIGINT % $KnnBlocks AS b2
-        FROM c),
-      cand0 AS (SELECT DISTINCT a.vec_id, e.vec_id AS nbr
-                FROM blk a JOIN blk e
+        FROM $c),
+      ${pfx}cand0 AS (SELECT DISTINCT a.vec_id, e.vec_id AS nbr
+                FROM $blk a JOIN $blk e
                   ON (a.b1 = e.b1 OR a.b2 = e.b2) AND a.vec_id <> e.vec_id),
-      g0 AS MATERIALIZED (
-        SELECT * FROM (
-          SELECT cd.vec_id, cd.nbr, $cosExpr AS cos,
-                 row_number() OVER (PARTITION BY cd.vec_id
-                   ORDER BY $cosExpr DESC, cd.nbr) AS rank
-          FROM cand0 cd JOIN c x ON x.vec_id = cd.vec_id JOIN c y ON y.vec_id = cd.nbr)
-        WHERE rank <= $KnnK)""")
+      ${pfx}g0 AS MATERIALIZED (${knnRankSql(s"${pfx}cand0", c)})""")
     for (t <- 1 to KnnIters) {
-      val p = s"g${t - 1}"
+      val p = s"${pfx}g${t - 1}"
       sb.append(s""",
-      cand$t AS (
+      ${pfx}cand$t AS (
         SELECT DISTINCT vec_id, nbr FROM (
           SELECT vec_id, nbr FROM $p
           UNION ALL SELECT nbr AS vec_id, vec_id AS nbr FROM $p
           UNION ALL SELECT x.vec_id, y.nbr
                     FROM $p x JOIN $p y ON x.nbr = y.vec_id
                     WHERE x.vec_id <> y.nbr)),
-      g$t AS MATERIALIZED (
-        SELECT * FROM (
-          SELECT cd.vec_id, cd.nbr, $cosExpr AS cos,
-                 row_number() OVER (PARTITION BY cd.vec_id
-                   ORDER BY $cosExpr DESC, cd.nbr) AS rank
-          FROM cand$t cd JOIN c x ON x.vec_id = cd.vec_id JOIN c y ON y.vec_id = cd.nbr)
-        WHERE rank <= $KnnK)""")
+      ${pfx}g$t AS MATERIALIZED (${knnRankSql(s"${pfx}cand$t", c)})""")
     }
     sb.toString
   }
@@ -3556,6 +3684,68 @@ object Similarity {
              round(coalesce(hits.n_hits, 0) / (SELECT count(*) FROM exact), 6) AS recall
       FROM per LEFT JOIN hits ON per.iter = hits.iter"""
     },
+    // sim_knn_graph_incremental: base build (batch excluded) + the
+    // three-step insert + the cohort comparison against the full chain,
+    // all replayed CTE for CTE
+    "sim_knn_graph_incremental" -> s"""
+      WITH $knnOracleCtes,${knnChainCtes("b", s"WHERE NOT ($knnBatchSql)")},
+      newv AS (SELECT vec_id FROM c WHERE $knnBatchSql),
+      base AS (SELECT vec_id, nbr FROM bg$KnnIters),
+      seeds AS (SELECT DISTINCT a.vec_id, e.vec_id AS nbr
+                FROM blk a JOIN blk e
+                  ON (a.b1 = e.b1 OR a.b2 = e.b2) AND a.vec_id <> e.vec_id
+                WHERE a.vec_id IN (SELECT vec_id FROM newv)),
+      n0 AS MATERIALIZED (${knnRankSql("seeds", "c")}),
+      icand AS (SELECT DISTINCT vec_id, nbr FROM (
+          SELECT vec_id, nbr FROM n0
+          UNION ALL SELECT n0.vec_id, b.nbr FROM n0 JOIN base b ON n0.nbr = b.vec_id
+                    WHERE n0.vec_id <> b.nbr)),
+      n1 AS MATERIALIZED (${knnRankSql("icand", "c")}),
+      aff AS MATERIALIZED (SELECT DISTINCT nbr AS vec_id FROM n1
+             WHERE nbr NOT IN (SELECT vec_id FROM newv)),
+      affcand AS (SELECT DISTINCT vec_id, nbr FROM (
+          SELECT b.vec_id, b.nbr FROM base b JOIN aff ON b.vec_id = aff.vec_id
+          UNION ALL SELECT n1.nbr AS vec_id, n1.vec_id AS nbr
+                    FROM n1 JOIN aff ON n1.nbr = aff.vec_id)),
+      ga AS MATERIALIZED (${knnRankSql("affcand", "c")}),
+      ginc AS MATERIALIZED (
+          SELECT vec_id, nbr FROM base
+          WHERE vec_id NOT IN (SELECT vec_id FROM aff)
+          UNION ALL SELECT vec_id, nbr FROM ga
+          UNION ALL SELECT vec_id, nbr FROM n1),
+      fulle AS (SELECT vec_id, nbr FROM g$KnnIters),
+      cohorts AS MATERIALIZED (
+          SELECT c.vec_id,
+                 CASE WHEN c.vec_id IN (SELECT vec_id FROM newv) THEN 'new'
+                      WHEN c.vec_id IN (SELECT vec_id FROM aff) THEN 'affected'
+                      ELSE 'untouched' END AS cohort
+          FROM c),
+      per AS (
+        SELECT co.cohort,
+               CAST(count(DISTINCT co.vec_id) AS BIGINT) AS n_nodes,
+               CAST(count(g.vec_id) AS BIGINT) AS n_edges
+        FROM cohorts co LEFT JOIN ginc g ON g.vec_id = co.vec_id
+        GROUP BY 1),
+      nf AS (SELECT co.cohort, CAST(count(*) AS BIGINT) AS n_full
+             FROM fulle f JOIN cohorts co ON f.vec_id = co.vec_id GROUP BY 1),
+      nh AS (SELECT co.cohort, CAST(count(*) AS BIGINT) AS n_hits
+             FROM ginc g JOIN fulle f ON g.vec_id = f.vec_id AND g.nbr = f.nbr
+                  JOIN cohorts co ON g.vec_id = co.vec_id
+             GROUP BY 1)
+      SELECT per.cohort, per.n_nodes, per.n_edges,
+             CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+             round(coalesce(nh.n_hits, 0) / nf.n_full, 6) AS recall
+      FROM per JOIN nf ON per.cohort = nf.cohort
+           LEFT JOIN nh ON per.cohort = nh.cohort
+      UNION ALL
+      SELECT 'overall',
+             CAST((SELECT count(*) FROM cohorts) AS BIGINT),
+             CAST((SELECT count(*) FROM ginc) AS BIGINT),
+             CAST((SELECT count(*) FROM ginc g JOIN fulle f
+                   ON g.vec_id = f.vec_id AND g.nbr = f.nbr) AS BIGINT),
+             round((SELECT count(*) FROM ginc g JOIN fulle f
+                    ON g.vec_id = f.vec_id AND g.nbr = f.nbr)
+                   / (SELECT count(*) FROM fulle), 6)""",
     "arr_stats" -> """
       SELECT vec_id,
              round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,

@@ -54,4 +54,29 @@ class KnnGraphSpec extends SparkSpec {
     }
     assert(curve.last > curve.head, s"no net recall gain: $curve")
   }
+
+  test("incremental insert: every cohort beats the batch curve's round-2 recall") {
+    // the maintenance contract: absorbing a batch incrementally must leave
+    // the graph at least as close to the full rebuild as two NN-Descent
+    // rounds get to the exact answer — otherwise a rebuild-from-round-2
+    // would be the cheaper repair and the incremental path is pointless
+    val round2 = graft.queries.Similarity.queries("sim_knn_graph_curve")(spark, sf)
+      .collect().map(r => r.getAs[Int]("iter") -> r.getAs[Double]("recall"))
+      .toMap.apply(2)
+    val inc = graft.queries.Similarity.queries("sim_knn_graph_incremental")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("cohort") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"), r.getAs[Double]("recall")))
+      .toMap
+    assert(inc.keySet === Set("new", "affected", "untouched", "overall"))
+    // well-formed: K edges per node in every cohort, cohort sizes add up
+    inc.foreach { case (c, (nodes, edges, _)) =>
+      assert(edges === nodes * 8L, s"$c: $edges edges for $nodes nodes")
+    }
+    assert(inc("new")._1 + inc("affected")._1 + inc("untouched")._1
+      === inc("overall")._1)
+    inc.foreach { case (c, (_, _, recall)) =>
+      assert(recall >= round2, s"cohort $c recall $recall below round-2 $round2")
+    }
+  }
 }

@@ -578,7 +578,11 @@ class PlanSpec extends SparkSpec {
       // the declared broadcast-probe brute-force baseline class (bounded
       // md5 10% sample × corpus), plus a 1-row scalar(n_exact) annotate;
       // the graph build itself is all equi-joins
-      "sim_knn_graph_curve")
+      "sim_knn_graph_curve",
+      // the incremental-maintenance metric's overall row: three 1-row
+      // scalar aggregates annotated together (the annotate-with-constant
+      // shape); the insert/repair joins are all equi-keyed
+      "sim_knn_graph_incremental")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
