@@ -1101,16 +1101,18 @@ object Extended {
     // is what lets a pipeline run its expectations on EVERY load instead
     // of sampling.
     "diag_expectations" -> ((s, d) => {
-      def chk(name: String, tbl: String, v: org.apache.spark.sql.Column) =
-        struct(lit(name).as("check_name"), lit(tbl).as("tbl"), v.as("n_violations"))
+      def chk(name: String, tbl: String, sev: String,
+          v: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"), lit(tbl).as("tbl"),
+          lit(sev).as("severity"), v.as("n_violations"))
       val li = lineitem(s, d).agg(
         sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
           .as("qty"),
         sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
           .as("flag"))
         .select(explode(array(
-          chk("l_quantity_in_1_50", "lineitem", col("qty")),
-          chk("l_returnflag_accepted", "lineitem", col("flag")))).as("c"))
+          chk("l_quantity_in_1_50", "lineitem", "error", col("qty")),
+          chk("l_returnflag_accepted", "lineitem", "error", col("flag")))).as("c"))
         .select(col("c.*"))
       val doc = documents(s, d).agg(
         sum(when(col("text").isNull || trim(col("text")) === "", 1L).otherwise(0L))
@@ -1118,30 +1120,91 @@ object Extended {
         sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
           .as("len"))
         .select(explode(array(
-          chk("text_nonblank", "documents", col("blank")),
-          chk("n_chars_consistent", "documents", col("len")))).as("c"))
+          chk("text_nonblank", "documents", "error", col("blank")),
+          chk("n_chars_consistent", "documents", "error", col("len")))).as("c"))
         .select(col("c.*"))
       val dup = orders(s, d).groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(when(col("n") > 1L, col("n") - 1L)), lit(0L)).as("v"))
-        .select(chk("o_orderkey_unique", "orders", col("v")).as("c"))
+        .select(chk("o_orderkey_unique", "orders", "error", col("v")).as("c"))
         .select(col("c.*"))
       val orphans = orders(s, d)
         .join(broadcast(customer(s, d)),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("v"))
-        .select(chk("o_custkey_refs_customer", "orders", col("v")).as("c"))
+        .select(chk("o_custkey_refs_customer", "orders", "error", col("v")).as("c"))
         .select(col("c.*"))
       // a deliberately-failing expectation (values above 450 exist), so the
       // suite's output demonstrably carries BOTH verdicts and the counting
-      // path is proven live, not vacuously zero
+      // path is proven live, not vacuously zero. Severity 'warn': a warn
+      // check reports and quarantines but would not fail the load — the
+      // dbt-severity contract the quarantine twin below routes by.
       val ev = events(s, d).agg(
         sum(when(col("value").isNull || col("value") > 450.0, 1L).otherwise(0L))
           .as("v"))
-        .select(chk("value_le_450", "events", col("v")).as("c"))
+        .select(chk("value_le_450", "events", "warn", col("v")).as("c"))
         .select(col("c.*"))
       li.unionByName(doc).unionByName(dup).unionByName(orphans).unionByName(ev)
-        .select(col("check_name"), col("tbl"), col("n_violations"),
-          (col("n_violations") === 0L).as("pass"))
+        .select(col("check_name"), col("tbl"), col("severity"),
+          col("n_violations"), (col("n_violations") === 0L).as("pass"))
+    }),
+
+    // The WRITE SIDE of the expectation suite: violating rows routed to a
+    // quarantine side table in the same one-pass-per-table shape — each
+    // row evaluates ALL of its table's per-row predicates in one scan and
+    // explodes only its violated (check, severity) entries, so adding a
+    // check still costs an expression, never a pass. The two relational
+    // checks fold into the same single orders scan: duplicate keys via a
+    // keyed count window, referential integrity via a broadcast LEFT join
+    // null-probe (flagging, not dropping — quarantine needs the row). The
+    // oracled output is the quarantine audit (rows per check + min/max
+    // routed key); only violating checks appear, and a failing check's
+    // count here must equal its n_violations in diag_expectations — the
+    // two queries cross-pin each other. At 100 TB the quarantine WRITE is
+    // a partitionBy(tbl, check_name) sink appended after this exact plan.
+    "diag_quarantine" -> ((s, d) => {
+      def route(tblName: String, df: DataFrame, key: org.apache.spark.sql.Column,
+          checks: Seq[(String, String, org.apache.spark.sql.Column)]): DataFrame = {
+        val arr = array(checks.map { case (n, sev, pred) =>
+          when(pred, struct(lit(n).as("check_name"), lit(sev).as("severity")))
+        }: _*)
+        df.select(lit(tblName).as("tbl"), key.cast("string").as("row_key"),
+            explode(filter(arr, x => x.isNotNull)).as("c"))
+          .select(col("tbl"), col("row_key"),
+            col("c.check_name").as("check_name"), col("c.severity").as("severity"))
+      }
+      val li = route("lineitem", lineitem(s, d),
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+        Seq(
+          ("l_quantity_in_1_50", "error",
+            col("l_quantity") < 1 || col("l_quantity") > 50),
+          ("l_returnflag_accepted", "error",
+            !col("l_returnflag").isin("A", "N", "R"))))
+      val doc = route("documents", documents(s, d), col("doc_id"),
+        Seq(
+          ("text_nonblank", "error",
+            col("text").isNull || trim(col("text")) === ""),
+          ("n_chars_consistent", "error",
+            col("n_chars") =!= length(col("text")))))
+      val ev = route("events", events(s, d), col("event_id"),
+        Seq(("value_le_450", "warn",
+          col("value").isNull || col("value") > 450.0)))
+      // one orders scan carries BOTH relational checks: the dup flag is a
+      // keyed count window, the orphan flag a broadcast LEFT join null
+      // probe (quarantine keeps the row, so no anti-join here)
+      val ow = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderkey"))
+      val ord = route("orders",
+        orders(s, d)
+          .withColumn("kn", count(lit(1)).over(ow))
+          .join(broadcast(customer(s, d).select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left"),
+        col("o_orderkey"),
+        Seq(
+          ("o_orderkey_unique", "error", col("kn") > 1L),
+          ("o_custkey_refs_customer", "error", col("c_custkey").isNull)))
+      li.unionByName(doc).unionByName(ev).unionByName(ord)
+        .groupBy(col("tbl"), col("check_name"), col("severity"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("row_key")).as("min_key"), max(col("row_key")).as("max_key"))
     }),
   )
 
@@ -1383,14 +1446,46 @@ object Extended {
         SELECT CAST(sum(CASE WHEN value IS NULL OR value > 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS v
         FROM events),
       u AS (
-        SELECT 'l_quantity_in_1_50' AS check_name, 'lineitem' AS tbl, qty AS n_violations FROM li
-        UNION ALL SELECT 'l_returnflag_accepted', 'lineitem', flag FROM li
-        UNION ALL SELECT 'text_nonblank', 'documents', blank FROM doc
-        UNION ALL SELECT 'n_chars_consistent', 'documents', len FROM doc
-        UNION ALL SELECT 'o_orderkey_unique', 'orders', v FROM dup
-        UNION ALL SELECT 'o_custkey_refs_customer', 'orders', v FROM orph
-        UNION ALL SELECT 'value_le_450', 'events', v FROM ev)
-      SELECT check_name, tbl, n_violations, n_violations = 0 AS pass FROM u""",
+        SELECT 'l_quantity_in_1_50' AS check_name, 'lineitem' AS tbl,
+               'error' AS severity, qty AS n_violations FROM li
+        UNION ALL SELECT 'l_returnflag_accepted', 'lineitem', 'error', flag FROM li
+        UNION ALL SELECT 'text_nonblank', 'documents', 'error', blank FROM doc
+        UNION ALL SELECT 'n_chars_consistent', 'documents', 'error', len FROM doc
+        UNION ALL SELECT 'o_orderkey_unique', 'orders', 'error', v FROM dup
+        UNION ALL SELECT 'o_custkey_refs_customer', 'orders', 'error', v FROM orph
+        UNION ALL SELECT 'value_le_450', 'events', 'warn', v FROM ev)
+      SELECT check_name, tbl, severity, n_violations, n_violations = 0 AS pass FROM u""",
+    "diag_quarantine" -> """
+      WITH q AS (
+        SELECT 'lineitem' AS tbl,
+               l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS row_key,
+               'l_quantity_in_1_50' AS check_name, 'error' AS severity
+        FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        UNION ALL
+        SELECT 'lineitem', l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR,
+               'l_returnflag_accepted', 'error'
+        FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
+        UNION ALL
+        SELECT 'documents', doc_id::VARCHAR, 'text_nonblank', 'error'
+        FROM documents WHERE text IS NULL OR trim(text) = ''
+        UNION ALL
+        SELECT 'documents', doc_id::VARCHAR, 'n_chars_consistent', 'error'
+        FROM documents WHERE n_chars <> length(text)
+        UNION ALL
+        SELECT 'events', event_id::VARCHAR, 'value_le_450', 'warn'
+        FROM events WHERE value IS NULL OR value > 450.0
+        UNION ALL
+        SELECT 'orders', o_orderkey::VARCHAR, 'o_orderkey_unique', 'error'
+        FROM (SELECT o_orderkey,
+                     count(*) OVER (PARTITION BY o_orderkey) AS kn FROM orders)
+        WHERE kn > 1
+        UNION ALL
+        SELECT 'orders', o_orderkey::VARCHAR, 'o_custkey_refs_customer', 'error'
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      SELECT tbl, check_name, severity, CAST(count(*) AS BIGINT) AS n_rows,
+             min(row_key) AS min_key, max(row_key) AS max_key
+      FROM q GROUP BY 1, 2, 3""",
     "a12_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS flag,
              coalesce(l_linestatus, 'ALL') AS status,
