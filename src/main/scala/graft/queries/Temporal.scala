@@ -559,6 +559,15 @@ object Temporal {
     "stream_probe_metrics" -> ((s, d) =>
       graft.streaming.ProbeStream.adcMetrics(s, d)),
 
+    // The serving path's per-batch LATENCY counters off
+    // StreamingQueryProgress — raw milliseconds are un-oracle-able by
+    // design (wall-clock), so the oracled surface is the timing contract:
+    // phases reported, addBatch nested in triggerExecution, durations
+    // non-negative, over exactly the data batches of the parity split.
+    // Third reader of the same memoized drain.
+    "stream_probe_latency" -> ((s, d) =>
+      graft.streaming.ProbeStream.adcLatency(s, d)),
+
     // The ROTATED serving path end-to-end: the probe vector is
     // OPQ-rotated IN-STREAM (per-row literal-basis projection — the
     // same arithmetic the encode path runs at ingest), its LUT computed
@@ -1080,6 +1089,18 @@ object Temporal {
       UNION ALL
       SELECT CAST(1 AS INTEGER), b1.k, (b0.k + b1.k) * (n.n - 1)
       FROM b0, b1, n""",
+    // the latency contract over the same parity split: two data batches,
+    // phases reported and ordered, no negative durations — the raw
+    // milliseconds stay un-oracled (wall-clock is not reproducible)
+    "stream_probe_latency" -> """
+      WITH p AS (SELECT vec_id FROM embeddings WHERE vec_id < 10),
+      b0 AS (SELECT CAST(count(*) AS BIGINT) AS k FROM p WHERE vec_id % 2 = 0),
+      b1 AS (SELECT CAST(count(*) AS BIGINT) AS k FROM p WHERE vec_id % 2 = 1)
+      SELECT CAST(0 AS INTEGER) AS batch_ord, b0.k AS input_rows,
+             true AS phases_reported, true AS addbatch_within_trigger,
+             true AS durations_nonneg FROM b0
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), b1.k, true, true, true FROM b1""",
     // the chain's per-batch two-operator state replay: batch 0 holds all
     // N dedup keys and one state row per MERGED session; batch 1 evicts
     // dedup to the 2·delay horizon and flushes sessions whose close

@@ -85,6 +85,42 @@ object ProbeStream {
     }
   }
 
+  /** Per-micro-batch LATENCY counters of the same serving drain — read
+    * off [[org.apache.spark.sql.streaming.StreamingQueryProgress]], the
+    * monitoring surface a deployed ANN service alarms on. Raw millisecond
+    * values are deliberately NOT emitted: wall-clock is not reproducible
+    * across runs or engines, so it is un-oracle-able by design (they are
+    * available to a caller via [[Drain.toMemoryWithProgress]]). What IS
+    * oracled is the timing CONTRACT the progress events must satisfy on
+    * every data batch: the two canonical phases (addBatch,
+    * triggerExecution) are reported, addBatch nests within
+    * triggerExecution, and no phase reports a negative duration — plus
+    * the batch count and rows-per-batch parity split, which pin that the
+    * latency stream covers exactly the batches that did work. Shares the
+    * single memoized drain with the top-5 and state-metrics queries.
+    */
+  def adcLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val (_, progress) = adcDrain(spark, sfDir)
+      progress.filter(_.numInputRows > 0).sortBy(_.batchId).zipWithIndex
+        .map { case (p, ord) =>
+          import scala.jdk.CollectionConverters._
+          val d = p.durationMs.asScala.map { case (k, v) => (k, v.longValue) }.toMap
+          (ord, p.numInputRows,
+            d.contains("addBatch") && d.contains("triggerExecution"),
+            (for (a <- d.get("addBatch"); t <- d.get("triggerExecution"))
+              yield a <= t).getOrElse(false),
+            d.values.forall(_ >= 0L))
+        }
+        .toSeq.toDF("batch_ord", "input_rows", "phases_reported",
+          "addbatch_within_trigger", "durations_nonneg")
+        .select(col("batch_ord").cast("int").as("batch_ord"), col("input_rows"),
+          col("phases_reported"), col("addbatch_within_trigger"),
+          col("durations_nonneg"))
+    }
+  }
+
   /** The ROTATED serving path end-to-end: the arriving probe vector is
     * OPQ-rotated in-stream (the literal 64×64 basis, the same per-row
     * arithmetic the encode path runs — rotation is a per-row projection

@@ -90,4 +90,27 @@ class EncodeIngestSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("probe latency counters: one row per data batch, timing contract holds") {
+    // the batch-count contract: the parity-split staging yields EXACTLY
+    // two data batches (maxFilesPerTrigger=1 over two part files), each
+    // with its split's probe count, and every batch satisfies the
+    // progress-event timing invariants — phases present, addBatch nested
+    // inside triggerExecution, no negative durations. Raw milliseconds
+    // are intentionally absent from the output (un-oracle-able).
+    val rows = ProbeStream.adcLatency(spark, dir).collect()
+      .map(r => (r.getAs[Int]("batch_ord"), r.getAs[Long]("input_rows"),
+        r.getAs[Boolean]("phases_reported"),
+        r.getAs[Boolean]("addbatch_within_trigger"),
+        r.getAs[Boolean]("durations_nonneg")))
+      .sortBy(_._1)
+    assert(rows.length === 2, s"expected 2 data batches, got $rows")
+    assert(rows.map(_._1).toSeq === Seq(0, 1))
+    assert(rows.map(_._2).sum === 10L, s"parity split lost probes: $rows")
+    rows.foreach { case (ord, _, phases, nested, nonneg) =>
+      assert(phases, s"batch $ord missing canonical phases")
+      assert(nested, s"batch $ord addBatch exceeds triggerExecution")
+      assert(nonneg, s"batch $ord negative duration")
+    }
+  }
 }
