@@ -1114,14 +1114,22 @@ object Extended {
           chk("l_quantity_in_1_50", "lineitem", "error", col("qty")),
           chk("l_returnflag_accepted", "lineitem", "error", col("flag")))).as("c"))
         .select(col("c.*"))
+      // the two length gates fire on real rows at every test scale (docs
+      // run 47..560 chars), so the documents table demonstrably carries
+      // BOTH severities: the hard floor (error — excluded from the gated
+      // train mix) and the advisory floor (warn — kept but counted)
       val doc = documents(s, d).agg(
         sum(when(col("text").isNull || trim(col("text")) === "", 1L).otherwise(0L))
           .as("blank"),
         sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
-          .as("len"))
+          .as("len"),
+        sum(when(col("n_chars") < 60, 1L).otherwise(0L)).as("floor60"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("floor100"))
         .select(explode(array(
           chk("text_nonblank", "documents", "error", col("blank")),
-          chk("n_chars_consistent", "documents", "error", col("len")))).as("c"))
+          chk("n_chars_consistent", "documents", "error", col("len")),
+          chk("text_len_ge_60", "documents", "error", col("floor60")),
+          chk("text_len_ge_100", "documents", "warn", col("floor100")))).as("c"))
         .select(col("c.*"))
       val dup = orders(s, d).groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(when(col("n") > 1L, col("n") - 1L)), lit(0L)).as("v"))
@@ -1184,7 +1192,9 @@ object Extended {
           ("text_nonblank", "error",
             col("text").isNull || trim(col("text")) === ""),
           ("n_chars_consistent", "error",
-            col("n_chars") =!= length(col("text")))))
+            col("n_chars") =!= length(col("text"))),
+          ("text_len_ge_60", "error", col("n_chars") < 60),
+          ("text_len_ge_100", "warn", col("n_chars") < 100)))
       val ev = route("events", events(s, d), col("event_id"),
         Seq(("value_le_450", "warn",
           col("value").isNull || col("value") > 450.0)))
@@ -1434,7 +1444,9 @@ object Extended {
         FROM lineitem),
       doc AS (
         SELECT CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank,
-               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS len
+               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS len,
+               CAST(sum(CASE WHEN n_chars < 60 THEN 1 ELSE 0 END) AS BIGINT) AS floor60,
+               CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS floor100
         FROM documents),
       dup AS (
         SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT) AS v
@@ -1451,6 +1463,8 @@ object Extended {
         UNION ALL SELECT 'l_returnflag_accepted', 'lineitem', 'error', flag FROM li
         UNION ALL SELECT 'text_nonblank', 'documents', 'error', blank FROM doc
         UNION ALL SELECT 'n_chars_consistent', 'documents', 'error', len FROM doc
+        UNION ALL SELECT 'text_len_ge_60', 'documents', 'error', floor60 FROM doc
+        UNION ALL SELECT 'text_len_ge_100', 'documents', 'warn', floor100 FROM doc
         UNION ALL SELECT 'o_orderkey_unique', 'orders', 'error', v FROM dup
         UNION ALL SELECT 'o_custkey_refs_customer', 'orders', 'error', v FROM orph
         UNION ALL SELECT 'value_le_450', 'events', 'warn', v FROM ev)
@@ -1471,6 +1485,12 @@ object Extended {
         UNION ALL
         SELECT 'documents', doc_id::VARCHAR, 'n_chars_consistent', 'error'
         FROM documents WHERE n_chars <> length(text)
+        UNION ALL
+        SELECT 'documents', doc_id::VARCHAR, 'text_len_ge_60', 'error'
+        FROM documents WHERE n_chars < 60
+        UNION ALL
+        SELECT 'documents', doc_id::VARCHAR, 'text_len_ge_100', 'warn'
+        FROM documents WHERE n_chars < 100
         UNION ALL
         SELECT 'events', event_id::VARCHAR, 'value_le_450', 'warn'
         FROM events WHERE value IS NULL OR value > 450.0

@@ -1211,6 +1211,48 @@ object TextOps {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // The QUARANTINE-AWARE train mix — the expectations → training-mix
+    // loop closed as one oracled composition: the same survivor set as
+    // pipeline_train_mix, but diag_expectations' severity policy applied
+    // to the documents rows. ERROR-quarantined rows (the text_len_ge_60
+    // hard floor) are EXCLUDED from the mix entirely — a trainer must
+    // never see a row the suite rejects — while WARN-quarantined rows
+    // (the text_len_ge_100 advisory floor) stay in the mix but are
+    // counted per source (`n_warn`, the column a curator reads before
+    // trusting a source's weight). The mix math (balanced threshold,
+    // md5-reproducible kept-count) is unchanged, recomputed over the
+    // GATED survivor set — so thresholds shift exactly where the gate
+    // bit. Same scale shape as the ungated mix: one broadcast join +
+    // keyed conditional sums; the severity predicates are per-row
+    // expressions in the same scan.
+    "pipeline_train_mix_gated" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keep = filterSurvivorsShared(s, d)
+      val surv = documents(s, d).join(keep, Seq("doc_id"))
+        .filter(col("n_chars") >= 60) // the error-severity hard floor
+        .select(col("doc_id"), col("source"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("toks"),
+          when(col("n_chars") < 100, 1L).otherwise(0L).as("warned"))
+      val counts = surv.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("warned")).as("n_warn"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val thr = counts
+        .withColumn("n_total", sum(col("n_docs")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_warn"),
+          least(lit(10000L),
+            expr("(10000 * n_total) div (k * n_docs)")).as("thr"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+      surv.select(col("doc_id"), col("source"), bucket.as("b"))
+        .join(broadcast(thr), "source")
+        .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("n_warn"),
+          col("thr"))
+        .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // Edit-distance verification of the near-dup candidates — the exact
     // second stage a production dedup pipeline runs AFTER banding: LSH
     // recalls candidates, Levenshtein confirms them (MinHash Jaccard can
@@ -2737,6 +2779,44 @@ object TextOps {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM surv s JOIN t ON s.source = t.source
       GROUP BY 1, 2, 3, 4""",
+    // the severity-gated mix: the same survivor chain with the
+    // expectation suite's documents policy applied — error floor
+    // excluded, warn floor counted per source
+    "pipeline_train_mix_gated" -> s"""
+      WITH neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
+      quality AS (SELECT doc_id FROM documents
+                  WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          / CAST(length(text) AS DOUBLE), 6) >= 0.81),
+      english AS (SELECT doc_id
+                  FROM (${graft.functions.LangId.langIdSql})
+                  WHERE lang_pred = 'en'),
+      keep AS (SELECT q.doc_id FROM quality q
+               JOIN english e ON q.doc_id = e.doc_id
+               WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)),
+      stok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks
+               FROM (SELECT doc_id,
+                            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                     FROM documents) u
+               WHERE length(t) > 0 GROUP BY doc_id),
+      surv AS (SELECT d.doc_id, d.source, coalesce(s.toks, 0) AS toks,
+                      CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END AS warned
+               FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+               LEFT JOIN stok s ON d.doc_id = s.doc_id
+               WHERE d.n_chars >= 60),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(warned) AS BIGINT) AS n_warn
+            FROM surv GROUP BY source),
+      t AS (SELECT source, n_docs, n_tokens, n_warn,
+                   CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
+                                     // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
+            FROM c)
+      SELECT t.source, t.n_docs, t.n_tokens, t.n_warn, t.thr,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+                                % 10000 < t.thr
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM surv s JOIN t ON s.source = t.source
+      GROUP BY 1, 2, 3, 4, 5""",
     "text_quality_auc" -> """
       WITH f AS (
         SELECT source,

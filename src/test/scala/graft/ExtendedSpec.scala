@@ -534,8 +534,8 @@ class ExtendedSpec extends SparkSpec {
     val rows = df.collect()
       .map(r => (r.getAs[String]("check_name"), r.getAs[Long]("n_violations"),
         r.getAs[Boolean]("pass"))).toSeq
-    assert(rows.length == 7, s"expected 7 checks, got ${rows.map(_._1)}")
-    assert(rows.map(_._1).distinct.length == 7, "duplicate check names")
+    assert(rows.length == 9, s"expected 9 checks, got ${rows.map(_._1)}")
+    assert(rows.map(_._1).distinct.length == 9, "duplicate check names")
     rows.foreach { case (name, v, pass) =>
       assert(pass == (v == 0L), s"$name verdict inconsistent with count $v")
     }
