@@ -2979,6 +2979,39 @@ object Similarity {
           col("n_hits"), round(col("n_hits") / col("n_full"), 6).as("recall"))
       per.unionByName(overall)
     }),
+
+    // GRAPH-SERVING LAYOUT — the kNN graph's physical counterpart of the
+    // inverted-list compaction: the final graph repartitioned by its b1
+    // salted block and written partitionBy(blk), one adjacency file per
+    // block, so a serving read for a node opens ONLY its block's file
+    // (partition pruning — KnnLayoutSpec pins files-read == blocks-probed
+    // and one-file-per-block). The oracled output is the per-block
+    // inventory read BACK from the layout: the write→read round trip
+    // must lose nothing vs the logical graph (the oracle re-derives the
+    // block inventory from the generated build chain). At 100 TB this is
+    // the job that turns the maintained edge list into the
+    // random-access-served artifact a retrieval tier reads.
+    "sim_knn_graph_layout" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("knn-layout")
+      try {
+        val blk = (conv(substring(
+          md5(concat(lit("b1"), col("vec_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % KnnBlocks).as("blk")
+        knnGraphShared(s, d).filter(col("iter") === KnnIters)
+          .select(col("vec_id"), col("nbr"), blk)
+          .repartition(col("blk"))
+          .write.mode("overwrite").partitionBy("blk").parquet(dir.toString)
+        // bounded (≤16 rows): collected so the result outlives the temp dir
+        s.read.parquet(dir.toString)
+          .groupBy(col("blk").cast("int").as("blk"))
+          .agg(countDistinct(col("vec_id")).as("n_nodes"),
+            count(lit(1)).as("n_edges"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("blk", "n_nodes", "n_edges")
+      } finally graft.streaming.StagedEvents.deleteRecursively(dir)
+    }),
   )
 
   /** Neighbors kept per node, md5 init blocks, and expansion rounds of the
@@ -3684,6 +3717,16 @@ object Similarity {
              round(coalesce(hits.n_hits, 0) / (SELECT count(*) FROM exact), 6) AS recall
       FROM per LEFT JOIN hits ON per.iter = hits.iter"""
     },
+    // sim_knn_graph_layout: the per-block adjacency inventory re-derived
+    // from the generated build chain — the layout round trip must lose
+    // nothing vs the logical graph
+    "sim_knn_graph_layout" -> s"""
+      WITH $knnOracleCtes
+      SELECT CAST(('0x' || substr(md5('b1' || g.vec_id::VARCHAR), 1, 15))::BIGINT
+                  % $KnnBlocks AS INTEGER) AS blk,
+             CAST(count(DISTINCT g.vec_id) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_edges
+      FROM g$KnnIters g GROUP BY 1""",
     // sim_knn_graph_incremental: base build (batch excluded) + the
     // three-step insert + the cohort comparison against the full chain,
     // all replayed CTE for CTE

@@ -55,9 +55,20 @@ object TextOps {
     * right trade (and locally, caching it was pure GC ballast: ~120 MB of
     * deserialized rows pinned across every consumer).
     */
-  private def cappedShingleHashes(s: SparkSession, d: String): DataFrame = {
+  private def cappedShingleHashes(s: SparkSession, d: String): DataFrame =
+    cappedHashesOf(shingles(s, d))
+
+  /** The df-capped (doc_id, h1, h2) hash stream over an arbitrary shingle
+    * frame — the full-corpus path and the per-slice ingest path of
+    * `dedup_minhash_append` share this fold, so the hash scheme cannot
+    * drift between them. NOTE the cap counts df over the GIVEN frame: at
+    * ingest a slice sees slice-local df, which equals the full-corpus
+    * verdict whenever the cap does not fire (every test scale; the
+    * append-exactness spec pins it).
+    */
+  private def cappedHashesOf(sh: DataFrame): DataFrame = {
     val md = md5(col("s"))
-    val hashed = shingles(s, d).select(
+    val hashed = sh.select(
       col("doc_id"),
       conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
       (conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
@@ -66,14 +77,38 @@ object TextOps {
     hashed.join(broadcast(hot), Seq("h1"), "left_anti")
   }
 
-  /** Per-doc 16-hash MinHash signature columns h0..h15 over the capped
-    * shingle stream — shared by the band fold and the estimate audit.
+  /** Per-doc 16-hash MinHash signature columns h0..h15 over a capped
+    * hash stream — shared by the band fold and the estimate audit.
     */
-  private def minhashSignature(s: SparkSession, d: String): DataFrame = {
+  private def signatureOf(capped: DataFrame): DataFrame = {
     val mins = (0 until 16).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % lit(1L << 60)).as(s"h$i"))
-    cappedShingleHashes(s, d).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    capped.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
+
+  private def minhashSignature(s: SparkSession, d: String): DataFrame =
+    signatureOf(cappedShingleHashes(s, d))
+
+  /** The 4-band key fold over a signature frame — shared by the full
+    * build and the per-slice append path.
+    */
+  private def bandFoldOf(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bk"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+  }
+
+  /** Band rows for ONLY the documents matching `pred`, computed from
+    * those documents ALONE — the ingest-side cost of an index append is
+    * one shingle pass over the slice, never a corpus job (signatures are
+    * per-document, the property that makes the LSH index append-exact).
+    */
+  private[graft] def sliceBandRows(s: SparkSession, d: String,
+      pred: Column): DataFrame =
+    bandFoldOf(signatureOf(cappedHashesOf(shingles(s, d).filter(pred))))
 
   /** Session-scoped cache of the per-doc MinHash SIGNATURE frame
     * (doc_id, h0..h15) — |docs| rows × 16 longs, the signature store a
@@ -92,19 +127,12 @@ object TextOps {
   /** Unpersist and drop every shared signature frame of session `s`. */
   def releaseSignatures(s: SparkSession): Unit = sharedSignatures.release(s)
 
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
     // The OUTPUT band frame (4 narrow rows per doc — the LSH index
     // itself) is what [[minhashBandsShared]] persists; it folds the
     // session-shared signature frame so the shingle pass runs once per
     // (session, corpus) across the whole MinHash family.
-    val sig = minhashSignaturesShared(s, d)
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bk"))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
-  }
+    bandFoldOf(minhashSignaturesShared(s, d))
 
   /** Session-scoped cache of the MinHash band-key frame (doc_id, band, bk)
     * — the LSH index itself, 4 narrow rows per document (lifecycle:
@@ -1087,6 +1115,43 @@ object TextOps {
           "flatten(transform(ids, (x, i) -> " +
             "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
         .select(col("p.da"), col("p.db"))
+        .distinct()
+    }),
+
+    // INCREMENTAL LSH-index maintenance — the text analogue of
+    // sim_knn_graph_incremental, with the OPPOSITE verdict worth
+    // measuring: unlike the kNN graph (incremental ≈ rebuild, quantified
+    // per cohort), the MinHash band index is append-EXACT by
+    // construction — a document's signature depends only on its own
+    // shingles, so an ingest slice computes its band rows alone and the
+    // unioned index equals a full rebuild row for row. (The one corpus
+    // coupling is the hot-shingle df-cap, slice-local at ingest —
+    // identical whenever the cap doesn't fire; MinhashAppendSpec pins
+    // it.) The query runs the append path end to end: base rows read
+    // UNTOUCHED from the shared index, the salted-md5 eighth recomputed
+    // from the slice alone, candidate pairs expanded in-bucket over the
+    // union and tagged by origin (base_base = known before the append;
+    // base_batch / batch_batch = surfaced by it — the delta a dedup
+    // pipeline acts on). The oracle re-derives everything from scratch:
+    // hash-matching IS the append-exactness proof, end to end.
+    "dedup_minhash_append" -> ((s, d) => {
+      val isBatchDoc = conv(substring(md5(concat(lit("inc"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8L === 0L
+      val base = minhashBandsShared(s, d).filter(!isBatchDoc)
+      val appended = base.unionByName(sliceBandRows(s, d, isBatchDoc))
+      appended.withColumn("nw", isBatchDoc)
+        .groupBy(col("band"), col("bk"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("nw")))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> struct(x.doc_id AS da, y.doc_id AS db, " +
+            "x.nw AS na, y.nw AS nb))))")).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"),
+          when(col("p.na") && col("p.nb"), "batch_batch")
+            .when(col("p.na") || col("p.nb"), "base_batch")
+            .otherwise("base_base").as("origin"))
         .distinct()
     }),
 
@@ -2425,6 +2490,23 @@ object TextOps {
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    // the append path re-derived from scratch (full corpus, full cap):
+    // matching proves the engine's base-rows ∪ slice-built-rows union
+    // equals the rebuild exactly, origins included
+    "dedup_minhash_append" -> {
+      def isB(c: String) =
+        s"('0x' || substr(md5('inc' || $c::VARCHAR), 1, 15))::BIGINT % 8 = 0"
+      s"""
+      WITH $minhashBandCtes,
+      prs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT da, db,
+             CASE WHEN ${isB("da")} AND ${isB("db")} THEN 'batch_batch'
+                  WHEN ${isB("da")} OR ${isB("db")} THEN 'base_batch'
+                  ELSE 'base_base' END AS origin
+      FROM prs"""
+    },
     "dedup_minhash_estimate" -> minhashEstimateSql,
     "text_domain_stats" -> """
       SELECT source || '.example.' ||
