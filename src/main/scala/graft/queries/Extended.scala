@@ -1216,6 +1216,50 @@ object Extended {
         .agg(count(lit(1)).as("n_rows"),
           min(col("row_key")).as("min_key"), max(col("row_key")).as("max_key"))
     }),
+
+    // The LONGITUDINAL read on the expectation suite — expectations run
+    // per load, and the number a pipeline actually alarms on is the
+    // DRIFT between consecutive loads, not the absolute count (a corpus
+    // that always has 2% short docs is healthy; one that jumps from 2%
+    // to 20% broke upstream). Two deterministic ingest slices (row-key
+    // parity — the staged-load stand-in) are compared per check: each
+    // table's per-slice violation counts fold into ONE keyless scalar
+    // scan (slice-conditioned sums — adding a check or a slice costs an
+    // expression, never a pass), and the drift verdict fires on a >50%
+    // relative change. diag_snapshot_diff is this for schemas;
+    // diag_expectations_trend is it for data quality.
+    "diag_expectations_trend" -> ((s, d) => {
+      def trend(tblName: String, df: DataFrame, slice: org.apache.spark.sql.Column,
+          checks: Seq[(String, String, org.apache.spark.sql.Column)]): DataFrame = {
+        val aggs = checks.zipWithIndex.flatMap { case ((_, _, pred), i) => Seq(
+          sum(when(slice % 2 === 0 && pred, 1L).otherwise(0L)).as(s"a$i"),
+          sum(when(slice % 2 === 1 && pred, 1L).otherwise(0L)).as(s"b$i")) }
+        val entries = checks.zipWithIndex.map { case ((n, sev, _), i) =>
+          struct(lit(tblName).as("tbl"), lit(n).as("check_name"),
+            lit(sev).as("severity"),
+            col(s"a$i").as("n_load0"), col(s"b$i").as("n_load1"))
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(entries: _*)).as("c")).select(col("c.*"))
+      }
+      val doc = trend("documents", documents(s, d), col("doc_id"),
+        Seq(
+          ("text_nonblank", "error",
+            col("text").isNull || trim(col("text")) === ""),
+          ("n_chars_consistent", "error",
+            col("n_chars") =!= length(col("text"))),
+          ("text_len_ge_60", "error", col("n_chars") < 60),
+          ("text_len_ge_100", "warn", col("n_chars") < 100)))
+      val ev = trend("events", events(s, d), col("event_id"),
+        Seq(("value_le_450", "warn",
+          col("value").isNull || col("value") > 450.0)))
+      doc.unionByName(ev)
+        .select(col("tbl"), col("check_name"), col("severity"),
+          col("n_load0"), col("n_load1"),
+          (col("n_load1") - col("n_load0")).as("delta"),
+          (abs(col("n_load1") - col("n_load0")) * 2 >
+            greatest(col("n_load0"), lit(1L))).as("drifted"))
+    }),
   )
 
   /** The pure approx-percentile aggregation a 100 TB job runs in place of
@@ -1506,6 +1550,32 @@ object Extended {
       SELECT tbl, check_name, severity, CAST(count(*) AS BIGINT) AS n_rows,
              min(row_key) AS min_key, max(row_key) AS max_key
       FROM q GROUP BY 1, 2, 3""",
+    "diag_expectations_trend" -> """
+      WITH doc AS (
+        SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 AND (text IS NULL OR trim(text) = '') THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 AND (text IS NULL OR trim(text) = '') THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 AND n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 AND n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 AND n_chars < 60 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 AND n_chars < 60 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 AND n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 AND n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        FROM documents),
+      ev AS (
+        SELECT CAST(sum(CASE WHEN event_id % 2 = 0 AND (value IS NULL OR value > 450.0) THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+               CAST(sum(CASE WHEN event_id % 2 = 1 AND (value IS NULL OR value > 450.0) THEN 1 ELSE 0 END) AS BIGINT) AS b0
+        FROM events),
+      u AS (
+        SELECT 'documents' AS tbl, 'text_nonblank' AS check_name,
+               'error' AS severity, a0 AS n_load0, b0 AS n_load1 FROM doc
+        UNION ALL SELECT 'documents', 'n_chars_consistent', 'error', a1, b1 FROM doc
+        UNION ALL SELECT 'documents', 'text_len_ge_60', 'error', a2, b2 FROM doc
+        UNION ALL SELECT 'documents', 'text_len_ge_100', 'warn', a3, b3 FROM doc
+        UNION ALL SELECT 'events', 'value_le_450', 'warn', a0, b0 FROM ev)
+      SELECT tbl, check_name, severity, n_load0, n_load1,
+             n_load1 - n_load0 AS delta,
+             abs(n_load1 - n_load0) * 2 > greatest(n_load0, 1) AS drifted
+      FROM u""",
     "a12_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS flag,
              coalesce(l_linestatus, 'ALL') AS status,

@@ -3012,6 +3012,52 @@ object Similarity {
           .toDF("blk", "n_nodes", "n_edges")
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
+
+    // SERVED GRAPH TRAVERSAL — greedy beam search over the kNN graph,
+    // the query-time half of the graph-ANN story (the HNSW/NSG read path
+    // in its flat one-layer form): start at the probe's own node, expand
+    // the beam's graph neighbors, score candidates by exact cosine to
+    // the probe, keep the best B=8, repeat 3 rounds; the answer is the
+    // top-5 of everything VISITED. Cost per probe: rounds·B·K candidate
+    // scores — the graph turns a corpus scan into a bounded walk, which
+    // is the point of maintaining the graph at all. The rounds unroll
+    // like the Lloyd training curves (fixed count, no driver loop over
+    // data); every step is an equi-join on node id with the probe table
+    // broadcast. Oracle: the generated build chain plus the unrolled
+    // walk replayed CTE for CTE — the walk's visit order, tie rule, and
+    // scores must all agree for the hash to match.
+    "sim_knn_graph_search" -> ((s, d) => {
+      val vecs = ivfBase(s, d)
+      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      val probes = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      def score(cand: DataFrame): DataFrame =
+        cand
+          .join(vecs.select(col("vec_id").as("cand"), col("v"), col("nrm")), Seq("cand"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("cand"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      val wB = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+      var beam = probes.select(col("q_id"), col("q_id").as("cand"))
+      var visited: DataFrame = null
+      for (_ <- 1 to 3) {
+        val expand = beam
+          .join(g.select(col("vec_id").as("cand"), col("nbr")), Seq("cand"))
+          .select(col("q_id"), col("nbr").as("cand"))
+          .filter(col("cand") =!= col("q_id"))
+          .distinct()
+        val scored = score(expand)
+        visited =
+          if (visited == null) scored
+          else visited.unionByName(scored).distinct()
+        beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
+          .select(col("q_id"), col("cand"))
+      }
+      visited.withColumn("rank", row_number().over(wB)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("cand").as("vec_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+    }),
   )
 
   /** Neighbors kept per node, md5 init blocks, and expansion rounds of the
@@ -3716,6 +3762,37 @@ object Similarity {
       SELECT per.iter, per.n_edges,
              round(coalesce(hits.n_hits, 0) / (SELECT count(*) FROM exact), 6) AS recall
       FROM per LEFT JOIN hits ON per.iter = hits.iter"""
+    },
+    // sim_knn_graph_search: the unrolled beam walk over the generated
+    // build chain — visit set, tie rule, and 6dp scores replayed exactly
+    "sim_knn_graph_search" -> {
+      val rounds = (1 to 3).map { r =>
+        val prevBeam = if (r == 1) "beam0" else s"beam${r - 1}"
+        val visPrev = if (r == 1) "" else s"SELECT q_id, cand, cos FROM vis${r - 1} UNION ALL "
+        s""",
+      exp$r AS (SELECT DISTINCT b.q_id, e.nbr AS cand
+                FROM $prevBeam b JOIN ge e ON e.vec_id = b.cand
+                WHERE e.nbr <> b.q_id),
+      sc$r AS (SELECT x.q_id, x.cand,
+                      round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) AS cos
+               FROM exp$r x JOIN qs q ON q.q_id = x.q_id
+                    JOIN c v ON v.vec_id = x.cand),
+      vis$r AS MATERIALIZED (SELECT DISTINCT q_id, cand, cos FROM (
+          ${visPrev}SELECT q_id, cand, cos FROM sc$r)),
+      beam$r AS (SELECT q_id, cand FROM (
+          SELECT q_id, cand,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS r
+          FROM vis$r) WHERE r <= 8)"""
+      }.mkString
+      s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
+      beam0 AS (SELECT q_id, q_id AS cand FROM qs)$rounds
+      SELECT q_id, cand AS vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q_id, cand, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
+        FROM vis3) WHERE rank <= 5"""
     },
     // sim_knn_graph_layout: the per-block adjacency inventory re-derived
     // from the generated build chain — the layout round trip must lose

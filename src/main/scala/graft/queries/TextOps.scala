@@ -452,8 +452,22 @@ object TextOps {
     * `dedup_winnowing_spans` (the diagonal span locator). See
     * `text_winnowing`'s entry for the packed-key argmin discipline.
     */
-  private def winnowedSelections(s: SparkSession, d: String): DataFrame = {
-    val kg = toks(s, d)
+  private def winnowedSelections(s: SparkSession, d: String): DataFrame =
+    winnowedSelectionsOf(toks(s, d))
+
+  /** Selections for ONLY the documents matching `pred`, computed from
+    * those documents ALONE — winnowing selections are per-document
+    * (rolling argmin over the doc's own k-grams), so an ingest slice's
+    * fingerprint rows equal its rows in a full rebuild exactly: the
+    * winnowing index is append-exact the same way the MinHash band
+    * index is ([[sliceBandRows]]); WinnowAppendSpec pins it.
+    */
+  private[graft] def sliceWinnowSelections(s: SparkSession, d: String,
+      pred: Column): DataFrame =
+    winnowedSelectionsOf(toks(s, d).filter(pred))
+
+  private def winnowedSelectionsOf(tk: DataFrame): DataFrame = {
+    val kg = tk
       .filter(size(col("t")) >= 7) // at least 4 k-grams = one window
       .select(col("doc_id"), (size(col("t")) - 3).as("m"),
         explode(expr(
@@ -840,6 +854,55 @@ object TextOps {
         .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
         .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
         .select(col("da"), col("db"), col("n_shared"),
+          round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"),
+          round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+            .as("jaccard"))
+    }),
+
+    // INCREMENTAL winnowing-index maintenance — the fingerprint-index
+    // twin of `dedup_minhash_append`: winnowing selections are
+    // per-document (rolling argmin over the doc's OWN k-grams), so an
+    // ingest slice computes its fingerprint rows alone and the unioned
+    // index equals a full rebuild exactly. The append path: base
+    // selections read UNTOUCHED from the shared frame, the salted-md5
+    // eighth recomputed from the slice alone, then the SAME df-capped
+    // pair pipeline as dedup_winnowing_pairs over the union — only the
+    // cheap distinct+groupBy re-runs on append; the k-gram explode (the
+    // heavy stage) never re-touches base documents. Pairs carry their
+    // origin (base_base = known before the append; base_batch /
+    // batch_batch = the delta a MOSS-style service reports for the new
+    // submissions). The oracle re-derives everything from scratch —
+    // hash-matching proves the append path end to end.
+    "dedup_winnowing_append" -> ((s, d) => {
+      val isBatchDoc = conv(substring(md5(concat(lit("inc"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8L === 0L
+      val base = winnowSelectionsShared(s, d).filter(!isBatchDoc)
+      val appended = base.unionByName(sliceWinnowSelections(s, d, isBatchDoc))
+      val grp = appended
+        .select(col("doc_id"), col("h"), isBatchDoc.as("nw")).distinct()
+        .groupBy(col("h"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("nw")))).as("ids"))
+        .filter(size(col("ids")) <= HotShingleDfCap)
+        .cache() // consumed by the pair expansion and the per-doc sizes
+      val shared = grp.filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> struct(x.doc_id AS da, y.doc_id AS db, " +
+            "x.nw AS na, y.nw AS nb))))")).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"),
+          when(col("p.na") && col("p.nb"), "batch_batch")
+            .when(col("p.na") || col("p.nb"), "base_batch")
+            .otherwise("base_base").as("origin"))
+        .groupBy(col("da"), col("db"), col("origin"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2) // one shared hash is noise floor
+      val sizes = grp.select(explode(col("ids")).as("m"))
+        .groupBy(col("m.doc_id").as("doc_id")).agg(count(lit(1)).as("n"))
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(col("da"), col("db"), col("origin"), col("n_shared"),
           round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"),
           round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
             .as("jaccard"))
@@ -2395,6 +2458,32 @@ object TextOps {
              round(s.n_shared / least(x.n, y.n), 6) AS containment,
              round(s.n_shared / (x.n + y.n - s.n_shared), 6) AS jaccard
       FROM shared s JOIN szs x ON s.da = x.doc_id JOIN szs y ON s.db = y.doc_id""",
+    // the winnowing append path re-derived from scratch: matching proves
+    // the base-rows ∪ slice-built-selections union equals the rebuild,
+    // origin tags included
+    "dedup_winnowing_append" -> {
+      def isB(c: String) =
+        s"('0x' || substr(md5('inc' || $c::VARCHAR), 1, 15))::BIGINT % 8 = 0"
+      s"""
+      WITH $winnowingCtes,
+      fps AS (SELECT DISTINCT doc_id, k // 16777216 AS h FROM picked),
+      keepable AS (SELECT h FROM fps GROUP BY h
+                   HAVING count(*) <= $HotShingleDfCap),
+      fpc AS (SELECT f.doc_id, f.h FROM fps f JOIN keepable kp ON f.h = kp.h),
+      shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+                 FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2
+                 HAVING count(*) >= 2),
+      szs AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY 1)
+      SELECT s.da, s.db,
+             CASE WHEN ${isB("s.da")} AND ${isB("s.db")} THEN 'batch_batch'
+                  WHEN ${isB("s.da")} OR ${isB("s.db")} THEN 'base_batch'
+                  ELSE 'base_base' END AS origin,
+             s.n_shared,
+             round(s.n_shared / least(x.n, y.n), 6) AS containment,
+             round(s.n_shared / (x.n + y.n - s.n_shared), 6) AS jaccard
+      FROM shared s JOIN szs x ON s.da = x.doc_id JOIN szs y ON s.db = y.doc_id"""
+    },
     // span locator: the pair chain extended with positions — anchors on a
     // shared (pa − pb) diagonal roll up into located spans.
     "dedup_winnowing_spans" -> s"""

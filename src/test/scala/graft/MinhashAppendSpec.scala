@@ -47,4 +47,27 @@ class MinhashAppendSpec extends SparkSpec {
       assert(origin === want, s"pair ($da, $db)")
     }
   }
+
+  test("winnowing: slice-built selections equal the slice's rows in the full build") {
+    val full = graft.queries.TextOps.winnowSelectionsShared(spark, sf)
+      .filter(isBatch)
+      .collect().map(_.toString).sorted.toSeq
+    val slice = graft.queries.TextOps.sliceWinnowSelections(spark, sf, isBatch)
+      .collect().map(_.toString).sorted.toSeq
+    assert(slice.nonEmpty, "empty slice — the append-exactness test is vacuous")
+    assert(slice === full)
+  }
+
+  test("winnowing: appended pair set equals the full rebuild's pair set") {
+    val appended = graft.queries.TextOps.queries("dedup_winnowing_append")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Long]("n_shared"))).sorted.toSeq
+    val rebuilt = graft.queries.TextOps.queries("dedup_winnowing_pairs")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Long]("n_shared"))).sorted.toSeq
+    assert(appended.nonEmpty)
+    assert(appended === rebuilt)
+  }
 }
