@@ -3058,6 +3058,58 @@ object Similarity {
         .select(col("q_id"), col("cand").as("vec_id"), col("cos"),
           col("rank").cast("int").as("rank"))
     }),
+
+    // The recall-vs-cost SWEEP for the graph search — the nprobe-sweep
+    // analogue for the graph index: beam width B ∈ {4, 8, 16} × rounds
+    // 1..3, each cell's visited-set top-5 scored against the exact
+    // cosine top-5 (the declared broadcast-probe baseline class). Cost
+    // per cell is rounds·B·K candidate scores, so the table reads as
+    // "what recall does each extra unit of walk work buy" — the knob an
+    // operator tunes before sizing the serving tier. The walks unroll
+    // exactly like the search query; only the beam cut differs per B.
+    "sim_knn_graph_search_sweep" -> ((s, d) => {
+      val vecs = ivfBase(s, d)
+      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      val probes = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      def score(cand: DataFrame): DataFrame =
+        cand
+          .join(vecs.select(col("vec_id").as("cand"), col("v"), col("nrm")), Seq("cand"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("cand"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      val wB = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+      val exact = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("r", row_number().over(wB)).filter(col("r") <= 5)
+        .select(col("q_id"), col("cand"))
+      val cells = for (b <- Seq(4, 8, 16)) yield {
+        var beam = probes.select(col("q_id"), col("q_id").as("cand"))
+        var visited: DataFrame = null
+        (1 to 3).map { r =>
+          val expand = beam
+            .join(g.select(col("vec_id").as("cand"), col("nbr")), Seq("cand"))
+            .select(col("q_id"), col("nbr").as("cand"))
+            .filter(col("cand") =!= col("q_id"))
+            .distinct()
+          val scored = score(expand)
+          visited =
+            if (visited == null) scored
+            else visited.unionByName(scored).distinct()
+          beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= b)
+            .select(col("q_id"), col("cand"))
+          visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 5)
+            .select(col("q_id"), col("cand"))
+            .join(exact, Seq("q_id", "cand"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(b).cast("int").as("beam"), lit(r).cast("int").as("rounds"),
+              col("n_hits"), round(col("n_hits") / 50.0, 6).as("recall_at_5"))
+        }
+      }
+      cells.flatten.reduce(_ unionByName _)
+    }),
   )
 
   /** Neighbors kept per node, md5 init blocks, and expansion rounds of the
@@ -3694,6 +3746,33 @@ object Similarity {
 
   private def knnOracleCtes: String = knnChainCtes("", "")
 
+  /** The unrolled beam-walk CTEs (3 rounds, beam width `b`), every name
+    * prefixed `pfx` so several widths coexist in one WITH. Expects
+    * `${pfx}beam0(q_id, cand)`, `ge(vec_id, nbr)`, `qs(q_id, qv, qn)`,
+    * and the vector CTE `c` to be defined by the caller.
+    */
+  private def beamWalkCtes(pfx: String, b: Int): String =
+    (1 to 3).map { r =>
+      val prevBeam = s"${pfx}beam${r - 1}"
+      val visPrev =
+        if (r == 1) ""
+        else s"SELECT q_id, cand, cos FROM ${pfx}vis${r - 1} UNION ALL "
+      s""",
+      ${pfx}exp$r AS (SELECT DISTINCT b.q_id, e.nbr AS cand
+                FROM $prevBeam b JOIN ge e ON e.vec_id = b.cand
+                WHERE e.nbr <> b.q_id),
+      ${pfx}sc$r AS (SELECT x.q_id, x.cand,
+                      round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) AS cos
+               FROM ${pfx}exp$r x JOIN qs q ON q.q_id = x.q_id
+                    JOIN c v ON v.vec_id = x.cand),
+      ${pfx}vis$r AS MATERIALIZED (SELECT DISTINCT q_id, cand, cos FROM (
+          ${visPrev}SELECT q_id, cand, cos FROM ${pfx}sc$r)),
+      ${pfx}beam$r AS (SELECT q_id, cand FROM (
+          SELECT q_id, cand,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS r
+          FROM ${pfx}vis$r) WHERE r <= $b)"""
+    }.mkString
+
   /** Generated CTE chain replaying an NN-Descent build round for round,
     * with every name prefixed `pfx` (so two chains — the full corpus and
     * the base-only corpus of the incremental twin — coexist in one WITH)
@@ -3765,34 +3844,44 @@ object Similarity {
     },
     // sim_knn_graph_search: the unrolled beam walk over the generated
     // build chain — visit set, tie rule, and 6dp scores replayed exactly
-    "sim_knn_graph_search" -> {
-      val rounds = (1 to 3).map { r =>
-        val prevBeam = if (r == 1) "beam0" else s"beam${r - 1}"
-        val visPrev = if (r == 1) "" else s"SELECT q_id, cand, cos FROM vis${r - 1} UNION ALL "
-        s""",
-      exp$r AS (SELECT DISTINCT b.q_id, e.nbr AS cand
-                FROM $prevBeam b JOIN ge e ON e.vec_id = b.cand
-                WHERE e.nbr <> b.q_id),
-      sc$r AS (SELECT x.q_id, x.cand,
-                      round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) AS cos
-               FROM exp$r x JOIN qs q ON q.q_id = x.q_id
-                    JOIN c v ON v.vec_id = x.cand),
-      vis$r AS MATERIALIZED (SELECT DISTINCT q_id, cand, cos FROM (
-          ${visPrev}SELECT q_id, cand, cos FROM sc$r)),
-      beam$r AS (SELECT q_id, cand FROM (
-          SELECT q_id, cand,
-                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS r
-          FROM vis$r) WHERE r <= 8)"""
-      }.mkString
+    "sim_knn_graph_search" -> s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
+      beam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("", 8)}
+      SELECT q_id, cand AS vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q_id, cand, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
+        FROM vis3) WHERE rank <= 5""",
+    // sim_knn_graph_search_sweep: three full walks (B ∈ {4, 8, 16}), the
+    // per-round top-5 of each compared against the exact cosine top-5
+    "sim_knn_graph_search_sweep" -> {
+      val chains = Seq(4, 8, 16).map(b =>
+        s"""b${b}beam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes(s"b$b", b)}""")
+        .mkString(",\n      ")
+      val rows = (for (b <- Seq(4, 8, 16); r <- 1 to 3) yield s"""
+      SELECT CAST($b AS INTEGER) AS beam, CAST($r AS INTEGER) AS rounds,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             round(count(*) / 50.0, 6) AS recall_at_5
+      FROM (SELECT q_id, cand FROM (
+              SELECT q_id, cand,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, cand) AS rk
+              FROM b${b}vis$r) WHERE rk <= 5) t
+      JOIN exact e ON t.q_id = e.q_id AND t.cand = e.cand""")
+        .mkString("\n      UNION ALL")
       s"""
       WITH $knnOracleCtes,
       ge AS (SELECT vec_id, nbr FROM g$KnnIters),
       qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
-      beam0 AS (SELECT q_id, q_id AS cand FROM qs)$rounds
-      SELECT q_id, cand AS vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
-        SELECT q_id, cand, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
-        FROM vis3) WHERE rank <= 5"""
+      exact AS MATERIALIZED (SELECT q_id, cand FROM (
+          SELECT p.q_id, x.vec_id AS cand,
+                 row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY round(list_dot_product(p.qv, x.v) / (p.qn * x.nrm), 6)
+                     DESC, x.vec_id) AS rn
+          FROM qs p JOIN c x ON x.vec_id <> p.q_id) WHERE rn <= 5),
+      $chains
+      $rows"""
     },
     // sim_knn_graph_layout: the per-block adjacency inventory re-derived
     // from the generated build chain — the layout round trip must lose

@@ -582,7 +582,11 @@ class PlanSpec extends SparkSpec {
       // the incremental-maintenance metric's overall row: three 1-row
       // scalar aggregates annotated together (the annotate-with-constant
       // shape); the insert/repair joins are all equi-keyed
-      "sim_knn_graph_incremental")
+      "sim_knn_graph_incremental",
+      // the beam-sweep's exact ground-truth leg is the declared
+      // broadcast-probe brute-force baseline class; the walks themselves
+      // are all equi-joins
+      "sim_knn_graph_search_sweep")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
