@@ -559,6 +559,15 @@ object Temporal {
     "stream_probe_metrics" -> ((s, d) =>
       graft.streaming.ProbeStream.adcMetrics(s, d)),
 
+    // Expectations AT THE EDGE: the documents per-row predicates
+    // evaluated inside a micro-batch ingest via observe() — per-batch
+    // violation counters with zero extra jobs; the cumulative verdicts
+    // must equal the batch suite's documents rows exactly (arrival
+    // batching changes nothing — the commutative-counter property that
+    // makes edge expectations sound).
+    "stream_expectations" -> ((s, d) =>
+      graft.streaming.StreamExpectations.verdicts(s, d)),
+
     // The serving path's per-batch LATENCY counters off
     // StreamingQueryProgress — raw milliseconds are un-oracle-able by
     // design (wall-clock), so the oracled surface is the timing contract:
@@ -1089,6 +1098,20 @@ object Temporal {
       UNION ALL
       SELECT CAST(1 AS INTEGER), b1.k, (b0.k + b1.k) * (n.n - 1)
       FROM b0, b1, n""",
+    // the edge-expectation verdicts must equal the batch suite's
+    // documents rows — same predicates, cumulative over the replay
+    "stream_expectations" -> """
+      WITH doc AS (
+        SELECT CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank,
+               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS len,
+               CAST(sum(CASE WHEN n_chars < 60 THEN 1 ELSE 0 END) AS BIGINT) AS floor60,
+               CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS floor100
+        FROM documents)
+      SELECT 'text_nonblank' AS check_name, 'error' AS severity,
+             blank AS n_violations FROM doc
+      UNION ALL SELECT 'n_chars_consistent', 'error', len FROM doc
+      UNION ALL SELECT 'text_len_ge_60', 'error', floor60 FROM doc
+      UNION ALL SELECT 'text_len_ge_100', 'warn', floor100 FROM doc""",
     // the latency contract over the same parity split: two data batches,
     // phases reported and ordered, no negative durations — the raw
     // milliseconds stay un-oracled (wall-clock is not reproducible)
