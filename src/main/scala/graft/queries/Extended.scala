@@ -256,6 +256,48 @@ object Extended {
         pairs.select(col("da").as("src"), col("db").as("dst")))._1
     }),
 
+    // INCREMENTAL cluster maintenance — the append→maintain composition:
+    // `dedup_minhash_append` surfaces the batch's delta pairs; this query
+    // folds them into the EXISTING cluster state without re-running CC
+    // over the whole graph. Adding edges can only MERGE components, so a
+    // base component untouched by any delta pair keeps its membership and
+    // min-label EXACTLY — only the touched components' edges plus the
+    // delta re-enter the large/small-star iteration (the relabel set is
+    // bounded by the batch's reach, not the corpus). The output is every
+    // clustered doc's (doc_id, cluster_id) — provably equal to the full
+    // dedup_cluster_cc — plus a `recomputed` flag marking the rows the
+    // incremental pass actually touched; the oracle re-derives BOTH
+    // clusterings recursively and the flag from the base clustering, so
+    // hash-matching proves the incremental path exact end to end.
+    "dedup_cluster_cc_incremental" -> ((s, d) => {
+      val pairs = TextOps.minhashPairsShared(s, d)
+      val isA = isIncBatch(col("da"))
+      val isB = isIncBatch(col("db"))
+      val basePairs = pairs.filter(!isA && !isB)
+      val deltaPairs = pairs.filter(isA || isB)
+      val baseLabels = baseCcLabelsShared(s, d)
+      // components the delta reaches (their docs re-enter the iteration)
+      val touched = baseLabels
+        .join(deltaPairs
+          .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct(),
+          Seq("doc_id"))
+        .select(col("cluster_id")).distinct()
+      val touchedDocs = baseLabels.join(broadcast(touched), Seq("cluster_id"))
+        .select(col("doc_id"))
+      // a base pair's endpoints share a component, so pruning on da alone
+      // keeps exactly the touched components' edges
+      val rerunEdges = basePairs
+        .join(broadcast(touchedDocs).withColumnRenamed("doc_id", "da"), Seq("da"))
+        .select(col("da").as("src"), col("db").as("dst"))
+        .unionByName(deltaPairs.select(col("da").as("src"), col("db").as("dst")))
+      val relabeled = connectedComponents(s, rerunEdges)._1
+      baseLabels.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"),
+          lit(false).as("recomputed"))
+        .unionByName(relabeled.select(col("doc_id"), col("cluster_id"),
+          lit(true).as("recomputed")))
+    }),
+
     // The dedup pipeline's last mile: clusters alone don't tell a pipeline
     // WHICH copy to train on. Labels every document (singletons included,
     // via the left join + coalesce) with its cluster, the cluster's
@@ -1436,6 +1478,36 @@ object Extended {
   /** Unpersist and drop every shared label frame belonging to session `s`. */
   def releaseCcLabels(s: SparkSession): Unit = sharedCcLabels.release(s)
 
+  /** The append-batch membership predicate — the SAME md5('inc'||id) % 8
+    * split `dedup_minhash_append` / `dedup_winnowing_append` use, applied
+    * here to cluster state (one hash scheme, one definition per layer).
+    */
+  private[queries] def isIncBatch(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("inc"), c.cast("string"))), 1, 15),
+      16, 10).cast("long") % 8L === 0L
+
+  /** Session-scoped cache of the BASE-corpus converged CC labels — the
+    * cluster state that "already exists" when a batch arrives, exactly
+    * like [[graft.queries.Similarity.knnBaseGraphShared]] for the graph.
+    * Built over the base-base restriction of the shared pair frame (a
+    * band-index pair survives the restriction iff both docs are base, so
+    * no second banding pass is ever run).
+    */
+  private val sharedBaseCcLabels = new SessionFrameCache(4)
+  def baseCcLabelsShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    val pairs = TextOps.minhashPairsShared(s, d)
+    sharedBaseCcLabels.getOrBuild(s, d) {
+      connectedComponents(s,
+        pairs.filter(!isIncBatch(col("da")) && !isIncBatch(col("db")))
+          .select(col("da").as("src"), col("db").as("dst")))._1
+    }
+  }
+
+  /** Unpersist and drop every shared base-label frame of session `s`. */
+  def releaseBaseCcLabels(s: SparkSession): Unit = sharedBaseCcLabels.release(s)
+
   /** Session-scoped cache of the degree-annotated edge list PageRank
     * iterates over (lifecycle: [[SessionFrameCache]] — previously a bare
     * per-invocation `.cache()` that only `catalog.clearCache()` freed).
@@ -1649,6 +1721,47 @@ object Extended {
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
       SELECT node AS doc_id, min(lbl) AS cluster_id
       FROM reach GROUP BY node""",
+    // the oracle re-derives BOTH clusterings from scratch (full graph and
+    // base-base restriction) and the touched set from the base clustering:
+    // hash-matching proves the engine's incremental fold — untouched
+    // components kept verbatim, touched components + delta re-iterated —
+    // equals the full recompute exactly, flags included
+    "dedup_cluster_cc_incremental" -> {
+      def isB(c: String) =
+        s"('0x' || substr(md5('inc' || $c::VARCHAR), 1, 15))::BIGINT % 8 = 0"
+      s"""
+      WITH RECURSIVE pairs AS (${TextOps.minhashPairsSql}),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY node),
+      bpairs AS (SELECT da, db FROM pairs
+                 WHERE NOT ${isB("da")} AND NOT ${isB("db")}),
+      bedges AS (SELECT da AS src, db AS dst FROM bpairs
+                 UNION SELECT db, da FROM bpairs),
+      breach(node, lbl) AS (
+        SELECT src, src FROM bedges
+        UNION
+        SELECT e.dst, r.lbl FROM breach r JOIN bedges e ON e.src = r.node),
+      bcc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+              FROM breach GROUP BY node),
+      ddocs AS (SELECT DISTINCT doc_id FROM (
+                  SELECT da AS doc_id FROM pairs WHERE ${isB("da")} OR ${isB("db")}
+                  UNION ALL
+                  SELECT db FROM pairs WHERE ${isB("da")} OR ${isB("db")})),
+      touched AS (SELECT DISTINCT b.cluster_id
+                  FROM bcc b JOIN ddocs dd ON b.doc_id = dd.doc_id)
+      SELECT cc.doc_id, cc.cluster_id,
+             (t.cluster_id IS NOT NULL OR dd.doc_id IS NOT NULL) AS recomputed
+      FROM cc
+      LEFT JOIN bcc b ON cc.doc_id = b.doc_id
+      LEFT JOIN touched t ON b.cluster_id = t.cluster_id
+      LEFT JOIN ddocs dd ON cc.doc_id = dd.doc_id"""
+    },
     "graph_triangles" -> s"""
       WITH pairs AS (${TextOps.minhashPairsSql}),
       tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c

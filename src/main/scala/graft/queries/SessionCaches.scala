@@ -52,6 +52,7 @@ object SessionCaches {
     TextOps.nearDupPairsShared(s, d)
     TextOps.filterSurvivorsShared(s, d)
     Extended.ccLabelsShared(s, d)
+    Extended.baseCcLabelsShared(s, d)
     Extended.pagerankEdgesShared(s, d)
     TextOps.unigramScoresShared(s, d)
     TextOps.postingsShared(s, d)
@@ -84,6 +85,7 @@ object SessionCaches {
     // label frames are backed by CC checkpoint blocks: release them before
     // the checkpoints so nothing cached ever points at freed lineage
     Extended.releaseCcLabels(s)
+    Extended.releaseBaseCcLabels(s)
     Extended.releasePagerankEdges(s)
     TextOps.releaseUnigramScores(s)
     // df/dl derive from the posting frame: release the derived tables

@@ -616,6 +616,8 @@ class PlanSpec extends SparkSpec {
       "sample_mix_weights", // window over the |langs|-row post-agg frame
       "sample_temperature", // same |langs|-row post-agg window
       "pipeline_train_mix", // same |sources|-row post-agg mix window
+      "pipeline_train_mix_gated", // same |sources|-row post-agg mix window
+                                  // (the gated twin shares the mix tail)
       "sample_balanced_pairs", // same |sources|-row source-index window
       "diag_key_skew",      // window over the 10-row per-partition top-k
       "text_top_tokens",    // rank window over the 100-row TakeOrdered result
