@@ -1653,6 +1653,47 @@ object TextOps {
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
 
+    // LEXICAL-INDEX MAINTENANCE — the text twin of
+    // sim_ivfpq_recompaction, closing the append→fragment→merge loop
+    // stream_postings_ingest opens: half the postings are compacted
+    // first (one file per term bucket), the other half APPENDED into
+    // the same partitionBy(bucket) layout (a second file per touched
+    // bucket — the fragmentation every micro-batch of the streamed
+    // ingest accumulates), then the merge job rewrites one file per
+    // bucket (fragment/merge file counts pinned in CompactionSpec).
+    // The read-back inventory shares text_postings_compaction's oracle
+    // VERBATIM — the maintenance loop loses nothing. At 100 TB this is
+    // the recurring segment merge that keeps a query's term lookups at
+    // one file per bucket no matter how long the ingest has run.
+    "text_postings_recompaction" -> ((s, d) => {
+      import s.implicits._
+      val bucketed = postingsShared(s, d).withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+          % 16).cast("int"))
+      val log = java.nio.file.Files.createTempDirectory("postings-append-log")
+      val merged = java.nio.file.Files.createTempDirectory("postings-recompacted")
+      try {
+        bucketed.filter(col("doc_id") % 2 === 0).repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(log.toString)
+        bucketed.filter(col("doc_id") % 2 === 1).repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(log.toString)
+        s.read.parquet(log.toString)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(merged.toString)
+        // bounded (≤16 rows): collected so the result outlives the temp dirs
+        s.read.parquet(merged.toString)
+          .groupBy(col("bucket").cast("int").as("bucket"))
+          .agg(countDistinct(col("term")).as("n_terms"),
+            count(lit(1)).as("n_postings"), sum(col("tf")).as("n_tokens"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq.toDF("bucket", "n_terms", "n_postings", "n_tokens")
+      } finally {
+        graft.streaming.StagedEvents.deleteRecursively(log)
+        graft.streaming.StagedEvents.deleteRecursively(merged)
+      }
+    }),
+
     // The ZERO-SHUFFLE posting join over the BUCKETED lexical index:
     // the posting table staged `bucketBy(16, term)` (the co-located
     // layout bucketedOrdersCustomer proves for key joins, applied to
@@ -2240,6 +2281,25 @@ object TextOps {
       JOIN szs y ON g.db = y.doc_id"""
   }
 
+  /** The per-bucket posting inventory re-derived from raw text — shared
+    * verbatim by `text_postings_compaction` and
+    * `text_postings_recompaction`: the write→read round trip AND the
+    * append→fragment→merge loop must both land on this one logical table.
+    */
+  private val postingsCompactionSql: String = """
+      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                  FROM documents),
+      tok AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      pb AS (SELECT term, tf,
+                    ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS bucket
+             FROM tf)
+      SELECT CAST(bucket AS INTEGER) AS bucket,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(count(*) AS BIGINT) AS n_postings,
+             CAST(sum(tf) AS BIGINT) AS n_tokens
+      FROM pb GROUP BY 1"""
+
   private val incrementalSql: String = s"""
       WITH $minhashBandCtes,
       fp AS (SELECT doc_id, md5(text) AS fp,
@@ -2813,19 +2873,11 @@ object TextOps {
                   AS INTEGER) AS rank
       FROM sc
       QUALIFY row_number() OVER (PARTITION BY q_doc ORDER BY su DESC, doc_id) <= 5""",
-    "text_postings_compaction" -> """
-      WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-                  FROM documents),
-      tok AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-      pb AS (SELECT term, tf,
-                    ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS bucket
-             FROM tf)
-      SELECT CAST(bucket AS INTEGER) AS bucket,
-             CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
-             CAST(count(*) AS BIGINT) AS n_postings,
-             CAST(sum(tf) AS BIGINT) AS n_tokens
-      FROM pb GROUP BY 1""",
+    "text_postings_compaction" -> postingsCompactionSql,
+    // the SAME logical inventory: the append→fragment→merge loop must
+    // lose nothing, so the merged layout hash-matches the compaction
+    // oracle verbatim (the sim_ivfpq_recompaction shared-oracle rule)
+    "text_postings_recompaction" -> postingsCompactionSql,
     "text_postings_bucketed_join" -> """
       WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
                   FROM documents),

@@ -129,6 +129,53 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("postings append fragments the buckets; re-compaction restores one file each") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    def filesPerBucket(root: java.nio.file.Path): Map[String, Int] = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toVector
+        .groupBy(_.getParent.getFileName.toString)
+        .map { case (b, fs) => b -> fs.size }
+      finally walk.close()
+    }
+    val bucketed = graft.queries.TextOps.postingsShared(spark, sf).withColumn("bucket",
+      (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+        % 16).cast("int"))
+    val log = Files.createTempDirectory("postings-recompaction-log")
+    val merged = Files.createTempDirectory("postings-recompaction-merged")
+    try {
+      bucketed.filter(col("doc_id") % 2 === 0).repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(log.toString)
+      bucketed.filter(col("doc_id") % 2 === 1).repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(log.toString)
+      // the append left at least one bucket fragmented
+      assert(filesPerBucket(log).values.max >= 2, filesPerBucket(log).toString)
+
+      spark.read.parquet(log.toString)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(merged.toString)
+      val after = filesPerBucket(merged)
+      assert(after.nonEmpty && after.values.forall(_ === 1), after.toString)
+
+      // and the merge lost nothing: same (bucket, doc_id, term, tf) set
+      val before = bucketed
+        .select(col("bucket").cast("long"), col("doc_id"), col("term"),
+          col("tf").cast("long"))
+        .collect().map(_.toString).sorted.toSeq
+      val read = spark.read.parquet(merged.toString)
+        .select(col("bucket").cast("long"), col("doc_id"), col("term"),
+          col("tf").cast("long"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(read === before)
+    } finally {
+      graft.streaming.StagedEvents.deleteRecursively(log)
+      graft.streaming.StagedEvents.deleteRecursively(merged)
+    }
+  }
+
   test("term-posting buckets: probe terms' buckets read without opening the rest") {
     import org.apache.spark.sql.functions.{conv, md5, substring}
     val dir = Files.createTempDirectory("postings-compaction-spec")
