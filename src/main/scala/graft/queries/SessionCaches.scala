@@ -69,6 +69,7 @@ object SessionCaches {
     Similarity.hybridLegsShared(s, d)
     Similarity.knnGraphShared(s, d)
     Similarity.knnBaseGraphShared(s, d)
+    Similarity.knnIncGraphShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)

@@ -2920,39 +2920,9 @@ object Similarity {
     // the number an index-maintenance job alarms on.
     "sim_knn_graph_incremental" -> ((s, d) => {
       val vecs = ivfBase(s, d)
-      val base = knnBaseGraphShared(s, d).select(col("vec_id"), col("nbr"))
       val full = knnGraphShared(s, d).filter(col("iter") === KnnIters)
         .select(col("vec_id"), col("nbr"))
-      // (1) new-node seeds: in-block mates under both salts, current corpus
-      def seedPairs(salt: String): DataFrame = {
-        val b = vecs.select(col("vec_id"),
-          (conv(substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % KnnBlocks).as("blk"))
-        b.filter(knnBatchPred).select(col("vec_id"), col("blk"))
-          .join(b.select(col("vec_id").as("nbr"), col("blk")), Seq("blk"))
-          .filter(col("vec_id") =!= col("nbr"))
-          .select(col("vec_id"), col("nbr"))
-      }
-      val n0 = knnRank(seedPairs("b1").union(seedPairs("b2")).distinct(), vecs)
-        .select(col("vec_id"), col("nbr"))
-      // (2) one search hop through the base graph + re-rank
-      val hop = n0
-        .join(base.select(col("vec_id").as("nbr"), col("nbr").as("nbr2")), Seq("nbr"))
-        .select(col("vec_id"), col("nbr2").as("nbr"))
-        .filter(col("vec_id") =!= col("nbr"))
-      val n1 = knnRank(n0.union(hop).distinct(), vecs)
-        .select(col("vec_id"), col("nbr"))
-      // (3) affected base neighborhoods: old edges ∪ reverse new edges
-      val newIds = vecs.filter(knnBatchPred).select(col("vec_id"))
-      val aff = n1.select(col("nbr").as("vec_id")).distinct()
-        .join(newIds, Seq("vec_id"), "left_anti")
-      val affCand = base.join(aff, Seq("vec_id"))
-        .union(n1.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
-          .join(aff, Seq("vec_id")))
-        .distinct()
-      val ga = knnRank(affCand, vecs).select(col("vec_id"), col("nbr"))
-      val ginc = base.join(aff, Seq("vec_id"), "left_anti")
-        .unionByName(ga).unionByName(n1)
+      val (ginc, aff) = knnIncInsert(s, d)
       // cohort labels + recall vs the from-scratch rebuild
       val cohorts = vecs.select(col("vec_id"), knnBatchPred.as("nw"))
         .join(aff.select(col("vec_id"), lit(true).as("af")), Seq("vec_id"), "left")
@@ -3110,6 +3080,67 @@ object Similarity {
       }
       cells.flatten.reduce(_ unionByName _)
     }),
+
+    // SERVE FROM THE MAINTAINED GRAPH — the end-to-end proof the
+    // incremental maintenance loop preserves the READ path, not just
+    // edge recall: the identical beam walk (B=8, 3 rounds) runs over
+    // the from-scratch rebuild AND over the maintained graph the insert
+    // left behind (the session-shared index state a serving tier
+    // actually holds between rebuilds), each answer set scored against
+    // the exact cosine top-5, plus the direct agreement between the two
+    // answer sets. If maintenance degraded the walk topology — dead
+    // ends where the repair skipped a neighborhood — it shows up HERE
+    // first, as served-recall drift the per-cohort edge metric can
+    // average away; this is the number an index-maintenance job pages
+    // on before scheduling the full rebuild.
+    "sim_knn_graph_serve_maintained" -> ((s, d) => {
+      val vecs = ivfBase(s, d)
+      val full = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      val ginc = knnIncGraphShared(s, d)
+      val probes = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      def score(cand: DataFrame): DataFrame =
+        cand
+          .join(vecs.select(col("vec_id").as("cand"), col("v"), col("nrm")), Seq("cand"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("cand"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      val wB = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+      def walkTop5(g: DataFrame): DataFrame = {
+        var beam = probes.select(col("q_id"), col("q_id").as("cand"))
+        var visited: DataFrame = null
+        for (_ <- 1 to 3) {
+          val expand = beam
+            .join(g.select(col("vec_id").as("cand"), col("nbr")), Seq("cand"))
+            .select(col("q_id"), col("nbr").as("cand"))
+            .filter(col("cand") =!= col("q_id"))
+            .distinct()
+          val scored = score(expand)
+          visited =
+            if (visited == null) scored
+            else visited.unionByName(scored).distinct()
+          beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
+            .select(col("q_id"), col("cand"))
+        }
+        visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 5)
+          .select(col("q_id"), col("cand"))
+      }
+      val exact = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("r", row_number().over(wB)).filter(col("r") <= 5)
+        .select(col("q_id"), col("cand"))
+      val f5 = walkTop5(full)
+      val m5 = walkTop5(ginc)
+      def row(tag: String, hits: DataFrame): DataFrame =
+        hits.agg(count(lit(1)).as("n_hits"))
+          .select(lit(tag).as("variant"), col("n_hits"),
+            round(col("n_hits") / 50.0, 6).as("frac"))
+      row("rebuilt", f5.join(exact, Seq("q_id", "cand")))
+        .unionByName(row("maintained", m5.join(exact, Seq("q_id", "cand"))))
+        .unionByName(row("agreement", f5.join(m5, Seq("q_id", "cand"))))
+    }),
   )
 
   /** Neighbors kept per node, md5 init blocks, and expansion rounds of the
@@ -3170,6 +3201,62 @@ object Similarity {
         .filter(col("iter") === KnnIters)
         .select(col("vec_id"), col("nbr"), col("rank"), col("cos"))
     }
+
+  /** The three-step incremental insert of the batch vectors into the
+    * base graph — extracted so `sim_knn_graph_incremental` (the oracled
+    * maintenance job, uncached: its benched cost IS the insert) and the
+    * session-shared maintained graph [[knnIncGraphShared]] (what the
+    * serving reads) run the identical steps. Returns (maintained graph
+    * edges, affected base-node ids).
+    */
+  private def knnIncInsert(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val vecs = ivfBase(s, d)
+    val base = knnBaseGraphShared(s, d).select(col("vec_id"), col("nbr"))
+    // (1) new-node seeds: in-block mates under both salts, current corpus
+    def seedPairs(salt: String): DataFrame = {
+      val b = vecs.select(col("vec_id"),
+        (conv(substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % KnnBlocks).as("blk"))
+      b.filter(knnBatchPred).select(col("vec_id"), col("blk"))
+        .join(b.select(col("vec_id").as("nbr"), col("blk")), Seq("blk"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .select(col("vec_id"), col("nbr"))
+    }
+    val n0 = knnRank(seedPairs("b1").union(seedPairs("b2")).distinct(), vecs)
+      .select(col("vec_id"), col("nbr"))
+    // (2) one search hop through the base graph + re-rank
+    val hop = n0
+      .join(base.select(col("vec_id").as("nbr"), col("nbr").as("nbr2")), Seq("nbr"))
+      .select(col("vec_id"), col("nbr2").as("nbr"))
+      .filter(col("vec_id") =!= col("nbr"))
+    val n1 = knnRank(n0.union(hop).distinct(), vecs)
+      .select(col("vec_id"), col("nbr"))
+    // (3) affected base neighborhoods: old edges ∪ reverse new edges
+    val newIds = vecs.filter(knnBatchPred).select(col("vec_id"))
+    val aff = n1.select(col("nbr").as("vec_id")).distinct()
+      .join(newIds, Seq("vec_id"), "left_anti")
+    val affCand = base.join(aff, Seq("vec_id"))
+      .union(n1.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
+        .join(aff, Seq("vec_id")))
+      .distinct()
+    val ga = knnRank(affCand, vecs).select(col("vec_id"), col("nbr"))
+    val ginc = base.join(aff, Seq("vec_id"), "left_anti")
+      .unionByName(ga).unionByName(n1)
+    (ginc, aff)
+  }
+
+  /** Session-scoped cache of the MAINTAINED graph — the edge list the
+    * incremental insert leaves behind, i.e. the index state a serving
+    * tier actually reads between rebuilds. The serve-path comparison
+    * starts here; `sim_knn_graph_incremental` itself stays uncached (it
+    * IS the oracled maintenance job, the ccLabelsShared convention).
+    */
+  private val sharedKnnInc = new SessionFrameCache(4)
+  def knnIncGraphShared(s: SparkSession, d: String): DataFrame = {
+    // parents materialized OUTSIDE this cache's monitor (lock discipline)
+    knnBaseGraphShared(s, d)
+    sharedKnnInc.getOrBuild(s, d)(knnIncInsert(s, d)._1)
+  }
 
   /** One full NN-Descent history build over `vecs` — shared by the
     * full-corpus frame and the base-only frame. Returns the checkpointed
@@ -3243,6 +3330,7 @@ object Similarity {
     * cannot be re-executed — checkpoint lineage is truncated).
     */
   def releaseKnnGraph(s: SparkSession): Unit = {
+    sharedKnnInc.release(s) // derives from the base graph: derived first
     sharedKnnGraph.release(s)
     sharedKnnBase.release(s)
     liveKnnCheckpoints.synchronized {
@@ -3746,12 +3834,45 @@ object Similarity {
 
   private def knnOracleCtes: String = knnChainCtes("", "")
 
+  /** The three-step incremental-insert CTE block — the SQL twin of
+    * [[knnIncInsert]], shared by the incremental metric and the
+    * serve-path comparison so the maintained graph has exactly one
+    * replay. Expects the base chain (`bg\$KnnIters`) and the full vector
+    * CTE `c` in scope; leaves `ginc(vec_id, nbr)` defined.
+    */
+  private def knnIncInsertCtes: String = s"""
+      newv AS (SELECT vec_id FROM c WHERE $knnBatchSql),
+      base AS (SELECT vec_id, nbr FROM bg$KnnIters),
+      seeds AS (SELECT DISTINCT a.vec_id, e.vec_id AS nbr
+                FROM blk a JOIN blk e
+                  ON (a.b1 = e.b1 OR a.b2 = e.b2) AND a.vec_id <> e.vec_id
+                WHERE a.vec_id IN (SELECT vec_id FROM newv)),
+      n0 AS MATERIALIZED (${knnRankSql("seeds", "c")}),
+      icand AS (SELECT DISTINCT vec_id, nbr FROM (
+          SELECT vec_id, nbr FROM n0
+          UNION ALL SELECT n0.vec_id, b.nbr FROM n0 JOIN base b ON n0.nbr = b.vec_id
+                    WHERE n0.vec_id <> b.nbr)),
+      n1 AS MATERIALIZED (${knnRankSql("icand", "c")}),
+      aff AS MATERIALIZED (SELECT DISTINCT nbr AS vec_id FROM n1
+             WHERE nbr NOT IN (SELECT vec_id FROM newv)),
+      affcand AS (SELECT DISTINCT vec_id, nbr FROM (
+          SELECT b.vec_id, b.nbr FROM base b JOIN aff ON b.vec_id = aff.vec_id
+          UNION ALL SELECT n1.nbr AS vec_id, n1.vec_id AS nbr
+                    FROM n1 JOIN aff ON n1.nbr = aff.vec_id)),
+      ga AS MATERIALIZED (${knnRankSql("affcand", "c")}),
+      ginc AS MATERIALIZED (
+          SELECT vec_id, nbr FROM base
+          WHERE vec_id NOT IN (SELECT vec_id FROM aff)
+          UNION ALL SELECT vec_id, nbr FROM ga
+          UNION ALL SELECT vec_id, nbr FROM n1)"""
+
   /** The unrolled beam-walk CTEs (3 rounds, beam width `b`), every name
     * prefixed `pfx` so several widths coexist in one WITH. Expects
-    * `${pfx}beam0(q_id, cand)`, `ge(vec_id, nbr)`, `qs(q_id, qv, qn)`,
-    * and the vector CTE `c` to be defined by the caller.
+    * `${pfx}beam0(q_id, cand)`, the graph CTE `ge(vec_id, nbr)` (name
+    * overridable so one WITH can walk several graphs), `qs(q_id, qv,
+    * qn)`, and the vector CTE `c` to be defined by the caller.
     */
-  private def beamWalkCtes(pfx: String, b: Int): String =
+  private def beamWalkCtes(pfx: String, b: Int, ge: String = "ge"): String =
     (1 to 3).map { r =>
       val prevBeam = s"${pfx}beam${r - 1}"
       val visPrev =
@@ -3759,7 +3880,7 @@ object Similarity {
         else s"SELECT q_id, cand, cos FROM ${pfx}vis${r - 1} UNION ALL "
       s""",
       ${pfx}exp$r AS (SELECT DISTINCT b.q_id, e.nbr AS cand
-                FROM $prevBeam b JOIN ge e ON e.vec_id = b.cand
+                FROM $prevBeam b JOIN $ge e ON e.vec_id = b.cand
                 WHERE e.nbr <> b.q_id),
       ${pfx}sc$r AS (SELECT x.q_id, x.cand,
                       round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) AS cos
@@ -3898,30 +4019,7 @@ object Similarity {
     // all replayed CTE for CTE
     "sim_knn_graph_incremental" -> s"""
       WITH $knnOracleCtes,${knnChainCtes("b", s"WHERE NOT ($knnBatchSql)")},
-      newv AS (SELECT vec_id FROM c WHERE $knnBatchSql),
-      base AS (SELECT vec_id, nbr FROM bg$KnnIters),
-      seeds AS (SELECT DISTINCT a.vec_id, e.vec_id AS nbr
-                FROM blk a JOIN blk e
-                  ON (a.b1 = e.b1 OR a.b2 = e.b2) AND a.vec_id <> e.vec_id
-                WHERE a.vec_id IN (SELECT vec_id FROM newv)),
-      n0 AS MATERIALIZED (${knnRankSql("seeds", "c")}),
-      icand AS (SELECT DISTINCT vec_id, nbr FROM (
-          SELECT vec_id, nbr FROM n0
-          UNION ALL SELECT n0.vec_id, b.nbr FROM n0 JOIN base b ON n0.nbr = b.vec_id
-                    WHERE n0.vec_id <> b.nbr)),
-      n1 AS MATERIALIZED (${knnRankSql("icand", "c")}),
-      aff AS MATERIALIZED (SELECT DISTINCT nbr AS vec_id FROM n1
-             WHERE nbr NOT IN (SELECT vec_id FROM newv)),
-      affcand AS (SELECT DISTINCT vec_id, nbr FROM (
-          SELECT b.vec_id, b.nbr FROM base b JOIN aff ON b.vec_id = aff.vec_id
-          UNION ALL SELECT n1.nbr AS vec_id, n1.vec_id AS nbr
-                    FROM n1 JOIN aff ON n1.nbr = aff.vec_id)),
-      ga AS MATERIALIZED (${knnRankSql("affcand", "c")}),
-      ginc AS MATERIALIZED (
-          SELECT vec_id, nbr FROM base
-          WHERE vec_id NOT IN (SELECT vec_id FROM aff)
-          UNION ALL SELECT vec_id, nbr FROM ga
-          UNION ALL SELECT vec_id, nbr FROM n1),
+      $knnIncInsertCtes,
       fulle AS (SELECT vec_id, nbr FROM g$KnnIters),
       cohorts AS MATERIALIZED (
           SELECT c.vec_id,
@@ -3955,6 +4053,40 @@ object Similarity {
              round((SELECT count(*) FROM ginc g JOIN fulle f
                     ON g.vec_id = f.vec_id AND g.nbr = f.nbr)
                    / (SELECT count(*) FROM fulle), 6)""",
+    // sim_knn_graph_serve_maintained: the identical B=8 walk replayed
+    // over BOTH graphs — the rebuild chain and the insert chain — each
+    // answer set scored against the exact top-5, plus their agreement
+    "sim_knn_graph_serve_maintained" -> s"""
+      WITH $knnOracleCtes,${knnChainCtes("b", s"WHERE NOT ($knnBatchSql)")},
+      $knnIncInsertCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      gi AS MATERIALIZED (SELECT vec_id, nbr FROM ginc),
+      qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
+      exact AS MATERIALIZED (SELECT q_id, cand FROM (
+          SELECT p.q_id, x.vec_id AS cand,
+                 row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY round(list_dot_product(p.qv, x.v) / (p.qn * x.nrm), 6)
+                     DESC, x.vec_id) AS rn
+          FROM qs p JOIN c x ON x.vec_id <> p.q_id) WHERE rn <= 5),
+      fbeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("f", 8, "ge")},
+      mbeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("m", 8, "gi")},
+      f5 AS (SELECT q_id, cand FROM (
+          SELECT q_id, cand,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rk
+          FROM fvis3) WHERE rk <= 5),
+      m5 AS (SELECT q_id, cand FROM (
+          SELECT q_id, cand,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rk
+          FROM mvis3) WHERE rk <= 5)
+      SELECT 'rebuilt' AS variant, CAST(count(*) AS BIGINT) AS n_hits,
+             round(count(*) / 50.0, 6) AS frac
+      FROM f5 t JOIN exact e ON t.q_id = e.q_id AND t.cand = e.cand
+      UNION ALL
+      SELECT 'maintained', CAST(count(*) AS BIGINT), round(count(*) / 50.0, 6)
+      FROM m5 t JOIN exact e ON t.q_id = e.q_id AND t.cand = e.cand
+      UNION ALL
+      SELECT 'agreement', CAST(count(*) AS BIGINT), round(count(*) / 50.0, 6)
+      FROM f5 t JOIN m5 e ON t.q_id = e.q_id AND t.cand = e.cand""",
     "arr_stats" -> """
       SELECT vec_id,
              round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,

@@ -586,7 +586,10 @@ class PlanSpec extends SparkSpec {
       // the beam-sweep's exact ground-truth leg is the declared
       // broadcast-probe brute-force baseline class; the walks themselves
       // are all equi-joins
-      "sim_knn_graph_search_sweep")
+      "sim_knn_graph_search_sweep",
+      // the serve-path comparison shares the sweep's exact ground-truth
+      // leg (broadcast-probe baseline); both walks are all equi-joins
+      "sim_knn_graph_serve_maintained")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
