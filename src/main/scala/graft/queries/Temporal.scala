@@ -568,6 +568,15 @@ object Temporal {
     "stream_expectations" -> ((s, d) =>
       graft.streaming.StreamExpectations.verdicts(s, d)),
 
+    // The WRITE side of edge expectations: violating rows routed to a
+    // partitionBy(check_name) quarantine sink appended per micro-batch
+    // (a stateless explode-violated-entries projection — no state, no
+    // shuffle); the read-back audit must equal the batch
+    // diag_quarantine documents rows — arrival batching changes nothing
+    // about what gets routed.
+    "stream_quarantine" -> ((s, d) =>
+      graft.streaming.StreamQuarantine.audit(s, d)),
+
     // The serving path's per-batch LATENCY counters off
     // StreamingQueryProgress — raw milliseconds are un-oracle-able by
     // design (wall-clock), so the oracled surface is the timing contract:
@@ -1112,6 +1121,25 @@ object Temporal {
       UNION ALL SELECT 'n_chars_consistent', 'error', len FROM doc
       UNION ALL SELECT 'text_len_ge_60', 'error', floor60 FROM doc
       UNION ALL SELECT 'text_len_ge_100', 'warn', floor100 FROM doc""",
+    // the streamed quarantine audit = diag_quarantine's documents rows,
+    // re-derived from the raw table (same predicates, same audit shape)
+    "stream_quarantine" -> """
+      WITH q AS (
+        SELECT doc_id::VARCHAR AS row_key,
+               'text_nonblank' AS check_name, 'error' AS severity
+        FROM documents WHERE text IS NULL OR trim(text) = ''
+        UNION ALL
+        SELECT doc_id::VARCHAR, 'n_chars_consistent', 'error'
+        FROM documents WHERE n_chars <> length(text)
+        UNION ALL
+        SELECT doc_id::VARCHAR, 'text_len_ge_60', 'error'
+        FROM documents WHERE n_chars < 60
+        UNION ALL
+        SELECT doc_id::VARCHAR, 'text_len_ge_100', 'warn'
+        FROM documents WHERE n_chars < 100)
+      SELECT check_name, severity, CAST(count(*) AS BIGINT) AS n_rows,
+             min(row_key) AS min_key, max(row_key) AS max_key
+      FROM q GROUP BY 1, 2""",
     // the latency contract over the same parity split: two data batches,
     // phases reported and ordered, no negative durations — the raw
     // milliseconds stay un-oracled (wall-clock is not reproducible)

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The streamed quarantine's two contracts beyond its DuckDB oracle:
+  * the audit cross-pins the BATCH quarantine's documents rows (detect
+  * and route agree check for check), and the routed counts equal the
+  * cumulative edge-expectation verdicts (the detect→route closure —
+  * what the counters alarm on is exactly what landed in the sink).
+  */
+class StreamQuarantineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streamed quarantine audit equals the batch quarantine's documents rows") {
+    val streamed = StreamQuarantine.audit(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.SparkEntry.queries("diag_quarantine")(spark, sf)
+      .filter(col("tbl") === "documents")
+      .select(col("check_name"), col("severity"), col("n_rows"),
+        col("min_key"), col("max_key"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "quarantine vacuously empty at fixture scale")
+  }
+
+  test("routed row counts equal the edge-expectation verdict counters") {
+    val routed = StreamQuarantine.audit(spark, sf)
+      .select(col("check_name"), col("n_rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val verdicts = StreamExpectations.verdicts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    verdicts.foreach { case (check, n) =>
+      assert(routed.getOrElse(check, 0L) === n,
+        s"$check: routed ${routed.getOrElse(check, 0L)} vs verdict $n")
+    }
+  }
+}
