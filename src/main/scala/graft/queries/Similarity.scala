@@ -2983,6 +2983,43 @@ object Similarity {
       } finally graft.streaming.StagedEvents.deleteRecursively(dir)
     }),
 
+    // The MERGE-DECISION metric for the graph layout — the graph twin of
+    // sim_ivfpq_frag_trigger: four mod-4 slices of the final adjacency
+    // appended into the partitionBy(blk) serving layout in sequence
+    // (each append writes ≤1 file per touched block — the
+    // repartition(blk) guarantee), the PHYSICAL block/file counts read
+    // off the directory after every batch, and merge_due firing past the
+    // 2× fragmentation watermark — the poll that schedules the layout's
+    // recompaction between incremental inserts. The oracle re-derives
+    // the counts LOGICALLY from distinct (blk, batch) pairs over the
+    // generated build chain, so directory state hash-matching SQL pins
+    // that the layout contains exactly what the write protocol predicts.
+    "sim_knn_graph_frag_trigger" -> ((s, d) => {
+      import s.implicits._
+      val blk = (conv(substring(
+        md5(concat(lit("b1"), col("vec_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % KnnBlocks).as("blk")
+      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"), blk)
+      val dir = java.nio.file.Files.createTempDirectory("knn-frag-log")
+      try {
+        val rows = (0 until 4).map { b =>
+          g.filter(col("vec_id") % 4 === b).repartition(col("blk"))
+            .write.mode(if (b == 0) "overwrite" else "append")
+            .partitionBy("blk").parquet(dir.toString)
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(dir)
+          val files =
+            try walk.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toVector
+            finally walk.close()
+          val blocks = files.map(_.getParent.getFileName.toString).distinct.size
+          (b, blocks.toLong, files.size.toLong, files.size > 2L * blocks)
+        }
+        rows.toDF("batch", "n_blocks", "n_files", "merge_due")
+      } finally graft.streaming.StagedEvents.deleteRecursively(dir)
+    }),
+
     // SERVED GRAPH TRAVERSAL — greedy beam search over the kNN graph,
     // the query-time half of the graph-ANN story (the HNSW/NSG read path
     // in its flat one-layer form): start at the probe's own node, expand
@@ -4014,6 +4051,23 @@ object Similarity {
              CAST(count(DISTINCT g.vec_id) AS BIGINT) AS n_nodes,
              CAST(count(*) AS BIGINT) AS n_edges
       FROM g$KnnIters g GROUP BY 1""",
+    // sim_knn_graph_frag_trigger: the expected directory counts derived
+    // logically — files after batch k = distinct (blk, batch≤k) pairs,
+    // because each append writes exactly one file per touched block
+    "sim_knn_graph_frag_trigger" -> s"""
+      WITH $knnOracleCtes,
+      gb AS (SELECT DISTINCT
+                    ('0x' || substr(md5('b1' || vec_id::VARCHAR), 1, 15))::BIGINT
+                      % $KnnBlocks AS blk,
+                    vec_id % 4 AS b
+             FROM g$KnnIters),
+      fk(k) AS (VALUES (0), (1), (2), (3))
+      SELECT CAST(k AS INTEGER) AS batch,
+             CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+             CAST(count(*) AS BIGINT) AS n_files,
+             count(*) > 2 * count(DISTINCT blk) AS merge_due
+      FROM fk JOIN gb ON gb.b <= fk.k
+      GROUP BY 1""",
     // sim_knn_graph_incremental: base build (batch excluded) + the
     // three-step insert + the cohort comparison against the full chain,
     // all replayed CTE for CTE

@@ -16,6 +16,41 @@ object Temporal {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+
+    // INCREMENTAL AGGREGATE MAINTENANCE — the generic
+    // incremental-view-maintenance pattern a21_hll_partial_merge proves
+    // for sketches, landed for plain aggregates: a materialized per-key
+    // aggregate (the state a dashboard table already holds) absorbs an
+    // appended slice by MERGING the slice's partial aggregate — counts
+    // and sums add, min/max take least/greatest — and derived metrics
+    // (the mean) are formed from the MERGED primitives, never by
+    // averaging averages (the classic IVM mistake this query's oracle
+    // would catch). The history is never rescanned: the slice's partial
+    // is the only new scan work, which at 100 TB is the difference
+    // between a minutes-per-load rollup refresh and a nightly full
+    // re-aggregation. Hash-matching DuckDB's single-pass re-scan of the
+    // whole table IS the merge-algebra proof.
+    "agg_incremental_merge" -> ((s, d) => {
+      val ev = events(s, d).select(
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // deterministic append slice (~1/8): the load that just arrived
+      val isNew = col("event_id") % 8 === 0
+      def partial(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val state = partial(ev.filter(!isNew)) // the pre-existing rollup
+      val delta = partial(ev.filter(isNew))  // only the slice is aggregated
+      state.unionByName(delta)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .select(col("day"), col("event_type"), col("n"), col("sum_cents"),
+          col("min_cents"), col("max_cents"),
+          round(col("sum_cents") / col("n") / 100.0, 6).as("avg_value"))
+    }),
     // J8: as-of interpolation join. Probes = 'purchase' events, curve =
     // ('view' ts, value) pairs. Instead of a non-equi join (quadratic), the
     // curve and probes are merged into one ordered stream and bracketed with
@@ -852,6 +887,19 @@ object Temporal {
       FROM v"""
 
   val oracle: Map[String, String] = Map(
+    // the merged state must equal a single-pass re-scan of the whole
+    // table — the incremental merge algebra's correctness contract
+    "agg_incremental_merge" -> """
+      WITH e AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                        event_type,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT day, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(cents) AS min_cents, max(cents) AS max_cents,
+             round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS avg_value
+      FROM e GROUP BY 1, 2""",
     "w13_time_weighted_avg" -> """
       WITH e AS (SELECT user_id, event_id,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us,

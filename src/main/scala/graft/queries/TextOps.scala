@@ -1381,6 +1381,50 @@ object TextOps {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // The mix's LAST mile: the docs the gated mix actually KEEPS, packed
+    // into 512-token training sequences per source (the pack_sequences
+    // planner applied to the training set, not the raw corpus) — per
+    // source the kept docs/tokens, the number of 512-token bins the
+    // source fills ((Σtoks+511) div 512 — the count a data loader
+    // provisions by), and the docs straddling a bin boundary. Selection
+    // is the SAME severity gate + md5-bucket threshold as
+    // pipeline_train_mix_gated (shared SQL CTEs — one definition of
+    // "kept"); the packing cumsum is KEYED by source, so the sort shards
+    // per key (the pack_sequences discipline — no global funnel).
+    "pipeline_mix_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keep = filterSurvivorsShared(s, d)
+      val surv = documents(s, d).join(keep, Seq("doc_id"))
+        .filter(col("n_chars") >= 60)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("toks"))
+      val counts = surv.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val thr = counts
+        .withColumn("n_total", sum(col("n_docs")).over(wAll))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .select(col("source"),
+          least(lit(10000L),
+            expr("(10000 * n_total) div (k * n_docs)")).as("thr"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+      val kept = surv.withColumn("b", bucket)
+        .join(broadcast(thr), "source").filter(col("b") < col("thr"))
+        .withColumn("ord", md5(col("doc_id").cast("string")))
+      val wp = Window.partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val placed = kept
+        .withColumn("start", coalesce(sum(col("toks")).over(wp), lit(0L)))
+      placed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("toks")).as("n_tokens_kept"),
+          expr("(sum(toks) + 511) div 512").as("n_bins"),
+          sum(when(expr("(start + toks - 1) div 512") > expr("start div 512"), 1L)
+            .otherwise(0L)).as("n_crossing"))
+    }),
+
     // Edit-distance verification of the near-dup candidates — the exact
     // second stage a production dedup pipeline runs AFTER banding: LSH
     // recalls candidates, Levenshtein confirms them (MinHash Jaccard can
@@ -2281,6 +2325,42 @@ object TextOps {
       JOIN szs y ON g.db = y.doc_id"""
   }
 
+  /** The gated-mix selection chain — near-dup/quality/langid keep set,
+    * severity-gated survivors, per-source counts, and the mix thresholds
+    * — shared verbatim by `pipeline_train_mix_gated` and
+    * `pipeline_mix_packing`, so "the training set under the mix" has
+    * exactly one SQL definition.
+    */
+  private lazy val gatedMixCtes: String = s"""
+      neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
+      quality AS (SELECT doc_id FROM documents
+                  WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          / CAST(length(text) AS DOUBLE), 6) >= 0.81),
+      english AS (SELECT doc_id
+                  FROM (${graft.functions.LangId.langIdSql})
+                  WHERE lang_pred = 'en'),
+      keep AS (SELECT q.doc_id FROM quality q
+               JOIN english e ON q.doc_id = e.doc_id
+               WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)),
+      stok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks
+               FROM (SELECT doc_id,
+                            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                     FROM documents) u
+               WHERE length(t) > 0 GROUP BY doc_id),
+      surv AS (SELECT d.doc_id, d.source, coalesce(s.toks, 0) AS toks,
+                      CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END AS warned
+               FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+               LEFT JOIN stok s ON d.doc_id = s.doc_id
+               WHERE d.n_chars >= 60),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(warned) AS BIGINT) AS n_warn
+            FROM surv GROUP BY source),
+      t AS (SELECT source, n_docs, n_tokens, n_warn,
+                   CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
+                                     // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
+            FROM c)"""
+
   /** The per-bucket posting inventory re-derived from raw text — shared
     * verbatim by `text_postings_compaction` and
     * `text_postings_recompaction`: the write→read round trip AND the
@@ -3006,40 +3086,34 @@ object TextOps {
     // expectation suite's documents policy applied — error floor
     // excluded, warn floor counted per source
     "pipeline_train_mix_gated" -> s"""
-      WITH neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
-      quality AS (SELECT doc_id FROM documents
-                  WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                          / CAST(length(text) AS DOUBLE), 6) >= 0.81),
-      english AS (SELECT doc_id
-                  FROM (${graft.functions.LangId.langIdSql})
-                  WHERE lang_pred = 'en'),
-      keep AS (SELECT q.doc_id FROM quality q
-               JOIN english e ON q.doc_id = e.doc_id
-               WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)),
-      stok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks
-               FROM (SELECT doc_id,
-                            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-                     FROM documents) u
-               WHERE length(t) > 0 GROUP BY doc_id),
-      surv AS (SELECT d.doc_id, d.source, coalesce(s.toks, 0) AS toks,
-                      CASE WHEN d.n_chars < 100 THEN 1 ELSE 0 END AS warned
-               FROM documents d JOIN keep k ON d.doc_id = k.doc_id
-               LEFT JOIN stok s ON d.doc_id = s.doc_id
-               WHERE d.n_chars >= 60),
-      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(toks) AS BIGINT) AS n_tokens,
-                   CAST(sum(warned) AS BIGINT) AS n_warn
-            FROM surv GROUP BY source),
-      t AS (SELECT source, n_docs, n_tokens, n_warn,
-                   CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
-                                     // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
-            FROM c)
+      WITH $gatedMixCtes
       SELECT t.source, t.n_docs, t.n_tokens, t.n_warn, t.thr,
              CAST(sum(CASE WHEN ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
                                 % 10000 < t.thr
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM surv s JOIN t ON s.source = t.source
       GROUP BY 1, 2, 3, 4, 5""",
+    // the packed training set under the SAME gated-mix selection — the
+    // shared CTE chain guarantees the two oracles can never disagree on
+    // what "kept" means
+    "pipeline_mix_packing" -> s"""
+      WITH $gatedMixCtes,
+      kept AS (SELECT s.doc_id, s.source, s.toks, md5(s.doc_id::VARCHAR) AS ord
+               FROM surv s JOIN t ON s.source = t.source
+               WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 10000 < t.thr),
+      placed AS (SELECT source, toks,
+                        CAST(coalesce(sum(toks) OVER (PARTITION BY source
+                          ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS start
+                 FROM kept)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+             CAST(sum(toks) AS BIGINT) AS n_tokens_kept,
+             CAST((sum(toks) + 511) // 512 AS BIGINT) AS n_bins,
+             CAST(sum(CASE WHEN (start + toks - 1) // 512 > start // 512
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+      FROM placed GROUP BY source""",
     "text_quality_auc" -> """
       WITH f AS (
         SELECT source,

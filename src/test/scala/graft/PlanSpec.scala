@@ -621,6 +621,8 @@ class PlanSpec extends SparkSpec {
       "pipeline_train_mix", // same |sources|-row post-agg mix window
       "pipeline_train_mix_gated", // same |sources|-row post-agg mix window
                                   // (the gated twin shares the mix tail)
+      "pipeline_mix_packing", // same |sources|-row threshold window; the
+                              // packing cumsum itself is keyed by source
       "sample_balanced_pairs", // same |sources|-row source-index window
       "diag_key_skew",      // window over the 10-row per-partition top-k
       "text_top_tokens",    // rank window over the 100-row TakeOrdered result
