@@ -51,6 +51,62 @@ object Temporal {
           col("min_cents"), col("max_cents"),
           round(col("sum_cents") / col("n") / 100.0, 6).as("avg_value"))
     }),
+
+    // QUARANTINE-AWARE INCREMENTAL ROLLUP — agg_incremental_merge composed
+    // with the expectation gate (diag_expectations' documents checks): the
+    // slice's partial aggregate is computed ONLY over rows passing the
+    // error-severity checks, error rows are excluded from the merge and
+    // counted to a side column, and warn rows are kept but counted — the
+    // dbt-severity contract applied to IVM. The per-row verdicts ride the
+    // SAME conditional-sum scan that computes the partial (flags are
+    // expressions, not a second pass or a join against the quarantine
+    // table), so at 100 TB the per-load refresh still scans only the
+    // appended slice and the rollup is self-auditing: the dashboard number
+    // and its excluded-row count move together, load over load. Merge
+    // algebra is unchanged — conditional counts/sums add, min/max take
+    // least/greatest (a partial whose every row was quarantined carries
+    // NULL min/max and the merge ignores it) — and the hash-match against
+    // DuckDB's single-pass gated re-scan proves gating commutes with the
+    // merge. Severity predicates are verbatim diag_quarantine's documents
+    // set, so each source's n_quarantined here cross-pins that query's
+    // per-check routed counts.
+    "agg_incremental_merge_gated" -> ((s, d) => {
+      val doc = documents(s, d).select(
+        col("source"), col("doc_id"), col("n_chars"),
+        // error severity: the hard gate (blank text, inconsistent length,
+        // sub-60-char floor — all fire on real rows at every test scale)
+        (col("text").isNull || trim(col("text")) === "" ||
+          col("n_chars") =!= length(col("text")) ||
+          col("n_chars") < 60).as("err"),
+        // warn severity: advisory floor — kept in the rollup, counted
+        (col("n_chars") < 100).as("warn"))
+      val isNew = col("doc_id") % 8 === 0 // the load that just arrived
+      def partial(df: DataFrame) = df.groupBy(col("source")).agg(
+        sum(when(!col("err"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(!col("err"), col("n_chars"))).as("sum_chars"),
+        min(when(!col("err"), col("n_chars"))).as("min_chars"),
+        max(when(!col("err"), col("n_chars"))).as("max_chars"),
+        sum(when(!col("err") && col("warn"), 1L).otherwise(0L)).as("n_warn"),
+        sum(when(col("err"), 1L).otherwise(0L)).as("n_quarantined"))
+      val state = partial(doc.filter(!isNew)) // the pre-existing rollup
+      val delta = partial(doc.filter(isNew))  // only the slice is scanned
+      state.unionByName(delta)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("sum_chars"),
+          min(col("min_chars")).as("min_chars"),
+          max(col("max_chars")).as("max_chars"),
+          sum(col("n_warn")).as("n_warn"),
+          sum(col("n_quarantined")).as("n_quarantined"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("min_chars"), col("max_chars"), col("n_warn"),
+          col("n_quarantined"),
+          // derived from MERGED primitives, guarded identically to the
+          // oracle when a source's every row was quarantined
+          when(col("n_docs") > 0L,
+            round(col("sum_chars").cast("double") / col("n_docs"), 6))
+            .as("avg_chars"))
+    }),
     // J8: as-of interpolation join. Probes = 'purchase' events, curve =
     // ('view' ts, value) pairs. Instead of a non-equi join (quadratic), the
     // curve and probes are merged into one ordered stream and bracketed with
@@ -900,6 +956,32 @@ object Temporal {
              min(cents) AS min_cents, max(cents) AS max_cents,
              round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS avg_value
       FROM e GROUP BY 1, 2""",
+    // the gated merged state must equal a single-pass gated re-scan: error
+    // rows excluded and counted, warn rows kept and counted — gating
+    // commutes with the incremental merge
+    "agg_incremental_merge_gated" -> """
+      WITH doc AS (
+        SELECT source, n_chars,
+               (text IS NULL OR trim(text) = '' OR n_chars <> length(text)
+                OR n_chars < 60) AS err,
+               (n_chars < 100) AS warn
+        FROM documents)
+      SELECT source,
+             CAST(sum(CASE WHEN NOT err THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN NOT err THEN n_chars END) AS BIGINT)
+               AS sum_chars,
+             min(CASE WHEN NOT err THEN n_chars END) AS min_chars,
+             max(CASE WHEN NOT err THEN n_chars END) AS max_chars,
+             CAST(sum(CASE WHEN NOT err AND warn THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_warn,
+             CAST(sum(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+             CASE WHEN sum(CASE WHEN NOT err THEN 1 ELSE 0 END) > 0
+                  THEN round(CAST(sum(CASE WHEN NOT err THEN n_chars END)
+                                  AS DOUBLE)
+                             / sum(CASE WHEN NOT err THEN 1 ELSE 0 END), 6)
+             END AS avg_chars
+      FROM doc GROUP BY 1""",
     "w13_time_weighted_avg" -> """
       WITH e AS (SELECT user_id, event_id,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Invariants of the CDC family (cdc_scd2, cdc_merge_upsert) that the
-  * value-pinning oracle can't express: interval algebra of the SCD2
-  * output, and the tombstone/resurrection semantics of the merge.
+/** Invariants of the CDC/IVM family (cdc_scd2, cdc_merge_upsert,
+  * agg_incremental_merge_gated) that the value-pinning oracle can't
+  * express: interval algebra of the SCD2 output, the
+  * tombstone/resurrection semantics of the merge, and the
+  * gate-commutes-with-merge proof of the quarantine-aware rollup.
   */
 class CdcSpec extends SparkSpec {
 
@@ -70,5 +72,54 @@ class CdcSpec extends SparkSpec {
     }
     assert(checkedDelete, "no user ends on a tombstone — delete path untested")
     assert(checkedResurrect, "no post-tombstone upsert — resurrection path untested")
+  }
+
+  test("agg_incremental_merge_gated: gate partitions rows, both severities " +
+      "fire, merge equals one-pass, two scans") {
+    val df = graft.queries.Temporal.all("agg_incremental_merge_gated")(spark, sf)
+    val rows = df.collect().map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_warn"),
+      r.getAs[Long]("n_quarantined"))).toSeq
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    // the gate PARTITIONS every row into kept or quarantined — nothing
+    // dropped silently, nothing double-counted
+    assert(rows.map(r => r._2 + r._4).sum == total,
+      s"kept + quarantined != $total doc rows")
+    // both severities must demonstrably fire, or the gate is vacuous
+    assert(rows.map(_._4).sum > 0, "error gate excluded nothing — vacuous")
+    assert(rows.map(_._3).sum > 0, "warn counter counted nothing — vacuous")
+    // warn rows are KEPT: every source's warn count is bounded by its kept
+    rows.foreach { case (src, n, w, _) =>
+      assert(w <= n, s"$src: warn $w exceeds kept $n — warn rows were dropped")
+    }
+    // the IVM proof independent of the DuckDB oracle: the merged
+    // state+delta result must equal the same gated aggregate computed in
+    // ONE pass with no slice split (gating commutes with the merge)
+    val doc = spark.read.parquet(s"$sf/documents.parquet").select(
+      col("source"), col("n_chars"),
+      (col("text").isNull || trim(col("text")) === "" ||
+        col("n_chars") =!= length(col("text")) ||
+        col("n_chars") < 60).as("err"),
+      (col("n_chars") < 100).as("warn"))
+    val onePass = doc.groupBy(col("source")).agg(
+      sum(when(!col("err"), 1L).otherwise(0L)).as("n_docs"),
+      sum(when(!col("err"), col("n_chars"))).as("sum_chars"),
+      min(when(!col("err"), col("n_chars"))).as("min_chars"),
+      max(when(!col("err"), col("n_chars"))).as("max_chars"),
+      sum(when(!col("err") && col("warn"), 1L).otherwise(0L)).as("n_warn"),
+      sum(when(col("err"), 1L).otherwise(0L)).as("n_quarantined"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        col("min_chars"), col("max_chars"), col("n_warn"),
+        col("n_quarantined"),
+        when(col("n_docs") > 0L,
+          round(col("sum_chars").cast("double") / col("n_docs"), 6))
+          .as("avg_chars"))
+    assert(df.exceptAll(onePass).isEmpty && onePass.exceptAll(df).isEmpty,
+      "merged state+delta diverges from the one-pass gated aggregate")
+    // incremental shape: exactly TWO documents scans (state + delta) — the
+    // whole point is that a refresh never re-scans history a third time
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 parquet scans (state + delta), saw $scans:\n$p")
   }
 }
