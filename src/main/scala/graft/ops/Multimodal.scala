@@ -143,7 +143,7 @@ object Multimodal {
     * fails against the winner's committed dir and its temp is discarded.
     * The JVM-local lock serializes the common single-JVM case.
     */
-  private def stageOnce(dir: String)(write: String => Unit): String =
+  private[graft] def stageOnce(dir: String)(write: String => Unit): String =
     stageLock.synchronized {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val root = Paths.get(dir)

@@ -3178,6 +3178,64 @@ object Similarity {
         .unionByName(row("maintained", m5.join(exact, Seq("q_id", "cand"))))
         .unionByName(row("agreement", f5.join(m5, Seq("q_id", "cand"))))
     }),
+
+    // SERVE FROM THE COMPACTED LAYOUT — the graph read path composed
+    // with the graph serving layout: the IDENTICAL beam walk (B=8, 3
+    // rounds, same tie rule) as sim_knn_graph_search, but adjacency
+    // comes from the staged partitionBy(blk) layout with per-hop
+    // partition-PRUNED reads instead of the session-shared logical
+    // frame. Each round collects the beam's occupied block SET (bounded
+    // by construction: ≤10 probes × B=8 node ids → ≤ KnnBlocks
+    // distinct values) and reads only those blocks' files — so a hop
+    // touches the slice of the graph the walk actually visits, never
+    // the whole adjacency table. That is the 100 TB serving contract:
+    // the index lives as one file per block on object storage, a query
+    // walks rounds·B nodes, and I/O is proportional to blocks VISITED,
+    // not graph size (KnnLayoutSpec pins files-read == blocks-probed on
+    // this exact read shape). The layout itself is an ingest artifact —
+    // staged once per data-dir content stamp via the atomic-rename
+    // protocol, the same build sim_knn_graph_layout inventories and
+    // sim_knn_graph_frag_trigger polls — a serving tier READS it, it
+    // does not rebuild it per query. Oracle: verbatim the
+    // sim_knn_graph_search SQL — serving from the layout must change
+    // NOTHING about the walk's visit order, scores, or answer set.
+    "sim_knn_graph_search_compacted" -> ((s, d) => {
+      val dir = knnLayoutDir(s, d)
+      val vecs = ivfBase(s, d)
+      val probes = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      def score(cand: DataFrame): DataFrame =
+        cand
+          .join(vecs.select(col("vec_id").as("cand"), col("v"), col("nrm")), Seq("cand"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("cand"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      val wB = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+      var beam = probes.select(col("q_id"), col("q_id").as("cand"))
+      var visited: DataFrame = null
+      for (_ <- 1 to 3) {
+        // bounded collect (≤ KnnBlocks ints): the hop's partition filter
+        val blocks = beam
+          .select(knnBlkOf(col("cand")).cast("int").as("blk"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        val adj = s.read.parquet(dir)
+          .filter(col("blk").isin(blocks.map(Integer.valueOf): _*))
+          .select(col("vec_id").as("cand"), col("nbr"))
+        val expand = beam.join(adj, Seq("cand"))
+          .select(col("q_id"), col("nbr").as("cand"))
+          .filter(col("cand") =!= col("q_id"))
+          .distinct()
+        val scored = score(expand)
+        visited =
+          if (visited == null) scored
+          else visited.unionByName(scored).distinct()
+        beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
+          .select(col("q_id"), col("cand"))
+      }
+      visited.withColumn("rank", row_number().over(wB)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("cand").as("vec_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+    }),
   )
 
   /** Neighbors kept per node, md5 init blocks, and expansion rounds of the
@@ -3187,6 +3245,38 @@ object Similarity {
   private val KnnK = 8
   private val KnnBlocks = 16
   private val KnnIters = 4
+
+  /** The layout's block-routing hash — the b1 init-block formula, shared
+    * by the layout writer, the fragmentation poll, and the compacted
+    * walk's per-hop partition filter so the three can never disagree on
+    * where a node's adjacency lives.
+    */
+  private[graft] def knnBlkOf(c: Column): Column =
+    conv(substring(md5(concat(lit("b1"), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % KnnBlocks
+
+  /** Stage-once serving layout for the FINAL kNN adjacency: one file per
+    * block under partitionBy(blk), keyed by the data dir's content stamp
+    * (an in-place regeneration re-stages — the SessionFrameCache rule)
+    * and committed via [[graft.ops.Multimodal.stageOnce]]'s atomic-rename
+    * protocol so a concurrent reader never observes a half-written
+    * layout. This is the ingest artifact sim_knn_graph_layout
+    * inventories; the compacted walk serves from it across queries and
+    * JVMs without rebuilding.
+    */
+  private[graft] def knnLayoutDir(s: SparkSession, d: String): String = {
+    val stamp = ContentStamp.of(d)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$stamp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    graft.ops.Multimodal.stageOnce(
+      s"${sys.props("java.io.tmpdir")}/graft_knn_layout_$key") { tmp =>
+      knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"), knnBlkOf(col("vec_id")).as("blk"))
+        .repartition(col("blk"))
+        .write.mode("overwrite").partitionBy("blk").parquet(tmp)
+    }
+  }
 
   /** Exact-cosine re-rank of a candidate edge set to top-K per node —
     * the primitive both the init and every NN-Descent round apply. Two
@@ -3971,6 +4061,21 @@ object Similarity {
     sb.toString
   }
 
+  /** The unrolled B=8 beam-walk replay — bound once and shared by
+    * sim_knn_graph_search AND sim_knn_graph_search_compacted: the
+    * layout-serving variant's whole contract is that it answers
+    * IDENTICALLY, so the two rows must pin against one SQL string.
+    */
+  private lazy val knnSearchOracle: String = s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
+      beam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("", 8)}
+      SELECT q_id, cand AS vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q_id, cand, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
+        FROM vis3) WHERE rank <= 5"""
+
   val oracle: Map[String, String] = Map(
     "sim_knn_graph" -> s"""
       WITH $knnOracleCtes
@@ -4002,15 +4107,11 @@ object Similarity {
     },
     // sim_knn_graph_search: the unrolled beam walk over the generated
     // build chain — visit set, tie rule, and 6dp scores replayed exactly
-    "sim_knn_graph_search" -> s"""
-      WITH $knnOracleCtes,
-      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
-      qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
-      beam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("", 8)}
-      SELECT q_id, cand AS vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
-        SELECT q_id, cand, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
-        FROM vis3) WHERE rank <= 5""",
+    "sim_knn_graph_search" -> knnSearchOracle,
+    // sim_knn_graph_search_compacted: VERBATIM the same walk replay —
+    // serving adjacency from the partition-pruned layout must change
+    // nothing about the visit order, scores, or answer set
+    "sim_knn_graph_search_compacted" -> knnSearchOracle,
     // sim_knn_graph_search_sweep: three full walks (B ∈ {4, 8, 16}), the
     // per-round top-5 of each compared against the exact cosine top-5
     "sim_knn_graph_search_sweep" -> {

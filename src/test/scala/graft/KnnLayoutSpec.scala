@@ -62,4 +62,37 @@ class KnnLayoutSpec extends SparkSpec {
         s"probed ${probeBlocks.length} blocks but read $n files")
     } finally graft.streaming.StagedEvents.deleteRecursively(dir)
   }
+
+  test("compacted walk: hop reads open only the beam's blocks and the " +
+      "answer equals the shared-frame search") {
+    import graft.queries.Similarity
+    val dir = Similarity.knnLayoutDir(spark, sf)
+
+    // physical pin on the query's exact hop-read shape: the 10 probes'
+    // own blocks (round-1 beam) as the partition filter
+    val blocks = spark.range(0, 10).toDF("cand")
+      .select(Similarity.knnBlkOf(col("cand")).cast("int").as("blk"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    assert(blocks.length >= 2, s"probe beam landed in one block: ${blocks.toSeq}")
+    val read = spark.read.parquet(dir)
+      .filter(col("blk").isin(blocks.map(Integer.valueOf): _*))
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("blk"), plan)
+    val filesRead = read.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics.get("numFiles")
+      }
+    read.collect()
+    val n = filesRead.flatten.map(_.value).sum
+    assert(n == blocks.length,
+      s"beam occupies ${blocks.length} blocks but the hop read $n files")
+
+    // semantic pin: serving from the layout changes NOTHING — visit
+    // order, tie rule, scores, and answer set all agree with the
+    // shared-frame walk (the pair also share one oracle SQL string)
+    val a = Similarity.queries("sim_knn_graph_search")(spark, sf)
+    val b = Similarity.queries("sim_knn_graph_search_compacted")(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compacted walk diverged from the shared-frame search")
+  }
 }
