@@ -433,16 +433,53 @@ object TextOps {
       .groupBy(col("q_doc"), col("doc_id")).agg(sum(col("cu")).as("su"))
   }
 
-  /** Distinct word 4-gram shingles, one row per (doc_id, shingle).
-    * sequence() would run backwards for <4 tokens, hence the guard.
+  /** Distinct word 4-gram shingles, one row per (id, shingle), from a
+    * tokenized frame (`t` = token array). sequence() would run backwards
+    * for <4 tokens, hence the guard. The ONE shingle definition — the
+    * in-corpus helper and the cross-corpus eval side both call it, so
+    * the two sides of a contamination join can never shingle differently.
     */
+  private def fourGramsOf(df: DataFrame, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      explode(array_distinct(when(size(col("t")) >= 4,
+        expr("transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))"))
+        .otherwise(array()))).as("s"))
+
   private def shingles(s: SparkSession, d: String): DataFrame =
-    toks(s, d)
-      .select(
-        col("doc_id"),
-        explode(array_distinct(when(size(col("t")) >= 4,
-          expr("transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))"))
-          .otherwise(array()))).as("s"))
+    fourGramsOf(toks(s, d), "doc_id")
+
+  /** Stage-once SECOND corpus table — the eval/benchmark side of the
+    * cross-corpus contamination audit, a genuine separate parquet table
+    * (until now every cross-source query derived both sides from
+    * `documents`). Derived from v1 by a deterministic churn rule so the
+    * DuckDB oracle can replay it from the live table alone (the
+    * snapshotV2Dir discipline): an md5 ~10% slice re-ingested VERBATIM
+    * under eval_id + 10M (contamination by construction — the planted
+    * positives), and a disjoint ~10% slice re-ingested UPPERCASED under
+    * eval_id + 20M (the train corpus is all-lowercase ASCII, so every
+    * shingle hash changes — planted negatives). Closed-form truth per
+    * slice is what the spec pins. Content-stamped and committed via the
+    * shared atomic-rename stageOnce.
+    */
+  private[graft] def evalCorpusDir(s: SparkSession, d: String): String = {
+    val key = ContentStamp.of(
+      java.nio.file.Paths.get(d, "documents.parquet").toString)
+    graft.ops.Multimodal.stageOnce(
+      s"${sys.props("java.io.tmpdir")}/graft_eval_corpus_$key") { tmp =>
+      val v1 = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val m = conv(substring(
+        md5(concat(lit("ev"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100
+      val dup = v1.filter(m < 10)
+        .select((col("doc_id") + 10000000L).as("eval_id"), col("source"),
+          col("text"))
+      val clean = v1.filter(m >= 10 && m < 20)
+        .select((col("doc_id") + 20000000L).as("eval_id"), col("source"),
+          upper(col("text")).as("text"))
+      dup.unionByName(clean).write.mode("overwrite").parquet(tmp)
+    }
+  }
 
   /** The robust-winnowing selection frame (doc_id, h, p) — one row per
     * SELECTED k-gram position (h is the 36-bit k-gram hash, p its 1-based
@@ -1603,6 +1640,48 @@ object TextOps {
           coalesce(col("nc"), lit(0L)).as("n_contaminated"),
           round(coalesce(col("nc"), lit(0L)) / col("n_shingles"), 6)
             .as("contamination"))
+    }),
+
+    // CROSS-CORPUS contamination — the two-table direction of
+    // text_decontaminate: that query splits ONE table into train/bench;
+    // this one audits a genuinely SEPARATE eval corpus (the stage-once
+    // second parquet table, [[evalCorpusDir]]) against the full
+    // documents train corpus — the train-side vs eval-side n-gram
+    // overlap check a training pipeline runs before shipping a mix
+    // (does my training data contain the benchmark?). Shape: each
+    // eval doc's distinct 4-gram shingles LEFT SEMI probe the train
+    // corpus's distinct shingle-hash set — every eval posting matches
+    // at most once, no pair explosion, no df-cap needed; the equi-join
+    // shuffles both sides by the 60-bit hash, and the eval corpus (a
+    // benchmark suite — bounded, unlike the train side) is the small
+    // side throughout. At 100 TB the train shingle set already EXISTS
+    // as the bucketed posting layout (text_postings_compaction), so
+    // the probe rides the index, not a corpus re-scan. The verdict
+    // threshold is exact-integer (2·hits >= shingles) so no float
+    // boundary decides contamination on either engine. The planted
+    // slices give closed-form truth: verbatim re-ingests must read
+    // contamination = 1.0, uppercased ones 0.0 (spec-pinned).
+    "text_cross_contamination" -> ((s, d) => {
+      val trainSet = shingles(s, d)
+        .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+      val ev = s.read.parquet(evalCorpusDir(s, d))
+        .select(col("eval_id"), split(trim(col("text")), "\\s+").as("t"))
+      val evSh = fourGramsOf(ev, "eval_id")
+        .select(col("eval_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      val hits = evSh.join(trainSet, Seq("h"), "left_semi")
+        .groupBy(col("eval_id")).agg(count(lit(1)).as("nc"))
+      evSh.groupBy(col("eval_id")).agg(count(lit(1)).as("n_shingles"))
+        .join(hits, Seq("eval_id"), "left")
+        .select(
+          col("eval_id"), col("n_shingles"),
+          coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+          round(coalesce(col("nc"), lit(0L)) / col("n_shingles"), 6)
+            .as("contamination"),
+          (coalesce(col("nc"), lit(0L)) * 2 >= col("n_shingles"))
+            .as("contaminated"))
     }),
 
     // tf-idf keyword extraction: per-doc top-3 terms by tf·ln(N/df). The
@@ -2908,6 +2987,35 @@ object TextOps {
              coalesce(h.nc, 0) AS n_contaminated,
              round(coalesce(h.nc, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination
       FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""",
+    // the eval corpus is re-derived from the live documents table by the
+    // staged table's exact churn rule (verbatim slice +10M, uppercased
+    // slice +20M), so the second parquet table needs no DuckDB twin
+    "text_cross_contamination" -> """
+      WITH m AS (SELECT doc_id, text,
+                        ('0x' || substr(md5('ev' || doc_id::VARCHAR), 1, 15))::BIGINT
+                          % 100 AS m
+                 FROM documents),
+      ev AS (SELECT doc_id + 10000000 AS eval_id, text FROM m WHERE m < 10
+             UNION ALL
+             SELECT doc_id + 20000000, upper(text) FROM m WHERE m >= 10 AND m < 20),
+      ttoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents),
+      tsh AS (SELECT DISTINCT
+                ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS h
+              FROM ttoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      etoks AS (SELECT eval_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM ev),
+      esh0 AS (SELECT DISTINCT eval_id, array_to_string(t[i:i+3], ' ') AS s
+               FROM etoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      esh AS (SELECT eval_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM esh0),
+      hits AS (SELECT eval_id, count(*) AS nc FROM esh
+               WHERE h IN (SELECT h FROM tsh) GROUP BY 1),
+      tot AS (SELECT eval_id, count(*) AS n_shingles FROM esh GROUP BY 1)
+      SELECT t.eval_id, t.n_shingles,
+             coalesce(h.nc, 0) AS n_contaminated,
+             round(coalesce(h.nc, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination,
+             coalesce(h.nc, 0) * 2 >= t.n_shingles AS contaminated
+      FROM tot t LEFT JOIN hits h ON t.eval_id = h.eval_id""",
     "text_tfidf_topk" -> """
       WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
                   FROM documents),

@@ -329,4 +329,36 @@ class PipelineOpsSpec extends SparkSpec {
       assert(exactJ >= 0.0 && exactJ <= 1.0 && math.abs(err - (estJ - exactJ)) < 1e-5)
     }
   }
+
+  test("text_cross_contamination: planted slices read their closed-form " +
+      "truth and the eval table is genuinely separate") {
+    // the staged second corpus must exist as its own parquet table
+    val dir = graft.queries.TextOps.evalCorpusDir(spark, sf)
+    val ev = spark.read.parquet(dir)
+    assert(ev.columns.toSet == Set("eval_id", "source", "text"))
+    val nDup = ev.filter(col("eval_id") < 20000000L).count()
+    val nClean = ev.filter(col("eval_id") >= 20000000L).count()
+    assert(nDup > 0 && nClean > 0, s"planted slices empty: dup=$nDup clean=$nClean")
+
+    val rows = q("text_cross_contamination").collect().map(r =>
+      (r.getAs[Long]("eval_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Double]("contamination"),
+        r.getAs[Boolean]("contaminated")))
+    assert(rows.nonEmpty, "no eval docs shingled — test is vacuous")
+    // verbatim re-ingests: every shingle is a train shingle by identity
+    val dup = rows.filter(_._1 < 20000000L)
+    assert(dup.nonEmpty, "no planted positives survived shingling")
+    dup.foreach { case (id, n, nc, frac, verdict) =>
+      assert(nc == n && frac == 1.0 && verdict,
+        s"verbatim eval doc $id read $nc/$n contaminated ($frac)")
+    }
+    // uppercased re-ingests: the train corpus is all-lowercase, so no
+    // shingle hash can match — if this fires, the corpus assumption broke
+    val clean = rows.filter(_._1 >= 20000000L)
+    assert(clean.nonEmpty, "no planted negatives survived shingling")
+    clean.foreach { case (id, n, nc, frac, verdict) =>
+      assert(nc == 0L && frac == 0.0 && !verdict,
+        s"uppercased eval doc $id read $nc/$n contaminated ($frac)")
+    }
+  }
 }
