@@ -67,15 +67,29 @@ object TextOps {
     * append-exactness spec pins it).
     */
   private def cappedHashesOf(sh: DataFrame): DataFrame = {
+    val hashed = rawHashesOf(sh)
+    hashed.join(broadcast(hotListOf(hashed)), Seq("h1"), "left_anti")
+  }
+
+  /** The (doc_id, h1, h2) Kirsch-Mitzenmacher hash pair per shingle row —
+    * the uncapped stream. Split out so a PROBE-side signature build
+    * (`dedup_cross_minhash`) can apply the INDEX's hot list instead of
+    * its own: the hot-shingle list is index metadata, and a probe that
+    * recomputed it slice-locally would sign differently from the index
+    * whenever the corpus-wide cap fires.
+    */
+  private def rawHashesOf(sh: DataFrame): DataFrame = {
     val md = md5(col("s"))
-    val hashed = sh.select(
+    sh.select(
       col("doc_id"),
       conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
       (conv(substring(md, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
-    val hot = hashed.groupBy(col("h1")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > HotShingleDfCap).select(col("h1"))
-    hashed.join(broadcast(hot), Seq("h1"), "left_anti")
   }
+
+  /** The df-capped hot-shingle h1 list over a hash stream. */
+  private def hotListOf(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("h1")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleDfCap).select(col("h1"))
 
   /** Per-doc 16-hash MinHash signature columns h0..h15 over a capped
     * hash stream — shared by the band fold and the estimate audit.
@@ -1684,6 +1698,53 @@ object TextOps {
             .as("contaminated"))
     }),
 
+    // FUZZY cross-corpus contamination — the MinHash direction of
+    // text_cross_contamination's exact audit: eval docs that are
+    // NEAR-duplicates of training docs (light edits defeat exact n-gram
+    // matching; they do not defeat MinHash). Shape: the eval corpus is
+    // signed with the SAME 16-hash scheme as the train index — critically,
+    // under the INDEX's hot-shingle list, not a probe-local one (the hot
+    // list is index metadata; a probe that recomputed its own cap would
+    // sign differently whenever the corpus-wide cap fires) — and its 4
+    // band keys probe the session-shared train band index as an equi-join.
+    // This is the two-table LSH probe a decontamination service runs: the
+    // eval side (a benchmark suite — bounded) is the small probe side, the
+    // train index already exists (built at ingest, here session-shared),
+    // and at 100 TB the ONLY per-audit cost is signing the eval corpus and
+    // one equi-join into the index; the train corpus is never re-scanned
+    // (the hot list too would be read from index metadata, recomputed here
+    // only because the test index is session-built). Per candidate pair
+    // the signature agreement estimates Jaccard in 1/16 steps, and the
+    // planted slices give closed-form truth: a verbatim re-ingest has the
+    // IDENTICAL signature (n_agree = 16, est 1.0, its source row flagged
+    // is_source), an uppercased one shares no shingle hash with any
+    // lowercase train doc and cannot produce a band collision (spec-pinned
+    // absent).
+    "dedup_cross_minhash" -> ((s, d) => {
+      val hot = hotListOf(rawHashesOf(shingles(s, d)))
+      val ev = s.read.parquet(evalCorpusDir(s, d))
+        .select(col("eval_id").as("doc_id"),
+          split(trim(col("text")), "\\s+").as("t"))
+      val evSig = signatureOf(
+        rawHashesOf(fourGramsOf(ev, "doc_id"))
+          .join(broadcast(hot), Seq("h1"), "left_anti"))
+      val cand = bandFoldOf(evSig)
+        .select(col("doc_id").as("eval_id"), col("band"), col("bk"))
+        .join(minhashBandsShared(s, d), Seq("band", "bk"))
+        .select(col("eval_id"), col("doc_id")).distinct()
+      val arr = (c: String) => array((0 until 16).map(i => col(s"h$i")): _*).as(c)
+      cand
+        .join(evSig.select(col("doc_id").as("eval_id"), arr("sige")), Seq("eval_id"))
+        .join(minhashSignaturesShared(s, d)
+          .select(col("doc_id"), arr("sigt")), Seq("doc_id"))
+        .select(col("eval_id"), col("doc_id"),
+          expr("aggregate(zip_with(sige, sigt, (x, y) -> IF(x = y, 1, 0)), " +
+            "0, (a, e) -> a + e)").as("n_agree"),
+          round(expr("aggregate(zip_with(sige, sigt, (x, y) -> IF(x = y, 1, 0)), " +
+            "0, (a, e) -> a + e)") / lit(16.0), 6).as("est_jaccard"),
+          (col("doc_id") === col("eval_id") - lit(10000000L)).as("is_source"))
+    }),
+
     // tf-idf keyword extraction: per-doc top-3 terms by tf·ln(N/df). The
     // corpus statistics (df per term, N docs) are a TINY aggregate —
     // broadcast to the tf table, so the big side never shuffles for the
@@ -2404,6 +2465,54 @@ object TextOps {
       JOIN szs y ON g.db = y.doc_id"""
   }
 
+  /** The cross-corpus LSH probe oracle: the train chain is
+    * [[minhashBandCtes]] VERBATIM; the eval corpus is re-derived by the
+    * staged table's churn rule, signed under the TRAIN hot list (the
+    * index-metadata semantics the Spark side implements), banded the same
+    * way, and candidates are the (band, bk) equi-join of the two band
+    * frames.
+    */
+  private val crossMinhashSql: String = {
+    val m55 = 1L << 55
+    val m60 = 1L << 60
+    val mins = (0 until 16)
+      .map(i => s"min((h1 + $i * h2) % $m60) AS h$i").mkString(", ")
+    val ebands = (0 until 4)
+      .map(b => s"SELECT eval_id, $b AS band, h${b * 4}::VARCHAR || '|' || h${b * 4 + 1}::VARCHAR || '|' || h${b * 4 + 2}::VARCHAR || '|' || h${b * 4 + 3}::VARCHAR AS bk FROM esig")
+      .mkString(" UNION ALL ")
+    val agree = (0 until 16)
+      .map(i => s"(CASE WHEN e.h$i = t.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH $minhashBandCtes,
+      evm AS (SELECT doc_id, text,
+                     ('0x' || substr(md5('ev' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS m
+              FROM documents),
+      ev AS (SELECT doc_id + 10000000 AS eval_id, text FROM evm WHERE m < 10
+             UNION ALL
+             SELECT doc_id + 20000000, upper(text) FROM evm WHERE m >= 10 AND m < 20),
+      etoks AS (SELECT eval_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM ev),
+      esh AS (SELECT DISTINCT eval_id, array_to_string(t[i:i+3], ' ') AS s
+              FROM etoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      ehs0 AS (SELECT eval_id,
+                      ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                      ('0x' || substr(md5(s), 17, 15))::BIGINT % $m55 AS h2
+               FROM esh),
+      ehs AS (SELECT * FROM ehs0
+              WHERE h1 NOT IN (SELECT h1 FROM hs0 GROUP BY h1
+                               HAVING count(*) > $HotShingleDfCap)),
+      esig AS (SELECT eval_id, $mins FROM ehs GROUP BY eval_id),
+      ebands AS ($ebands),
+      cand AS (SELECT DISTINCT e.eval_id, b.doc_id
+               FROM ebands e JOIN bands b ON e.band = b.band AND e.bk = b.bk)
+      SELECT c.eval_id, c.doc_id, $agree AS n_agree,
+             round(($agree) / 16.0, 6) AS est_jaccard,
+             c.doc_id = c.eval_id - 10000000 AS is_source
+      FROM cand c JOIN esig e ON c.eval_id = e.eval_id
+                  JOIN sig t ON c.doc_id = t.doc_id"""
+  }
+
   /** The gated-mix selection chain — near-dup/quality/langid keep set,
     * severity-gated survivors, per-source counts, and the mix thresholds
     * — shared verbatim by `pipeline_train_mix_gated` and
@@ -3016,6 +3125,7 @@ object TextOps {
              round(coalesce(h.nc, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination,
              coalesce(h.nc, 0) * 2 >= t.n_shingles AS contaminated
       FROM tot t LEFT JOIN hits h ON t.eval_id = h.eval_id""",
+    "dedup_cross_minhash" -> crossMinhashSql,
     "text_tfidf_topk" -> """
       WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
                   FROM documents),

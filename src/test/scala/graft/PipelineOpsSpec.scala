@@ -361,4 +361,31 @@ class PipelineOpsSpec extends SparkSpec {
         s"uppercased eval doc $id read $nc/$n contaminated ($frac)")
     }
   }
+
+  test("dedup_cross_minhash: verbatim re-ingests sign identically and hit " +
+      "their source; uppercased ones never reach the band index") {
+    val rows = q("dedup_cross_minhash").collect().map(r =>
+      (r.getAs[Long]("eval_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_agree"), r.getAs[Boolean]("is_source")))
+    assert(rows.nonEmpty, "no cross-corpus candidates — probe is vacuous")
+    // a verbatim copy has the IDENTICAL 16-hash signature, so all 4 bands
+    // collide with its source and agreement is exact
+    val sources = rows.filter(_._4)
+    assert(sources.nonEmpty, "no planted source pair surfaced")
+    sources.foreach { case (ev, doc, agree, _) =>
+      assert(agree == 16 && doc == ev - 10000000L,
+        s"planted pair ($ev, $doc) agreed only $agree/16")
+    }
+    // every verbatim eval doc that shingled at all must surface its source
+    val ev = spark.read.parquet(
+      graft.queries.TextOps.evalCorpusDir(spark, sf))
+    val nDup = ev.filter(col("eval_id") < 20000000L)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 4).count()
+    assert(sources.map(_._1).distinct.length.toLong == nDup,
+      s"${nDup} verbatim docs but ${sources.map(_._1).distinct.length} source hits")
+    // the uppercased slice shares no shingle hash with the all-lowercase
+    // train corpus: no band key can collide, so it is absent entirely
+    assert(rows.forall(_._1 < 20000000L),
+      "an uppercased eval doc produced a band collision against the train index")
+  }
 }
