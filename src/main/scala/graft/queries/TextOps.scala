@@ -1476,6 +1476,71 @@ object TextOps {
             .otherwise(0L)).as("n_crossing"))
     }),
 
+    // The DECONTAMINATED train mix — the last gate a training set passes
+    // before a run ships: the severity-gated mix of
+    // pipeline_train_mix_gated composed with the cross-corpus
+    // contamination verdict, in the direction that matters for TRAINING
+    // (text_cross_contamination asks "is the benchmark polluted?"; this
+    // asks "does my training set contain the benchmark?"). A gated
+    // survivor whose distinct 4-gram shingles are >= 50% covered by the
+    // eval corpus's shingle set is EXCLUDED from the mix and counted per
+    // source (`n_contam` — the column that tells a curator which source
+    // is leaking benchmarks); thresholds and the md5 kept-count are
+    // recomputed over the decontaminated set. Scale shape: the eval
+    // shingle set is a bounded benchmark suite, so it BROADCASTS onto the
+    // train shingle stream (the train corpus never shuffles for the
+    // probe — one map-side semi join per load); everything downstream is
+    // the mix's |sources|-row math. The planted slices make the gate
+    // closed-form: every surviving train doc in the verbatim-copied slice
+    // (md5-ev < 10) is 100% covered and must drop; the uppercased slice
+    // shares no shingle and must not fire (spec-pinned).
+    "pipeline_mix_decontaminated" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val evSet = fourGramsOf(
+        s.read.parquet(evalCorpusDir(s, d))
+          .select(col("eval_id").as("doc_id"),
+            split(trim(col("text")), "\\s+").as("t")), "doc_id")
+        .select(h(col("s")).as("h")).distinct()
+      val trSh = shingles(s, d).select(col("doc_id"), h(col("s")).as("h"))
+      val tot = trSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val hits = trSh.join(broadcast(evSet), Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+      val contam = tot.join(hits, Seq("doc_id"))
+        .filter(col("nc") * 2 >= col("n_sh")).select(col("doc_id"))
+      val keep = filterSurvivorsShared(s, d)
+      val surv = documents(s, d).join(keep, Seq("doc_id"))
+        .filter(col("n_chars") >= 60)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("toks"),
+          when(col("n_chars") < 100, 1L).otherwise(0L).as("warned"))
+      val nContam = surv.join(contam, Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("nc"))
+      val surv2 = surv.join(contam, Seq("doc_id"), "left_anti")
+      val counts = surv2.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("warned")).as("n_warn"))
+        .join(nContam, Seq("source"), "left")
+        .withColumn("n_contam", coalesce(col("nc"), lit(0L)))
+      val w = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val thr = counts
+        .withColumn("n_total", sum(col("n_docs")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_warn"),
+          col("n_contam"),
+          least(lit(10000L),
+            expr("(10000 * n_total) div (k * n_docs)")).as("thr"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+      surv2.select(col("doc_id"), col("source"), bucket.as("b"))
+        .join(broadcast(thr), "source")
+        .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("n_warn"),
+          col("n_contam"), col("thr"))
+        .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // Edit-distance verification of the near-dup candidates — the exact
     // second stage a production dedup pipeline runs AFTER banding: LSH
     // recalls candidates, Levenshtein confirms them (MinHash Jaccard can
@@ -3332,6 +3397,55 @@ object TextOps {
              CAST(sum(CASE WHEN (start + toks - 1) // 512 > start // 512
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
       FROM placed GROUP BY source""",
+    // the decontaminated mix shares the gated chain's CTEs verbatim and
+    // re-derives the eval corpus by the staged table's churn rule — one
+    // SQL definition each of "kept" and of the second corpus
+    "pipeline_mix_decontaminated" -> s"""
+      WITH $gatedMixCtes,
+      evm AS (SELECT doc_id, text,
+                     ('0x' || substr(md5('ev' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS m
+              FROM documents),
+      ev AS (SELECT doc_id + 10000000 AS eval_id, text FROM evm WHERE m < 10
+             UNION ALL
+             SELECT doc_id + 20000000, upper(text) FROM evm WHERE m >= 10 AND m < 20),
+      etoks AS (SELECT eval_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM ev),
+      eset AS (SELECT DISTINCT
+                 ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS h
+               FROM etoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      dtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents),
+      tsh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+               FROM dtoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      tsh AS (SELECT doc_id,
+                     ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+              FROM tsh0),
+      tt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY 1),
+      th AS (SELECT doc_id, count(*) AS nc FROM tsh
+             WHERE h IN (SELECT h FROM eset) GROUP BY 1),
+      contam AS (SELECT tt.doc_id FROM tt JOIN th ON tt.doc_id = th.doc_id
+                 WHERE 2 * th.nc >= tt.n_sh),
+      surv2 AS (SELECT * FROM surv
+                WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      cc AS (SELECT s.source, CAST(count(*) AS BIGINT) AS nc
+             FROM surv s JOIN contam c ON s.doc_id = c.doc_id GROUP BY 1),
+      c2 AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(s.toks) AS BIGINT) AS n_tokens,
+                    CAST(sum(s.warned) AS BIGINT) AS n_warn,
+                    CAST(coalesce(any_value(cc.nc), 0) AS BIGINT) AS n_contam
+             FROM surv2 s LEFT JOIN cc ON s.source = cc.source
+             GROUP BY s.source),
+      t2 AS (SELECT source, n_docs, n_tokens, n_warn, n_contam,
+                    CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
+                                      // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
+             FROM c2)
+      SELECT t.source, t.n_docs, t.n_tokens, t.n_warn, t.n_contam, t.thr,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+                                % 10000 < t.thr
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM surv2 s JOIN t2 t ON s.source = t.source
+      GROUP BY 1, 2, 3, 4, 5, 6""",
     "text_quality_auc" -> """
       WITH f AS (
         SELECT source,

@@ -388,4 +388,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_._1 < 20000000L),
       "an uppercased eval doc produced a band collision against the train index")
   }
+
+  test("pipeline_mix_decontaminated: drops exactly the gated survivors whose " +
+      "content the eval corpus carries, and the mix re-balances over the rest") {
+    val gated = q("pipeline_train_mix_gated").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    val dec = q("pipeline_mix_decontaminated").collect()
+    assert(dec.nonEmpty)
+    // the decontaminated mix partitions each source's gated survivors
+    dec.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") + r.getAs[Long]("n_contam") == gated(src),
+        s"source $src: ${r.getAs[Long]("n_docs")} kept + " +
+          s"${r.getAs[Long]("n_contam")} dropped != gated ${gated(src)}")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // every gated survivor whose text was verbatim-copied into the eval
+    // corpus (the md5-ev < 10 slice) is 100% covered and MUST drop; extra
+    // drops beyond that can only be docs whose content reached the eval
+    // corpus via a near-dup copy, so per source n_contam >= the planted
+    // floor and the total must actually fire
+    val planted = graft.tables.Tables.documents(spark, sf)
+      .join(graft.queries.TextOps.filterSurvivorsShared(spark, sf), Seq("doc_id"))
+      .filter(col("n_chars") >= 60)
+      .filter(conv(substring(md5(concat(lit("ev"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 100 < 10)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(planted.values.sum > 0, "no planted survivor — the pin is vacuous")
+    dec.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_contam") >= planted.getOrElse(src, 0L),
+        s"source $src dropped ${r.getAs[Long]("n_contam")} < planted floor " +
+          s"${planted.getOrElse(src, 0L)}")
+    }
+  }
 }

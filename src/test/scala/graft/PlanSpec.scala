@@ -623,6 +623,9 @@ class PlanSpec extends SparkSpec {
                                   // (the gated twin shares the mix tail)
       "pipeline_mix_packing", // same |sources|-row threshold window; the
                               // packing cumsum itself is keyed by source
+      "pipeline_mix_decontaminated", // same |sources|-row mix window; the
+                                     // contam probe itself is a broadcast
+                                     // semi join, never funneled
       "sample_balanced_pairs", // same |sources|-row source-index window
       "diag_key_skew",      // window over the 10-row per-partition top-k
       "text_top_tokens",    // rank window over the 100-row TakeOrdered result
