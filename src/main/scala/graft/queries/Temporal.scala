@@ -291,19 +291,30 @@ object Temporal {
     // by key — no task ever holds more than one user's history, and the
     // no-op compaction drops rows BEFORE the second window materializes
     // version state.
-    "cdc_scd2" -> ((s, d) => {
-      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-      events(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
-          (floor(col("value")).cast("long") % 5L).as("tier"))
-        .withColumn("prev_tier", lag(col("tier"), 1).over(wOrd))
-        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
-        .withColumn("version", row_number().over(wOrd))
-        .withColumn("valid_to_us",
-          coalesce(lead(col("us"), 1).over(wOrd), lit(Long.MaxValue)))
-        .select(col("user_id"), col("version"), col("tier"),
-          col("us").as("valid_from_us"), col("valid_to_us"),
-          (col("valid_to_us") === Long.MaxValue).as("is_current"))
+    "cdc_scd2" -> ((s, d) => scd2Frame(s, d)),
+
+    // TIME TRAVEL over the SCD2 dimension — the READ side of cdc_scd2:
+    // reconstruct the whole table's state at N points in time in ONE pass
+    // over the dimension. Each validity interval fans out via explode() to
+    // exactly the cutoffs it covers (a Generate + Filter — no join, no
+    // BNLJ, no per-cutoff re-scan), so asking for 3 snapshots costs one
+    // scan plus a bounded <=3x row expansion instead of 3 scans — at
+    // 100 TB the difference between "replay a month of daily snapshots"
+    // being one job or thirty. On a STORED dimension the same predicate is
+    // a pure pushed-down filter (valid_from <= T < valid_to), which is why
+    // SCD2 is the layout that makes time travel cheap in the first place.
+    // Cutoff labels are formatted to strings (never raw timestamps, per
+    // the oracle-parity rules); the session timezone is pinned UTC.
+    "cdc_asof_snapshot" -> ((s, d) => {
+      // Jan 8 / 16 / 24 2024 00:00 UTC in micros — inside the events span
+      val cutoffs = Seq(1704672000000000L, 1705363200000000L, 1706054400000000L)
+      scd2Frame(s, d)
+        .withColumn("asof_us", explode(array(cutoffs.map(lit(_)): _*)))
+        .filter(col("valid_from_us") <= col("asof_us") &&
+          col("asof_us") < col("valid_to_us"))
+        .select(
+          date_format(timestamp_micros(col("asof_us")), "yyyy-MM-dd").as("asof_day"),
+          col("user_id"), col("version"), col("tier"), col("valid_from_us"))
     }),
 
     // CDC merge/upsert: a base snapshot (latest value-bearing row per key
@@ -922,8 +933,27 @@ object Temporal {
   /** The SCD2 dimension build replayed in SQL — shared verbatim by the
     * batch query (cdc_scd2) and its streaming twin (stream_scd2).
     */
-  private val scd2Sql: String = """
-      WITH e AS (
+  /** The CDC changelog → SCD2 build shared by `cdc_scd2` (which emits it)
+    * and `cdc_asof_snapshot` (which reads it) — one definition of the
+    * dimension on the Scala side, mirroring the shared SQL CTEs below.
+    */
+  private def scd2Frame(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        (floor(col("value")).cast("long") % 5L).as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(wOrd))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("version", row_number().over(wOrd))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("us"), 1).over(wOrd), lit(Long.MaxValue)))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        (col("valid_to_us") === Long.MaxValue).as("is_current"))
+  }
+
+  private val scd2Ctes: String = """
+      e AS (
         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
                CAST(floor(value) AS BIGINT) % 5 AS tier
         FROM events),
@@ -936,7 +966,10 @@ object Temporal {
                row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version,
                coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
                         9223372036854775807) AS valid_to_us
-        FROM changes)
+        FROM changes)"""
+
+  private val scd2Sql: String = s"""
+      WITH $scd2Ctes
       SELECT user_id, CAST(version AS INTEGER) AS version, tier,
              us AS valid_from_us, valid_to_us,
              valid_to_us = 9223372036854775807 AS is_current
@@ -1416,6 +1449,18 @@ object Temporal {
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
       FROM w GROUP BY 1, 2""",
     "cdc_scd2" -> scd2Sql,
+    // the as-of read shares the SCD2 CTEs verbatim — one SQL definition of
+    // the dimension; the cutoff list is a 3-row VALUES joined on interval
+    // containment (DuckDB's planner handles the tiny cross product)
+    "cdc_asof_snapshot" -> s"""
+      WITH $scd2Ctes,
+      c(asof_us) AS (VALUES (1704672000000000), (1705363200000000),
+                            (1706054400000000))
+      SELECT strftime(make_timestamp(c.asof_us), '%Y-%m-%d') AS asof_day,
+             v.user_id, CAST(v.version AS INTEGER) AS version, v.tier,
+             v.us AS valid_from_us
+      FROM v, c
+      WHERE v.us <= c.asof_us AND c.asof_us < v.valid_to_us""",
     // the streaming SCD2 must reproduce the batch dimension exactly —
     // same oracle by construction
     "stream_scd2" -> scd2Sql,

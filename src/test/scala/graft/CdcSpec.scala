@@ -122,4 +122,36 @@ class CdcSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 2, s"expected 2 parquet scans (state + delta), saw $scans:\n$p")
   }
+
+  test("cdc_asof_snapshot: each snapshot is the interval algebra's point read") {
+    val dim = graft.queries.Temporal.all("cdc_scd2")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val snap = graft.queries.Temporal.all("cdc_asof_snapshot")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(snap.nonEmpty, "no snapshot rows — cutoffs outside the events span")
+    val cutoffs = Map("2024-01-08" -> 1704672000000000L,
+      "2024-01-16" -> 1705363200000000L, "2024-01-24" -> 1706054400000000L)
+    // exactly one row per (asof, user) — a snapshot is a function of key
+    val dupes = snap.groupBy(r => (r._1, r._2)).filter(_._2.length > 1)
+    assert(dupes.isEmpty, s"snapshot has ${dupes.size} duplicated (asof,user) keys")
+    // per asof: present users == users whose first version opened by then,
+    // and each row is that user's interval covering the cutoff
+    cutoffs.foreach { case (day, t) =>
+      val expect = dim.filter(v => v._4 <= t && t < v._5)
+        .map(v => (day, v._1, v._2, v._3, v._4)).toSet
+      val got = snap.filter(_._1 == day).toSet
+      assert(got == expect, s"$day snapshot diverges from the interval read")
+    }
+    // time moves forward: membership never shrinks (SCD2 keys are never
+    // deleted) and versions strictly advance as users change tiers
+    // between cutoffs
+    val byDay = cutoffs.toSeq.sortBy(_._2).map { case (day, _) =>
+      (snap.count(_._1 == day), snap.filter(_._1 == day).map(_._3.toLong).sum) }
+    val (sizes, vsums) = byDay.unzip
+    assert(sizes == sizes.sorted, s"snapshot membership shrank: $sizes")
+    assert(vsums == vsums.sorted && vsums.last > vsums.head,
+      s"version totals not advancing across cutoffs: $vsums")
+  }
 }
