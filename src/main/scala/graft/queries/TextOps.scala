@@ -1763,6 +1763,21 @@ object TextOps {
             .as("contaminated"))
     }),
 
+    // Benchmark decontamination AT THE INGEST EDGE — the streamed gate of
+    // the contamination family: the eval corpus's shingle Bloom (the
+    // m=65536/k=4 md5-position sketch of dedup_bloom_probe) is collapsed
+    // into an 8 KiB hex-bitmap LITERAL inside the streaming projection, so
+    // each arriving doc evaluates per-row (shingle hashes → all-4-bits-set
+    // hits → ≥50% verdict) with NO stream-static join, no state, no
+    // shuffle — pure map work riding the ingest scan. Bloom one-sidedness
+    // is the right failure mode for a gate: truly-contaminated docs can
+    // never pass (no false negatives), a false positive only quarantines a
+    // clean doc for triage. Routed sink partitionBy(verdict); the audit
+    // hash-matches DuckDB replaying the SAME position sets relationally —
+    // FP behavior reproduced exactly, not approximated (ContamGate.scala).
+    "stream_contam_gate" -> ((s, d) =>
+      graft.streaming.ContamGate.audit(s, d)),
+
     // FUZZY cross-corpus contamination — the MinHash direction of
     // text_cross_contamination's exact audit: eval docs that are
     // NEAR-duplicates of training docs (light edits defeat exact n-gram
@@ -3191,6 +3206,53 @@ object TextOps {
              coalesce(h.nc, 0) * 2 >= t.n_shingles AS contaminated
       FROM tot t LEFT JOIN hits h ON t.eval_id = h.eval_id""",
     "dedup_cross_minhash" -> crossMinhashSql,
+    // the streamed gate's Bloom verdicts replayed relationally: the SAME
+    // md5-derived position sets decide membership, so hash-matching here
+    // reproduces the filter's false-positive behavior exactly; the eval
+    // corpus is re-derived by the staged table's churn rule as above
+    "stream_contam_gate" -> """
+      WITH m AS (SELECT doc_id, text,
+                        ('0x' || substr(md5('ev' || doc_id::VARCHAR), 1, 15))::BIGINT
+                          % 100 AS m
+                 FROM documents),
+      ev AS (SELECT text FROM m WHERE m < 10
+             UNION ALL
+             SELECT upper(text) FROM m WHERE m >= 10 AND m < 20),
+      etoks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM ev),
+      eh AS (SELECT DISTINCT
+               ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS h
+             FROM etoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      bits AS (SELECT DISTINCT
+                 ('0x' || substr(md5(h::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT
+                   % 65536 AS pos
+               FROM eh, LATERAL (SELECT unnest(range(0, 4)) AS j) r),
+      dtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents),
+      dsh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+               FROM dtoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      dh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM dsh0),
+      tt AS (SELECT doc_id, count(*) AS n_sh FROM dh GROUP BY 1),
+      hpos AS (SELECT h, ('0x' || substr(md5(h::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT
+                        % 65536 AS p
+               FROM (SELECT DISTINCT h FROM dh) u,
+                    LATERAL (SELECT unnest(range(0, 4)) AS j) r),
+      ch AS (SELECT h FROM hpos LEFT JOIN bits ON hpos.p = bits.pos
+             GROUP BY h HAVING count(bits.pos) = 4),
+      hits AS (SELECT doc_id, count(*) AS nc FROM dh
+               WHERE h IN (SELECT h FROM ch) GROUP BY 1),
+      v AS (SELECT d.doc_id, d.source,
+                   coalesce(tt.n_sh, 0) AS n_sh, coalesce(hits.nc, 0) AS nc
+            FROM (SELECT doc_id, source FROM documents) d
+            LEFT JOIN tt ON d.doc_id = tt.doc_id
+            LEFT JOIN hits ON d.doc_id = hits.doc_id)
+      SELECT source,
+             CASE WHEN n_sh > 0 AND 2 * nc >= n_sh THEN 'contam' ELSE 'clean' END
+               AS verdict,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS n_hits,
+             CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+             CAST(max(doc_id) AS BIGINT) AS max_doc_id
+      FROM v GROUP BY 1, 2""",
     "text_tfidf_topk" -> """
       WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
                   FROM documents),

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Benchmark decontamination AT THE INGEST EDGE — the streamed gate the
+  * batch family (text_cross_contamination → pipeline_mix_decontaminated)
+  * promises: the load that ships training data also refuses benchmark
+  * content, per micro-batch, with ZERO joins in the hot path.
+  *
+  * The eval corpus's distinct 4-gram shingle hashes build the house
+  * md5-position Bloom filter (m=65536 bits, k=4 — dedup_bloom_probe's
+  * SQL-replayable sketch), collapsed ONCE into a 16384-char hex bitmap
+  * embedded as a string literal in the streaming projection. Each
+  * arriving doc then evaluates entirely per-row: tokens → distinct
+  * 4-gram shingle hashes → per shingle, all 4 bit positions set → hit
+  * count; contaminated iff ≥50% of its shingles hit. No stream-static
+  * join, no state store, no shuffle — at 100 TB the gate is pure map
+  * work riding the ingest scan, and the filter is rebuilt only when the
+  * benchmark suite changes (it is bounded by m = 8 KiB regardless of
+  * corpus size; the position collect is the one driver-side read, ≤65536
+  * rows by construction).
+  *
+  * Bloom one-sidedness does the right thing here: a genuinely
+  * contaminated doc can never slip through (no false negatives — every
+  * truly-covered shingle's positions are set), while a false positive
+  * only quarantines a clean doc for triage. The routed sink is
+  * partitionBy(verdict), and the read-back audit hash-matches DuckDB
+  * replaying the SAME position sets relationally — the false-positive
+  * behavior itself is reproduced, not approximated.
+  */
+object ContamGate {
+  private val M = 65536
+  private val K = 4
+
+  /** Bit position j of shingle hash h — md5-derived like every sketch
+    * hash here, so DuckDB replays it verbatim.
+    */
+  private def posOf(h: Column, j: Column): Column =
+    conv(substring(md5(concat(h.cast("string"), lit("_"), j.cast("string"))),
+      1, 15), 16, 10).cast("long") % M
+
+  private def shingleHashes(t: Column): Column = {
+    val grams = array_distinct(
+      when(size(t) >= 4, transform(sequence(lit(1), size(t) - 3),
+        i => array_join(slice(t, i, lit(4)), " ")))
+        .otherwise(array()))
+    transform(grams,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+  }
+
+  def audit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      import spark.implicits._
+      // the eval-side Bloom: distinct eval shingle hashes → K positions
+      // each → DISTINCT set bits; bounded by M rows, collected once to
+      // build the bitmap literal the stream probes
+      val evSh = spark.read.parquet(graft.queries.TextOps.evalCorpusDir(spark, sfDir))
+        .select(split(trim(col("text")), "\\s+").as("t"))
+        .select(explode(shingleHashes(col("t"))).as("h")).distinct()
+      val posSet = evSh
+        .select(explode(transform(sequence(lit(0), lit(K - 1)),
+          j => posOf(col("h"), j))).as("p"))
+        .distinct().collect().map(_.getLong(0))
+      val bits = new Array[Boolean](M)
+      posSet.foreach(p => bits(p.toInt) = true)
+      val hexChars = "0123456789abcdef"
+      val bitmapHex = (0 until M / 4).map { n =>
+        hexChars.charAt(
+          (if (bits(4 * n)) 8 else 0) | (if (bits(4 * n + 1)) 4 else 0) |
+            (if (bits(4 * n + 2)) 2 else 0) | (if (bits(4 * n + 3)) 1 else 0))
+      }.mkString
+      val bitmap = lit(bitmapHex)
+      // nibble (p >> 2) of the hex bitmap, MSB-first weight 8 >> (p & 3)
+      def bitSet(p: Column): Column =
+        conv(bitmap.substr((shiftright(p, 2) + 1).cast("int"), lit(1)), 16, 10)
+          .cast("int")
+          .bitwiseAND(element_at(array(lit(8), lit(4), lit(2), lit(1)),
+            (p.bitwiseAND(lit(3L)) + 1).cast("int"))) =!= 0
+
+      val staged = Files.createTempDirectory("contam-gate-src")
+      val out = Files.createTempDirectory("contam-gate-sink")
+      val cp = Files.createTempDirectory("contam-gate-cp")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("text"))
+        require(docs.head(1).nonEmpty, s"$sfDir/documents.parquet is empty")
+        StagedEvents.writePart(docs.filter(col("doc_id") % 2 === 0),
+          staged, "b0_docs.parquet", 60)
+        StagedEvents.writePart(docs.filter(col("doc_id") % 2 =!= 0),
+          staged, "b1_docs.parquet", 45)
+        val schema =
+          spark.read.parquet(staged.resolve("b0_docs.parquet").toString).schema
+        val routed = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .select(col("doc_id"), col("source"),
+            shingleHashes(split(trim(col("text")), "\\s+")).as("hs"))
+          .select(col("doc_id"), col("source"),
+            size(col("hs")).cast("long").as("n_sh"),
+            size(filter(col("hs"), h => forall(sequence(lit(0), lit(K - 1)),
+              j => bitSet(posOf(h, j))))).cast("long").as("nc"))
+          .select(col("doc_id"), col("source"), col("nc"),
+            when(col("n_sh") > 0 && col("nc") * 2 >= col("n_sh"), lit("contam"))
+              .otherwise(lit("clean")).as("verdict"))
+        val q = routed.writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .partitionBy("verdict")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // bounded (≤ 2·|sources| rows): collected so the result outlives
+        // the temp dirs
+        spark.read.parquet(out.toString)
+          .groupBy(col("source"), col("verdict").cast("string").as("verdict"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_hits"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSeq
+          .toDF("source", "verdict", "n_docs", "n_hits", "min_doc_id", "max_doc_id")
+      } finally {
+        StagedEvents.deleteRecursively(staged)
+        StagedEvents.deleteRecursively(out)
+        StagedEvents.deleteRecursively(cp)
+      }
+    }
+}
