@@ -44,5 +44,6 @@ object SparkEntry {
       ("pipeline_hybrid_gain" -> graft.queries.Similarity.hybridGainSql(spark, sfDir)) +
       ("pipeline_hybrid_ksweep" -> graft.queries.Similarity.hybridKsweepSql(spark, sfDir)) +
       ("pipeline_hybrid_depth_curve" -> graft.queries.Similarity.hybridDepthCurveSql(spark, sfDir)) +
+      ("pipeline_retrieval_metrics" -> graft.queries.Similarity.hybridMetricsSql(spark, sfDir)) +
       ("sim_opq_train_curve" -> graft.queries.Similarity.opqTrainCurveSql(spark, sfDir))
 }

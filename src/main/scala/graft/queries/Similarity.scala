@@ -445,6 +445,49 @@ object Similarity {
       UNION ALL${hit("r5", "rrf")}"""
   }
 
+  /** DuckDB SQL for pipeline_retrieval_metrics — the shared hybrid chain's
+    * depth-10 lists scored by graded nDCG@10 and MRR@10 against the exact
+    * top-5 with its rank kept; the 1/log2(rank+1) discounts are the SAME
+    * integer micro-unit literals the Spark side embeds.
+    */
+  def hybridMetricsSql(s: SparkSession, d: String): String = {
+    val (basis, mean) = opqBasis(s, d)
+    s"""${hybridCtes(basis, mean)},$opqExactCtes,
+      xr AS (SELECT q_id, vec_id AS cand,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY d2, vec_id) AS erank
+             FROM ex
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY d2, vec_id) <= 5),
+      ds(rank, disc_u) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+                                  (4, 430677), (5, 386853), (6, 356207),
+                                  (7, 333333), (8, 315465), (9, 301030),
+                                  (10, 289065)),
+      rl AS (SELECT 'dense' AS scheme, q_id, cand, rank FROM dtop WHERE rank <= 10
+             UNION ALL
+             SELECT 'lex' AS scheme, q_id, cand, rank FROM ltop WHERE rank <= 10
+             UNION ALL
+             SELECT 'rrf' AS scheme, q_id, cand,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY rrf_u DESC, cand) AS rank
+             FROM hf
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_u DESC, cand) <= 10),
+      sc AS (SELECT rl.scheme,
+                    coalesce(6 - xr.erank, 0) * ds.disc_u AS g_u,
+                    CASE WHEN xr.erank = 1
+                         THEN CAST(round(1000000.0 / rl.rank) AS BIGINT)
+                         ELSE 0 END AS rr_u,
+                    CASE WHEN xr.erank IS NOT NULL THEN 1 ELSE 0 END AS hit
+             FROM rl JOIN ds ON rl.rank = ds.rank
+             LEFT JOIN xr ON rl.q_id = xr.q_id AND rl.cand = xr.cand)
+      SELECT scheme,
+             round(sum(g_u) / (10.0 * 10271927), 6) AS ndcg_at_10,
+             round(sum(rr_u) / 10000000.0, 6) AS mrr_at_10,
+             CAST(sum(hit) AS BIGINT) AS n_rel_found
+      FROM sc GROUP BY 1"""
+  }
+
   /** DuckDB SQL for pipeline_hybrid_ksweep — the shared hybrid WITH
     * chain's depth-50 leg tables fused at every k in the sweep, each
     * fusion's top-5 scored against the exact raw-space top-5.
@@ -1326,7 +1369,13 @@ object Similarity {
   /** Exact integer-L2² top-5 per probe — the declared brute-force baseline
     * both PQ recall audits compare against.
     */
-  private def pqExactTop5(s: SparkSession, d: String): DataFrame = {
+  private def pqExactTop5(s: SparkSession, d: String): DataFrame =
+    pqExactTop5Ranked(s, d).select(col("q_id"), col("vec_id"))
+
+  /** [[pqExactTop5]] keeping the exact rank (`erank` 1..5) — the graded
+    * relevance the ranking-metrics audit needs (gain 6 − erank).
+    */
+  private def pqExactTop5Ranked(s: SparkSession, d: String): DataFrame = {
     val vu = pqVu(s, d)
     val probes = vu.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vu").as("qu"))
@@ -1334,8 +1383,8 @@ object Similarity {
     vu.join(broadcast(probes), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"))
+      .withColumn("erank", row_number().over(w)).filter(col("erank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("erank"))
   }
 
   /** 16×dim random-hyperplane matrix with ±1 components derived from
@@ -2733,6 +2782,45 @@ object Similarity {
         .select(col("depth"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / 50.0, 6)
             .as("recall_at_5"))
+    }),
+
+    // GRADED ranking metrics for the hybrid stack — recall@5 says WHETHER
+    // the right answers surface; nDCG@10 and MRR@10 say WHERE (a list
+    // that buries its one true hit at rank 10 has the same recall as one
+    // that leads with it — and very different training value when the
+    // ranked list becomes hard-negative mining input). Gains are graded
+    // by the exact top-5's own order (rel = 6 − exact rank); discounts
+    // 1/log2(rank+1) are embedded as INTEGER micro-unit literals in both
+    // engines — identical constants, so no libm log2 divergence can
+    // decide a hash — and IDCG is closed-form (every probe has exactly 5
+    // relevant), making nDCG one integer sum + one division per scheme.
+    // Scale shape: everything after the shared legs is ≤30 rows per
+    // probe; no corpus re-scan, no new shuffle beyond three tiny aggs.
+    "pipeline_retrieval_metrics" -> ((s, d) => {
+      val discU = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val idcgU = 10271927L // 5·disc(1)+4·disc(2)+3·disc(3)+2·disc(4)+1·disc(5)
+      val discArr = array(discU.map(lit): _*)
+      val exact = pqExactTop5Ranked(s, d).withColumnRenamed("vec_id", "cand")
+      val ranked = hybridLegsShared(s, d).filter(col("rank") <= 10)
+        .select(col("leg").as("scheme"), col("q_id"), col("cand"), col("rank"))
+        .unionByName(queries("pipeline_hybrid_retrieval")(s, d)
+          .select(lit("rrf").as("scheme"), col("q_id"), col("cand"), col("rank")))
+      ranked.join(broadcast(exact), Seq("q_id", "cand"), "left")
+        .select(col("scheme"),
+          (coalesce(lit(6L) - col("erank"), lit(0L)) *
+            element_at(discArr, col("rank"))).as("g_u"),
+          when(col("erank") === 1,
+            round(lit(1000000.0) / col("rank")).cast("long"))
+            .otherwise(lit(0L)).as("rr_u"),
+          when(col("erank").isNotNull, 1L).otherwise(0L).as("hit"))
+        .groupBy(col("scheme"))
+        .agg(sum(col("g_u")).as("dcg_u"), sum(col("rr_u")).as("mrr_su"),
+          sum(col("hit")).as("n_rel_found"))
+        .select(col("scheme"),
+          round(col("dcg_u").cast("double") / (10.0 * idcgU), 6).as("ndcg_at_10"),
+          round(col("mrr_su").cast("double") / 10000000.0, 6).as("mrr_at_10"),
+          col("n_rel_found"))
     }),
 
     // The SERVING-COST table for the inverted-list layout — the cost

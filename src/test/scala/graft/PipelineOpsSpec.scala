@@ -389,6 +389,33 @@ class PipelineOpsSpec extends SparkSpec {
       "an uppercased eval doc produced a band collision against the train index")
   }
 
+  test("pipeline_retrieval_metrics: bounded, depth-monotone vs the gain " +
+      "audit, and the noise leg loses on every graded metric") {
+    val m = q("pipeline_retrieval_metrics").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(m.keySet == Set("dense", "lex", "rrf"))
+    m.foreach { case (s, (ndcg, mrr, found)) =>
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"$s ndcg $ndcg out of [0,1]")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$s mrr $mrr out of [0,1]")
+      assert(found >= 0L && found <= 50L, s"$s found $found of 50 relevant")
+    }
+    // the modalities are independent on this corpus: the lexical leg is
+    // noise, so dense must dominate it on every metric and fusion can
+    // only sit at-or-below dense (the dilution the depth curve measures)
+    assert(m("dense")._1 > m("lex")._1 && m("dense")._2 >= m("lex")._2 &&
+      m("dense")._3 > m("lex")._3, s"dense does not dominate lex: $m")
+    assert(m("rrf")._1 <= m("dense")._1, s"fusion beats dense on noise legs: $m")
+    // depth monotonicity against the recall audit: relevant found in the
+    // dense top-10 can only exceed the same leg's top-5 hits
+    val gain = q("pipeline_hybrid_gain").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("dense")._3 >= gain("dense"),
+      s"dense found@10 ${m("dense")._3} < hits@5 ${gain("dense")}")
+    assert(m("rrf")._3 >= gain("rrf"),
+      s"rrf found@10 ${m("rrf")._3} < hits@5 ${gain("rrf")}")
+  }
+
   test("pipeline_mix_decontaminated: drops exactly the gated survivors whose " +
       "content the eval corpus carries, and the mix re-balances over the rest") {
     val gated = q("pipeline_train_mix_gated").collect()

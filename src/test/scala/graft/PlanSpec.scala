@@ -548,6 +548,10 @@ class PlanSpec extends SparkSpec {
       // ground truth (sim_opq_recall's declared baseline class)
       "pipeline_hybrid_gain", "pipeline_hybrid_ksweep",
       "pipeline_hybrid_depth_curve",
+      // the graded-metrics audit composes the same legs (bm25's scalar
+      // annotates) with the exact broadcast-probe ground truth; its own
+      // additions are one broadcast-hash join + a 3-group agg
+      "pipeline_retrieval_metrics",
       // sim_pq_train_curve's four scalar(corpus size) annotates over the
       // rotated coordinates; every training join is equi-keyed on the
       // 1024-row broadcast codebook
