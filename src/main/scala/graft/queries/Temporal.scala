@@ -679,6 +679,15 @@ object Temporal {
     "stream_quarantine" -> ((s, d) =>
       graft.streaming.StreamQuarantine.audit(s, d)),
 
+    // The conversion funnel as a LEFT OUTER stream-stream join — the
+    // eviction-driven state machine the inner stream_join can't exercise:
+    // a view with no purchase in its 30-minute window emits null-matched
+    // only once the watermark proves no future match can arrive; a
+    // far-future sentinel batch advances the watermark so the final
+    // no-data micro-batch flushes all unmatched state (StreamFunnel).
+    "stream_funnel" -> ((s, d) =>
+      graft.streaming.StreamFunnel.audit(s, d)),
+
     // The serving path's per-batch LATENCY counters off
     // StreamingQueryProgress — raw milliseconds are un-oracle-able by
     // design (wall-clock), so the oracled surface is the timing contract:
@@ -1303,6 +1312,25 @@ object Temporal {
       SELECT check_name, severity, CAST(count(*) AS BIGINT) AS n_rows,
              min(row_key) AS min_key, max(row_key) AS max_key
       FROM q GROUP BY 1, 2""",
+    // the streamed left-outer funnel drained to pairs then rolled up —
+    // the oracle replays the identical per-view earliest-purchase left
+    // join from the raw table (the sentinel joins nothing and is absent)
+    "stream_funnel" -> """
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        event_id, event_type
+                 FROM events),
+      v AS (SELECT user_id, event_id, us AS v_us FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT v.user_id, v.event_id, v.v_us, min(p.p_us) AS p_us
+            FROM v LEFT JOIN p ON v.user_id = p.user_id
+                               AND p.p_us >= v.v_us
+                               AND p.p_us <= v.v_us + 1800000000
+            GROUP BY 1, 2, 3)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+             CAST(sum(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conv,
+             CAST(min(p_us - v_us) AS BIGINT) AS min_latency_us
+      FROM j GROUP BY 1""",
     // the latency contract over the same parity split: two data batches,
     // phases reported and ordered, no negative durations — the raw
     // milliseconds stay un-oracled (wall-clock is not reproducible)
