@@ -330,6 +330,14 @@ object Temporal {
     // changelog batch is ONE shuffle of base ∪ delta — no full-outer
     // join, no driver loop, and skew is bounded by rows-per-key in the
     // delta, not the log.
+    // The right-to-be-forgotten purge as a PARTITION-PRUNED rewrite: the
+    // md5-derived forget set maps to its `user_id % 16` bucket footprint
+    // and only those partitions are dynamically overwritten — every other
+    // file of the stored table is never opened (byte-identical before and
+    // after, mtime-pinned in ForgetKeysSpec). The audit is the read-back
+    // per-bucket before/after census from the rewritten layout itself.
+    "cdc_forget_keys" -> ((s, d) => graft.ops.ForgetKeys.audit(s, d)),
+
     "cdc_merge_upsert" -> ((s, d) => {
       val cutoffUs = lit(1705708800000000L) // 2024-01-20 00:00:00 UTC in micros
       val ev = events(s, d).select(col("user_id"),
@@ -1480,6 +1488,19 @@ object Temporal {
     // the as-of read shares the SCD2 CTEs verbatim — one SQL definition of
     // the dimension; the cutoff list is a 3-row VALUES joined on interval
     // containment (DuckDB's planner handles the tiny cross product)
+    // the purge audit replayed from the raw table: same bucket map, same
+    // md5 forget rule — the rewritten layout must census identically
+    "cdc_forget_keys" -> """
+      WITH e AS (SELECT user_id, user_id % 16 AS bkt,
+                        ('0x' || substr(md5('fg' || user_id::VARCHAR), 1, 15))::BIGINT
+                          % 10 = 0 AS fg
+                 FROM events)
+      SELECT CAST(bkt AS INTEGER) AS bkt,
+             CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN NOT fg THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+             CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+             bool_or(fg) AS rewritten
+      FROM e GROUP BY 1""",
     "cdc_asof_snapshot" -> s"""
       WITH $scd2Ctes,
       c(asof_us) AS (VALUES (1704672000000000), (1705363200000000),
