@@ -458,6 +458,29 @@ object Extended {
       labels.select(col("node").as("doc_id"), col("lbl").as("community"))
     }),
 
+    // Multi-source BFS over the near-dup graph — the reachability read
+    // next to CC/PageRank/LPA: from an md5-derived ~10% seed set, how far
+    // does duplication influence propagate hop by hop (the "how many docs
+    // are within k edits-of-edits of a known bad template" audit). Frontier
+    // expansion is one keyed edge join + anti-join-vs-reached per hop —
+    // the textbook distributed BFS: the edge list never moves, only the
+    // frontier (monotonically shrinking) shuffles; 4 hops bound the plan
+    // depth so no checkpoint is needed (the PageRank precedent). The
+    // read-out is the per-depth census with a membership checksum. The
+    // oracle is a DuckDB RECURSIVE CTE walking the same edges — min(depth)
+    // over the set-semantics expansion IS BFS depth — the first recursive
+    // replay in the suite.
+    "graph_bfs_depths" -> ((s, d) => {
+      val edges = pagerankEdgesShared(s, d).select(col("src"), col("dst"))
+      val isSeed = conv(substring(
+        md5(concat(lit("bfs"), col("node").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10 === 0
+      val seeds = edges.select(col("src").as("node")).distinct().filter(isSeed)
+      bfsFrom(edges, seeds, 4)
+        .groupBy(col("depth").cast("int").as("depth"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_doc_id"))
+    }),
+
     // Triangle participation over the near-dup candidate graph — the
     // local-clustering signal that separates a dense duplicate clique
     // (template boilerplate, mirrored sites) from a chain of borderline
@@ -1516,6 +1539,26 @@ object Extended {
     * rank table ever moves.
     */
   private val sharedPagerankEdges = new SessionFrameCache(4)
+  /** Frontier BFS from `seeds` over directed `edges` (src, dst): one keyed
+    * edge join + anti-join-vs-reached per hop; returns (node, depth) with
+    * depth = the hop a node is FIRST reached (min-depth semantics by the
+    * anti-join). Factored so the synthetic-chain spec can exercise the
+    * multi-hop path the fixture graph's shallow cliques never reach.
+    */
+  private[graft] def bfsFrom(edges: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    var reached = seeds.withColumn("depth", lit(0))
+    var frontier = seeds.select(col("node"))
+    for (h <- 1 to hops) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+      reached = reached.unionByName(next.withColumn("depth", lit(h)))
+      frontier = next
+    }
+    reached
+  }
+
   def pagerankEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedPagerankEdges.getOrBuild(s, d) {
       val pairs = TextOps.minhashPairsShared(s, d)
@@ -1915,6 +1958,27 @@ object Extended {
                AS BIGINT) AS weight_ppm
       FROM sh, e""",
 
+    // the recursive replay: set-semantics expansion to depth 4, min(depth)
+    // per node IS the BFS depth the frontier algorithm assigns
+    "graph_bfs_depths" -> s"""
+      WITH RECURSIVE pairs AS (${TextOps.minhashPairsSql}),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      seeds AS (SELECT node FROM nodes
+                WHERE ('0x' || substr(md5('bfs' || node::VARCHAR), 1, 15))::BIGINT
+                      % 10 = 0),
+      walk(node, depth) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 4),
+      md AS (SELECT node, min(depth) AS depth FROM walk GROUP BY 1)
+      SELECT CAST(depth AS INTEGER) AS depth,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(node) AS BIGINT) AS sum_doc_id
+      FROM md GROUP BY 1""",
     "graph_pagerank" -> s"""
       WITH pairs AS (${TextOps.minhashPairsSql}),
       edges AS (SELECT da AS src, db AS dst FROM pairs

@@ -297,6 +297,37 @@ class ExtendedSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("graph_bfs_depths: a synthetic chain walks every hop, and the real " +
+      "graph's census reconciles with its seed set") {
+    import spark.implicits._
+    // a 10-node path 0-1-2-...-9 (symmetric edges) plus an isolated pair:
+    // from seed 0, BFS must assign depth h to node h for h <= 4 and never
+    // reach past the hop bound or the component boundary
+    val chain = (0L until 9L).flatMap(i => Seq((i, i + 1), (i + 1, i))) ++
+      Seq((100L, 101L), (101L, 100L))
+    val edges = chain.toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = graft.queries.Extended.bfsFrom(edges, seeds, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4),
+      s"chain walk wrong: $got")
+    // the real query: depth-0 row IS the md5 seed census, every depth is
+    // within the hop bound, and deeper frontiers only shrink (cliques)
+    val rows = graft.queries.Extended.queries("graph_bfs_depths")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.contains(0) && rows.keys.forall(d => d >= 0 && d <= 4))
+    val nodes = graft.queries.Extended.pagerankEdgesShared(spark, sf)
+      .select(col("src").as("node")).distinct()
+    val seedCensus = nodes.filter(conv(substring(
+        md5(concat(lit("bfs"), col("node").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10 === 0)
+      .agg(count(lit(1)), sum(col("node"))).collect().head
+    assert(rows(0) == ((seedCensus.getLong(0), seedCensus.getLong(1))),
+      s"depth-0 ${rows(0)} != seed census $seedCensus")
+    assert(rows.values.map(_._1).sum <= nodes.count(),
+      "reached more nodes than the graph has")
+  }
+
   test("graph/threshold/domain/profile diagnostics: totals reconcile with their inputs") {
     val pairs = graft.queries.TextOps.queries("dedup_minhash_lsh")(spark, sf).count()
     val degRows = graft.queries.Extended.queries("graph_degree_stats")(spark, sf)
