@@ -28,6 +28,35 @@ object TextOps {
   private def toks(s: SparkSession, d: String): DataFrame =
     fanOut(documents(s, d), s).select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
 
+  /** Count-Min estimates for `probes` (token, exact_n) over the `tok`
+    * stream at width `w`, d=4 md5-derived rows — factored so the spec can
+    * shrink w until collisions force the one-sided overestimation the
+    * production width never shows at fixture scale.
+    */
+  private[graft] def cmsEstimates(tok: DataFrame, probes: DataFrame,
+      w: Int): DataFrame = {
+    probes
+      .select(col("token"), col("exact_n"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("token"), col("exact_n"), col("r"),
+        cmsPosOf(col("token"), col("r"), w).as("pos"))
+      .join(broadcast(cmsSketch(tok, w)), Seq("r", "pos"))
+      .groupBy(col("token"), col("exact_n"))
+      .agg(min(col("c")).as("cms_n"))
+  }
+
+  private def cmsPosOf(t: Column, r: Column, w: Int): Column = conv(substring(
+    md5(concat(t, lit("_"), r.cast("string"))), 1, 15), 16, 10)
+    .cast("long") % w
+
+  /** The raw d=4 × `w` counter table — ≤4·w keyed sums; exposed so the
+    * spec can pin the merge algebra (slice sketches add counter-wise).
+    */
+  private[graft] def cmsSketch(tok: DataFrame, w: Int): DataFrame = tok
+    .select(col("token"), explode(sequence(lit(0), lit(3))).as("r"))
+    .select(col("r"), cmsPosOf(col("token"), col("r"), w).as("pos"))
+    .groupBy(col("r"), col("pos")).agg(count(lit(1)).as("c"))
+
   /** Hot-shingle document-frequency cap, shared by dedup_ngram_jaccard,
     * dedup_minhash_lsh, and their DuckDB oracles: a shingle in more than
     * this many documents is boilerplate — no dedup signal, quadratic
@@ -1343,6 +1372,25 @@ object TextOps {
         .filter(col("n") > col("tot") * 0.02)
         .select(col("token"),
           col("token").isin(sketch.toSeq: _*).as("in_sketch"))
+    }),
+
+    // COUNT-MIN SKETCH — the mergeable heavy-hitter ESTIMATOR next to the
+    // exact histogram (text_heavy_hitters) and the HLL cardinality sketch
+    // (a21): d=4 rows × w=1024 counters, positions md5-derived so the
+    // whole sketch — build, probe, and its overestimation bias — replays
+    // in SQL. The sketch is ≤4096 keyed SUMS regardless of corpus size
+    // (map-side combinable, slice-mergeable by plain addition — the
+    // CmsSpec merge pin), which is why a 100 TB stream can afford one per
+    // partition where the exact token histogram cannot. The read-out
+    // probes the top-10 exact tokens and emits estimate next to truth, so
+    // the one-sided error contract (cms_n ≥ exact_n, never under) is read
+    // directly off the table and spec-pinned.
+    "a23_countmin" -> ((s, d) => {
+      val tok = toks(s, d).select(explode(col("t")).as("token"))
+        .filter(length(col("token")) > 0)
+      val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      val probes = counts.orderBy(col("exact_n").desc, col("token")).limit(10)
+      cmsEstimates(tok, probes, 1024)
     }),
 
     // The capstone training-data pipeline: quality gate (alpha ratio) ∧
@@ -3320,6 +3368,28 @@ object TextOps {
       c AS (SELECT token, count(*) AS n FROM tk WHERE length(token) > 0 GROUP BY token)
       SELECT token, true AS in_sketch
       FROM c WHERE n > 0.02 * (SELECT sum(n) FROM c)""",
+    // the CMS replayed position for position — estimate AND overestimation
+    // bias must both hash-match
+    "a23_countmin" -> """
+      WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                  FROM documents),
+      tok AS (SELECT token FROM tk WHERE length(token) > 0),
+      counts AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
+      probes AS (SELECT token, exact_n FROM counts
+                 ORDER BY exact_n DESC, token LIMIT 10),
+      pos AS (SELECT token, x.r,
+                     ('0x' || substr(md5(token || '_' || x.r::VARCHAR), 1, 15))::BIGINT
+                       % 1024 AS pos
+              FROM tok, LATERAL (SELECT unnest(range(0, 4)) AS r) x),
+      sk AS (SELECT r, pos, count(*) AS c FROM pos GROUP BY 1, 2),
+      pp AS (SELECT p.token, p.exact_n, x.r,
+                    ('0x' || substr(md5(p.token || '_' || x.r::VARCHAR), 1, 15))::BIGINT
+                      % 1024 AS pos
+             FROM probes p, LATERAL (SELECT unnest(range(0, 4)) AS r) x)
+      SELECT pp.token, CAST(pp.exact_n AS BIGINT) AS exact_n,
+             CAST(min(sk.c) AS BIGINT) AS cms_n
+      FROM pp JOIN sk ON pp.r = sk.r AND pp.pos = sk.pos
+      GROUP BY 1, 2""",
     "dedup_exact_substring" -> """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
                   FROM documents),

@@ -389,6 +389,45 @@ class PipelineOpsSpec extends SparkSpec {
       "an uppercased eval doc produced a band collision against the train index")
   }
 
+  test("a23_countmin: one-sided error, collisions fire at tiny width, " +
+      "and slice sketches merge counter-wise") {
+    import graft.queries.TextOps
+    val tok = graft.tables.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    // production width: never underestimates
+    q("a23_countmin").collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: cms ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // width 8 over a many-hundred-token vocabulary: collisions are
+    // guaranteed, the estimate must stay one-sided and STRICTLY
+    // overestimate somewhere — the error path the production width never
+    // shows at fixture scale
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+    val probes = counts.orderBy(col("exact_n").desc, col("token")).limit(10)
+    val tiny = TextOps.cmsEstimates(tok, probes, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tiny.forall { case (_, ex, cm) => cm >= ex }, s"underestimate: ${tiny.mkString}")
+    assert(tiny.exists { case (_, ex, cm) => cm > ex },
+      "no collision at width 8 — the overestimation path is unexercised")
+    // merge algebra: even-docs sketch + odd-docs sketch == whole sketch
+    val docs = graft.tables.Tables.documents(spark, sf)
+    def tokOf(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      docs.filter(p(col("doc_id")))
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+    val whole = TextOps.cmsSketch(tok, 64)
+    val merged = TextOps.cmsSketch(tokOf(_ % 2 === 0), 64)
+      .withColumnRenamed("c", "ce")
+      .join(TextOps.cmsSketch(tokOf(_ % 2 =!= 0), 64)
+        .withColumnRenamed("c", "co"), Seq("r", "pos"), "full")
+      .select(col("r"), col("pos"),
+        (coalesce(col("ce"), lit(0L)) + coalesce(col("co"), lit(0L))).as("c"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "slice sketches do not merge to the one-pass sketch")
+  }
+
   test("pipeline_retrieval_metrics: bounded, depth-monotone vs the gain " +
       "audit, and the noise leg loses on every graded metric") {
     val m = q("pipeline_retrieval_metrics").collect()
