@@ -1438,6 +1438,57 @@ object TextOps {
         .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // INCREMENTAL MIX MAINTENANCE — the agg_incremental_merge pattern
+    // applied to the training mix: the mix's ENTIRE output (per-source
+    // counts, the balanced threshold, and the md5-bucket kept-count)
+    // derives from one bounded sufficient statistic — the per-(source,
+    // bucket) histogram of survivors (≤ |sources|·10000 rows of counts +
+    // token sums, corpus-size-independent). Slice histograms merge by
+    // ADDITION, so a per-load mix refresh scans only the arriving slice
+    // and re-derives thresholds + kept-counts from the merged histogram —
+    // never re-scanning history even though the threshold (and with it
+    // every source's kept-set) moves on every load. Hash-matching the
+    // full-recompute oracle (the SAME SQL as pipeline_train_mix) IS the
+    // sufficient-statistic proof; the spec additionally pins result
+    // equality frame-to-frame and the two-scan plan shape.
+    "pipeline_mix_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keep = filterSurvivorsShared(s, d)
+      val isNew = conv(substring(
+        md5(concat(lit("mi"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10 === 0
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+      def hist(pred: Column) = documents(s, d).join(keep, Seq("doc_id"))
+        .filter(pred)
+        .select(col("source"), bucket.as("b"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("toks"))
+        .groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("nb"), sum(col("toks")).as("tb"))
+      val merged = hist(!isNew)
+        .withColumnRenamed("nb", "n0").withColumnRenamed("tb", "t0")
+        .join(hist(isNew)
+          .withColumnRenamed("nb", "n1").withColumnRenamed("tb", "t1"),
+          Seq("source", "b"), "full")
+        .select(col("source"), col("b"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("nb"),
+          (coalesce(col("t0"), lit(0L)) + coalesce(col("t1"), lit(0L))).as("tb"))
+      val counts = merged.groupBy(col("source"))
+        .agg(sum(col("nb")).as("n_docs"), sum(col("tb")).as("n_tokens"))
+      val w = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val thr = counts
+        .withColumn("n_total", sum(col("n_docs")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          least(lit(10000L),
+            expr("(10000 * n_total) div (k * n_docs)")).as("thr"))
+      merged.join(broadcast(thr), "source")
+        .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("thr"))
+        .agg(sum(when(col("b") < col("thr"), col("nb")).otherwise(0L)).as("n_kept"))
+    }),
+
     // The QUARANTINE-AWARE train mix — the expectations → training-mix
     // loop closed as one oracled composition: the same survivor set as
     // pipeline_train_mix, but diag_expectations' severity policy applied
@@ -2647,6 +2698,42 @@ object TextOps {
     * `pipeline_mix_packing`, so "the training set under the mix" has
     * exactly one SQL definition.
     */
+  /** The full-recompute mix oracle, shared verbatim by pipeline_train_mix
+    * and its incremental twin — one SQL definition of the mix.
+    */
+  private lazy val trainMixSql: String = s"""
+      WITH neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
+      quality AS (SELECT doc_id FROM documents
+                  WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          / CAST(length(text) AS DOUBLE), 6) >= 0.81),
+      english AS (SELECT doc_id
+                  FROM (${graft.functions.LangId.langIdSql})
+                  WHERE lang_pred = 'en'),
+      keep AS (SELECT q.doc_id FROM quality q
+               JOIN english e ON q.doc_id = e.doc_id
+               WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)),
+      stok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks
+               FROM (SELECT doc_id,
+                            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                     FROM documents) u
+               WHERE length(t) > 0 GROUP BY doc_id),
+      surv AS (SELECT d.doc_id, d.source, coalesce(s.toks, 0) AS toks
+               FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+               LEFT JOIN stok s ON d.doc_id = s.doc_id),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens
+            FROM surv GROUP BY source),
+      t AS (SELECT source, n_docs, n_tokens,
+                   CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
+                                     // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
+            FROM c)
+      SELECT t.source, t.n_docs, t.n_tokens, t.thr,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+                                % 10000 < t.thr
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM surv s JOIN t ON s.source = t.source
+      GROUP BY 1, 2, 3, 4"""
+
   private lazy val gatedMixCtes: String = s"""
       neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
       quality AS (SELECT doc_id FROM documents
@@ -3465,38 +3552,10 @@ object TextOps {
       SELECT q.doc_id FROM quality q
       JOIN english e ON q.doc_id = e.doc_id
       WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)""",
-    "pipeline_train_mix" -> s"""
-      WITH neardup AS (SELECT DISTINCT db FROM ($ngramJaccardSql)),
-      quality AS (SELECT doc_id FROM documents
-                  WHERE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                          / CAST(length(text) AS DOUBLE), 6) >= 0.81),
-      english AS (SELECT doc_id
-                  FROM (${graft.functions.LangId.langIdSql})
-                  WHERE lang_pred = 'en'),
-      keep AS (SELECT q.doc_id FROM quality q
-               JOIN english e ON q.doc_id = e.doc_id
-               WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.db = q.doc_id)),
-      stok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks
-               FROM (SELECT doc_id,
-                            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-                     FROM documents) u
-               WHERE length(t) > 0 GROUP BY doc_id),
-      surv AS (SELECT d.doc_id, d.source, coalesce(s.toks, 0) AS toks
-               FROM documents d JOIN keep k ON d.doc_id = k.doc_id
-               LEFT JOIN stok s ON d.doc_id = s.doc_id),
-      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(toks) AS BIGINT) AS n_tokens
-            FROM surv GROUP BY source),
-      t AS (SELECT source, n_docs, n_tokens,
-                   CAST(least(10000, (10000 * CAST(sum(n_docs) OVER () AS BIGINT))
-                                     // (count(*) OVER () * n_docs)) AS BIGINT) AS thr
-            FROM c)
-      SELECT t.source, t.n_docs, t.n_tokens, t.thr,
-             CAST(sum(CASE WHEN ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
-                                % 10000 < t.thr
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-      FROM surv s JOIN t ON s.source = t.source
-      GROUP BY 1, 2, 3, 4""",
+    "pipeline_train_mix" -> trainMixSql,
+    // the incremental twin must equal the full recompute — the
+    // sufficient-statistic contract, one SQL definition of the mix
+    "pipeline_mix_incremental" -> trainMixSql,
     // the severity-gated mix: the same survivor chain with the
     // expectation suite's documents policy applied — error floor
     // excluded, warn floor counted per source

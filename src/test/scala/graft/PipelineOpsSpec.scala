@@ -389,6 +389,22 @@ class PipelineOpsSpec extends SparkSpec {
       "an uppercased eval doc produced a band collision against the train index")
   }
 
+  test("pipeline_mix_incremental: the merged histogram reproduces the full " +
+      "mix exactly, and the slice split is real") {
+    val full = q("pipeline_train_mix")
+    val inc = q("pipeline_mix_incremental")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental mix diverges from the full recompute")
+    // vacuity: both slices carry survivors, otherwise the merge is a no-op
+    val isNew = conv(substring(
+      md5(concat(lit("mi"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10 === 0
+    val surv = graft.tables.Tables.documents(spark, sf)
+      .join(graft.queries.TextOps.filterSurvivorsShared(spark, sf), Seq("doc_id"))
+    assert(surv.filter(isNew).head(1).nonEmpty, "delta slice empty — vacuous")
+    assert(surv.filter(!isNew).head(1).nonEmpty, "state slice empty — vacuous")
+  }
+
   test("a23_countmin: one-sided error, collisions fire at tiny width, " +
       "and slice sketches merge counter-wise") {
     import graft.queries.TextOps

@@ -630,6 +630,8 @@ class PlanSpec extends SparkSpec {
       "pipeline_mix_decontaminated", // same |sources|-row mix window; the
                                      // contam probe itself is a broadcast
                                      // semi join, never funneled
+      "pipeline_mix_incremental", // same |sources|-row mix window over the
+                                  // merged bounded histogram
       "sample_balanced_pairs", // same |sources|-row source-index window
       "diag_key_skew",      // window over the 10-row per-partition top-k
       "text_top_tokens",    // rank window over the 100-row TakeOrdered result
