@@ -687,6 +687,15 @@ object Temporal {
     "stream_quarantine" -> ((s, d) =>
       graft.streaming.StreamQuarantine.audit(s, d)),
 
+    // AS-OF ENRICHMENT at the ingest edge — the streaming twin of the
+    // batch as-of family, the one join class that had no streaming twin:
+    // each arriving purchase enriched with the user's latest strictly-
+    // prior view via the StreamScd2 event-time-ordered state discipline
+    // (buffer above the watermark, fold only the final prefix — as-of is
+    // order-sensitive under admissible lateness). Per-key state is two
+    // scalars + the horizon tail (StreamAsof).
+    "stream_asof_enrich" -> ((s, d) => graft.streaming.StreamAsof(s, d)),
+
     // The conversion funnel as a LEFT OUTER stream-stream join — the
     // eviction-driven state machine the inner stream_join can't exercise:
     // a view with no purchase in its 30-minute window emits null-matched
@@ -1320,6 +1329,27 @@ object Temporal {
       SELECT check_name, severity, CAST(count(*) AS BIGINT) AS n_rows,
              min(row_key) AS min_key, max(row_key) AS max_key
       FROM q GROUP BY 1, 2""",
+    // the streamed as-of fold replayed as one ordered window pass: the
+    // latest strictly-prior view per purchase under the (us, event_id)
+    // total order — IGNORE NULLS last() over the 1-PRECEDING frame
+    "stream_asof_enrich" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events
+                 WHERE event_type IN ('view', 'purchase')),
+      w AS (SELECT *,
+                   last(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS v_us,
+                   last(CASE WHEN event_type = 'view' THEN cents END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS v_cents
+            FROM e)
+      SELECT user_id, event_id, us AS p_us, v_us, v_cents
+      FROM w WHERE event_type = 'purchase'""",
+
     // the streamed left-outer funnel drained to pairs then rolled up —
     // the oracle replays the identical per-view earliest-purchase left
     // join from the raw table (the sentinel joins nothing and is absent)
