@@ -169,6 +169,76 @@ object Extended {
           .as("p95_within"))
     }),
 
+    // A13c: quantile-sketch MERGEABILITY — the ledger seed a13b left open:
+    // a13b pins approx_percentile's accuracy contract, but the at-scale
+    // REASON to run a quantile sketch is that slice partials MERGE
+    // (per-file, per-hour, per-shard builds folded without revisiting
+    // data). Spark's KLL partials are opaque binary, so the merge algebra
+    // is asserted on a sketch this suite fully controls: a fixed-width
+    // bucket histogram (W = 256 price units, ≈410 buckets per group at
+    // any SF — bounded regardless of row count). Three deterministic
+    // slices (l_orderkey % 3) build INDEPENDENT sketches; the merge is
+    // counter ADDITION, and the output proves per group:
+    // (1) merged ≡ one-pass sketch bucket-for-bucket (the mergeability
+    //     law, hash-matched exactly — full-outer join so a bucket present
+    //     on one side only fails loudly), and
+    // (2) the merged sketch's p50/p95 estimates land within 2 bucket
+    //     widths of the exact interpolated percentile (by construction:
+    //     the estimate and the rank-target value share a bucket, and the
+    //     exact quantile's ±1-rank interpolation reaches at most the
+    //     adjacent bucket — the contract guards the cumulative-rank
+    //     arithmetic, where an off-by-one silently shifts a bucket).
+    // Estimates are integer micro-units via BIGINT floor-division so both
+    // engines compute bit-identical values (long headroom is ample at
+    // bench scale; a production build widens to DECIMAL(38), same
+    // algebra). The rank targets are integer ceil: r_q = ceil(q·n)
+    // computed as (n+1) div 2 and (19n+19) div 20 — no float rank.
+    "a13c_quantile_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = fanOut(lineitem(s, d), s, partitions = 8)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          floor(col("l_extendedprice") / 256).cast("long").as("b"),
+          (col("l_orderkey") % 3).as("slice"))
+      // independent per-slice sketches → merged by addition; the one-pass
+      // sketch is built from the same scan for the equality audit
+      val perSlice = li.groupBy(col("l_returnflag"), col("slice"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val merged = perSlice.groupBy(col("l_returnflag"), col("b"))
+        .agg(sum(col("c")).as("c"))
+      val onePass = li.groupBy(col("l_returnflag"), col("b"))
+        .agg(count(lit(1)).as("c1"))
+      val eq = merged.join(onePass, Seq("l_returnflag", "b"), "full_outer")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bool_and(coalesce(c = c1, false))").as("merged_eq_onepass"))
+      // cumulative read-out over the MERGED sketch: per-group windows are
+      // bounded by the bucket count (≈410 rows), never by the data
+      val cum = merged
+        .withColumn("cum",
+          sum(col("c")).over(
+            Window.partitionBy(col("l_returnflag")).orderBy(col("b"))))
+        .withColumn("n",
+          sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+        .withColumn("r50", expr("(n + 1) div 2"))
+        .withColumn("r95", expr("(19 * n + 19) div 20"))
+      def pickMicro(r: String) = min(when(
+        col("cum") >= col(r) && col("cum") - col("c") < col(r),
+        col("b") * lit(256000000L) +
+          expr(s"(256000000 * ($r - (cum - c))) div c")))
+      val est = cum.groupBy(col("l_returnflag"))
+        .agg(pickMicro("r50").as("p50_micro"), pickMicro("r95").as("p95_micro"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("x50"), element_at(col("ps"), 2).as("x95"))
+      eq.join(est, "l_returnflag").join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("merged_eq_onepass"),
+          col("p50_micro"), col("p95_micro"),
+          (abs(col("p50_micro").cast("double") / 1e6 - col("x50")) <= 512)
+            .as("p50_within_2w"),
+          (abs(col("p95_micro").cast("double") / 1e6 - col("x95")) <= 512)
+            .as("p95_within_2w"))
+    }),
+
     // A6b: the 100 TB distinct-count path — approx_count_distinct (HLL++,
     // fixed-size mergeable sketch, rsd 2%) with the same boolean
     // accuracy-contract oracle as a13b: per group the approx count must be
@@ -296,6 +366,56 @@ object Extended {
           lit(false).as("recomputed"))
         .unionByName(relabeled.select(col("doc_id"), col("cluster_id"),
           lit(true).as("recomputed")))
+    }),
+
+    // LEAKAGE-SAFE train/val/test SPLIT — the reason a training pipeline
+    // clusters near-dups BEFORE splitting: sample_split's doc-level
+    // md5(doc_id) assignment puts the two halves of a near-dup pair on
+    // opposite sides of the split boundary with probability ≈ 2·p(1−p),
+    // and every such pair is eval contamination you can't detect later
+    // (the eval doc IS a training doc, modulo a few tokens). Assigning
+    // the CLUSTER instead (md5 of the connected-component label, every
+    // member inherits it) makes straddling IMPOSSIBLE by construction:
+    // both endpoints of any candidate pair share a component, hence a
+    // label, hence a split. The output carries the audit for BOTH
+    // strategies — cluster_straddle_pairs is provably 0, and
+    // doc_straddle_pairs measures what the naive split would have leaked.
+    // Scale shape: the corpus joins the (bounded) cluster-label frame
+    // once, the straddle audit broadcasts the candidate-pair frame onto
+    // the corpus-keyed sides (the corpus never shuffles for the audit),
+    // and the per-split stats are one keyed aggregation. Singleton docs
+    // (no near-dup) are their own cluster: coalesce(label, doc_id).
+    "pipeline_split_leakage_safe" -> ((s, d) => {
+      val labels = ccLabelsShared(s, d)
+      val assigned = documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val bkt = conv(substring(
+          md5(concat(lit("split"), c.cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 10
+        when(bkt < 8, "train").when(bkt === 8, "val").otherwise("test")
+      }
+      val withSplits = assigned.select(col("doc_id"), col("cluster_id"),
+        splitOf(col("cluster_id")).as("split"),
+        splitOf(col("doc_id")).as("doc_split"))
+      val pairs = TextOps.minhashPairsShared(s, d).select(col("da"), col("db"))
+      val annA = withSplits.select(col("doc_id").as("da"),
+        col("split").as("sa"), col("doc_split").as("dsa"))
+        .join(broadcast(pairs), Seq("da"))
+      val straddle = withSplits.select(col("doc_id").as("db"),
+        col("split").as("sb"), col("doc_split").as("dsb"))
+        .join(broadcast(annA), Seq("db"))
+        .agg(
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("cluster_straddle_pairs"),
+          sum(when(col("dsa") =!= col("dsb"), 1L).otherwise(0L))
+            .as("doc_straddle_pairs"))
+      withSplits.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(straddle))
     }),
 
     // The dedup pipeline's last mile: clusters alone don't tell a pipeline
@@ -1729,6 +1849,40 @@ object Extended {
     "a6b_count_distinct_approx" -> """
       SELECT l_returnflag, true AS within_5pct
       FROM lineitem GROUP BY l_returnflag""",
+    // the merge law and the micro-unit estimates replay exactly (integer
+    // counters + BIGINT floor division); only the 2W contract touches
+    // floats, with 2W of slack against ulp noise
+    "a13c_quantile_merge" -> """
+      WITH x AS (SELECT l_returnflag, l_extendedprice,
+                        CAST(floor(l_extendedprice / 256) AS BIGINT) AS b,
+                        l_orderkey % 3 AS slice
+                 FROM lineitem),
+      ps AS (SELECT l_returnflag, slice, b, count(*) AS c FROM x GROUP BY 1, 2, 3),
+      m AS (SELECT l_returnflag, b, CAST(sum(c) AS BIGINT) AS c FROM ps GROUP BY 1, 2),
+      o AS (SELECT l_returnflag, b, count(*) AS c1 FROM x GROUP BY 1, 2),
+      eq AS (SELECT l_returnflag,
+                    bool_and(coalesce(m.c = o.c1, false)) AS merged_eq_onepass
+             FROM m FULL OUTER JOIN o USING (l_returnflag, b) GROUP BY 1),
+      cm AS (SELECT l_returnflag, b, c,
+                    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+                    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+             FROM m),
+      rk AS (SELECT *, (n + 1) // 2 AS r50, (19 * n + 19) // 20 AS r95 FROM cm),
+      est AS (SELECT l_returnflag,
+                     CAST(min(CASE WHEN cum >= r50 AND cum - c < r50
+                       THEN b * 256000000 + (256000000 * (r50 - (cum - c))) // c END)
+                       AS BIGINT) AS p50_micro,
+                     CAST(min(CASE WHEN cum >= r95 AND cum - c < r95
+                       THEN b * 256000000 + (256000000 * (r95 - (cum - c))) // c END)
+                       AS BIGINT) AS p95_micro
+              FROM rk GROUP BY 1),
+      ex AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS x50,
+                    quantile_cont(l_extendedprice, 0.95) AS x95
+             FROM x GROUP BY 1)
+      SELECT eq.l_returnflag, merged_eq_onepass, p50_micro, p95_micro,
+             abs(p50_micro / 1000000.0 - x50) <= 512 AS p50_within_2w,
+             abs(p95_micro / 1000000.0 - x95) <= 512 AS p95_within_2w
+      FROM eq JOIN est USING (l_returnflag) JOIN ex USING (l_returnflag)""",
     "f17_json_field" -> """
       SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
       FROM events GROUP BY 1""",
@@ -1805,6 +1959,43 @@ object Extended {
       LEFT JOIN touched t ON b.cluster_id = t.cluster_id
       LEFT JOIN ddocs dd ON cc.doc_id = dd.doc_id"""
     },
+    // cluster labels re-derived recursively; both split assignments replay
+    // the identical md5('split' || id) scheme, so cluster_straddle_pairs=0
+    // is PROVEN against an independent engine, not asserted
+    "pipeline_split_leakage_safe" -> s"""
+      WITH RECURSIVE pairs AS (${TextOps.minhashPairsSql}),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY node),
+      a AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+      w AS (SELECT doc_id, cluster_id,
+                   CASE WHEN cb < 8 THEN 'train' WHEN cb = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN dbk < 8 THEN 'train' WHEN dbk = 8 THEN 'val'
+                        ELSE 'test' END AS doc_split
+            FROM (SELECT doc_id, cluster_id,
+                    ('0x' || substr(md5('split' || cluster_id::VARCHAR), 1, 15))::BIGINT
+                      % 10 AS cb,
+                    ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 10 AS dbk
+                  FROM a)),
+      st AS (SELECT
+               CAST(sum(CASE WHEN wa.split <> wb.split THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cluster_straddle_pairs,
+               CAST(sum(CASE WHEN wa.doc_split <> wb.doc_split THEN 1 ELSE 0 END) AS BIGINT)
+                 AS doc_straddle_pairs
+             FROM pairs p JOIN w wa ON p.da = wa.doc_id
+                          JOIN w wb ON p.db = wb.doc_id)
+      SELECT split, count(*) AS n_docs,
+             CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+             cluster_straddle_pairs, doc_straddle_pairs
+      FROM w, st GROUP BY 1, 4, 5""",
     "graph_triangles" -> s"""
       WITH pairs AS (${TextOps.minhashPairsSql}),
       tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c

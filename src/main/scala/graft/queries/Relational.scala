@@ -48,12 +48,15 @@ object Relational {
     val key = ContentStamp.of(
       java.nio.file.Paths.get(d, "events.parquet").toString)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_events_by_type_$key"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+    // build-in-temp + atomic rename (the shared stageOnce): concurrent
+    // stagings — two prewarms in one JVM or two JVMs — never write the
+    // same output dir, which is how a racing FileOutputCommitter corrupts
+    // a check-then-write-in-place layout
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
       events(s, d)
         .withColumn("ts", unix_micros(col("ts")))
-        .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+        .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
     }
-    dir
   }
 
   /** Stage-once events copy in TWO SCHEMA GENERATIONS — the schema-drift
@@ -67,16 +70,16 @@ object Relational {
     val key = ContentStamp.of(
       java.nio.file.Paths.get(d, "events.parquet").toString)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_events_schema_gens_$key"
-    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
-    if (!java.nio.file.Files.exists(done)) {
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
       val base = events(s, d).withColumn("ts", unix_micros(col("ts")))
       base.filter(col("event_id") % 2 === 0).drop("props")
-        .write.mode("overwrite").parquet(s"$dir/gen=1")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
       base.filter(col("event_id") % 2 === 1)
-        .write.mode("overwrite").parquet(s"$dir/gen=2")
-      java.nio.file.Files.createFile(done)
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      // the root marker stageOnce's commit contract requires (the two
+      // generation writes put theirs in the subdirs)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
     }
-    dir
   }
 
   /** Stage-once "v2" snapshot of the documents table with deterministic
@@ -91,8 +94,7 @@ object Relational {
     val key = ContentStamp.of(
       java.nio.file.Paths.get(d, "documents.parquet").toString)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_docs_snapshot_v2_$key"
-    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
-    if (!java.nio.file.Files.exists(done)) {
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
       val v1 = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
       val kept = v1.filter(col("doc_id") % 17 =!= 0)
         .withColumn("n_chars",
@@ -100,8 +102,8 @@ object Relational {
             .otherwise(col("n_chars")))
       val added = v1.filter(col("doc_id") % 19 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("source"), col("n_chars"))
-      kept.union(added).write.mode("overwrite").parquet(s"$dir/data")
-      java.nio.file.Files.createFile(done)
+      kept.union(added).write.mode("overwrite").parquet(s"$tmp/data")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
     }
     s"$dir/data"
   }
@@ -148,7 +150,7 @@ object Relational {
     val key = ContentStamp.of(
       java.nio.file.Paths.get(d, "events.parquet").toString)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_events_zorder_$key"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
       val (umin, umax, tmin, tmax) = zorderBounds(s, d)
       val ub = expr(s"((user_id - $umin) * 16) div ${umax - umin + 1}")
       val tb = expr(s"((ts - $tmin) * 16) div ${tmax - tmin + 1}")
@@ -159,9 +161,8 @@ object Relational {
       events(s, d)
         .withColumn("ts", unix_micros(col("ts")))
         .withColumn("zcell", zcell.cast("int"))
-        .write.partitionBy("zcell").mode("overwrite").parquet(dir)
+        .write.partitionBy("zcell").mode("overwrite").parquet(tmp)
     }
-    dir
   }
 
   /** Stage-once (per session) bucketed `orders`/`customer` tables for the

@@ -1662,6 +1662,46 @@ object Similarity {
           col("min_x"), col("max_x"))
     }),
 
+    // EMBEDDING DRIFT between two ingest slices — the expectations-trend
+    // idea (diag_expectations_trend) applied to the vector column: when an
+    // upstream encoder, preprocessing step, or source mix changes, the
+    // per-dimension means move, and a training pipeline wants the alarm at
+    // ingest, not after a week of skewed retrieval. Slices are the parity
+    // split (vec_id % 2); slice B carries a PLANTED +0.25 shift on dims
+    // 0–3 (applied in exact micro-units inside the query) so the verdict
+    // path demonstrably fires while dims ≥ 4 pin the no-drift path.
+    // All verdict arithmetic is INTEGER: with per-slice micro-unit sums
+    // (sua, na) and (sub, nb), |mean_b − mean_a| > 0.1 ⟺
+    // |sub·na − sua·nb| > 100000·na·nb — cross-multiplied so no division,
+    // no rounding, no float summation order anywhere in the verdict
+    // (products stay far inside long at bench scale; a 100 TB build
+    // widens the same algebra to DECIMAL(38)). The human-readable means
+    // use emb_dim_stats' proven round(su/1e6/n, 6) form. Scale shape: one
+    // scan, one groupBy(dim) with conditional partial sums — the per-dim
+    // frame is bounded by the dimensionality, never the corpus.
+    "emb_drift" -> ((s, d) => {
+      val ex = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          round(col("x") * 1000000).cast("long").as("xu"))
+        .withColumn("grp", (col("vec_id") % 2).cast("int"))
+        .withColumn("xu", when(col("grp") === 1 && col("dim") < 4,
+          col("xu") + 250000L).otherwise(col("xu")))
+      val agg = ex.groupBy(col("dim")).agg(
+        sum(when(col("grp") === 0, col("xu")).otherwise(0L)).as("sua"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 1, col("xu")).otherwise(0L)).as("sub"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"))
+      val per = agg.select(col("dim"), col("na"), col("nb"),
+        round(col("sua").cast("double") / 1000000.0 / col("na"), 6).as("mean_a"),
+        round(col("sub").cast("double") / 1000000.0 / col("nb"), 6).as("mean_b"),
+        (abs(col("sub") * col("na") - col("sua") * col("nb")) >
+          lit(100000L) * col("na") * col("nb")).as("drifted"))
+      val total = per.agg(
+        sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted_dims"))
+      per.crossJoin(broadcast(total))
+    }),
+
     // Symmetric int8 quantization (the embedding-compression pass that cuts
     // ANN index storage 4×): per-dimension scale = 127/max|x|, q = round-half-
     // away-from-zero(x·127/scale) — computed ENTIRELY in integer arithmetic
@@ -1749,6 +1789,67 @@ object Similarity {
         .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
         .select(col("q_id"), col("n_hits"),
           round(col("n_hits") / 5.0, 6).as("recall"))
+    }),
+
+    // FILTERED ANN — predicate + vector search in ONE query, the serving
+    // pattern every production vector store hits ("top-k similar WHERE
+    // label = X"). Post-filtering an unfiltered top-k starves recall (the
+    // k survivors may all fail the predicate, and re-probing deeper costs
+    // another round trip); the right shape applies the predicate to the
+    // CANDIDATE LISTS inside the probed cells, BEFORE the top-k — same
+    // cell-scan cost, no starvation. Each probe targets its OWN label
+    // (same-class retrieval); the output is the filtered-IVF top-5's
+    // recall against the filtered exact top-5, hash-matched per probe.
+    // Scale shape: the 16-centroid quantizer broadcasts, candidate joins
+    // stay equi-keyed on c_id, and the label predicate prunes candidates
+    // before the per-probe window; the exact leg is the declared
+    // broadcast-probe brute-force baseline class (PlanSpec allowlist).
+    "sim_ivf_filtered" -> ((s, d) => {
+      val base = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val csim = round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_id"))
+      val assigned = base.join(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id"))
+      val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") <= 2)
+        .select(col("vec_id").as("q_id"), col("label").as("tgt"),
+          col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
+      val cos = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      // IVF leg: predicate INSIDE the probed cells, before the top-k
+      val ivf = assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id") && col("label") === col("tgt"))
+        .select(col("q_id"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      // exact leg: brute force over the ELIGIBLE population only
+      val p1 = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("tgt"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val exact = base.join(broadcast(p1))
+        .filter(col("vec_id") =!= col("q_id") && col("label") === col("tgt"))
+        .select(col("q_id"), col("tgt"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+      exact.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"), col("tgt"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("q_id"), col("tgt").as("target_label"),
+          col("n_exact"), col("n_hits"),
+          round(col("n_hits") / col("n_exact"), 6).as("recall"))
     }),
 
     // Product quantization + asymmetric distance (the Jégou et al. PQ
@@ -4391,6 +4492,50 @@ object Similarity {
       FROM c a JOIN c b ON a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
     "sim_ivf_topk" -> ivfTopkSql,
+    // filtered ANN: the label predicate is applied inside the probed cells
+    // (before the top-k) in BOTH engines, and the exact leg restricts the
+    // brute-force population the same way — recall is hash-matched per probe
+    "sim_ivf_filtered" -> """
+      WITH c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, label, v, nrm, c_id FROM (
+          SELECT a.vec_id, a.label, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents) WHERE crank = 1),
+      probes AS (
+        SELECT vec_id AS q_id, label AS tgt, v AS qv, nrm AS qn, c_id FROM (
+          SELECT a.vec_id, a.label, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents WHERE a.vec_id < 10) WHERE crank <= 2),
+      ivf AS (
+        SELECT q_id, vec_id FROM (
+          SELECT p.q_id, s.vec_id,
+                 round(list_dot_product(qv, s.v) / (qn * s.nrm), 6) AS cos
+          FROM assigned s JOIN probes p ON s.c_id = p.c_id
+          WHERE s.vec_id <> p.q_id AND s.label = p.tgt)
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5),
+      p1 AS (SELECT vec_id AS q_id, label AS tgt, v AS qv, nrm AS qn
+             FROM c WHERE vec_id < 10),
+      ex AS (
+        SELECT q_id, tgt, vec_id FROM (
+          SELECT p.q_id, p.tgt, s.vec_id,
+                 round(list_dot_product(p.qv, s.v) / (p.qn * s.nrm), 6) AS cos
+          FROM c s CROSS JOIN p1 p
+          WHERE s.vec_id <> p.q_id AND s.label = p.tgt)
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5)
+      SELECT e.q_id, CAST(e.tgt AS INTEGER) AS target_label,
+             count(*) AS n_exact,
+             CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS recall
+      FROM ex e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+      GROUP BY 1, 2""",
     "sim_pq_adc" -> pqAdcSql,
     // the batch encode-scan must land on the same code table as the
     // streamed encode and the join-based shared stage
@@ -4809,6 +4954,30 @@ object Similarity {
                         - pow(CAST(su AS DOUBLE) / 1000000.0 / n, 2)), 6) AS std_x,
              min_x, max_x
       FROM a""",
+    // verdicts replay in exact integer cross-multiplication (no division);
+    // the planted +0.25 on dims 0-3 of the odd-parity slice is applied in
+    // identical micro-units on both engines
+    "emb_drift" -> """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT vec_id, i - 1 AS dim,
+                    CAST(round(v[i] * 1000000) AS BIGINT)
+                      + CASE WHEN vec_id % 2 = 1 AND i - 1 < 4
+                             THEN 250000 ELSE 0 END AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      a AS (SELECT dim,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN xu ELSE 0 END) AS BIGINT) AS sua,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN vec_id % 2 = 1 THEN xu ELSE 0 END) AS BIGINT) AS sub,
+                   CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM ex GROUP BY dim),
+      p AS (SELECT CAST(dim AS INTEGER) AS dim, na, nb,
+                   round(CAST(sua AS DOUBLE) / 1000000.0 / na, 6) AS mean_a,
+                   round(CAST(sub AS DOUBLE) / 1000000.0 / nb, 6) AS mean_b,
+                   abs(sub * na - sua * nb) > 100000 * na * nb AS drifted
+            FROM a)
+      SELECT p.*, t.n_drifted_dims
+      FROM p, (SELECT CAST(sum(CASE WHEN drifted THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_drifted_dims FROM p) t""",
     "emb_quantize_int8" -> """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       ex AS (SELECT vec_id, i - 1 AS dim,

@@ -696,6 +696,14 @@ object Temporal {
     // scalars + the horizon tail (StreamAsof).
     "stream_asof_enrich" -> ((s, d) => graft.streaming.StreamAsof(s, d)),
 
+    // Count-Min AT THE EDGE — the streaming twin of a23_countmin: the
+    // d×w counter table maintained by a complete-mode aggregation whose
+    // state is bounded by the SKETCH SHAPE (≤4096 rows), never the token
+    // stream; the probe read-out against the streamed counters must
+    // hash-match the batch sketch verbatim (counters add — arrival
+    // batching changes nothing). See StreamCountMin.
+    "stream_countmin" -> ((s, d) => graft.streaming.StreamCountMin(s, d)),
+
     // The conversion funnel as a LEFT OUTER stream-stream join — the
     // eviction-driven state machine the inner stream_join can't exercise:
     // a view with no purchase in its 30-minute window emits null-matched
@@ -1283,6 +1291,9 @@ object Temporal {
     // the streamed bucket-routed posting append must land on the exact
     // logical posting inventory the batch compaction oracles
     "stream_postings_ingest" -> graft.queries.TextOps.oracle("text_postings_compaction"),
+    // the streamed sketch must equal the batch sketch counter-for-counter,
+    // so the probe table shares a23_countmin's oracle VERBATIM
+    "stream_countmin" -> graft.queries.TextOps.oracle("a23_countmin"),
     // the serving state contract: complete-mode agg state = one row per
     // (probe, candidate) group — probes-so-far × (corpus − 1) per batch,
     // inputs the parity split

@@ -34,13 +34,21 @@ object TextOps {
     * production width never shows at fixture scale.
     */
   private[graft] def cmsEstimates(tok: DataFrame, probes: DataFrame,
+      w: Int): DataFrame = cmsProbe(cmsSketch(tok, w), probes, w)
+
+  /** The probe read-out against an already-built counter table — factored
+    * from [[cmsEstimates]] so the streaming twin (StreamCountMin) can
+    * probe the sketch its complete-mode aggregation maintained; one
+    * definition of the d-row min read no matter who built the counters.
+    */
+  private[graft] def cmsProbe(sketch: DataFrame, probes: DataFrame,
       w: Int): DataFrame = {
     probes
       .select(col("token"), col("exact_n"),
         explode(sequence(lit(0), lit(3))).as("r"))
       .select(col("token"), col("exact_n"), col("r"),
         cmsPosOf(col("token"), col("r"), w).as("pos"))
-      .join(broadcast(cmsSketch(tok, w)), Seq("r", "pos"))
+      .join(broadcast(sketch), Seq("r", "pos"))
       .groupBy(col("token"), col("exact_n"))
       .agg(min(col("c")).as("cms_n"))
   }
@@ -2146,6 +2154,56 @@ object TextOps {
             .as("dup_fraction"))
     }),
 
+    // CONTENT-DEFINED CHUNKING dedup (the rsync/casync/restic trick,
+    // token-granular): chunk boundaries are declared wherever the rolling
+    // fingerprint of the 4-token window ending at a position hits
+    // hash % 16 == 0 (expected chunk ≈ 16 tokens), so boundaries are a
+    // function of LOCAL CONTENT — an edit early in a document re-chunks
+    // only the chunk it touches, while every fixed-stride scheme
+    // (dedup_exact_substring's 16-token spans included) shifts ALL later
+    // windows. That locality is what makes chunk-level storage dedup and
+    // delta-transfer work on mutable corpora. Cross-doc duplicate chunks
+    // are found by chunk-hash df ≥ 2 — the same bounded groupBy shape as
+    // the span family (no self-joins). The boundary rule, the exclusive
+    // prefix-sum chunk ids, and the chunk hashes all replay in SQL, so
+    // per-doc chunk counts and dup fractions hash-match. Per-doc HOF cost
+    // is O(tokens · window) map-side work; nothing scales with the corpus
+    // except the chunk-hash aggregation.
+    "dedup_cdc_chunks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val withCuts = toks(s, d)
+        // bnd[j] = 1 if the (0-based) position j ends a chunk; cid[j] =
+        // number of cuts strictly before j (the exclusive prefix sum), so
+        // a boundary token closes ITS chunk and the next token opens a new
+        // one — the same arithmetic the oracle's windowed sum replays
+        .withColumn("bnd", expr(
+          "transform(t, (x, j) -> CASE WHEN j >= 3 AND " +
+            "cast(conv(substr(md5(array_join(slice(t, j - 2, 4), ' ')), 1, 15), 16, 10) as bigint) % 16 = 0 " +
+            "THEN 1 ELSE 0 END)"))
+        .withColumn("cid", expr(
+          "transform(bnd, (x, j) -> aggregate(slice(bnd, 1, j), 0, (a, b) -> a + b))"))
+      val chunks = withCuts
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("t"), col("cid"))).as(Seq("i", "z")))
+        .select(col("doc_id"), col("i"), col("z.t").as("tok"), col("z.cid").as("cid"))
+        .groupBy(col("doc_id"), col("cid"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok"))).as("chunk"))
+      val hashed = chunks.select(col("doc_id"),
+        conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
+      hashed
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("k")).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, col("k")).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+            .as("dup_fraction"))
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     // corpus into head/middle/tail thirds by the unigram-LM score, the
     // standard quality-stratification step before mixing pretraining data.
@@ -3492,6 +3550,34 @@ object TextOps {
                    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
       FROM sp JOIN df USING (h)
       GROUP BY doc_id""",
+    // the boundary rule (4-token rolling fingerprint % 16), the exclusive
+    // prefix-sum chunk ids, and the chunk hashes replay relationally —
+    // the windowed sum is the SQL twin of the engine's HOF prefix sum
+    "dedup_cdc_chunks" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+      pos AS (SELECT doc_id, i, t[i] AS tok,
+                     CASE WHEN i >= 4 AND
+                       ('0x' || substr(md5(array_to_string(t[i-3:i], ' ')), 1, 15))::BIGINT
+                         % 16 = 0
+                     THEN 1 ELSE 0 END AS bnd
+              FROM tk, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+      cids AS (SELECT doc_id, i, tok,
+                      coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+               FROM pos),
+      ch AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS chunk
+             FROM cids GROUP BY doc_id, cid),
+      hs AS (SELECT doc_id, h, count(*) AS k FROM (
+               SELECT doc_id, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS h FROM ch)
+             GROUP BY doc_id, h),
+      dfq AS (SELECT h, count(*) AS n_docs FROM hs GROUP BY h)
+      SELECT hs.doc_id, CAST(sum(k) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             round(sum(CASE WHEN n_docs >= 2 THEN k ELSE 0 END)
+                   / CAST(sum(k) AS DOUBLE), 6) AS dup_fraction
+      FROM hs JOIN dfq USING (h)
+      GROUP BY hs.doc_id""",
     "text_bigram_logprob" -> """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
                   FROM documents),

@@ -45,17 +45,16 @@ object CompactedProbe {
       .digest(s"$sfDir|$stamp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_compacted_$key"
-    val done = java.nio.file.Paths.get(dir, "_SUCCESS")
-    synchronized {
-      if (!java.nio.file.Files.exists(done)) {
-        // the compaction step: one writer task per cell = one file per list
-        Similarity.ivfpqCellsShared(spark, sfDir)
-          .join(Similarity.pqCodesShared(spark, sfDir), Seq("vec_id"))
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(dir)
-      }
+    // build-in-temp + atomic rename (the shared stageOnce): the previous
+    // JVM-local synchronized block didn't guard against a SECOND JVM
+    // overwriting the layout mid-scan
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
+      // the compaction step: one writer task per cell = one file per list
+      Similarity.ivfpqCellsShared(spark, sfDir)
+        .join(Similarity.pqCodesShared(spark, sfDir), Seq("vec_id"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
-    dir
   }
 
   def ivfpqTop5(spark: SparkSession, sfDir: String): DataFrame =

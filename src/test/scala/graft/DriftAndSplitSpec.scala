@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: the quantile-sketch merge audit (a13c), embedding
+  * drift between ingest slices (emb_drift), the leakage-safe cluster-level
+  * split (pipeline_split_leakage_safe), and the streamed Count-Min twin
+  * (stream_countmin). Each query is hash-oracled in Verify; these pins
+  * assert the CLAIMS the oracles can't state directly — which dims drift,
+  * that the naive split actually leaks, that the streamed counters equal
+  * the batch sketch counter-for-counter with bounded state.
+  */
+class DriftAndSplitSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a13c: slice sketches merge exactly; estimates honor the 2W contract") {
+    val rows = SparkEntry.queries("a13c_quantile_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("merged_eq_onepass")),
+      "per-slice histograms must merge (by addition) to the one-pass sketch")
+    assert(rows.forall(r => r.getAs[Boolean]("p50_within_2w") &&
+      r.getAs[Boolean]("p95_within_2w")))
+    // the estimator reads a real value range, not a degenerate one bucket:
+    // p95 strictly above p50 in every group at this data
+    assert(rows.forall(r =>
+      r.getAs[Long]("p95_micro") > r.getAs[Long]("p50_micro")))
+  }
+
+  test("emb_drift: exactly the four planted dims alarm") {
+    val rows = SparkEntry.queries("emb_drift")(spark, sf).collect()
+    val drifted = rows.filter(_.getAs[Boolean]("drifted"))
+      .map(_.getAs[Int]("dim")).sorted.toSeq
+    assert(drifted == Seq(0, 1, 2, 3),
+      s"planted +0.25 shift sits on dims 0-3; alarms: $drifted")
+    assert(rows.forall(_.getAs[Long]("n_drifted_dims") == 4L))
+    // the planted shift is visible in the readable means too
+    val d0 = rows.find(_.getAs[Int]("dim") == 0).get
+    assert(math.abs(d0.getAs[Double]("mean_b") - d0.getAs[Double]("mean_a") - 0.25) < 0.05)
+  }
+
+  test("leakage-safe split: cluster-level assignment cannot straddle; doc-level does") {
+    val rows = SparkEntry.queries("pipeline_split_leakage_safe")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one split")
+    assert(rows.forall(_.getAs[Long]("cluster_straddle_pairs") == 0L),
+      "both endpoints of a near-dup pair share a component, hence a split")
+    // the audit's reason to exist: the naive md5(doc_id) split DOES leak
+    // near-dup pairs across the boundary on this corpus
+    assert(rows.head.getAs[Long]("doc_straddle_pairs") > 0L)
+  }
+
+  test("stream_countmin: streamed counters equal the batch sketch; state is sketch-bounded") {
+    val streamed = SparkEntry.queries("stream_countmin")(spark, sf)
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n"))).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tok = docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val probes = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(10)
+    val batch = graft.queries.TextOps.cmsEstimates(tok, probes, 1024)
+      .collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n"))).toSet
+    assert(streamed == batch,
+      "arrival batching must not change a single counter read")
+    // the one-sided error contract holds through the streamed build too
+    assert(streamed.forall { case (_, exact, est) => est >= exact })
+  }
+}

@@ -467,6 +467,10 @@ class PlanSpec extends SparkSpec {
       // equi-keyed on c_id
       "dedup_semantic",
       "sim_ivf_recall", // composes the two baselines above; the join it ADDS is equi-key
+      // the 16-seed coarse scoring + the broadcast-probe brute-force
+      // baseline restricted to the eligible label population — both
+      // declared classes; the candidate join is equi-keyed on c_id
+      "sim_ivf_filtered",
       // the exact-L2 ground truth is the same broadcast 10-probe
       // brute-force baseline shape as sim_cosine_topk; the ADC side it
       // audits is all equi-joins
@@ -572,6 +576,13 @@ class PlanSpec extends SparkSpec {
       "a17_histogram",
       // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
       "diag_key_skew",
+      // 1-row scalar(n_drifted_dims) × the dim-bounded per-dim frame —
+      // the same annotate-with-constant shape as text_heavy_hitters
+      "emb_drift",
+      // 1-row scalar(straddle counts) × the 3-row per-split stats — the
+      // same annotate-with-constant shape; the audit joins themselves are
+      // equi-keyed broadcasts of the bounded pair frame
+      "pipeline_split_leakage_safe",
       // 1-row scalar(max day) × the exploded (user, report-day) pairs —
       // the same annotate-with-constant horizon clamp as a17's extrema
       "w12_rolling_active",
