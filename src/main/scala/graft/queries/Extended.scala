@@ -1116,6 +1116,50 @@ object Extended {
         .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
     }),
 
+    // POPULATION STABILITY INDEX between two ingest slices — the standard
+    // ML-ops distribution-drift metric (PSI = Σ_bins (p−q)·ln(p/q)) next
+    // to emb_drift's vector-mean alarm: PSI catches SHAPE changes a mean
+    // can't (a variance blow-up, a bimodal split) on any scalar column.
+    // Slices are the event_id parity split; the odd slice carries a
+    // PLANTED 1.5× scale-up on purchase values so the alarm demonstrably
+    // fires while the other event types pin the stable path. Mechanics
+    // chosen for exactness and scale: 20 fixed-width value bins with
+    // Laplace (+1) smoothing over the full bin spine (an empty bin still
+    // contributes its smoothed term); each bin's term is computed in
+    // identical double arithmetic in both engines, rounded to integer
+    // NANO-units, and summed as longs — the text_bigram_logprob trick
+    // that makes a float reduction addition-order-free. One scan, one
+    // keyed aggregation; the verdict (PSI > 0.1, the industry rule of
+    // thumb) is an integer comparison.
+    "diag_psi_drift" -> ((s, d) => {
+      val ev = fanOut(events(s, d), s)
+        .withColumn("grp", (col("event_id") % 2).cast("int"))
+        .withColumn("v", when(col("grp") === 1 && col("event_type") === "purchase",
+          col("value") * 1.5).otherwise(col("value")))
+        .withColumn("b", least(lit(19L), floor(col("v") / 25).cast("long")))
+      val counts = ev.groupBy(col("event_type"), col("b"))
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = ev.groupBy(col("event_type"))
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"))
+      val spine = tot.select(col("event_type"), col("na"), col("nb"),
+        explode(sequence(lit(0L), lit(19L))).as("b"))
+      val terms = spine.join(counts, Seq("event_type", "b"), "left")
+        .withColumn("p",
+          (coalesce(col("ca"), lit(0L)) + 1).cast("double") / (col("na") + 20))
+        .withColumn("q",
+          (coalesce(col("cb"), lit(0L)) + 1).cast("double") / (col("nb") + 20))
+        .withColumn("term_nano",
+          round((col("p") - col("q")) * log(col("p") / col("q")) * 1e9).cast("long"))
+      terms.groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(col("term_nano")).as("psi_nano"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("psi_nano").cast("double") / 1e9, 6).as("psi"),
+          (col("psi_nano") > 100000000L).as("drifted"))
+    }),
+
     // Data-quality column profiler — the per-column audit a pipeline runs
     // before trusting a new drop of data: null/blank counts, distinct
     // cardinality, value-length extrema, for every column in one pass.
@@ -2441,6 +2485,38 @@ object Extended {
       deg AS (SELECT node, count(*) AS degree FROM e GROUP BY node)
       SELECT degree, count(*) AS n_nodes, min(node) AS min_node
       FROM deg GROUP BY degree""",
+    // per-bin PSI terms in identical double arithmetic, rounded to integer
+    // nano-units and summed as BIGINTs — addition-order-free, so the PSI
+    // and the >0.1 verdict hash-match exactly
+    "diag_psi_drift" -> """
+      WITH ev AS (SELECT event_type, event_id % 2 AS grp,
+                         CASE WHEN event_id % 2 = 1 AND event_type = 'purchase'
+                              THEN value * 1.5 ELSE value END AS v
+                  FROM events),
+      eb AS (SELECT event_type, grp,
+                    least(19, CAST(floor(v / 25) AS BIGINT)) AS b FROM ev),
+      counts AS (SELECT event_type, b,
+                        CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                        CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                 FROM eb GROUP BY 1, 2),
+      tot AS (SELECT event_type,
+                     CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+              FROM eb GROUP BY 1),
+      spine AS (SELECT event_type, na, nb, x.b
+                FROM tot, LATERAL (SELECT unnest(range(0, 20)) AS b) x),
+      terms AS (SELECT s.event_type, s.na, s.nb,
+                       (coalesce(ca, 0) + 1) / CAST(s.na + 20 AS DOUBLE) AS p,
+                       (coalesce(cb, 0) + 1) / CAST(s.nb + 20 AS DOUBLE) AS q
+                FROM spine s LEFT JOIN counts c
+                  ON s.event_type = c.event_type AND s.b = c.b),
+      tn AS (SELECT event_type, na, nb,
+                    CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT) AS term_nano
+             FROM terms)
+      SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+             round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 6) AS psi,
+             CAST(sum(term_nano) AS BIGINT) > 100000000 AS drifted
+      FROM tn GROUP BY 1""",
     "diag_column_profile" -> """
       WITH u AS (
         SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders

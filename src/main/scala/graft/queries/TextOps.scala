@@ -1242,6 +1242,71 @@ object TextOps {
       // across this query, pipeline_filter_dedup, and pipeline_train_mix.
       nearDupPairsShared(s, d)),
 
+    // ASYMMETRIC CONTAINMENT (Broder's "containment of A in B"):
+    // C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|. Symmetric
+    // Jaccard goes BLIND exactly where real corpora duplicate most — a
+    // small document wholly quoted inside a large one scores
+    // J ≈ |A|/|B| ≈ 0 while C(A,B) = 1 — so a Jaccard-gated dedup keeps
+    // both copies. This query surfaces every candidate pair where EITHER
+    // containment exceeds 0.8 and classifies the relation (near-duplicate
+    // / a-in-b / b-in-a / mutual overlap), the verdict a training-data
+    // pipeline routes differently: subset pairs drop the contained doc,
+    // near-duplicates drop the larger id. The natural corpus has no
+    // subset docs, so the asymmetric path is exercised by PLANTED
+    // supersets (the emb_drift discipline): every doc_id % 41 == 0 doc is
+    // re-ingested under +20M as itself followed by its uppercased twin —
+    // every original 4-gram survives in the superset (C(orig, super) = 1)
+    // while the superset's shingle count roughly doubles (J ≈ 0.5), the
+    // exact geometry a Jaccard>0.8 gate misses and this query classifies
+    // as a_in_b. Same df-capped groupBy + in-bucket expansion as the
+    // Jaccard family — no posting self-join, bucket cost bounded by the
+    // cap; both engines evaluate the UNROUNDED ratio predicates
+    // identically, the emitted scores round to 6dp.
+    "dedup_containment" -> ((s, d) => {
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs0.unionByName(docs0.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" "), upper(col("text"))).as("text")))
+      val tk = fanOut(corpus, s)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      val grp = fourGramsOf(tk, "doc_id")
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("h"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= HotShingleDfCap)
+        .persist() // consumed by the pair expansion and the per-doc sizes
+      val inter = grp.filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))")).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      val sizes = grp.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val out = inter
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .filter(col("inter") / col("na") > 0.8 || col("inter") / col("nb") > 0.8)
+        .select(col("da"), col("db"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"),
+          round(col("inter") / col("na"), 6).as("c_a"),
+          round(col("inter") / col("nb"), 6).as("c_b"),
+          when(col("inter") / (col("na") + col("nb") - col("inter")) > 0.8, "near_duplicate")
+            .when(col("inter") / col("na") > 0.8 && !(col("inter") / col("nb") > 0.8), "a_in_b")
+            .when(col("inter") / col("nb") > 0.8 && !(col("inter") / col("na") > 0.8), "b_in_a")
+            .otherwise("mutual_overlap").as("relation"))
+      // materialize-then-unpersist (the dedup_embed_lsh discipline): the
+      // tiny verdict frame outlives the query, never the shingle groups;
+      // the result cache itself is freed by the ContextCleaner once the
+      // caller drops the frame
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      grp.unpersist(blocking = false)
+      out
+    }),
+
     // MinHash + LSH banding: 16 hash functions, 4 bands × 4 rows; candidate
     // pairs share ≥1 band. This is the 100 TB dedup path: signatures are
     // fixed-width, the only join key is the 4-band hash. One md5 per shingle
@@ -3179,6 +3244,34 @@ object TextOps {
       SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
       FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // same shingle/df-cap chain as the Jaccard oracle; the containment
+    // predicates and the relation CASE evaluate the identical unrounded
+    // ratios in both engines
+    "dedup_containment" -> s"""
+      WITH docs AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 20000000, text || ' ' || upper(text)
+                    FROM documents WHERE doc_id % 41 = 0),
+      toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM docs),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
+      sh_all AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+      sh AS (SELECT * FROM sh_all
+             WHERE h NOT IN (SELECT h FROM sh_all GROUP BY h
+                             HAVING count(*) > $HotShingleDfCap)),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT da, db,
+             round(inter / (x.n + y.n - inter), 6) AS jaccard,
+             round(inter / x.n, 6) AS c_a,
+             round(inter / y.n, 6) AS c_b,
+             CASE WHEN inter / (x.n + y.n - inter) > 0.8 THEN 'near_duplicate'
+                  WHEN inter / x.n > 0.8 AND NOT (inter / y.n > 0.8) THEN 'a_in_b'
+                  WHEN inter / y.n > 0.8 AND NOT (inter / x.n > 0.8) THEN 'b_in_a'
+                  ELSE 'mutual_overlap' END AS relation
+      FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+      WHERE inter / x.n > 0.8 OR inter / y.n > 0.8""",
     "dedup_minhash_lsh" -> minhashPairsSql,
     // the append path re-derived from scratch (full corpus, full cap):
     // matching proves the engine's base-rows ∪ slice-built-rows union

@@ -51,6 +51,41 @@ class DriftAndSplitSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("doc_straddle_pairs") > 0L)
   }
 
+  test("diag_psi_drift: only the planted 1.5x purchase scale-up alarms") {
+    // at the GATE scale (sf0.01, ~1000 events per type per slice): the
+    // 20-bin Laplace-smoothed PSI's sampling noise floor sits near
+    // 0.7/sqrt(n), so the 0.1 rule-of-thumb threshold needs ~1000-row
+    // slices to separate signal from noise — at sf0.001 every type trips
+    // it (measured), which is a statement about sample size, not drift
+    val rows = SparkEntry.queries("diag_psi_drift")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val drifted = rows.filter(_.getAs[Boolean]("drifted"))
+      .map(_.getAs[String]("event_type")).toSeq
+    assert(drifted == Seq("purchase"),
+      s"PSI > 0.1 must fire on the planted purchase shift only: $drifted")
+    assert(rows.filter(!_.getAs[Boolean]("drifted"))
+      .forall(_.getAs[Double]("psi") < 0.1))
+  }
+
+  test("dedup_containment: planted supersets classify a_in_b with full containment") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+    val aInB = rows.filter(_.getAs[String]("relation") == "a_in_b")
+    assert(aInB.nonEmpty, "the planted doc_id % 41 supersets must surface")
+    // a_in_b means sub-threshold Jaccard by the CASE construction
+    assert(aInB.forall(_.getAs[Double]("jaccard") <= 0.8))
+    // the DIRECT planted pairs (original, its own +20M superset): every
+    // original 4-gram survives verbatim — containment is exactly 1.
+    // (Other a_in_b rows are originals contained in a NEAR-DUP's planted
+    // superset — genuine asymmetric findings, c_a just under 1.)
+    val direct = aInB.filter(r =>
+      r.getAs[Long]("db") == r.getAs[Long]("da") + 20000000L &&
+        r.getAs[Long]("da") % 41 == 0)
+    assert(direct.nonEmpty)
+    assert(direct.forall(_.getAs[Double]("c_a") == 1.0))
+    // the symmetric class still surfaces the corpus's natural near-dups
+    assert(rows.exists(_.getAs[String]("relation") == "near_duplicate"))
+  }
+
   test("stream_countmin: streamed counters equal the batch sketch; state is sketch-bounded") {
     val streamed = SparkEntry.queries("stream_countmin")(spark, sf)
       .collect().map(r => (r.getAs[String]("token"),
