@@ -52,6 +52,60 @@ object Temporal {
           round(col("sum_cents") / col("n") / 100.0, 6).as("avg_value"))
     }),
 
+    // RETRACTION-aware IVM — the half of incremental view maintenance
+    // `agg_incremental_merge` can't do by addition: a correction load
+    // REMOVES previously-merged rows (billing reversals, GDPR erasure,
+    // late dedup verdicts — the Flink/Materialize "retract stream").
+    // The algebra splits: INVERTIBLE aggregates (count, sum) absorb the
+    // retraction by SUBTRACTING its partial — O(|groups|) arithmetic,
+    // zero history scan — while NON-invertible min/max cannot un-see a
+    // retracted extremum and must be recomputed, but ONLY over the
+    // touched groups' surviving rows (the bounded re-scan, same
+    // touched-set discipline as dedup_cluster_cc_incremental). Untouched
+    // groups keep their state VERBATIM, flagged recomputed=false; a group
+    // whose every row retracts vanishes (n = 0). Hash-matching DuckDB's
+    // plain recompute over the surviving rows — flags re-derived from the
+    // retraction rule — proves both paths exact.
+    "agg_incremental_retract" -> ((s, d) => {
+      val ev = events(s, d).select(
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // deterministic ~5% retraction set: the correction that just arrived
+      val isRt = conv(substring(
+        md5(concat(lit("rt"), col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 20 === 0
+      def partial(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val state = partial(ev)            // the standing rollup (all loads)
+      val rdelta = partial(ev.filter(isRt)) // the retraction's own partial
+      val touched = rdelta.select(col("day"), col("event_type"))
+      // min/max re-derived over ONLY the touched groups' survivors
+      val recomputed = partial(ev.filter(!isRt)
+        .join(broadcast(touched), Seq("day", "event_type")))
+      val untouchedOut = state
+        .join(broadcast(touched), Seq("day", "event_type"), "left_anti")
+        .withColumn("recomputed", lit(false))
+      val touchedOut = state
+        .join(rdelta.select(col("day"), col("event_type"),
+          col("n").as("n_r"), col("sum_cents").as("sum_r")),
+          Seq("day", "event_type"))
+        .join(recomputed.select(col("day"), col("event_type"),
+          col("min_cents").as("min_s"), col("max_cents").as("max_s")),
+          Seq("day", "event_type"), "left") // a fully-retracted group has no survivors
+        .select(col("day"), col("event_type"),
+          (col("n") - col("n_r")).as("n"),
+          (col("sum_cents") - col("sum_r")).as("sum_cents"),
+          col("min_s").as("min_cents"), col("max_s").as("max_cents"),
+          lit(true).as("recomputed"))
+        .filter(col("n") > 0)
+      untouchedOut.unionByName(touchedOut)
+        .select(col("day"), col("event_type"), col("n"), col("sum_cents"),
+          col("min_cents"), col("max_cents"), col("recomputed"),
+          round(col("sum_cents") / col("n") / 100.0, 6).as("avg_value"))
+    }),
+
     // QUARANTINE-AWARE INCREMENTAL ROLLUP — agg_incremental_merge composed
     // with the expectation gate (diag_expectations' documents checks): the
     // slice's partial aggregate is computed ONLY over rows passing the
@@ -704,6 +758,14 @@ object Temporal {
     // batching changes nothing). See StreamCountMin.
     "stream_countmin" -> ((s, d) => graft.streaming.StreamCountMin(s, d)),
 
+    // PSI drift gate AT THE EDGE — diag_psi_drift's serving twin and the
+    // suite's first foreachBatch operator: each micro-batch's histogram
+    // compared to a bounded broadcast reference, per-BATCH PSI verdicts
+    // emitted (the alarm granularity a monitor pages on) and replayed
+    // exactly in SQL from the deterministic arrival slices. See
+    // StreamPsiGate.
+    "stream_psi_gate" -> ((s, d) => graft.streaming.StreamPsiGate(s, d)),
+
     // The conversion funnel as a LEFT OUTER stream-stream join — the
     // eviction-driven state machine the inner stream_join can't exercise:
     // a view with no purchase in its 30-minute window emits null-matched
@@ -1023,6 +1085,28 @@ object Temporal {
              min(cents) AS min_cents, max(cents) AS max_cents,
              round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS avg_value
       FROM e GROUP BY 1, 2""",
+    // the retracted rollup must equal a plain recompute over the surviving
+    // rows, with the recomputed flag re-derived from the retraction rule —
+    // proving the subtract path (n, sum) and the bounded-rescan path
+    // (min/max) both exact
+    "agg_incremental_retract" -> """
+      WITH e AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                        event_type, event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents,
+                        ('0x' || substr(md5('rt' || event_id::VARCHAR), 1, 15))::BIGINT
+                          % 20 = 0 AS is_rt
+                 FROM events),
+      touched AS (SELECT DISTINCT day, event_type FROM e WHERE is_rt)
+      SELECT e.day, e.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(cents) AS min_cents, max(cents) AS max_cents,
+             (t.day IS NOT NULL) AS recomputed,
+             round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS avg_value
+      FROM e LEFT JOIN touched t
+        ON e.day = t.day AND e.event_type = t.event_type
+      WHERE NOT is_rt
+      GROUP BY e.day, e.event_type, (t.day IS NOT NULL)""",
     // the gated merged state must equal a single-pass gated re-scan: error
     // rows excluded and counted, warn rows kept and counted — gating
     // commutes with the incremental merge
@@ -1294,6 +1378,42 @@ object Temporal {
     // the streamed sketch must equal the batch sketch counter-for-counter,
     // so the probe table shares a23_countmin's oracle VERBATIM
     "stream_countmin" -> graft.queries.TextOps.oracle("a23_countmin"),
+    // per-batch PSI replayed from the deterministic user-parity arrival
+    // slices against the even-event_id reference histogram; same
+    // nano-unit term discipline as diag_psi_drift
+    "stream_psi_gate" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),
+      ref AS (SELECT event_type,
+                     least(19, CAST(floor(value / 25) AS BIGINT)) AS b,
+                     count(*) AS cref
+              FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(sum(cref) AS BIGINT) AS n_ref
+             FROM ref GROUP BY 1),
+      cur0 AS (SELECT CAST(user_id % 2 AS INTEGER) AS batch_ord, event_type,
+                      least(19, CAST(floor(
+                        (CASE WHEN event_type = 'purchase' THEN value * 1.5
+                              ELSE value END) / 25) AS BIGINT)) AS b,
+                      count(*) AS ccur
+               FROM ev WHERE event_id % 2 = 1 GROUP BY 1, 2, 3),
+      ct AS (SELECT batch_ord, event_type, CAST(sum(ccur) AS BIGINT) AS n_cur
+             FROM cur0 GROUP BY 1, 2),
+      spine AS (SELECT ct.batch_ord, ct.event_type, rt.n_ref, ct.n_cur, x.b
+                FROM ct JOIN rt USING (event_type),
+                     LATERAL (SELECT unnest(range(0, 20)) AS b) x),
+      terms AS (SELECT s.batch_ord, s.event_type, s.n_ref, s.n_cur,
+                       (coalesce(r.cref, 0) + 1) / CAST(s.n_ref + 20 AS DOUBLE) AS p,
+                       (coalesce(c.ccur, 0) + 1) / CAST(s.n_cur + 20 AS DOUBLE) AS q
+                FROM spine s
+                LEFT JOIN ref r ON s.event_type = r.event_type AND s.b = r.b
+                LEFT JOIN cur0 c ON s.batch_ord = c.batch_ord
+                  AND s.event_type = c.event_type AND s.b = c.b),
+      tn AS (SELECT batch_ord, event_type, n_ref, n_cur,
+                    CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT) AS term_nano
+             FROM terms)
+      SELECT batch_ord, event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+             round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 6) AS psi,
+             CAST(sum(term_nano) AS BIGINT) > 100000000 AS drifted
+      FROM tn GROUP BY 1, 2""",
     // the serving state contract: complete-mode agg state = one row per
     // (probe, candidate) group — probes-so-far × (corpus − 1) per batch,
     // inputs the parity split

@@ -86,6 +86,46 @@ class DriftAndSplitSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("relation") == "near_duplicate"))
   }
 
+  test("stream_psi_gate: the planted shift alarms in EVERY arriving batch, nothing else does") {
+    val rows = SparkEntry.queries("stream_psi_gate")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val batches = rows.map(_.getAs[Int]("batch_ord")).distinct.sorted.toSeq
+    assert(batches == Seq(0, 1), s"two deterministic arrival batches: $batches")
+    for (b <- batches) {
+      val inBatch = rows.filter(_.getAs[Int]("batch_ord") == b)
+      val alarmed = inBatch.filter(_.getAs[Boolean]("drifted"))
+        .map(_.getAs[String]("event_type")).toSeq
+      assert(alarmed == Seq("purchase"),
+        s"batch $b: only the planted purchase shift may alarm, got $alarmed")
+    }
+  }
+
+  test("agg_incremental_retract: both maintenance paths fire; an extremum actually retracts") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("agg_incremental_retract")(spark, sf)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Long]("n") > 0L))
+    assert(rows.exists(_.getAs[Boolean]("recomputed")) &&
+      rows.exists(!_.getAs[Boolean]("recomputed")),
+      "both the verbatim-kept and the recomputed group classes must appear")
+    // the non-invertible path must MATTER: at least one touched group's
+    // min/max moved because the retracted row WAS the extremum (otherwise
+    // the bounded re-scan is untested dead weight)
+    val ev = spark.read.parquet(s"$sf/events.parquet").select(
+      date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val standing = ev.groupBy(col("day"), col("event_type"))
+      .agg(min(col("cents")).as("min0"), max(col("cents")).as("max0"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val moved = rows.filter(_.getAs[Boolean]("recomputed")).exists { r =>
+      val (mn0, mx0) = standing((r.getAs[String]("day"), r.getAs[String]("event_type")))
+      r.getAs[Long]("min_cents") != mn0 || r.getAs[Long]("max_cents") != mx0
+    }
+    assert(moved, "no retracted extremum at this scale — the min/max rescan path never fired")
+  }
+
   test("stream_countmin: streamed counters equal the batch sketch; state is sketch-bounded") {
     val streamed = SparkEntry.queries("stream_countmin")(spark, sf)
       .collect().map(r => (r.getAs[String]("token"),
