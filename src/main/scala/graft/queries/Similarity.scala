@@ -794,6 +794,59 @@ object Similarity {
       .filter(col("rank") <= 5)
   }
 
+  /** Label-carrying IVF frames for the filtered-ANN family — the
+    * sim_ivf_topk fixture quantizer (vec_id<16 centroids, nprobe=2) with
+    * `label` riding along: `assigned` is every vector tagged with its
+    * nearest cell, `probes` the <10 queries with their 2 probed cells and
+    * their own label as the filter target (same-class retrieval). One
+    * definition so sim_ivf_filtered and its pre/post sweep measure the
+    * identical index.
+    */
+  private def ivfLabeledFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = fanOut(embeddings(s, d), s)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val csim = round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("c_id"))
+    val assigned = base.join(broadcast(cents))
+      .withColumn("csim", csim)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id"))
+    val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+      .withColumn("csim", csim)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("q_id"), col("label").as("tgt"),
+        col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
+    (assigned, probes)
+  }
+
+  /** The filtered-exact ground truth both filtered-ANN queries share:
+    * brute-force cosine top-5 over ONLY the probe's own-label population
+    * (the declared broadcast-probe baseline class). Returns
+    * (q_id, tgt, vec_id, cos, rank ≤ 5).
+    */
+  private def filteredExact(s: SparkSession, d: String): DataFrame = {
+    val base = fanOut(embeddings(s, d), s)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val p1 = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("tgt"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cos = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(p1))
+      .filter(col("vec_id") =!= col("q_id") && col("label") === col("tgt"))
+      .select(col("q_id"), col("tgt"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+  }
+
   /** (vec_id, sub, wd, xu) — every vector's coordinates in integer
     * micro-units, keyed by PQ subspace (`sub` = dim div 8) and
     * within-subspace dimension (`wd` = dim mod 8). The shared scan both
@@ -1805,25 +1858,7 @@ object Similarity {
     // before the per-probe window; the exact leg is the declared
     // broadcast-probe brute-force baseline class (PlanSpec allowlist).
     "sim_ivf_filtered" -> ((s, d) => {
-      val base = fanOut(embeddings(s, d), s)
-        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val cents = base.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val csim = round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("c_id"))
-      val assigned = base.join(broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id"))
-      val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") <= 2)
-        .select(col("vec_id").as("q_id"), col("label").as("tgt"),
-          col("v").as("qv"), col("nrm").as("qn"), col("c_id"))
+      val (assigned, probes) = ivfLabeledFrames(s, d)
       val cos = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
@@ -1834,22 +1869,54 @@ object Similarity {
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-      // exact leg: brute force over the ELIGIBLE population only
-      val p1 = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("label").as("tgt"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      val exact = base.join(broadcast(p1))
-        .filter(col("vec_id") =!= col("q_id") && col("label") === col("tgt"))
-        .select(col("q_id"), col("tgt"), col("vec_id"), cos.as("cos"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
-      exact.join(ivf, Seq("q_id", "vec_id"), "left")
+      filteredExact(s, d).join(ivf, Seq("q_id", "vec_id"), "left")
         .groupBy(col("q_id"), col("tgt"))
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0))).as("n_hits"))
         .select(col("q_id"), col("tgt").as("target_label"),
           col("n_exact"), col("n_hits"),
           round(col("n_hits") / col("n_exact"), 6).as("recall"))
+    }),
+
+    // THE MEASURED REASON the predicate belongs inside the cells: the same
+    // probes, cells, and candidate budget, with the label filter applied
+    // the WRONG way as a second leg — AFTER the unfiltered top-5 (what a
+    // naive serving layer does: ask the index for k, then drop
+    // non-matching rows). With ~|labels| classes an unfiltered top-5
+    // keeps ≈ 5/|labels| matching rows, so post-filter recall collapses
+    // while pre-filter recall (sim_ivf_filtered's leg) holds — both
+    // measured per probe against the same filtered-exact ground truth and
+    // hash-matched. The starvation number is what answers "just filter
+    // the results" in an ANN design review.
+    "sim_ivf_filtered_sweep" -> ((s, d) => {
+      val (assigned, probes) = ivfLabeledFrames(s, d)
+      val cos = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val cands = assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      // pre-filter: predicate BEFORE the top-5 (the right way)
+      val pre = cands.filter(col("label") === col("tgt"))
+        .select(col("q_id"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(1).as("pre_hit"))
+      // post-filter: unfiltered top-5, THEN the predicate (the naive way)
+      val post = cands
+        .select(col("q_id"), col("tgt"), col("label"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= 5)
+        .filter(col("label") === col("tgt"))
+        .select(col("q_id"), col("vec_id"), lit(1).as("post_hit"))
+      filteredExact(s, d)
+        .join(pre, Seq("q_id", "vec_id"), "left")
+        .join(post, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"), col("tgt"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("pre_hit"), lit(0))).as("pre_hits"),
+          sum(coalesce(col("post_hit"), lit(0))).as("post_hits"))
+        .select(col("q_id"), col("tgt").as("target_label"), col("n_exact"),
+          col("pre_hits"), col("post_hits"),
+          round(col("pre_hits") / col("n_exact"), 6).as("pre_recall"),
+          round(col("post_hits") / col("n_exact"), 6).as("post_recall"))
     }),
 
     // Product quantization + asymmetric distance (the Jégou et al. PQ
@@ -4535,6 +4602,61 @@ object Similarity {
              round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                    / CAST(count(*) AS DOUBLE), 6) AS recall
       FROM ex e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+      GROUP BY 1, 2""",
+    // pre- vs post-filter over the identical cells and budget: the post
+    // leg ranks UNfiltered candidates, takes 5, then filters — the recall
+    // collapse is the hash-matched output
+    "sim_ivf_filtered_sweep" -> """
+      WITH c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM c WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, label, v, nrm, c_id FROM (
+          SELECT a.vec_id, a.label, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents) WHERE crank = 1),
+      probes AS (
+        SELECT vec_id AS q_id, label AS tgt, v AS qv, nrm AS qn, c_id FROM (
+          SELECT a.vec_id, a.label, a.v, a.nrm, cents.c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_dot_product(a.v, cv) / (a.nrm * cn), 6) DESC, c_id) AS crank
+          FROM c a CROSS JOIN cents WHERE a.vec_id < 10) WHERE crank <= 2),
+      cands AS (
+        SELECT p.q_id, p.tgt, s.label, s.vec_id,
+               round(list_dot_product(qv, s.v) / (qn * s.nrm), 6) AS cos
+        FROM assigned s JOIN probes p ON s.c_id = p.c_id
+        WHERE s.vec_id <> p.q_id),
+      pre AS (
+        SELECT q_id, vec_id FROM (SELECT * FROM cands WHERE label = tgt)
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5),
+      post AS (
+        SELECT q_id, vec_id FROM (
+          SELECT * FROM cands
+          QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5)
+        WHERE label = tgt),
+      p1 AS (SELECT vec_id AS q_id, label AS tgt, v AS qv, nrm AS qn
+             FROM c WHERE vec_id < 10),
+      ex AS (
+        SELECT q_id, tgt, vec_id FROM (
+          SELECT p.q_id, p.tgt, s.vec_id,
+                 round(list_dot_product(p.qv, s.v) / (p.qn * s.nrm), 6) AS cos
+          FROM c s CROSS JOIN p1 p
+          WHERE s.vec_id <> p.q_id AND s.label = p.tgt)
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5)
+      SELECT e.q_id, CAST(e.tgt AS INTEGER) AS target_label,
+             count(*) AS n_exact,
+             CAST(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pre_hits,
+             CAST(sum(CASE WHEN po.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS post_hits,
+             round(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS pre_recall,
+             round(sum(CASE WHEN po.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS post_recall
+      FROM ex e
+      LEFT JOIN pre pr ON e.q_id = pr.q_id AND e.vec_id = pr.vec_id
+      LEFT JOIN post po ON e.q_id = po.q_id AND e.vec_id = po.vec_id
       GROUP BY 1, 2""",
     "sim_pq_adc" -> pqAdcSql,
     // the batch encode-scan must land on the same code table as the

@@ -100,6 +100,18 @@ class DriftAndSplitSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_filtered_sweep: post-filtering never beats pre-filtering and loses in aggregate") {
+    val rows = SparkEntry.queries("sim_ivf_filtered_sweep")(spark, sf).collect()
+    // per probe: the post-filter survivors are a subset of the pre-filter
+    // candidates ranked the same way, so post hits can never exceed pre
+    assert(rows.forall(r =>
+      r.getAs[Long]("post_hits") <= r.getAs[Long]("pre_hits")))
+    // and the starvation is real, not a tie: strictly fewer hits overall
+    assert(rows.map(_.getAs[Long]("post_hits")).sum <
+      rows.map(_.getAs[Long]("pre_hits")).sum,
+      "the sweep exists to measure post-filter starvation; none measured")
+  }
+
   test("agg_incremental_retract: both maintenance paths fire; an extremum actually retracts") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("agg_incremental_retract")(spark, sf)

@@ -470,7 +470,7 @@ class PlanSpec extends SparkSpec {
       // the 16-seed coarse scoring + the broadcast-probe brute-force
       // baseline restricted to the eligible label population — both
       // declared classes; the candidate join is equi-keyed on c_id
-      "sim_ivf_filtered",
+      "sim_ivf_filtered", "sim_ivf_filtered_sweep",
       // the exact-L2 ground truth is the same broadcast 10-probe
       // brute-force baseline shape as sim_cosine_topk; the ADC side it
       // audits is all equi-joins
