@@ -165,6 +165,35 @@ object Relational {
     }
   }
 
+  /** Stage-once events copy RANGE-CLUSTERED by `value` with a per-file
+    * min/max MANIFEST beside it (s14's zone-map layout). The manifest
+    * stores bare file NAMES, not paths: stageOnce builds in a temp dir
+    * and atomically renames, so an absolute path recorded at write time
+    * would dangle after the commit. Same content-fingerprint key as the
+    * sibling layouts.
+    */
+  private def zonemapEventsDir(s: SparkSession, d: String): String = {
+    val key = ContentStamp.of(
+      java.nio.file.Paths.get(d, "events.parquet").toString)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_events_zonemap_$key"
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
+      events(s, d)
+        .withColumn("ts", unix_micros(col("ts")))
+        .repartitionByRange(8, col("value"))
+        .sortWithinPartitions(col("value"))
+        .write.mode("overwrite").parquet(s"$tmp/data")
+      // the manifest is an INGEST artifact — written once with the data,
+      // read instead of the data at query time
+      s.read.parquet(s"$tmp/data")
+        .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+        .agg(min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"), count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+    }
+    dir
+  }
+
   /** Stage-once (per session) bucketed `orders`/`customer` tables for the
     * q3b co-located join: both sides written `bucketBy(8, custkey)` +
     * per-bucket sorted, so every subsequent orders⋈customer join reads the
@@ -362,6 +391,37 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("value_sum"))
+    }),
+
+    // S14: ZONE-MAP (manifest) data skipping — the third lakehouse layout
+    // lever next to partitionBy (s11, categorical) and Z-order (s12,
+    // multi-dim boxes): per-FILE min/max statistics written AT INGEST
+    // (the Iceberg manifest / Delta transaction-log stats, expressed with
+    // stock Spark) let a range predicate select intersecting files at
+    // planning time without a catalog partition column. The staged layout
+    // range-clusters events by `value` (repartitionByRange + within-file
+    // sort, so each file owns a tight value interval) and writes the
+    // 8-row manifest beside it; the query reads the MANIFEST first
+    // (bounded: one row per file), collects the intersecting file list
+    // (≤ 8 paths — the planning step every table format runs driver-side),
+    // and scans ONLY those files with the residual filter. At 100 TB the
+    // manifest is millions of rows but still 6 orders smaller than the
+    // data — the skip ratio is the whole economics of a lakehouse scan.
+    // ZonemapSpec pins files-read < files-total; the oracle is the plain
+    // full-scan predicate on the live table.
+    "s14_zonemap_scan" -> ((s, d) => {
+      val dir = zonemapEventsDir(s, d)
+      val (lo, hi) = (100.0, 150.0)
+      val files = s.read.parquet(s"$dir/manifest")
+        .filter(col("max_value") >= lo && col("min_value") <= hi)
+        .select(col("file")).collect().map(r => s"$dir/data/${r.getString(0)}")
+        .sorted
+      require(files.nonEmpty, s"zone-map selected no files for [$lo, $hi]")
+      s.read.parquet(files: _*)
+        .filter(col("value") >= lo && col("value") <= hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
     }),
 
     // S1B: the many-runs mzML scan as a BENCHED query — one DSv2 scan over
@@ -961,6 +1021,14 @@ object Relational {
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice > 3000.0",
     "s11_partition_pruned_scan" ->
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events WHERE event_type = 'view' GROUP BY user_id",
+    // the pruned manifest-selected read must equal the plain full-scan
+    // predicate — file skipping changes I/O, never answers
+    "s14_zonemap_scan" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events
+      WHERE value >= 100.0 AND value <= 150.0
+      GROUP BY 1""",
     "s12_zorder_scan" -> """
       WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
                         min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,

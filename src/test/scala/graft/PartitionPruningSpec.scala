@@ -116,4 +116,26 @@ class PartitionPruningSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.sameElements(flat), s"${got.toSeq} vs ${flat.toSeq}")
   }
+
+  test("s14: zone-map manifest selects a strict subset of files; answer matches the flat scan") {
+    import graft.tables.Tables._
+    val df = SparkEntry.queries("s14_zonemap_scan")(spark, sf)
+    val got = df.collect().map(_.toString).sorted
+    // the returned plan scans ONLY the manifest-selected data files (the
+    // manifest itself was consumed driver-side at planning)
+    val read = df.inputFiles.count(_.contains("/data/"))
+    val root = df.inputFiles.head
+      .replaceAll("file:", "").replaceAll("/data/.*$", "/data")
+    val all = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .count(_.getName.endsWith(".parquet"))
+    assert(read > 0 && read < all,
+      s"zone-map read $read of $all files — expected a strict subset")
+    val flat = events(spark, sf)
+      .filter(col("value") >= 100.0 && col("value") <= 150.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(flat), s"${got.toSeq} vs ${flat.toSeq}")
+  }
 }
