@@ -1116,6 +1116,29 @@ object Extended {
         .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
     }),
 
+    // K-ANONYMITY audit — the privacy gate run before a corpus (or its
+    // metadata) is released or shared: every combination of
+    // quasi-identifiers here (lang, source, length bucket — the columns
+    // that survive "anonymization" and can be joined against external
+    // data) must describe at least k=5 documents, or the group's members
+    // are re-identifiable by intersection. Output is the per-group census
+    // with the k verdict and the group's share of the corpus — the table
+    // a release review reads top-to-bottom, generalizing or suppressing
+    // the failing rows. One scan, one bounded keyed aggregation
+    // (|langs| × |sources| × length buckets), corpus total as a 1-row
+    // scalar annotate (the text_heavy_hitters shape).
+    "diag_k_anonymity" -> ((s, d) => {
+      val g = documents(s, d).select(col("lang"), col("source"),
+        expr("n_chars div 500").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("n")).as("n_total"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+          (col("n") >= 5).as("k_anonymous"),
+          round(col("n") / col("n_total"), 6).as("share"))
+    }),
+
     // POPULATION STABILITY INDEX between two ingest slices — the standard
     // ML-ops distribution-drift metric (PSI = Σ_bins (p−q)·ln(p/q)) next
     // to emb_drift's vector-mean alarm: PSI catches SHAPE changes a mean
@@ -2485,6 +2508,15 @@ object Extended {
       deg AS (SELECT node, count(*) AS degree FROM e GROUP BY node)
       SELECT degree, count(*) AS n_nodes, min(node) AS min_node
       FROM deg GROUP BY degree""",
+    "diag_k_anonymity" -> """
+      WITH g AS (SELECT lang, source, n_chars // 500 AS len_bucket,
+                        count(*) AS n
+                 FROM documents GROUP BY 1, 2, 3),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+      SELECT lang, source, len_bucket, CAST(n AS BIGINT) AS n,
+             n >= 5 AS k_anonymous,
+             round(n / CAST(n_total AS DOUBLE), 6) AS share
+      FROM g, t""",
     // per-bin PSI terms in identical double arithmetic, rounded to integer
     // nano-units and summed as BIGINTs — addition-order-free, so the PSI
     // and the >0.1 verdict hash-match exactly

@@ -784,6 +784,28 @@ object TextOps {
         round(size(pieces).cast("double") / nWs, 6).as("pieces_per_word"))
     }),
 
+    // TOKENIZER FERTILITY per language — the tokenizer-evaluation metric
+    // (pieces per whitespace word, aggregated per lang): a tokenizer that
+    // fragments one language 2× worse than another silently halves that
+    // language's effective context length and doubles its training cost,
+    // which is why multilingual tokenizer reports lead with this table.
+    // Exact integer piece/word sums (no averaging of per-doc ratios — the
+    // same mean-of-ratios trap agg_incremental_merge's comment names);
+    // one scan, one |langs|-row aggregation.
+    "text_bpe_fertility" -> ((s, d) => {
+      val pieces = expr(
+        """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)""")
+      val nWs = size(split(trim(col("text")), "\\s+"))
+      fanOut(documents(s, d), s)
+        .select(col("lang"), size(pieces).cast("long").as("np"),
+          nWs.cast("long").as("nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("np")).as("n_pieces"), sum(col("nw")).as("n_words"))
+        .select(col("lang"), col("n_docs"), col("n_pieces"), col("n_words"),
+          round(col("n_pieces") / col("n_words"), 6).as("fertility"))
+    }),
+
     // Quality scoring: alphabetic / digit / whitespace ratios + mean token
     // length — the length/punct/stopword-ratio family.
     "text_quality" -> ((s, d) => {
@@ -3033,6 +3055,15 @@ object TextOps {
              ('0x' || substr(md5(array_to_string(t[s+1:s+128], ' ')), 1, 15))::BIGINT
                AS chunk_hash
       FROM st""",
+    "text_bpe_fertility" -> """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+               AS n_pieces,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_words,
+             round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+                   / CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE), 6)
+               AS fertility
+      FROM documents GROUP BY 1""",
     "text_token_count_bpe" -> """
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)

@@ -576,6 +576,9 @@ class PlanSpec extends SparkSpec {
       "a17_histogram",
       // 1-row scalar(total) × the 10 surviving top-k rows — constant-size
       "diag_key_skew",
+      // 1-row scalar(corpus total) × the bounded QI-group census — the
+      // same annotate-with-constant shape
+      "diag_k_anonymity",
       // 1-row scalar(n_drifted_dims) × the dim-bounded per-dim frame —
       // the same annotate-with-constant shape as text_heavy_hitters
       "emb_drift",
