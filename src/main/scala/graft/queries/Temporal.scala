@@ -766,6 +766,14 @@ object Temporal {
     // StreamPsiGate.
     "stream_psi_gate" -> ((s, d) => graft.streaming.StreamPsiGate(s, d)),
 
+    // Zone-map APPEND→REFRESH→SERVE — the s14 layout's lifecycle close:
+    // streamed delta files through a stateless parquet sink, manifest
+    // refreshed by scanning ONLY the new files, serve path pruning
+    // base ∪ delta manifests. Oracle is s14's SQL verbatim (base ∪ delta
+    // is the whole table; skipping changes I/O, never answers). See
+    // ZonemapIngest.
+    "stream_zonemap_ingest" -> ((s, d) => graft.streaming.ZonemapIngest(s, d)),
+
     // The conversion funnel as a LEFT OUTER stream-stream join — the
     // eviction-driven state machine the inner stream_join can't exercise:
     // a view with no purchase in its 30-minute window emits null-matched
@@ -1378,6 +1386,9 @@ object Temporal {
     // the streamed sketch must equal the batch sketch counter-for-counter,
     // so the probe table shares a23_countmin's oracle VERBATIM
     "stream_countmin" -> graft.queries.TextOps.oracle("a23_countmin"),
+    // base ∪ streamed delta is the whole events table — one shared SQL
+    // string with the batch layout's query
+    "stream_zonemap_ingest" -> graft.queries.Relational.oracle("s14_zonemap_scan"),
     // per-batch PSI replayed from the deterministic user-parity arrival
     // slices against the even-event_id reference histogram; same
     // nano-unit term discipline as diag_psi_drift

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** ZONE-MAP APPEND→REFRESH→SERVE — the lifecycle close for s14's manifest
+  * layout, the same pattern the IVF-PQ index (compaction/recompaction),
+  * the lexical postings, and the kNN graph already have: a layout is only
+  * real at 100 TB if appends keep it queryable without rebuilding it.
+  *
+  * Base: the event_id % 8 != 0 slice, range-clustered by value with its
+  * per-file min/max manifest (stage-once, content-stamped). Append: the
+  * % 8 == 0 slice ARRIVES AS A STREAM (two user-parity micro-batches)
+  * through a plain parquet file sink — the stateless ingest shape. The
+  * manifest refresh then scans ONLY the sink's new files (the
+  * incremental refresh — at 100 TB the refresh cost is proportional to
+  * the delta, never the table), and the serve path prunes against
+  * base-manifest ∪ delta-manifest and reads just the intersecting files
+  * from both roots. Fresh delta files are UNSORTED, so their min/max
+  * spans are wide and they rarely prune — which is precisely the
+  * fragmentation pressure the recompaction jobs exist to relieve
+  * (sim_ivfpq_recompaction's economics, restated for zone maps).
+  *
+  * The oracle is VERBATIM s14_zonemap_scan's SQL: base ∪ delta is the
+  * whole events table, and file skipping changes I/O, never answers.
+  */
+object ZonemapIngest {
+
+  private def stats(df: DataFrame): DataFrame = df
+    .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+    .agg(min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"), count(lit(1)).as("n_rows"))
+
+  /** Stage-once BASE layout: range-clustered data + manifest, base slice
+    * only (the table as of the last compaction).
+    */
+  private def baseDir(s: SparkSession, d: String): String = {
+    val key = graft.queries.ContentStamp.of(
+      java.nio.file.Paths.get(d, "events.parquet").toString)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_events_zonemap_base_$key"
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
+      val base = graft.tables.Tables.events(s, d)
+        .filter(col("event_id") % 8 =!= 0)
+        .withColumn("ts", unix_micros(col("ts")))
+      base.repartitionByRange(8, col("value"))
+        .sortWithinPartitions(col("value"))
+        .write.mode("overwrite").parquet(s"$tmp/data")
+      stats(s.read.parquet(s"$tmp/data"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+    }
+    dir
+  }
+
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val base = baseDir(spark, sfDir)
+      val work = Files.createTempDirectory("zonemap-ingest")
+      try {
+        // the arriving delta: streamed in two deterministic micro-batches
+        // through a stateless parquet file sink (one file per batch)
+        val ev = graft.tables.Tables.events(spark, sfDir)
+          .filter(col("event_id") % 8 === 0)
+          .withColumn("ts", unix_micros(col("ts")))
+        require(ev.head(1).nonEmpty,
+          s"$sfDir/events.parquet has no append slice — cannot stage an ingest replay")
+        val staged = work.resolve("arrivals")
+        StagedEvents.writePart(ev.filter(col("user_id") % 2 === 0),
+          staged, "b0_users_even.parquet", 60)
+        StagedEvents.writePart(ev.filter(col("user_id") % 2 =!= 0),
+          staged, "b1_users_odd.parquet", 45)
+        val schema = spark.read
+          .parquet(staged.resolve("b0_users_even.parquet").toString).schema
+        val sink = work.resolve("delta").toString
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .repartition(1) // one delta file per arriving batch
+          .writeStream
+          .format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // INCREMENTAL manifest refresh: scans ONLY the delta files —
+        // refresh cost proportional to the append, never the table
+        val deltaFiles = Option(new java.io.File(sink).listFiles()).toSeq.flatten
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .map(_.getAbsolutePath).sorted
+        require(deltaFiles.nonEmpty, "the streamed append produced no delta files")
+        val deltaManifest = stats(spark.read.parquet(deltaFiles: _*))
+        // SERVE: prune base-manifest ∪ delta-manifest, read only the
+        // intersecting files from both roots, apply the residual filter
+        val (lo, hi) = (100.0, 150.0)
+        def pick(manifest: DataFrame, root: String): Seq[String] = manifest
+          .filter(col("max_value") >= lo && col("min_value") <= hi)
+          .select(col("file")).collect().map(r => s"$root/${r.getString(0)}").toSeq
+        val files = (pick(spark.read.parquet(s"$base/manifest"), s"$base/data") ++
+          pick(deltaManifest, sink)).sorted
+        require(files.nonEmpty, s"zone-map selected no files for [$lo, $hi]")
+        val out = spark.read.parquet(files: _*)
+          .filter(col("value") >= lo && col("value") <= hi)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        // the work dir is deleted on exit, so materialize the bounded
+        // (|event types|) result before leaving the sink's lifetime
+        val rows = out.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally StagedEvents.deleteRecursively(work)
+    }
+}

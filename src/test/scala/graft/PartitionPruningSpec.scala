@@ -138,4 +138,14 @@ class PartitionPruningSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.sameElements(flat), s"${got.toSeq} vs ${flat.toSeq}")
   }
+
+  test("zone-map ingest: streamed deltas + incremental manifest serve the same answer") {
+    // base ∪ streamed delta is the whole table, so the append→refresh→serve
+    // loop must land exactly where the batch layout's query does
+    val ingest = SparkEntry.queries("stream_zonemap_ingest")(spark, sf)
+      .collect().map(_.toString).sorted
+    val batch = SparkEntry.queries("s14_zonemap_scan")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(ingest.sameElements(batch), s"${ingest.toSeq} vs ${batch.toSeq}")
+  }
 }
