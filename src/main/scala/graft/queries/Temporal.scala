@@ -774,6 +774,13 @@ object Temporal {
     // ZonemapIngest.
     "stream_zonemap_ingest" -> ((s, d) => graft.streaming.ZonemapIngest(s, d)),
 
+    // Zone-map RECOMPACTION — the OPTIMIZE step: base ∪ unsorted deltas
+    // re-clustered into a fresh layout + manifest, restoring the skip
+    // ratio the wide-span arrivals destroyed (in-query guard: the pruned
+    // read is a strict file subset again). Same oracle a third time:
+    // compaction transforms I/O, never answers.
+    "zonemap_recompaction" -> ((s, d) => graft.streaming.ZonemapIngest.recompacted(s, d)),
+
     // The conversion funnel as a LEFT OUTER stream-stream join — the
     // eviction-driven state machine the inner stream_join can't exercise:
     // a view with no purchase in its 30-minute window emits null-matched
@@ -1389,6 +1396,7 @@ object Temporal {
     // base ∪ streamed delta is the whole events table — one shared SQL
     // string with the batch layout's query
     "stream_zonemap_ingest" -> graft.queries.Relational.oracle("s14_zonemap_scan"),
+    "zonemap_recompaction" -> graft.queries.Relational.oracle("s14_zonemap_scan"),
     // per-batch PSI replayed from the deterministic user-parity arrival
     // slices against the even-event_id reference histogram; same
     // nano-unit term discipline as diag_psi_drift

@@ -114,4 +114,59 @@ object ZonemapIngest {
           spark.sparkContext.parallelize(rows, 1), out.schema)
       } finally StagedEvents.deleteRecursively(work)
     }
+
+  /** ZONE-MAP RECOMPACTION — the OPTIMIZE step the ingest path motivates:
+    * the streamed delta files carry wide value spans (unsorted on
+    * arrival), so every range query consults them; the merge job re-sorts
+    * base ∪ delta into a fresh range-clustered layout with a fresh
+    * manifest, restoring tight per-file spans and with them the skip
+    * ratio. Exactly text_postings_recompaction's economics for the
+    * zone-map layout: pay one bounded re-cluster to stop paying per-query
+    * delta reads. The served aggregate shares s14's oracle VERBATIM a
+    * third time — compaction is an I/O transformation, never an answer
+    * change; ZonemapSpec (PartitionPruningSpec) pins the restored
+    * strict-subset read.
+    */
+  def recompacted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.tables.Tables.withShufflePartitions(spark, 4) {
+      val base = baseDir(spark, sfDir)
+      val work = Files.createTempDirectory("zonemap-recompact")
+      try {
+        // the delta as the ingest left it: unsorted arrival files
+        val delta = graft.tables.Tables.events(spark, sfDir)
+          .filter(col("event_id") % 8 === 0)
+          .withColumn("ts", unix_micros(col("ts")))
+        delta.write.mode("overwrite").parquet(work.resolve("delta").toString)
+        // the merge: base ∪ delta re-clustered, manifest rebuilt — at
+        // 100 TB this runs per affected key range, not whole-table
+        val merged = spark.read.parquet(s"$base/data")
+          .unionByName(spark.read.parquet(work.resolve("delta").toString))
+        val dataDir = work.resolve("data").toString
+        merged.repartitionByRange(8, col("value"))
+          .sortWithinPartitions(col("value"))
+          .write.mode("overwrite").parquet(dataDir)
+        val manifest = spark.read.parquet(dataDir)
+          .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+          .agg(min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"), count(lit(1)).as("n_rows"))
+        val (lo, hi) = (100.0, 150.0)
+        val files = manifest
+          .filter(col("max_value") >= lo && col("min_value") <= hi)
+          .select(col("file")).collect()
+          .map(r => s"$dataDir/${r.getString(0)}").sorted
+        require(files.nonEmpty, s"zone-map selected no files for [$lo, $hi]")
+        val total = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+          .count(_.getName.endsWith(".parquet"))
+        require(files.length < total,
+          s"recompaction must restore pruning: read ${files.length} of $total")
+        val out = spark.read.parquet(files: _*)
+          .filter(col("value") >= lo && col("value") <= hi)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        val rows = out.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally StagedEvents.deleteRecursively(work)
+    }
 }

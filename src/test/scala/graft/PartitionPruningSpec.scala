@@ -147,5 +147,10 @@ class PartitionPruningSpec extends SparkSpec {
     val batch = SparkEntry.queries("s14_zonemap_scan")(spark, sf)
       .collect().map(_.toString).sorted
     assert(ingest.sameElements(batch), s"${ingest.toSeq} vs ${batch.toSeq}")
+    // the OPTIMIZE step: same answer again (its restored strict-subset
+    // read is an in-query require — a pruning regression fails loudly)
+    val compacted = SparkEntry.queries("zonemap_recompaction")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(compacted.sameElements(batch), s"${compacted.toSeq} vs ${batch.toSeq}")
   }
 }
