@@ -3524,9 +3524,11 @@ object TextOps {
       FROM tot t LEFT JOIN hits h ON t.eval_id = h.eval_id""",
     "dedup_cross_minhash" -> crossMinhashSql,
     // the streamed gate's Bloom verdicts replayed relationally: the SAME
-    // md5-derived position sets decide membership, so hash-matching here
-    // reproduces the filter's false-positive behavior exactly; the eval
-    // corpus is re-derived by the staged table's churn rule as above
+    // Kirsch-Mitzenmacher position sets ((h1 + j·h2) mod m over the
+    // digest's two halves — one md5 per shingle) decide membership, so
+    // hash-matching here reproduces the filter's false-positive behavior
+    // exactly; the eval corpus is re-derived by the staged table's churn
+    // rule as above
     "stream_contam_gate" -> """
       WITH m AS (SELECT doc_id, text,
                         ('0x' || substr(md5('ev' || doc_id::VARCHAR), 1, 15))::BIGINT
@@ -3536,27 +3538,30 @@ object TextOps {
              UNION ALL
              SELECT upper(text) FROM m WHERE m >= 10 AND m < 20),
       etoks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM ev),
-      eh AS (SELECT DISTINCT
-               ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS h
+      eg AS (SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS g
              FROM etoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      bits AS (SELECT DISTINCT
-                 ('0x' || substr(md5(h::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT
-                   % 65536 AS pos
+      eh AS (SELECT DISTINCT
+               ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+               ('0x' || substr(md5(g), 17, 15))::BIGINT % 36028797018963968 AS h2
+             FROM eg),
+      bits AS (SELECT DISTINCT (h1 + j * h2) % 65536 AS pos
                FROM eh, LATERAL (SELECT unnest(range(0, 4)) AS j) r),
       dtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
                 FROM documents),
       dsh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
                FROM dtoks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),
-      dh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM dsh0),
+      dh AS (SELECT doc_id,
+                    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                    ('0x' || substr(md5(s), 17, 15))::BIGINT % 36028797018963968 AS h2
+             FROM dsh0),
       tt AS (SELECT doc_id, count(*) AS n_sh FROM dh GROUP BY 1),
-      hpos AS (SELECT h, ('0x' || substr(md5(h::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT
-                        % 65536 AS p
-               FROM (SELECT DISTINCT h FROM dh) u,
+      hpos AS (SELECT h1, h2, (h1 + j * h2) % 65536 AS p
+               FROM (SELECT DISTINCT h1, h2 FROM dh) u,
                     LATERAL (SELECT unnest(range(0, 4)) AS j) r),
-      ch AS (SELECT h FROM hpos LEFT JOIN bits ON hpos.p = bits.pos
-             GROUP BY h HAVING count(bits.pos) = 4),
+      ch AS (SELECT h1, h2 FROM hpos LEFT JOIN bits ON hpos.p = bits.pos
+             GROUP BY h1, h2 HAVING count(bits.pos) = 4),
       hits AS (SELECT doc_id, count(*) AS nc FROM dh
-               WHERE h IN (SELECT h FROM ch) GROUP BY 1),
+               JOIN ch USING (h1, h2) GROUP BY 1),
       v AS (SELECT d.doc_id, d.source,
                    coalesce(tt.n_sh, 0) AS n_sh, coalesce(hits.nc, 0) AS nc
             FROM (SELECT doc_id, source FROM documents) d
