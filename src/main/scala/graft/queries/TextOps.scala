@@ -500,6 +500,37 @@ object TextOps {
   private def shingles(s: SparkSession, d: String): DataFrame =
     fourGramsOf(toks(s, d), "doc_id")
 
+  /** Content-defined chunk hashes of a (doc_id, t: array<string>) frame:
+    * (doc_id, h, k) — 60-bit chunk-text hash with within-doc multiplicity.
+    * bnd[j] = 1 if 0-based position j ends a chunk (the 4-token rolling
+    * fingerprint ending at j hits % 16 == 0); cid[j] = cuts strictly
+    * before j (exclusive prefix sum), so a boundary token closes ITS
+    * chunk and the next opens a new one — the arithmetic the oracle's
+    * windowed sum replays. Factored from dedup_cdc_chunks so the
+    * edit-locality property (the REASON CDC exists) is spec-testable on
+    * synthetic docs (CdcChunkSpec).
+    */
+  private[graft] def cdcChunkHashes(docs: DataFrame): DataFrame = {
+    val withCuts = docs
+      .withColumn("bnd", expr(
+        "transform(t, (x, j) -> CASE WHEN j >= 3 AND " +
+          "cast(conv(substr(md5(array_join(slice(t, j - 2, 4), ' ')), 1, 15), 16, 10) as bigint) % 16 = 0 " +
+          "THEN 1 ELSE 0 END)"))
+      .withColumn("cid", expr(
+        "transform(bnd, (x, j) -> aggregate(slice(bnd, 1, j), 0, (a, b) -> a + b))"))
+    val chunks = withCuts
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("t"), col("cid"))).as(Seq("i", "z")))
+      .select(col("doc_id"), col("i"), col("z.t").as("tok"), col("z.cid").as("cid"))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("i"), col("tok")))),
+        x => x.getField("tok"))).as("chunk"))
+    chunks.select(col("doc_id"),
+      conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
+  }
+
   /** Stage-once SECOND corpus table — the eval/benchmark side of the
     * cross-corpus contamination audit, a genuine separate parquet table
     * (until now every cross-source query derived both sides from
@@ -2258,28 +2289,7 @@ object TextOps {
     // except the chunk-hash aggregation.
     "dedup_cdc_chunks" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val withCuts = toks(s, d)
-        // bnd[j] = 1 if the (0-based) position j ends a chunk; cid[j] =
-        // number of cuts strictly before j (the exclusive prefix sum), so
-        // a boundary token closes ITS chunk and the next token opens a new
-        // one — the same arithmetic the oracle's windowed sum replays
-        .withColumn("bnd", expr(
-          "transform(t, (x, j) -> CASE WHEN j >= 3 AND " +
-            "cast(conv(substr(md5(array_join(slice(t, j - 2, 4), ' ')), 1, 15), 16, 10) as bigint) % 16 = 0 " +
-            "THEN 1 ELSE 0 END)"))
-        .withColumn("cid", expr(
-          "transform(bnd, (x, j) -> aggregate(slice(bnd, 1, j), 0, (a, b) -> a + b))"))
-      val chunks = withCuts
-        .select(col("doc_id"),
-          posexplode(arrays_zip(col("t"), col("cid"))).as(Seq("i", "z")))
-        .select(col("doc_id"), col("i"), col("z.t").as("tok"), col("z.cid").as("cid"))
-        .groupBy(col("doc_id"), col("cid"))
-        .agg(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("i"), col("tok")))),
-          x => x.getField("tok"))).as("chunk"))
-      val hashed = chunks.select(col("doc_id"),
-        conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long").as("h"))
-        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
+      val hashed = cdcChunkHashes(toks(s, d))
       hashed
         .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
         .groupBy(col("doc_id"))
