@@ -88,6 +88,13 @@ object StreamPsiGate {
               .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
                 sum(col("term_nano")).as("psi_nano"))
               .collect() // bounded: one row per event type
+            // foreachBatch contract note: Spark re-runs a batch after a
+            // failure with the SAME batchId, so a production sink must be
+            // idempotent per batchId (MERGE on (batch_id, key), not blind
+            // append). This finite AvailableNow drain has no retry path —
+            // a failed batch fails the query — so the buffer append is
+            // safe here; the caveat is the first thing to fix if this
+            // gate ever writes to a real table.
             out.synchronized {
               out ++= rows.map(r => (batchId.toInt, r.getAs[String]("event_type"),
                 r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
