@@ -570,10 +570,14 @@ object Extended {
         .withColumn("lbl", col("node"))
       for (_ <- 1 to 3) {
         val w = Window.partitionBy(col("dst")).orderBy(col("cnt").desc, col("lbl"))
-        labels = edges.join(labels, col("src") === col("node"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("dst").as("node"), col("lbl"))
+        // per-round lineage truncation (the bfsFrom discipline): each round
+        // nests the previous label plan under a join+agg+window, so three
+        // untruncated rounds replay round 1's edge join per nesting level
+        labels = SessionCaches.loopCheckpoint(
+          edges.join(labels, col("src") === col("node"))
+            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("dst").as("node"), col("lbl")))
       }
       labels.select(col("node").as("doc_id"), col("lbl").as("community"))
     }),
@@ -584,8 +588,9 @@ object Extended {
     // are within k edits-of-edits of a known bad template" audit). Frontier
     // expansion is one keyed edge join + anti-join-vs-reached per hop —
     // the textbook distributed BFS: the edge list never moves, only the
-    // frontier (monotonically shrinking) shuffles; 4 hops bound the plan
-    // depth so no checkpoint is needed (the PageRank precedent). The
+    // frontier (monotonically shrinking) shuffles; each hop's frontier is
+    // lineage-truncated inside bfsFrom (loopCheckpoint — the untruncated
+    // loop replayed hop 1 ~2^hops times, 14.8 s / 270 jobs). The
     // read-out is the per-depth census with a membership checksum. The
     // oracle is a DuckDB RECURSIVE CTE walking the same edges — min(depth)
     // over the set-semantics expansion IS BFS depth — the first recursive
@@ -1731,15 +1736,25 @@ object Extended {
     * depth = the hop a node is FIRST reached (min-depth semantics by the
     * anti-join). Factored so the synthetic-chain spec can exercise the
     * multi-hop path the fixture graph's shallow cliques never reach.
+    *
+    * Each hop's frontier is lineage-truncated via
+    * [[SessionCaches.loopCheckpoint]]: hop h references both the previous
+    * frontier and the accumulated `reached` (itself a union over the
+    * previous frontiers), so an untruncated plan re-evaluates hop 1's edge
+    * join ~2^hops times — measured 14.8 s / 270 jobs for the 4-hop
+    * graph_bfs_depths before the fix, all of it lineage replay over a tiny
+    * cached edge list. With the checkpoint, every hop's plan bottoms out in
+    * constant-size LogicalRDD leaves and `reached` is a flat union of them.
     */
   private[graft] def bfsFrom(edges: DataFrame, seeds: DataFrame,
       hops: Int): DataFrame = {
     var reached = seeds.withColumn("depth", lit(0))
-    var frontier = seeds.select(col("node"))
+    var frontier = SessionCaches.loopCheckpoint(seeds.select(col("node")))
     for (h <- 1 to hops) {
-      val next = frontier.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
+      val next = SessionCaches.loopCheckpoint(
+        frontier.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached.select(col("node")), Seq("node"), "left_anti"))
       reached = reached.unionByName(next.withColumn("depth", lit(h)))
       frontier = next
     }

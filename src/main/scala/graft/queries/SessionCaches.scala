@@ -31,6 +31,46 @@ object SessionCaches {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }.toSet
 
+  /** Truncate `df`'s lineage with a LAZY `localCheckpoint` and register the
+    * resulting blocks for session-scoped release — the shared idiom of every
+    * iterative var-DataFrame loop (BFS frontiers, label-propagation rounds,
+    * beam-walk `visited` accumulation). Without it, a loop whose round
+    * references the previous frame k times builds a k^rounds logical plan
+    * and pays k^rounds recomputation of round 1 (measured: graph_bfs_depths
+    * at 14.8 s / 270 jobs over a tiny cached edge list — pure lineage
+    * replay, 0.165 MB of shuffle). LAZY, not eager: the blocks materialize
+    * inside the consumer's one action instead of one job per round, and the
+    * logical-plan truncation (the thing the loop needs) happens immediately
+    * either way. The blocks back the loop's returned frame, so the loop
+    * cannot free them itself — they are registered per session and freed by
+    * [[releaseLoopCheckpoints]] / [[releaseAll]] once consumers are done
+    * (after which the frame cannot be re-executed: lineage is truncated).
+    */
+  private[queries] def loopCheckpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(false)
+    liveLoopCheckpoints.synchronized {
+      liveLoopCheckpoints.getOrElseUpdate(out.sparkSession,
+        scala.collection.mutable.Set.empty[Int]) ++= checkpointRddIds(out)
+    }
+    out
+  }
+
+  /** Per-session loop-checkpoint blocks still alive (see [[loopCheckpoint]]).
+    * Weak keys: a stopped session's entry dies with it.
+    */
+  private val liveLoopCheckpoints =
+    new scala.collection.mutable.WeakHashMap[SparkSession, scala.collection.mutable.Set[Int]]()
+
+  /** Free session `s`'s still-persisted loop-checkpoint blocks. Call after
+    * the consuming queries have materialized — a released loop frame cannot
+    * be re-executed (localCheckpoint truncates lineage).
+    */
+  def releaseLoopCheckpoints(s: SparkSession): Unit = liveLoopCheckpoints.synchronized {
+    val live = s.sparkContext.getPersistentRDDs
+    liveLoopCheckpoints.remove(s).foreach(_.foreach(id =>
+      live.get(id).foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })))
+  }
+
   /** Materialize every session-shared stage for data dir `d` — the shared
     * MinHash pair frame, the converged CC label frame, the staged
     * events/bucketed layouts, and the synthesized mzML runs — so that no
@@ -121,6 +161,10 @@ object SessionCaches {
     Similarity.releaseOpqXu(s)
     TextOps.releaseBpeCorpus(s)
     Extended.releaseCcCheckpoints(s)
+    // per-invocation iterative-loop frames (BFS frontiers, LPA rounds,
+    // beam-walk visited sets): nothing session-cached derives from them,
+    // so they free after the cached frames they themselves derive from
+    releaseLoopCheckpoints(s)
     Relational.releaseBucketedTables(s)
     s.catalog.clearCache()
   }

@@ -3311,9 +3311,13 @@ object Similarity {
           .filter(col("cand") =!= col("q_id"))
           .distinct()
         val scored = score(expand)
-        visited =
+        // per-round lineage truncation (the bfsFrom discipline): beam_t
+        // references visited_t and expand_{t+1} references beam_t, so an
+        // untruncated visited doubles its plan every round (2^rounds
+        // replays of the scoring subplan)
+        visited = SessionCaches.loopCheckpoint(
           if (visited == null) scored
-          else visited.unionByName(scored).distinct()
+          else visited.unionByName(scored).distinct())
         beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
           .select(col("q_id"), col("cand"))
       }
@@ -3358,9 +3362,10 @@ object Similarity {
             .filter(col("cand") =!= col("q_id"))
             .distinct()
           val scored = score(expand)
-          visited =
+          // per-round lineage truncation — see the bfsFrom discipline
+          visited = SessionCaches.loopCheckpoint(
             if (visited == null) scored
-            else visited.unionByName(scored).distinct()
+            else visited.unionByName(scored).distinct())
           beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= b)
             .select(col("q_id"), col("cand"))
           visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 5)
@@ -3410,9 +3415,10 @@ object Similarity {
             .filter(col("cand") =!= col("q_id"))
             .distinct()
           val scored = score(expand)
-          visited =
+          // per-round lineage truncation — see the bfsFrom discipline
+          visited = SessionCaches.loopCheckpoint(
             if (visited == null) scored
-            else visited.unionByName(scored).distinct()
+            else visited.unionByName(scored).distinct())
           beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
             .select(col("q_id"), col("cand"))
         }
@@ -3482,9 +3488,13 @@ object Similarity {
           .filter(col("cand") =!= col("q_id"))
           .distinct()
         val scored = score(expand)
-        visited =
+        // per-round lineage truncation (the bfsFrom discipline): beam_t
+        // references visited_t and expand_{t+1} references beam_t, so an
+        // untruncated visited doubles its plan every round (2^rounds
+        // replays of the scoring subplan)
+        visited = SessionCaches.loopCheckpoint(
           if (visited == null) scored
-          else visited.unionByName(scored).distinct()
+          else visited.unionByName(scored).distinct())
         beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
           .select(col("q_id"), col("cand"))
       }
