@@ -152,12 +152,21 @@ object Multimodal {
         val tmp = Paths.get(dir + "." + java.util.UUID.randomUUID() + ".tmp")
         write(tmp.toString)
         try {
-          // a dir without the marker can only be pre-rename-era garbage
-          // (nothing writes into `dir` directly anymore): clear it so the
-          // atomic move can land
-          if (Files.exists(root))
-            graft.streaming.StagedEvents.deleteRecursively(root)
-          Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+          // RE-CHECK the marker before touching `root`: another JVM may
+          // have committed while we were writing tmp, and deleting its
+          // just-committed dir would yank files out from under a reader
+          // mid-scan — the exact failure the rename protocol closes. A
+          // marker-less dir can only be pre-rename-era garbage (nothing
+          // writes into `dir` directly anymore): clear it so the atomic
+          // move can land; a marked dir is the winner's — keep it and
+          // discard our tmp.
+          if (Files.exists(done)) {
+            graft.streaming.StagedEvents.deleteRecursively(tmp)
+          } else {
+            if (Files.exists(root))
+              graft.streaming.StagedEvents.deleteRecursively(root)
+            Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+          }
         } catch {
           case _: java.nio.file.FileSystemException =>
             // another JVM committed between our check and the move: keep

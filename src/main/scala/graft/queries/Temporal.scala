@@ -1399,7 +1399,11 @@ object Temporal {
     "zonemap_recompaction" -> graft.queries.Relational.oracle("s14_zonemap_scan"),
     // per-batch PSI replayed from the deterministic user-parity arrival
     // slices against the even-event_id reference histogram; same
-    // nano-unit term discipline as diag_psi_drift
+    // nano-unit term discipline as diag_psi_drift. The spine is the FULL
+    // OUTER union of reference and batch types per batch (a missing side
+    // = the all-smoothing n=0 histogram), replaying the gate's
+    // novel-type alarm — the event_id % 89 slice arrives relabeled
+    // 'launch', a type the reference has never seen.
     "stream_psi_gate" -> """
       WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),
       ref AS (SELECT event_type,
@@ -1408,16 +1412,30 @@ object Temporal {
               FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
       rt AS (SELECT event_type, CAST(sum(cref) AS BIGINT) AS n_ref
              FROM ref GROUP BY 1),
-      cur0 AS (SELECT CAST(user_id % 2 AS INTEGER) AS batch_ord, event_type,
-                      least(19, CAST(floor(
-                        (CASE WHEN event_type = 'purchase' THEN value * 1.5
-                              ELSE value END) / 25) AS BIGINT)) AS b,
-                      count(*) AS ccur
-               FROM ev WHERE event_id % 2 = 1 GROUP BY 1, 2, 3),
+      cur0 AS (SELECT batch_ord, et AS event_type, b, count(*) AS ccur
+               FROM (SELECT CAST(user_id % 2 AS INTEGER) AS batch_ord,
+                            CASE WHEN event_id % 89 = 0 THEN 'launch'
+                                 ELSE event_type END AS et,
+                            least(19, CAST(floor(
+                              (CASE WHEN event_type = 'purchase' THEN value * 1.5
+                                    ELSE value END) / 25) AS BIGINT)) AS b
+                     FROM ev WHERE event_id % 2 = 1)
+               GROUP BY 1, 2, 3),
       ct AS (SELECT batch_ord, event_type, CAST(sum(ccur) AS BIGINT) AS n_cur
              FROM cur0 GROUP BY 1, 2),
-      spine AS (SELECT ct.batch_ord, ct.event_type, rt.n_ref, ct.n_cur, x.b
-                FROM ct JOIN rt USING (event_type),
+      batches AS (SELECT DISTINCT batch_ord FROM ct),
+      tps AS (SELECT batch_ord, event_type FROM ct
+              UNION
+              SELECT b.batch_ord, r.event_type FROM batches b, rt r),
+      tspine AS (SELECT t.batch_ord, t.event_type,
+                        coalesce(rt.n_ref, 0) AS n_ref,
+                        coalesce(ct.n_cur, 0) AS n_cur
+                 FROM tps t
+                 LEFT JOIN rt ON t.event_type = rt.event_type
+                 LEFT JOIN ct ON ct.batch_ord = t.batch_ord
+                   AND ct.event_type = t.event_type),
+      spine AS (SELECT s.batch_ord, s.event_type, s.n_ref, s.n_cur, x.b
+                FROM tspine s,
                      LATERAL (SELECT unnest(range(0, 20)) AS b) x),
       terms AS (SELECT s.batch_ord, s.event_type, s.n_ref, s.n_cur,
                        (coalesce(r.cref, 0) + 1) / CAST(s.n_ref + 20 AS DOUBLE) AS p,

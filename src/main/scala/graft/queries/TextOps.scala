@@ -511,17 +511,27 @@ object TextOps {
     * synthetic docs (CdcChunkSpec).
     */
   private[graft] def cdcChunkHashes(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withCuts = docs
       .withColumn("bnd", expr(
         "transform(t, (x, j) -> CASE WHEN j >= 3 AND " +
           "cast(conv(substr(md5(array_join(slice(t, j - 2, 4), ' ')), 1, 15), 16, 10) as bigint) % 16 = 0 " +
           "THEN 1 ELSE 0 END)"))
-      .withColumn("cid", expr(
-        "transform(bnd, (x, j) -> aggregate(slice(bnd, 1, j), 0, (a, b) -> a + b))"))
+    // exclusive prefix sum of the boundary flags AFTER the posexplode, as
+    // a windowed sum over (doc, position) — the same shape the DuckDB
+    // oracle replays. The per-position in-array form
+    // transform(bnd, (x, j) -> aggregate(slice(bnd, 1, j), ...)) is
+    // O(tokens²) INTERPRETED lambda work plus a slice allocation per
+    // token (the interpreted-HOF trap class: a long document blows up);
+    // the window is one sort per doc partition, already co-keyed with the
+    // (doc_id, cid) aggregation below.
+    val wExcl = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val chunks = withCuts
       .select(col("doc_id"),
-        posexplode(arrays_zip(col("t"), col("cid"))).as(Seq("i", "z")))
-      .select(col("doc_id"), col("i"), col("z.t").as("tok"), col("z.cid").as("cid"))
+        posexplode(arrays_zip(col("t"), col("bnd"))).as(Seq("i", "z")))
+      .select(col("doc_id"), col("i"), col("z.t").as("tok"), col("z.bnd").as("b"))
+      .withColumn("cid", coalesce(sum(col("b")).over(wExcl), lit(0)))
       .groupBy(col("doc_id"), col("cid"))
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("i"), col("tok")))),
@@ -2284,8 +2294,9 @@ object TextOps {
     // are found by chunk-hash df ≥ 2 — the same bounded groupBy shape as
     // the span family (no self-joins). The boundary rule, the exclusive
     // prefix-sum chunk ids, and the chunk hashes all replay in SQL, so
-    // per-doc chunk counts and dup fractions hash-match. Per-doc HOF cost
-    // is O(tokens · window) map-side work; nothing scales with the corpus
+    // per-doc chunk counts and dup fractions hash-match. Per-doc cost is
+    // O(tokens · window) HOF work for the boundary flags plus one windowed
+    // prefix sum per doc (cdcChunkHashes); nothing scales with the corpus
     // except the chunk-hash aggregation.
     "dedup_cdc_chunks" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window

@@ -23,6 +23,13 @@ import org.apache.spark.sql.streaming.Trigger
   * integer nano-units, summed as longs — the diag_psi_drift discipline),
   * and the >0.1 verdicts, row for row.
   *
+  * The per-batch spine is a FULL OUTER join of reference and batch type
+  * totals: a type the reference has never seen (planted here — a
+  * deterministic event_id slice arrives relabeled 'launch') is the
+  * strongest drift signal and scores against the all-smoothing uniform
+  * reference instead of being silently dropped; a reference type absent
+  * from a batch alarms symmetrically.
+  *
   * Why foreachBatch and not a streaming aggregation: the gate needs a
   * JOIN against the reference and a finished PSI per batch — a batch-ONLY
   * computation over each micro-batch's rows, exactly what foreachBatch
@@ -68,12 +75,28 @@ object StreamPsiGate {
             val cur = batch
               .withColumn("v", when(col("event_type") === "purchase",
                 col("value") * 1.5).otherwise(col("value")))
+              // planted NOVEL type: a deterministic event_id slice arrives
+              // relabeled — the schema-drift arrival the reference
+              // histogram has never seen, which must ALARM, not vanish
+              .withColumn("et", when(col("event_id") % 89 === 0, lit("launch"))
+                .otherwise(col("event_type")))
               .withColumn("b", least(lit(19L), floor(col("v") / 25).cast("long")))
-              .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("ccur"))
+              .groupBy(col("et").as("event_type"), col("b"))
+              .agg(count(lit(1)).as("ccur"))
             val curTot = cur.groupBy(col("event_type"))
               .agg(sum(col("ccur")).as("n_cur"))
-            val spine = refTot.join(curTot, Seq("event_type"))
-              .select(col("event_type"), col("n_ref"), col("n_cur"),
+            // FULL OUTER spine: an inner join here silently dropped any
+            // event type present in the batch but absent from the
+            // reference — for a drift gate, a brand-new type is the
+            // STRONGEST drift signal. A missing side contributes the
+            // all-smoothing histogram (n = 0 ⇒ every bin's probability is
+            // the Laplace 1/20), so a novel type scores its PSI against
+            // uniform and a type that DISAPPEARED from the load alarms
+            // symmetrically.
+            val spine = refTot.join(curTot, Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+                coalesce(col("n_cur"), lit(0L)).as("n_cur"),
                 explode(sequence(lit(0L), lit(19L))).as("b"))
             val rows = spine
               .join(refHist, Seq("event_type", "b"), "left")

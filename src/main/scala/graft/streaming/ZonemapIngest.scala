@@ -87,10 +87,13 @@ object ZonemapIngest {
           .start()
         q.awaitTermination()
         // INCREMENTAL manifest refresh: scans ONLY the delta files —
-        // refresh cost proportional to the append, never the table
-        val deltaFiles = Option(new java.io.File(sink).listFiles()).toSeq.flatten
-          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .map(_.getAbsolutePath).sorted
+        // refresh cost proportional to the append, never the table.
+        // Enumerated through spark.read.parquet(sink).inputFiles, which
+        // consults the file sink's _spark_metadata commit log — a raw
+        // directory listing would also pick up orphaned part files from a
+        // failed-then-retried micro-batch task and double-count them in
+        // the delta manifest and the served aggregate.
+        val deltaFiles = spark.read.parquet(sink).inputFiles.toSeq.sorted
         require(deltaFiles.nonEmpty, "the streamed append produced no delta files")
         val deltaManifest = stats(spark.read.parquet(deltaFiles: _*))
         // SERVE: prune base-manifest ∪ delta-manifest, read only the

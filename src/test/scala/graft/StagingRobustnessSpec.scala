@@ -70,4 +70,37 @@ class StagingRobustnessSpec extends SparkSpec {
     val left = spark.catalog.listTables().collect().map(_.name).filter(_.contains("_bck_"))
     assert(left.isEmpty, s"tables left after release: ${left.mkString(",")}")
   }
+
+  test("stageOnce: a winner committing mid-write is kept, the loser's tmp discarded") {
+    // The r11 ADVICE race: JVM A passes the !exists(_SUCCESS) gate, then
+    // JVM B commits `root` while A is still writing its tmp. A must NOT
+    // delete B's just-committed layout (a reader mid-scan would see files
+    // vanish) — it must re-check the marker, keep the winner's dir, and
+    // discard its own tmp. Simulated in-process: the write callback plays
+    // JVM B by committing root itself before returning.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_stageonce_race_${java.util.UUID.randomUUID()}"
+    val root = Paths.get(dir)
+    try {
+      val out = graft.ops.Multimodal.stageOnce(dir) { tmp =>
+        // "JVM B" commits the real dir while "JVM A" is mid-write
+        Files.createDirectories(root)
+        Files.writeString(root.resolve("winner.txt"), "committed-by-winner")
+        Files.writeString(root.resolve("_SUCCESS"), "")
+        // A's own (losing) staged content
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(tmp).resolve("loser.txt"), "from-loser")
+      }
+      assert(out == dir)
+      assert(Files.exists(root.resolve("_SUCCESS")), "winner's marker survives")
+      assert(Files.readString(root.resolve("winner.txt")) == "committed-by-winner",
+        "winner's committed content must never be deleted")
+      assert(!Files.exists(root.resolve("loser.txt")), "loser's content never lands")
+      // the loser's tmp dir is cleaned up
+      val leftovers = Option(root.getParent.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.startsWith(root.getFileName.toString + ".") && n.endsWith(".tmp"))
+      assert(leftovers.isEmpty, s"tmp dirs left behind: ${leftovers.mkString(",")}")
+      // a second call is a pure no-op read of the winner's dir
+      graft.ops.Multimodal.stageOnce(dir) { _ => fail("must not re-stage a committed dir") }
+    } finally graft.streaming.StagedEvents.deleteRecursively(root)
+  }
 }
