@@ -106,6 +106,35 @@ object StagedEvents {
         System.currentTimeMillis() - modSecsAgo * 1000))
   }
 
+  /** Like [[writePart]] but stages the slice as `n` part files sharing
+    * one mtime (names `prefix_0.parquet` … `prefix_{n-1}.parquet`). A
+    * single-file arrival serializes the micro-batch's map work onto one
+    * input partition — a per-shingle hashing gate was paying its whole
+    * hot path on one task because of it (a test-fixture artifact: real
+    * ingest arrives as many files). Consumed with maxFilesPerTrigger = n
+    * so each arrival batch is the whole slice, n-way parallel.
+    */
+  def writeParts(df: org.apache.spark.sql.DataFrame, dir: Path, prefix: String,
+      n: Int, modSecsAgo: Long): Unit = {
+    val tmp = dir.resolve(s"_tmp_$prefix")
+    df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val ps = Files.list(tmp)
+    val parts =
+      try ps.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally ps.close()
+    require(parts.nonEmpty, s"repartition($n) wrote no part files under $tmp")
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val dst = dir.resolve(s"${prefix}_$i.parquet")
+      Files.move(part, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - modSecsAgo * 1000))
+    }
+    deleteRecursively(tmp)
+  }
+
   def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
