@@ -116,8 +116,9 @@ object StreamPsiGate {
             // idempotent per batchId (MERGE on (batch_id, key), not blind
             // append). This finite AvailableNow drain has no retry path —
             // a failed batch fails the query — so the buffer append is
-            // safe here; the caveat is the first thing to fix if this
-            // gate ever writes to a real table.
+            // safe here; a sink that writes a real table routes through
+            // the batchId-keyed atomic-rename commit instead
+            // ([[IdempotentBatchSink]], used by StreamQuarantine).
             out.synchronized {
               out ++= rows.map(r => (batchId.toInt, r.getAs[String]("event_type"),
                 r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),

@@ -11,8 +11,11 @@ import org.apache.spark.sql.streaming.Trigger
   * each row evaluates ALL per-row predicates in one STATELESS projection
   * (the explode-violated-entries shape of the batch query — no state
   * store, no watermark, no shuffle), and violating rows are routed to a
-  * quarantine sink APPENDED per batch, `partitionBy(check_name)` — the
-  * layout a triage read opens one check's directory of. This is the
+  * quarantine table committed per batch through the batchId-keyed
+  * idempotent sink ([[IdempotentBatchSink]] — a retried batch replaces
+  * nothing, never duplicates), `partitionBy(check_name)` inside each
+  * batch dir — the layout a triage read opens one check's directory of.
+  * This is the
   * deployment mode the batch query's Scaladoc promises ("at 100 TB the
   * quarantine WRITE is a partitioned sink appended after this exact
   * plan"): the load that ships the data also ships its reject table.
@@ -62,11 +65,19 @@ object StreamQuarantine {
             explode(filter(arr, x => x.isNotNull)).as("c"))
           .select(col("row_key"), col("c.check_name").as("check_name"),
             col("c.severity").as("severity"))
+        // the quarantine table is written through the batchId-keyed
+        // idempotent commit ([[IdempotentBatchSink]]): a micro-batch
+        // re-run after a failure (same batchId — the foreachBatch replay
+        // contract) replaces nothing instead of appending duplicate
+        // reject rows. partitionBy(check_name) inside each batch dir
+        // keeps the triage layout (open one check's directory).
         val q = routed.writeStream
-          .format("parquet")
-          .option("path", out.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            IdempotentBatchSink.commit(batch, out.toString, batchId,
+              Seq("check_name"))
+            ()
+          }
           .option("checkpointLocation", cp.toString)
-          .partitionBy("check_name")
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()

@@ -37,4 +37,31 @@ class StreamQuarantineSpec extends SparkSpec {
         s"$check: routed ${routed.getOrElse(check, 0L)} vs verdict $n")
     }
   }
+
+  test("a replayed batchId replaces nothing: sink contents identical, no duplicates") {
+    // the foreachBatch retry contract: Spark re-runs a failed micro-batch
+    // with the SAME batchId. The sink must converge to the same table,
+    // not append a second copy of every reject row.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("idem-sink").toString
+    try {
+      val b = Seq(("7", "text_len_ge_60", "error"), ("9", "text_nonblank", "error"))
+        .toDF("row_key", "check_name", "severity")
+      assert(IdempotentBatchSink.commit(b, root, 0L, Seq("check_name")),
+        "first delivery must perform the commit")
+      def snapshot(): Seq[String] =
+        spark.read.parquet(root).collect().map(_.toString).sorted.toSeq
+      val first = snapshot()
+      assert(first.size == 2)
+      // the retry delivers the same batchId (possibly a recomputed frame)
+      assert(!IdempotentBatchSink.commit(b, root, 0L, Seq("check_name")),
+        "a replayed batchId must be a no-op")
+      assert(snapshot() === first, "replay duplicated or mutated the sink")
+      // a NEW batchId still lands
+      val b1 = Seq(("11", "text_len_ge_100", "warn"))
+        .toDF("row_key", "check_name", "severity")
+      assert(IdempotentBatchSink.commit(b1, root, 1L, Seq("check_name")))
+      assert(snapshot().size == 3)
+    } finally StagedEvents.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
