@@ -766,6 +766,17 @@ object Temporal {
     // StreamPsiGate.
     "stream_psi_gate" -> ((s, d) => graft.streaming.StreamPsiGate(s, d)),
 
+    // STREAMED RETRACTION FOLD — agg_incremental_retract's streaming
+    // twin, closing the IVM surface: CDC rows with ±1 multiplicity
+    // folded per group in flatMapGroupsWithState (count/sum subtract
+    // in-stream, state = one record per live group), non-invertible
+    // min/max maintained over inserts only and FLAGGED on any
+    // retraction, repaired by the deferred touched-group batch re-scan.
+    // Shares the batch retraction's oracle verbatim: subtraction
+    // in-stream ≡ subtraction in-batch ≡ recompute over survivors. See
+    // StreamRetractFold.
+    "stream_retract_fold" -> ((s, d) => graft.streaming.StreamRetractFold(s, d)),
+
     // Zone-map APPEND→REFRESH→SERVE — the s14 layout's lifecycle close:
     // streamed delta files through a stateless parquet sink, manifest
     // refreshed by scanning ONLY the new files, serve path pruning
@@ -1086,6 +1097,29 @@ object Temporal {
              valid_to_us = 9223372036854775807 AS is_current
       FROM v"""
 
+  /** One oracle for both retraction-IVM surfaces (`agg_incremental_retract`
+    * and `stream_retract_fold`): the retracted rollup re-derived by a plain
+    * recompute over the surviving rows, flags from the retraction rule.
+    */
+  private val retractOracleSql: String = """
+      WITH e AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                        event_type, event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents,
+                        ('0x' || substr(md5('rt' || event_id::VARCHAR), 1, 15))::BIGINT
+                          % 20 = 0 AS is_rt
+                 FROM events),
+      touched AS (SELECT DISTINCT day, event_type FROM e WHERE is_rt)
+      SELECT e.day, e.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(cents) AS min_cents, max(cents) AS max_cents,
+             (t.day IS NOT NULL) AS recomputed,
+             round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS avg_value
+      FROM e LEFT JOIN touched t
+        ON e.day = t.day AND e.event_type = t.event_type
+      WHERE NOT is_rt
+      GROUP BY e.day, e.event_type, (t.day IS NOT NULL)"""
+
   val oracle: Map[String, String] = Map(
     // the merged state must equal a single-pass re-scan of the whole
     // table — the incremental merge algebra's correctness contract
@@ -1104,24 +1138,11 @@ object Temporal {
     // rows, with the recomputed flag re-derived from the retraction rule —
     // proving the subtract path (n, sum) and the bounded-rescan path
     // (min/max) both exact
-    "agg_incremental_retract" -> """
-      WITH e AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-                        event_type, event_id,
-                        CAST(round(value * 100) AS BIGINT) AS cents,
-                        ('0x' || substr(md5('rt' || event_id::VARCHAR), 1, 15))::BIGINT
-                          % 20 = 0 AS is_rt
-                 FROM events),
-      touched AS (SELECT DISTINCT day, event_type FROM e WHERE is_rt)
-      SELECT e.day, e.event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS sum_cents,
-             min(cents) AS min_cents, max(cents) AS max_cents,
-             (t.day IS NOT NULL) AS recomputed,
-             round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS avg_value
-      FROM e LEFT JOIN touched t
-        ON e.day = t.day AND e.event_type = t.event_type
-      WHERE NOT is_rt
-      GROUP BY e.day, e.event_type, (t.day IS NOT NULL)""",
+    "agg_incremental_retract" -> retractOracleSql,
+    // the STREAMED fold must land on the identical rollup: one shared SQL
+    // string with the batch retraction (arrival batching and the
+    // in-stream ± fold change nothing about the answer)
+    "stream_retract_fold" -> retractOracleSql,
     // the gated merged state must equal a single-pass gated re-scan: error
     // rows excluded and counted, warn rows kept and counted — gating
     // commutes with the incremental merge
