@@ -303,6 +303,86 @@ object MediaCodec {
       case _ => None
     }
 
+  /** 64-bit AUDIO FINGERPRINT — the audio twin of [[pHash]], from the
+    * Haitsma-Kalker family reduced to one sub-fingerprint: full 8-sample
+    * frames at hop 2 (75% overlap), frame energy Σ s², bits = the SIGN of
+    * consecutive energy deltas starting at the ANCHOR (the first frame of
+    * maximum energy), MSB-first, 0-padded past the last frame. Why each
+    * piece: the overlap makes a time shift that is a multiple of the hop
+    * land content frames exactly on the original grid (a 4-sample silence
+    * prepend adds two low-energy partials and re-indexes everything else
+    * by 2); the peak anchor cancels that re-indexing, so a shifted
+    * re-upload fingerprints IDENTICALLY; and sign-of-delta survives any
+    * monotone amplitude mapping, so requantization flips only near-tie
+    * bits — a small Hamming distance, which is what the banded verify
+    * downstream is for. The anchor is the argmax over frames that still
+    * have 64 deltas after them — an unrestricted argmax near the clip end
+    * pads most bits to 0, and those degenerate mostly-zero fingerprints
+    * collide ACROSS disjoint clips (observed on the first cut: a
+    * five-clip false cluster at Hamming ≤ 6). All integer arithmetic,
+    * shared verbatim with the MediaSynth closed form.
+    */
+  private[ops] def audioFpOf(samples: Array[Short]): Long = {
+    val n = samples.length
+    val nf = if (n < FpWindow) 0 else (n - FpWindow) / FpHop + 1
+    if (nf < 2) return 0L
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var i = 0
+      while (i < FpWindow) {
+        val s = samples(f * FpHop + i).toLong
+        acc += s * s
+        i += 1
+      }
+      e(f) = acc
+      f += 1
+    }
+    // last frame eligible as anchor: needs 64 deltas (65 frames) after it
+    val hi = math.max(0, nf - 65)
+    var anchor = 0
+    f = 1
+    while (f <= hi) { if (e(f) > e(anchor)) anchor = f; f += 1 }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (anchor + b + 1 < nf && e(anchor + b + 1) > e(anchor + b))
+        fp |= 1L << (63 - b)
+      b += 1
+    }
+    fp
+  }
+
+  private val FpWindow = 8
+  private val FpHop = 2
+
+  /** Fingerprint of a WAV payload via the real decode path; None for
+    * non-WAV (the route-by-modality shape) and malformed payloads.
+    */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      decode(payload) match {
+        case Some(m) if m.kind == "wav" =>
+          val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+          buf.position(12) // decode() validated the chunk layout
+          var dataOff = -1
+          var dataLen = 0
+          while (dataOff < 0) {
+            val tag = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()), "US-ASCII")
+            val len = buf.getInt()
+            if (tag == "data") { dataOff = buf.position(); dataLen = len }
+            else buf.position(buf.position() + len)
+          }
+          val n = dataLen / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort(dataOff + 2 * i); i += 1 }
+          Some(audioFpOf(samples))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
   /** Canonical 44-byte-header RIFF/WAVE parse, 16-bit mono PCM: walk the
     * chunk list to `fmt ` and `data` (never assume a fixed layout beyond
     * the RIFF frame), fold samples as Σ (i+1)·sᵢ.
@@ -526,6 +606,58 @@ object MediaSynth {
   def expectedPHashTex(id: Long): Long = {
     val (w, h, rgb) = texImageOf(id); MediaCodec.pHashOf(w, h, rgb)
   }
+
+  /** The audio DEDUP corpus's clip arithmetic — deliberately NOT
+    * [[wavSamples]]: there the i² term dominates and every id shares one
+    * energy envelope, so sign-of-delta fingerprints of DISJOINT clips
+    * collide (the audio twin of the ramp corpus degenerating dHash in
+    * mm_hash_scheme_audit — structured content must be audited per
+    * corpus). Here the quadratic/linear coefficients depend on id, so
+    * each clip has its own envelope shape and disjoint fingerprints land
+    * ~32 bits apart.
+    */
+  private def audioClipSamples(id: Long): Array[Short] = {
+    val n = 160 + ((id * 7) % 80).toInt
+    val a = 1L + id % 13
+    val b = (id * 31) % 101
+    Array.tabulate(n)(i =>
+      (((i.toLong * i * a + i * b + id * 17) % 4001) - 2000).toShort)
+  }
+
+  /** The AUDIO near-dup corpus's planted re-uploads (mm_audio_dedup):
+    * every wav id ≡ 2 (mod 30) re-arrives TIME-SHIFTED (4 samples of
+    * leading silence — two fingerprint hops, the "trim/pad" edit) under
+    * media_id + 1000, and every wav id ≡ 8 (mod 30) re-arrives
+    * REQUANTIZED (low bit cleared — the lossy re-encode stand-in) under
+    * media_id + 2000. Disjoint base clips stay disjoint. Samples for any
+    * corpus id, base or planted:
+    */
+  def audioDupSamples(mid: Long): Option[Array[Short]] = {
+    val base = if (mid >= 2000L) mid - 2000L else if (mid >= 1000L) mid - 1000L else mid
+    if (kindOf(base) != "wav") None
+    else if (mid >= 2000L) Some(audioClipSamples(base).map(s => (s & ~1).toShort))
+    else if (mid >= 1000L) Some(Array.fill[Short](4)(0) ++ audioClipSamples(base))
+    else Some(audioClipSamples(base))
+  }
+
+  /** The planted-dup id spine of the audio corpus for base ids < n. */
+  def audioDupIds(n: Long): Seq[Long] =
+    (0L until n).filter(id => kindOf(id) == "wav" && id % 30 == 2).map(_ + 1000L) ++
+      (0L until n).filter(id => kindOf(id) == "wav" && id % 30 == 8).map(_ + 2000L)
+
+  /** The payload for an audio-corpus id: wav ids (base or planted
+    * re-upload) encode their clip samples; image ids keep their standard
+    * payload (the mixed-modality table the hash scan routes by).
+    */
+  def audioCorpusPayload(mid: Long): Array[Byte] =
+    audioDupSamples(mid).map(wavBytes).getOrElse(payload(mid))
+
+  /** What audioFingerprint(audioCorpusPayload(mid)) must return — the
+    * shared fold ([[MediaCodec.audioFpOf]]) over the sample arithmetic,
+    * no codec involved. None for image ids.
+    */
+  def expectedAudioFp(mid: Long): Option[Long] =
+    audioDupSamples(mid).map(MediaCodec.audioFpOf)
 
   /** What audioFeatures(payload(id), window) must return for a WAV id —
     * the same integer folds over the sample arithmetic. None for images.

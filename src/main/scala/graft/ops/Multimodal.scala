@@ -249,6 +249,53 @@ object Multimodal {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Stage-once parquet table for the AUDIO fingerprint dedup fixture:
+    * the n base payloads (mixed modalities — image rows route out at
+    * hash time) PLUS the planted wav re-uploads of
+    * [[MediaSynth.audioDupIds]]: a TIME-SHIFTED copy (4 samples of
+    * leading silence) per id ≡ 2 (mod 30) under media_id + 1000 and a
+    * REQUANTIZED copy (low bit cleared) per id ≡ 8 (mod 30) under
+    * media_id + 2000 — the two edits a re-encoded upload actually makes.
+    * Content is arithmetic in the base id, so staged bytes are identical
+    * across JVMs and the planted pairs are known in closed form.
+    */
+  def audioTableDir(spark: SparkSession, n: Int): String =
+    stageOnce(s"${sys.props("java.io.tmpdir")}/graft_audio_table_$n") { tmp =>
+      val schema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false)))
+      implicit val enc = RowEncoder.encoderFor(schema)
+      val dups = MediaSynth.audioDupIds(n)
+      spark.createDataset(
+        spark.sparkContext.parallelize((0L until n) ++ dups, 8))(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("media_id")
+        .mapPartitions(rows => rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, MediaSynth.audioCorpusPayload(id))
+        })
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  val afpType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /** (media_id, afp) over the audio fixture table: scan the BINARY
+    * column, decode + fingerprint per partition (image rows drop out —
+    * the route-by-modality shape, [[imageHashes]]' audio twin). Banding
+    * downstream is the shared bandedHammingPairs logic.
+    */
+  def audioHashes(spark: SparkSession, n: Int): DataFrame = {
+    val dir = audioTableDir(spark, n)
+    implicit val enc = RowEncoder.encoderFor(afpType)
+    spark.read.parquet(dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.audioFingerprint(r.getAs[Array[Byte]]("media"))
+          .map(h => Row(r.getAs[Long]("media_id"), h))
+      }
+    }
+  }
+
   val phashType: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("phash", LongType, nullable = false)))

@@ -823,6 +823,24 @@ object Extended {
         graft.ops.Multimodal.imageHashes(s, 120)
           .select(col("media_id"), col("phash").as("hv")))),
 
+    // AUDIO near-dup detection — mm_phash_dedup's audio twin, closing the
+    // mm family's fingerprint gap: every WAV payload decodes to a 64-bit
+    // peak-anchored sign-of-energy-delta fingerprint (Haitsma-Kalker
+    // reduced to one sub-fingerprint; MediaCodec.audioFpOf documents why
+    // each piece buys shift/requantization robustness), then the SAME
+    // 4×16 banding + exact-Hamming verify as the image path. The fixture
+    // plants the two edits a re-upload actually makes: TIME-SHIFTED
+    // copies (leading silence, media_id + 1000) which must surface at
+    // Hamming 0 (the peak anchor cancels the re-index), and REQUANTIZED
+    // copies (low bit cleared, media_id + 2000) which surface within the
+    // Hamming budget (sign-of-delta flips only near-ties). DuckDB
+    // replays fingerprint + banding + Hamming from the generator's
+    // closed form — matching requires really decoding every clip.
+    "mm_audio_dedup" -> ((s, d) =>
+      bandedHammingPairs(
+        graft.ops.Multimodal.audioHashes(s, 120)
+          .select(col("media_id"), col("afp").as("hv")))),
+
     // The HASH-SCHEME audit — measure, don't guess, for the image dedup:
     // aHash (global-mean threshold) vs dHash (horizontal gradient
     // direction) vs DCT pHash (spectral median) over the identical
@@ -2339,6 +2357,30 @@ object Extended {
             FROM h, (SELECT unnest([0, 1, 2, 3]) AS j) js),
       p AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
                    x.phash AS ha, y.phash AS hb
+            FROM b x JOIN b y ON x.j = y.j AND x.bv = y.bv
+                 AND x.media_id < y.media_id)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      FROM p WHERE bit_count(xor(ha, hb)) <= 6"""
+    },
+    // mm_audio_dedup: the closed-form fingerprint per audio-corpus id
+    // (planted shift/requant re-uploads replayed through the shared
+    // sample-arithmetic fold) + the same banding / exact-Hamming replay
+    // as mm_phash_dedup
+    "mm_audio_dedup" -> {
+      val ids = (0L until 120L)
+        .filter(graft.ops.MediaSynth.kindOf(_) == "wav") ++
+        graft.ops.MediaSynth.audioDupIds(120)
+      val rows = ids.flatMap { mid =>
+        graft.ops.MediaSynth.expectedAudioFp(mid).map(h => s"($mid, $h)")
+      }.mkString(",\n        ")
+      s"""
+      WITH h(media_id, afp) AS (VALUES
+        $rows),
+      b AS (SELECT media_id, afp, j, (afp >> (j * 16)) & 65535 AS bv
+            FROM h, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+      p AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+                   x.afp AS ha, y.afp AS hb
             FROM b x JOIN b y ON x.j = y.j AND x.bv = y.bv
                  AND x.media_id < y.media_id)
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
