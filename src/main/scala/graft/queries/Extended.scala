@@ -606,6 +606,54 @@ object Extended {
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_doc_id"))
     }),
 
+    // WEIGHTED PageRank over the exact-Jaccard near-dup graph — the
+    // binary adjacency above treats a 0.81 borderline pair and a 0.99
+    // template clone identically; weighting each edge by its Jaccard
+    // (integer ppm) makes rank flow proportional to duplication
+    // STRENGTH, which is what a centrality-ranked dedup triage actually
+    // wants at the top of the list. Same unnormalized d = 0.85 power
+    // iteration as graph_pagerank with r·w/Σw contributions — all
+    // integer arithmetic (r and w in micro-units, integer division), so
+    // the in-neighbor sum is addition-order-free and the SQL unroll
+    // matches bit for bit. Edges come from the session-shared weighted
+    // frame (derived from nearDupPairsShared — no new corpus scan); each
+    // round is lineage-truncated (the bfsFrom discipline).
+    "graph_pagerank_weighted" -> ((s, d) => {
+      val e = weightedEdgesShared(s, d)
+      var ranks = e.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(1000000L))
+      for (_ <- 1 to 3) {
+        ranks = SessionCaches.loopCheckpoint(
+          e.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("(r * w) div sw").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+            .select(col("dst").as("node"),
+              (lit(150000L) + expr("(85 * sc) div 100")).as("r")))
+      }
+      ranks.select(col("node").as("doc_id"),
+        round(col("r").cast("double") / 1000000.0, 6).as("pagerank"))
+    }),
+
+    // WEIGHTED-THRESHOLD BFS — reachability along STRONG edges only
+    // (jaccard ≥ 0.85): "which docs are within k hops of a known-bad
+    // template through near-exact copies", the contagion audit where a
+    // chain of borderline 0.81 pairs must NOT propagate influence. Same
+    // frontier algorithm and per-depth census as graph_bfs_depths
+    // (bfsFrom — per-hop lineage truncation included), over the
+    // session-shared weighted frame filtered by weight; the oracle
+    // replays the recursive expansion over the thresholded edge set.
+    "graph_bfs_weighted" -> ((s, d) => {
+      val strong = weightedEdgesShared(s, d)
+        .filter(col("w") >= 850000L).select(col("src"), col("dst"))
+      val isSeed = conv(substring(
+        md5(concat(lit("bfsw"), col("node").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10 === 0
+      val seeds = strong.select(col("src").as("node")).distinct().filter(isSeed)
+      bfsFrom(strong, seeds, 4)
+        .groupBy(col("depth").cast("int").as("depth"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_doc_id"))
+    }),
+
     // Triangle participation over the near-dup candidate graph — the
     // local-clustering signal that separates a dense duplicate clique
     // (template boilerplate, mirrored sites) from a chain of borderline
@@ -1791,6 +1839,31 @@ object Extended {
   /** Unpersist and drop every shared PageRank edge frame of session `s`. */
   def releasePagerankEdges(s: SparkSession): Unit = sharedPagerankEdges.release(s)
 
+  /** Session-scoped cache of the WEIGHTED edge list — the near-dup graph
+    * with each edge carrying its exact n-gram Jaccard as integer ppm
+    * (jaccard is round(·, 6), so ×10⁶ is exact), symmetrized, annotated
+    * with the per-source weight sum the weighted power iteration
+    * normalizes by. Derives from [[TextOps.nearDupPairsShared]] — the
+    * weighted family never re-scans the corpus ([[pagerankEdgesShared]]'s
+    * lifecycle, one table over).
+    */
+  private val sharedWeightedEdges = new SessionFrameCache(4)
+  def weightedEdgesShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    val pairs = TextOps.nearDupPairsShared(s, d)
+    sharedWeightedEdges.getOrBuild(s, d) {
+      val w = pairs.select(col("da"), col("db"),
+        round(col("jaccard") * 1000000).cast("long").as("w"))
+      val edges = w.select(col("da").as("src"), col("db").as("dst"), col("w"))
+        .union(w.select(col("db").as("src"), col("da").as("dst"), col("w")))
+      val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+      edges.join(sw, "src")
+    }
+  }
+
+  /** Unpersist and drop every shared weighted edge frame of session `s`. */
+  def releaseWeightedEdges(s: SparkSession): Unit = sharedWeightedEdges.release(s)
+
   /** Shared VALUES oracle of the media fixture corpus's decoded table
     * (closed form of MediaSynth's arithmetic — see mm_decode_meta).
     */
@@ -2258,6 +2331,51 @@ object Extended {
       nodes AS (SELECT DISTINCT src AS node FROM edges),
       seeds AS (SELECT node FROM nodes
                 WHERE ('0x' || substr(md5('bfs' || node::VARCHAR), 1, 15))::BIGINT
+                      % 10 = 0),
+      walk(node, depth) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 4),
+      md AS (SELECT node, min(depth) AS depth FROM walk GROUP BY 1)
+      SELECT CAST(depth AS INTEGER) AS depth,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(node) AS BIGINT) AS sum_doc_id
+      FROM md GROUP BY 1""",
+    // the weighted power iteration unrolled over the exact-Jaccard pair
+    // frame — contributions r·w // Σw in integer micro-units, so the SQL
+    // matches the engine bit for bit at any parallelism
+    "graph_pagerank_weighted" -> s"""
+      WITH nd AS (${TextOps.ngramJaccardSql}),
+      wp AS (SELECT da, db, CAST(round(jaccard * 1000000) AS BIGINT) AS w FROM nd),
+      edges AS (SELECT da AS src, db AS dst, w FROM wp
+                UNION ALL SELECT db, da, w FROM wp),
+      sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM sw),
+      it1 AS (SELECT e.dst AS node,
+                     CAST(150000 + (85 * sum((r.r * e.w) // s.sw)) // 100 AS BIGINT) AS r
+              FROM edges e JOIN sw s ON e.src = s.src JOIN r0 r ON r.node = e.src
+              GROUP BY e.dst),
+      it2 AS (SELECT e.dst AS node,
+                     CAST(150000 + (85 * sum((r.r * e.w) // s.sw)) // 100 AS BIGINT) AS r
+              FROM edges e JOIN sw s ON e.src = s.src JOIN it1 r ON r.node = e.src
+              GROUP BY e.dst),
+      it3 AS (SELECT e.dst AS node,
+                     CAST(150000 + (85 * sum((r.r * e.w) // s.sw)) // 100 AS BIGINT) AS r
+              FROM edges e JOIN sw s ON e.src = s.src JOIN it2 r ON r.node = e.src
+              GROUP BY e.dst)
+      SELECT node AS doc_id, round(CAST(r AS DOUBLE) / 1000000, 6) AS pagerank
+      FROM it3""",
+    // the recursive replay over ONLY the strong (jaccard ≥ 0.85) edges
+    "graph_bfs_weighted" -> s"""
+      WITH RECURSIVE nd AS (${TextOps.ngramJaccardSql}),
+      wp AS (SELECT da, db, CAST(round(jaccard * 1000000) AS BIGINT) AS w FROM nd),
+      edges AS (SELECT da AS src, db AS dst FROM wp WHERE w >= 850000
+                UNION ALL SELECT db, da FROM wp WHERE w >= 850000),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      seeds AS (SELECT node FROM nodes
+                WHERE ('0x' || substr(md5('bfsw' || node::VARCHAR), 1, 15))::BIGINT
                       % 10 = 0),
       walk(node, depth) AS (
         SELECT node, 0 FROM seeds

@@ -94,6 +94,7 @@ object SessionCaches {
     Extended.ccLabelsShared(s, d)
     Extended.baseCcLabelsShared(s, d)
     Extended.pagerankEdgesShared(s, d)
+    Extended.weightedEdgesShared(s, d)
     TextOps.unigramScoresShared(s, d)
     TextOps.postingsShared(s, d)
     TextOps.docFreqsShared(s, d)
@@ -140,7 +141,9 @@ object SessionCaches {
     TextOps.releaseSharedPairs(s)
     TextOps.releaseBands(s)
     TextOps.releaseSignatures(s)
-    // the near-dup chain derives pairs → survivors: derived first
+    // the near-dup chain derives pairs → {survivors, weighted edges}:
+    // derived first
+    Extended.releaseWeightedEdges(s)
     TextOps.releaseFilterSurvivors(s)
     TextOps.releaseNearDupPairs(s)
     // the winnowing chain derives selections → {anchors, pairs}: same order

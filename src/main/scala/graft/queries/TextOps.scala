@@ -2686,7 +2686,7 @@ object TextOps {
     * pipeline_filter_dedup, so a change to the shingle/hash scheme cannot
     * leave a stale copy behind.
     */
-  private val ngramJaccardSql: String = s"""
+  private[queries] val ngramJaccardSql: String = s"""
       WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
       sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
               FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r),

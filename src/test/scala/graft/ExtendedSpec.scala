@@ -609,4 +609,26 @@ class ExtendedSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 5, s"expected 5 parquet scans, saw $scans:\n$p")
   }
+
+  test("weighted graph reads: the weights are load-bearing and the threshold prunes") {
+    val sf = "/root/testdata/sf0.001"
+    // weighted PageRank must NOT equal the binary-adjacency ranks on its
+    // own graph restricted to common nodes — otherwise the r·w/Σw path
+    // degenerated to r/deg and the weight column is dead
+    val wr = SparkEntry.queries("graph_pagerank_weighted")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val br = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wr.nonEmpty)
+    val common = wr.keySet intersect br.keySet
+    assert(common.nonEmpty)
+    assert(common.exists(k => wr(k) != br(k)),
+      "weighted and unweighted ranks identical on every common node")
+    // the strong-edge BFS reaches a subset of what the full near-dup
+    // graph reaches per depth-0 seed census shape (threshold prunes edges,
+    // never adds); depth-0 row must exist (seeds are nodes of the graph)
+    val wb = SparkEntry.queries("graph_bfs_weighted")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(wb.contains(0) && wb(0) > 0, s"no depth-0 seeds: $wb")
+  }
 }
