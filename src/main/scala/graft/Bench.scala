@@ -76,6 +76,7 @@ object Bench {
     // starts and the first consumer's min-of-3 would absorb the build (the
     // r06 driver run read dedup_canonical at 3.28 s vs its 0.16 s steady
     // state for exactly this reason).
+    graft.queries.StageBuildLog.drain() // discard warm-up (sf0.001) builds
     try graft.queries.SessionCaches.prewarm(spark, sfDir)
     catch {
       case t: Throwable =>
@@ -85,6 +86,11 @@ object Bench {
         System.err.println(s"[bench] WARNING: prewarm failed (${t.getClass.getSimpleName}: " +
           s"${t.getMessage}); shared-stage builds will land in timed reps")
     }
+    // the stages prewarm just built, recorded for the artifact — and from
+    // here on the log is query-scoped: any build drained inside a query's
+    // reps is a cold shared stage THAT query absorbed (the attribution the
+    // r11 same-plan seesaw was missing)
+    val prewarmBuilds = graft.queries.StageBuildLog.drain()
 
     // Three CONSECUTIVE reps per query, min: back-to-back reps reach JIT/GC
     // steady state within a query (observed 6s → 0.9s → 0.65s settle on
@@ -117,7 +123,8 @@ object Bench {
       // reading (GC pause, JIT re-profile) that needs no fresh-JVM Profile
       // triage — three rounds of >=2x regression triage (r05-r07) reduced
       // to exactly this distinction
-      (name, reps.head, reps(reps.size / 2), jobs, shufMb)
+      val builds = graft.queries.StageBuildLog.drain()
+      (name, reps.head, reps(reps.size / 2), jobs, shufMb, builds)
     }
     // Stdout contract: the driver captures only the LAST ~2.2 KB of stdout,
     // so a 95-query map (~2.4 KB) printed as one line gets FRONT-truncated
@@ -128,7 +135,10 @@ object Bench {
     // that always survives the tail capture whole.
     def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
-    val byName = results.map { case (k, mn, _, _, _) => k -> mn }.toMap
+    val byName = results.map(r => r._1 -> r._2).toMap
+    def buildsJson(bs: Seq[(String, Double)]): String =
+      bs.map { case (st, sec) => s"""{"stage":"$st","sec":${fmt(sec)}}""" }
+        .mkString("[", ",", "]")
     // BENCH_LOCAL carries the rep spread PLUS the plan-determined cost
     // counters in "queries" (r10 schema: {"min","med","jobs","shuffle_mb"}
     // — jobs/shuffle are the 3-rep totals) AND a plain min-seconds map in
@@ -136,14 +146,21 @@ object Bench {
     // diff scripts parsing numeric values) keeps a stable field instead of
     // breaking on the new shape. The stdout contract line below stays
     // plain min-seconds throughout.
-    val qs = results.map { case (k, mn, md, jobs, shufMb) =>
+    val qs = results.map { case (k, mn, md, jobs, shufMb, builds) =>
+      // "stage_builds" appears ONLY when a one-time shared-stage build
+      // landed inside this query's reps — the r11 same-plan-seesaw
+      // attribution: a min that moved with identical jobs+shuffle and a
+      // build entry here is cold-stage absorption, mechanically
+      val sb = if (builds.isEmpty) ""
+        else ",\"stage_builds\":" + buildsJson(builds)
       s"\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) +
-        ",\"jobs\":" + jobs + ",\"shuffle_mb\":" + fmt(shufMb) + "}"
+        ",\"jobs\":" + jobs + ",\"shuffle_mb\":" + fmt(shufMb) + sb + "}"
     }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, mn, _, _, _) => s"\"$k\":" + fmt(mn) }
+    val qsMin = results.map(r => s"\"${r._1}\":" + fmt(r._2))
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,""" +
+        s""""prewarm_builds":${buildsJson(prewarmBuilds)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // file copy is best-effort; stdout is the contract

@@ -143,14 +143,27 @@ object Multimodal {
     * fails against the winner's committed dir and its temp is discarded.
     * The JVM-local lock serializes the common single-JVM case.
     */
-  private[graft] def stageOnce(dir: String)(write: String => Unit): String =
+  /** @param logBuild record the staging in [[graft.queries.StageBuildLog]]
+    *   (bench cold-stage attribution). False for per-RUN commits like the
+    *   idempotent micro-batch sink, whose stagings are part of every rep
+    *   by design, not one-time shared stages.
+    */
+  private[graft] def stageOnce(dir: String, logBuild: Boolean = true)(
+      write: String => Unit): String =
     stageLock.synchronized {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val root = Paths.get(dir)
       val done = root.resolve("_SUCCESS")
       if (!Files.exists(done)) {
         val tmp = Paths.get(dir + "." + java.util.UUID.randomUUID() + ".tmp")
+        val t0 = System.nanoTime()
         write(tmp.toString)
+        // a real staging is a one-time shared-stage build: log it for the
+        // bench's cold-stage attribution (StageBuildLog); name = the dir's
+        // basename without its content stamp/size suffix
+        if (logBuild) graft.queries.StageBuildLog.record(
+          Paths.get(dir).getFileName.toString.replaceAll("_[0-9a-f]{32}$|_\\d+$", ""),
+          (System.nanoTime() - t0) / 1e9)
         try {
           // RE-CHECK the marker before touching `root`: another JVM may
           // have committed while we were writing tmp, and deleting its

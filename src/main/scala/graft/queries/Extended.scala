@@ -1748,7 +1748,7 @@ object Extended {
     * lost executor forced recompute — on a cluster, release order is the
     * documented contract.
     */
-  private val sharedCcLabels = new SessionFrameCache(4)
+  private val sharedCcLabels = new SessionFrameCache(4, "sharedCcLabels")
   def ccLabelsShared(s: SparkSession, d: String): DataFrame =
     sharedCcLabels.getOrBuild(s, d) {
       connectedComponents(s,
@@ -1775,7 +1775,7 @@ object Extended {
     * band-index pair survives the restriction iff both docs are base, so
     * no second banding pass is ever run).
     */
-  private val sharedBaseCcLabels = new SessionFrameCache(4)
+  private val sharedBaseCcLabels = new SessionFrameCache(4, "sharedBaseCcLabels")
   def baseCcLabelsShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (lock discipline)
     val pairs = TextOps.minhashPairsShared(s, d)
@@ -1796,7 +1796,7 @@ object Extended {
     * small changing rank table against these cached blocks, so only the
     * rank table ever moves.
     */
-  private val sharedPagerankEdges = new SessionFrameCache(4)
+  private val sharedPagerankEdges = new SessionFrameCache(4, "sharedPagerankEdges")
   /** Frontier BFS from `seeds` over directed `edges` (src, dst): one keyed
     * edge join + anti-join-vs-reached per hop; returns (node, depth) with
     * depth = the hop a node is FIRST reached (min-depth semantics by the
@@ -1847,7 +1847,7 @@ object Extended {
     * weighted family never re-scans the corpus ([[pagerankEdgesShared]]'s
     * lifecycle, one table over).
     */
-  private val sharedWeightedEdges = new SessionFrameCache(4)
+  private val sharedWeightedEdges = new SessionFrameCache(4, "sharedWeightedEdges")
   def weightedEdgesShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (lock discipline)
     val pairs = TextOps.nearDupPairsShared(s, d)

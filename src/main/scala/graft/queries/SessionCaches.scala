@@ -173,6 +173,31 @@ object SessionCaches {
   }
 }
 
+/** Append-only log of one-time SHARED-STAGE builds (SessionFrameCache
+  * misses, stageOnce stagings) with their wall seconds — the attribution
+  * channel for bench swings the per-query counters cannot see: two
+  * same-plan queries trade places round over round when a cold shared
+  * stage lands in whichever one's reps first touch it (r11:
+  * sim_ivfpq_residual_recall 2.20 → 5.71 s with identical jobs+shuffle
+  * while the OPQ family moved oppositely). Bench drains this log around
+  * each query's reps and writes any builds into that query's
+  * BENCH_LOCAL entry, making "cold-stage absorption" a mechanical
+  * verdict instead of a triage hypothesis.
+  */
+object StageBuildLog {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+  def record(stage: String, secs: Double): Unit =
+    buf.synchronized { buf += ((stage, secs)) }
+
+  /** Return and clear everything recorded since the last drain. */
+  def drain(): Seq[(String, Double)] = buf.synchronized {
+    val out = buf.toList
+    buf.clear()
+    out
+  }
+}
+
 /** Content fingerprint of a data directory: MD5 over the sorted
   * (relative-path, size, mtime) of every regular file under it. The same
   * stamp rule Relational's events staging uses — cheap (one directory walk,
@@ -244,7 +269,7 @@ object ContentStamp {
   *    rebuilds from the live files (Spark's own SQL cache would happily
   *    keep serving the old blocks here — this cache checks).
   */
-final class SessionFrameCache(maxEntries: Int) {
+final class SessionFrameCache(maxEntries: Int, name: String = "frame-cache") {
 
   /** Stable, never-reused id per live session: a WeakHashMap entry dies
     * with the session (no strong ref pinning stopped sessions), and the
@@ -291,8 +316,12 @@ final class SessionFrameCache(maxEntries: Int) {
             it.remove()
           }
         }
+        val t0 = System.nanoTime()
         val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count()
+        // a cache MISS is a one-time shared-stage build: log it so bench
+        // reps that absorb it carry the attribution (StageBuildLog)
+        StageBuildLog.record(name, (System.nanoTime() - t0) / 1e9)
         cache.put(key, df)
         df
       }

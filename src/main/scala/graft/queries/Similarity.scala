@@ -930,7 +930,7 @@ object Similarity {
     * build also embeds the covariance/eigensolve driver work (itself
     * memoized in [[covarianceMatrix]]).
     */
-  private val sharedOpqXu = new SessionFrameCache(4)
+  private val sharedOpqXu = new SessionFrameCache(4, "sharedOpqXu")
   def opqXuShared(s: SparkSession, d: String): DataFrame = {
     val (basis, mean) = opqBasis(s, d)
     sharedOpqXu.getOrBuild(s, d)(opqXu(s, d, basis, mean))
@@ -943,7 +943,7 @@ object Similarity {
     * the OPQ family's train-once artifact, same lifecycle as
     * [[pqCodebookShared]].
     */
-  private val sharedOpqCents = new SessionFrameCache(4)
+  private val sharedOpqCents = new SessionFrameCache(4, "sharedOpqCents")
   def opqCentsShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (the TextOps lock
     // discipline: derived → parent only, no jobs under two monitors)
@@ -958,7 +958,7 @@ object Similarity {
     * every rotated-ADC consumer scans codes (the [[pqCodesShared]]
     * lifecycle in the rotated space).
     */
-  private val sharedOpqCodes = new SessionFrameCache(4)
+  private val sharedOpqCodes = new SessionFrameCache(4, "sharedOpqCodes")
   def opqCodesShared(s: SparkSession, d: String): DataFrame = {
     // parents materialized OUTSIDE this cache's monitor (lock discipline)
     val xu = opqXuShared(s, d)
@@ -1003,7 +1003,7 @@ object Similarity {
     * cache makes the queries measure that steady state instead of
     * re-training per invocation.
     */
-  private val sharedPqCodebook = new SessionFrameCache(4)
+  private val sharedPqCodebook = new SessionFrameCache(4, "sharedPqCodebook")
   def pqCodebookShared(s: SparkSession, d: String): DataFrame =
     sharedPqCodebook.getOrBuild(s, d)(trainCents(pqXu(s, d)))
 
@@ -1075,7 +1075,7 @@ object Similarity {
     * legs are the per-modality retrieval services a fusion layer
     * consumes, computed once per query batch.
     */
-  private val sharedHybridLegs = new SessionFrameCache(4)
+  private val sharedHybridLegs = new SessionFrameCache(4, "sharedHybridLegs")
   def hybridLegsShared(s: SparkSession, d: String): DataFrame = {
     // parents materialized OUTSIDE this cache's monitor (the TextOps
     // lock discipline: acquisition order is derived → parent only)
@@ -1149,7 +1149,7 @@ object Similarity {
     * corpus posexplode + broadcast-join + per-(vec,sub) argmin — per
     * invocation; now one encode serves every ADC consumer in the session.
     */
-  private val sharedPqCodes = new SessionFrameCache(4)
+  private val sharedPqCodes = new SessionFrameCache(4, "sharedPqCodes")
   def pqCodesShared(s: SparkSession, d: String): DataFrame = {
     // codebook materialized OUTSIDE this cache's monitor (the TextOps
     // lock discipline: derived → parent only, no jobs under two monitors)
@@ -1222,7 +1222,7 @@ object Similarity {
     * stage is the honest steady state. The trained-cell variant keeps its
     * own in-query assignment (training is its measured cost by design).
     */
-  private val sharedIvfpqCells = new SessionFrameCache(4)
+  private val sharedIvfpqCells = new SessionFrameCache(4, "sharedIvfpqCells")
   def ivfpqCellsShared(s: SparkSession, d: String): DataFrame =
     sharedIvfpqCells.getOrBuild(s, d) {
       val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c16"))
@@ -1350,7 +1350,7 @@ object Similarity {
     * Lloyd step over residual space, seeds = vec_id ∈ [16, 32) residuals)
     * — the train-once artifact, same lifecycle as [[pqCodebookShared]].
     */
-  private val sharedResidualCents = new SessionFrameCache(4)
+  private val sharedResidualCents = new SessionFrameCache(4, "sharedResidualCents")
   def residualCentsShared(s: SparkSession, d: String): DataFrame =
     sharedResidualCents.getOrBuild(s, d) {
       val rxu = residualXu(s, d).drop("cell")
@@ -1369,7 +1369,7 @@ object Similarity {
     * encode-once-at-ingest index the residual ADC queries scan; carries
     * the coarse cell so the candidate filter needs no extra join.
     */
-  private val sharedResidualCodes = new SessionFrameCache(4)
+  private val sharedResidualCodes = new SessionFrameCache(4, "sharedResidualCodes")
   def residualCodesShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (lock discipline)
     val cents = residualCentsShared(s, d)
@@ -3568,7 +3568,7 @@ object Similarity {
     * raw embeddings scan (no parent shared frame — no lock-order
     * obligations).
     */
-  private val sharedKnnGraph = new SessionFrameCache(4)
+  private val sharedKnnGraph = new SessionFrameCache(4, "sharedKnnGraph")
   def knnGraphShared(s: SparkSession, d: String): DataFrame =
     sharedKnnGraph.getOrBuild(s, d)(nnDescentHistory(s, ivfBase(s, d)))
 
@@ -3587,7 +3587,7 @@ object Similarity {
     * insert starts from, exactly like the staged IVF-PQ layout
     * `sim_ivfpq_recompaction` appends into.
     */
-  private val sharedKnnBase = new SessionFrameCache(4)
+  private val sharedKnnBase = new SessionFrameCache(4, "sharedKnnBase")
   def knnBaseGraphShared(s: SparkSession, d: String): DataFrame =
     sharedKnnBase.getOrBuild(s, d) {
       nnDescentHistory(s, ivfBase(s, d).filter(!knnBatchPred))
@@ -3644,7 +3644,7 @@ object Similarity {
     * starts here; `sim_knn_graph_incremental` itself stays uncached (it
     * IS the oracled maintenance job, the ccLabelsShared convention).
     */
-  private val sharedKnnInc = new SessionFrameCache(4)
+  private val sharedKnnInc = new SessionFrameCache(4, "sharedKnnInc")
   def knnIncGraphShared(s: SparkSession, d: String): DataFrame = {
     // parents materialized OUTSIDE this cache's monitor (lock discipline)
     knnBaseGraphShared(s, d)

@@ -171,7 +171,7 @@ object TextOps {
     * re-paid the full shingle→16-hash pass on every timed rep (17.8 s in
     * the r09 driver artifact; only the BANDS were shared).
     */
-  private val sharedSignatures = new SessionFrameCache(4)
+  private val sharedSignatures = new SessionFrameCache(4, "sharedSignatures")
   def minhashSignaturesShared(s: SparkSession, d: String): DataFrame =
     sharedSignatures.getOrBuild(s, d)(minhashSignature(s, d))
 
@@ -198,7 +198,7 @@ object TextOps {
     * is exactly what a production LSH dedup service does — signatures are
     * computed once at ingest, the index is what queries probe.
     */
-  private val sharedBands = new SessionFrameCache(4)
+  private val sharedBands = new SessionFrameCache(4, "sharedBands")
   def minhashBandsShared(s: SparkSession, d: String): DataFrame = {
     // parent (signature frame) materialized OUTSIDE this cache's monitor
     // (see minhashPairsShared for the lock discipline)
@@ -220,7 +220,7 @@ object TextOps {
     * build itself derives from [[minhashBandsShared]], so one signature
     * pass serves both caches.
     */
-  private val sharedPairs = new SessionFrameCache(4)
+  private val sharedPairs = new SessionFrameCache(4, "sharedPairs")
   def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
     // Lock discipline (applies to every derived SessionFrameCache here):
     // materialize the PARENT frame before entering the derived cache's
@@ -246,7 +246,7 @@ object TextOps {
     * shared pair frame, so the broadcast prune list never re-runs the
     * banding pipeline.
     */
-  private val sharedPairShingles = new SessionFrameCache(4)
+  private val sharedPairShingles = new SessionFrameCache(4, "sharedPairShingles")
   def minhashPairShinglesShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (lock discipline)
     val pairs = minhashPairsShared(s, d)
@@ -272,7 +272,7 @@ object TextOps {
     * aggregation three times over) — the same re-derivation pattern the
     * MinHash (r07) and winnowing (r10) chains were lifted out of.
     */
-  private val sharedNearDupPairs = new SessionFrameCache(4)
+  private val sharedNearDupPairs = new SessionFrameCache(4, "sharedNearDupPairs")
   def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
     sharedNearDupPairs.getOrBuild(s, d) {
       // ONE groupBy over the postings builds the per-shingle doc list; the
@@ -332,7 +332,7 @@ object TextOps {
     * its own invocation (99 jobs in the r10 artifact). |survivors| ≤
     * |corpus| ids — one long column, trivially cacheable at any scale.
     */
-  private val sharedFilterSurvivors = new SessionFrameCache(4)
+  private val sharedFilterSurvivors = new SessionFrameCache(4, "sharedFilterSurvivors")
   def filterSurvivorsShared(s: SparkSession, d: String): DataFrame = {
     // parent (verdict frame) materialized OUTSIDE this cache's monitor
     // (see minhashPairsShared for the lock discipline)
@@ -359,7 +359,7 @@ object TextOps {
     * reads it twice (tercile cutoffs + the bucketed projection), and any
     * pipeline stage stratifying by quality starts from the same table.
     */
-  private val sharedUnigramScores = new SessionFrameCache(4)
+  private val sharedUnigramScores = new SessionFrameCache(4, "sharedUnigramScores")
   def unigramScoresShared(s: SparkSession, d: String): DataFrame =
     sharedUnigramScores.getOrBuild(s, d) {
       queries("text_unigram_logprob")(s, d)
@@ -378,7 +378,7 @@ object TextOps {
     * retrieval/tf-idf pipeline stage in the same session starts from the
     * same table.
     */
-  private val sharedPostings = new SessionFrameCache(4)
+  private val sharedPostings = new SessionFrameCache(4, "sharedPostings")
   def postingsShared(s: SparkSession, d: String): DataFrame =
     sharedPostings.getOrBuild(s, d) {
       toks(s, d).select(col("doc_id"), explode(col("t")).as("term"))
@@ -398,7 +398,7 @@ object TextOps {
     * few MB and broadcasts. Profiled effect: text_bm25_topk 28→~16 jobs
     * per rep, the two posting-wide aggregations gone from the hot path.
     */
-  private val sharedDocFreqs = new SessionFrameCache(4)
+  private val sharedDocFreqs = new SessionFrameCache(4, "sharedDocFreqs")
   def docFreqsShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (see
     // minhashPairsShared for the lock discipline)
@@ -416,7 +416,7 @@ object TextOps {
     * normalization). |docs|-sized but two narrow columns; derived from the
     * shared posting table, never from a second corpus scan.
     */
-  private val sharedDocLengths = new SessionFrameCache(4)
+  private val sharedDocLengths = new SessionFrameCache(4, "sharedDocLengths")
   def docLengthsShared(s: SparkSession, d: String): DataFrame = {
     val postings = postingsShared(s, d)
     sharedDocLengths.getOrBuild(s, d) {
@@ -623,7 +623,7 @@ object TextOps {
     * k-gram explode + window argmin on every timed rep (12.1 s combined
     * in the r09 driver artifact).
     */
-  private val sharedWinnowSel = new SessionFrameCache(4)
+  private val sharedWinnowSel = new SessionFrameCache(4, "sharedWinnowSel")
   def winnowSelectionsShared(s: SparkSession, d: String): DataFrame =
     sharedWinnowSel.getOrBuild(s, d)(winnowedSelections(s, d))
 
@@ -637,7 +637,7 @@ object TextOps {
     * [[winnowSelectionsShared]]; caching it keeps the df-count shuffle
     * out of the per-rep path of both consumers.
     */
-  private val sharedWinnowAnchors = new SessionFrameCache(4)
+  private val sharedWinnowAnchors = new SessionFrameCache(4, "sharedWinnowAnchors")
   def winnowAnchorsShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (lock discipline)
     val f = winnowSelectionsShared(s, d)
@@ -658,7 +658,7 @@ object TextOps {
     * queries read [[minhashPairsShared]]. One pair expansion per
     * (session, corpus), not one per consumer.
     */
-  private val sharedWinnowPairs = new SessionFrameCache(4)
+  private val sharedWinnowPairs = new SessionFrameCache(4, "sharedWinnowPairs")
   def winnowPairsShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (lock discipline)
     winnowSelectionsShared(s, d)
@@ -726,7 +726,7 @@ object TextOps {
     * DAG the trainer runs once and every downstream stage tokenizes from
     * its output.
     */
-  private val sharedBpeCorpus = new SessionFrameCache(2)
+  private val sharedBpeCorpus = new SessionFrameCache(2, "sharedBpeCorpus")
   def bpeCorpusShared(s: SparkSession, d: String): DataFrame =
     sharedBpeCorpus.getOrBuild(s, d) {
       val (_, cur, prev) = bpeTrainLoop(s, d)

@@ -25,7 +25,9 @@ object IdempotentBatchSink {
   def commit(batch: DataFrame, root: String, batchId: Long,
       partitionCols: Seq[String] = Nil): Boolean = {
     var wrote = false
-    graft.ops.Multimodal.stageOnce(s"$root/batch_id=$batchId") { tmp =>
+    // logBuild = false: micro-batch commits are part of every run by
+    // design, not one-time shared stages the bench should attribute
+    graft.ops.Multimodal.stageOnce(s"$root/batch_id=$batchId", logBuild = false) { tmp =>
       val w = batch.write.mode("overwrite")
       // Spark's parquet commit drops the _SUCCESS marker stageOnce keys on
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

@@ -118,4 +118,19 @@ class SharedCacheLifecycleSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "label release must leave zero persisted blocks")
   }
+
+  test("StageBuildLog: a cache MISS records a named build, a HIT records nothing") {
+    import spark.implicits._
+    graft.queries.StageBuildLog.drain() // isolate from earlier tests
+    val c = new graft.queries.SessionFrameCache(2, "probeStage")
+    c.getOrBuild(spark, sf)(Seq(1L, 2L).toDF("x"))
+    val miss = graft.queries.StageBuildLog.drain()
+    assert(miss.map(_._1) == Seq("probeStage"), miss.toString)
+    assert(miss.head._2 >= 0.0)
+    // warm hit: no build, no log entry — the attribution channel only
+    // fires when a bench rep actually absorbed a cold build
+    c.getOrBuild(spark, sf)(fail("hit must not rebuild"))
+    assert(graft.queries.StageBuildLog.drain().isEmpty)
+    c.release(spark)
+  }
 }
