@@ -646,11 +646,22 @@ object MediaSynth {
       (0L until n).filter(id => kindOf(id) == "wav" && id % 30 == 8).map(_ + 2000L)
 
   /** The payload for an audio-corpus id: wav ids (base or planted
-    * re-upload) encode their clip samples; image ids keep their standard
-    * payload (the mixed-modality table the hash scan routes by).
+    * re-upload) encode their clip samples; image ids carry the TEXTURED
+    * family (the mixed-modality table the hash scan routes by). Textured,
+    * not ramp: the gate built over this corpus probes pHash BANDS, and
+    * ramp images' correlated low-frequency DCT blocks collide 16-bit
+    * bands across DISTINCT ids (measured: 16 image false flags out of 73
+    * under the two-band rule) — the same corpus degeneracy
+    * mm_hash_scheme_audit documents, dodged the same way.
     */
   def audioCorpusPayload(mid: Long): Array[Byte] =
-    audioDupSamples(mid).map(wavBytes).getOrElse(payload(mid))
+    audioDupSamples(mid).map(wavBytes).getOrElse(texturedPayload(mid))
+
+  /** The decoded kind of [[audioCorpusPayload]]'s id (planted ids are
+    * always wav; image ids follow the textured family's parity rule).
+    */
+  def audioCorpusKind(mid: Long): String =
+    if (mid >= 1000L || kindOf(mid) == "wav") "wav" else texKindOf(mid)
 
   /** What audioFingerprint(audioCorpusPayload(mid)) must return — the
     * shared fold ([[MediaCodec.audioFpOf]]) over the sample arithmetic,

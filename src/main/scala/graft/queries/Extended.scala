@@ -889,6 +889,19 @@ object Extended {
         graft.ops.Multimodal.audioHashes(s, 120)
           .select(col("media_id"), col("afp").as("hv")))),
 
+    // MULTIMODAL contamination gate — stream_contam_gate's media twin:
+    // arriving payloads decode IN-STREAM to kind-routed perceptual
+    // fingerprints (pHash / energy-delta) whose 4×16 bands probe the
+    // eval media set's band literal; any overlap routes the arrival to
+    // the contam sink. The fixture's planted time-shifted re-uploads
+    // share ZERO bytes with their eval originals yet fingerprint
+    // identically — the gate refuses them at arrival where a byte-hash
+    // gate would wave them through. Audit hash-matches DuckDB replaying
+    // fingerprints (closed forms), banding, and verdicts. See
+    // streaming/MediaContamGate.
+    "mm_contam_gate" -> ((s, d) =>
+      graft.streaming.MediaContamGate.audit(s, d)),
+
     // The HASH-SCHEME audit — measure, don't guess, for the image dedup:
     // aHash (global-mean threshold) vs dHash (horizontal gradient
     // direction) vs DCT pHash (spectral median) over the identical
@@ -2504,6 +2517,41 @@ object Extended {
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
              CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
       FROM p WHERE bit_count(xor(ha, hb)) <= 6"""
+    },
+    // mm_contam_gate: closed-form fingerprints for the whole arriving
+    // corpus + the eval set's packed band literal, banding and verdicts
+    // replayed relationally — band-collision false positives reproduced,
+    // never approximated
+    "mm_contam_gate" -> {
+      import graft.ops.MediaSynth
+      val ids = (0L until 120L) ++ MediaSynth.audioDupIds(120)
+      def fpOf(mid: Long): Long = MediaSynth.expectedAudioFp(mid)
+        .getOrElse(MediaSynth.expectedPHashTex(mid))
+      val rows = ids.map(mid =>
+        s"($mid, '${MediaSynth.audioCorpusKind(mid)}', ${fpOf(mid)})")
+        .mkString(",\n        ")
+      val evRows = graft.streaming.MediaContamGate.evalIds(120).flatMap { id =>
+        val fp = fpOf(id)
+        (0 until 4).map(j => (j.toLong << 16) | ((fp >> (j * 16)) & 0xffffL))
+      }.distinct.sorted.map(v => s"($v)").mkString(", ")
+      s"""
+      WITH h(media_id, kind, fp) AS (VALUES
+        $rows),
+      ev(pb) AS (VALUES $evRows),
+      b AS (SELECT media_id,
+                   (CAST(j AS BIGINT) << 16) | ((fp >> CAST(j * 16 AS INTEGER)) & 65535) AS pb
+            FROM h, (SELECT unnest(range(0, 4)) AS j) js),
+      flag AS (SELECT media_id FROM b JOIN ev ON b.pb = ev.pb
+               GROUP BY media_id HAVING count(*) >= 2),
+      v AS (SELECT h.media_id, h.kind,
+                   CASE WHEN f.media_id IS NOT NULL THEN 'contam'
+                        ELSE 'clean' END AS verdict
+            FROM h LEFT JOIN flag f ON h.media_id = f.media_id)
+      SELECT kind, verdict, CAST(count(*) AS BIGINT) AS n_media,
+             CAST(min(media_id) AS BIGINT) AS min_id,
+             CAST(max(media_id) AS BIGINT) AS max_id,
+             CAST(sum(media_id) AS BIGINT) AS id_sum
+      FROM v GROUP BY 1, 2"""
     },
     // mm_hash_scheme_audit: all three schemes' closed-form hashes on both
     // corpora through the same banding/Hamming replay — the 6-row audit
