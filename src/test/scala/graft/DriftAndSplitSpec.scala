@@ -86,7 +86,7 @@ class DriftAndSplitSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("relation") == "near_duplicate"))
   }
 
-  test("stream_psi_gate: the planted shift alarms in EVERY arriving batch, nothing else does") {
+  test("stream_psi_gate: both planted drifts alarm in EVERY arriving batch, nothing else does") {
     val rows = SparkEntry.queries("stream_psi_gate")(spark, "/root/testdata/sf0.01")
       .collect()
     val batches = rows.map(_.getAs[Int]("batch_ord")).distinct.sorted.toSeq
@@ -94,9 +94,16 @@ class DriftAndSplitSpec extends SparkSpec {
     for (b <- batches) {
       val inBatch = rows.filter(_.getAs[Int]("batch_ord") == b)
       val alarmed = inBatch.filter(_.getAs[Boolean]("drifted"))
-        .map(_.getAs[String]("event_type")).toSeq
-      assert(alarmed == Seq("purchase"),
-        s"batch $b: only the planted purchase shift may alarm, got $alarmed")
+        .map(_.getAs[String]("event_type")).sorted.toSeq
+      // two planted drifts: the 1.5× purchase scale-up AND the novel
+      // 'launch' type the reference has never seen (the full-outer spine
+      // scores it against the all-smoothing uniform — the strongest
+      // drift signal, r11 ADVICE); stable types stay quiet
+      assert(alarmed == Seq("launch", "purchase"),
+        s"batch $b: exactly the two planted drifts may alarm, got $alarmed")
+      // the novel type carries n_ref = 0 — it alarms BECAUSE it is new
+      val launch = inBatch.find(_.getAs[String]("event_type") == "launch").get
+      assert(launch.getAs[Long]("n_ref") == 0L && launch.getAs[Long]("n_cur") > 0L)
     }
   }
 
