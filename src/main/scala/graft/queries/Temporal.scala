@@ -392,6 +392,15 @@ object Temporal {
     // per-bucket before/after census from the rewritten layout itself.
     "cdc_forget_keys" -> ((s, d) => graft.ops.ForgetKeys.audit(s, d)),
 
+    // STREAMED GDPR ERASURE — cdc_forget_keys' serving twin: deletion
+    // requests arrive as a key stream, each micro-batch drives the
+    // partition-pruned rewrite of ONLY its keys' bucket footprint
+    // (planned from the keys, zero table scans), idempotent per batchId
+    // via an applied-log marker (a replayed batch never re-deletes a
+    // fully-forgotten bucket dir). Shares the batch purge's oracle
+    // verbatim. See StreamForgetKeys.
+    "stream_forget_keys" -> ((s, d) => graft.streaming.StreamForgetKeys.audit(s, d)),
+
     "cdc_merge_upsert" -> ((s, d) => {
       val cutoffUs = lit(1705708800000000L) // 2024-01-20 00:00:00 UTC in micros
       val ev = events(s, d).select(col("user_id"),
@@ -1097,6 +1106,22 @@ object Temporal {
              valid_to_us = 9223372036854775807 AS is_current
       FROM v"""
 
+  /** One oracle for both erasure surfaces (`cdc_forget_keys` and
+    * `stream_forget_keys`): the per-bucket before/after census re-derived
+    * from the live table and the md5 forget rule alone.
+    */
+  private val forgetKeysOracleSql: String = """
+      WITH e AS (SELECT user_id, user_id % 16 AS bkt,
+                        ('0x' || substr(md5('fg' || user_id::VARCHAR), 1, 15))::BIGINT
+                          % 10 = 0 AS fg
+                 FROM events)
+      SELECT CAST(bkt AS INTEGER) AS bkt,
+             CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN NOT fg THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+             CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+             bool_or(fg) AS rewritten
+      FROM e GROUP BY 1"""
+
   /** One oracle for both retraction-IVM surfaces (`agg_incremental_retract`
     * and `stream_retract_fold`): the retracted rollup re-derived by a plain
     * recompute over the surviving rows, flags from the retraction rule.
@@ -1709,17 +1734,12 @@ object Temporal {
     // containment (DuckDB's planner handles the tiny cross product)
     // the purge audit replayed from the raw table: same bucket map, same
     // md5 forget rule — the rewritten layout must census identically
-    "cdc_forget_keys" -> """
-      WITH e AS (SELECT user_id, user_id % 16 AS bkt,
-                        ('0x' || substr(md5('fg' || user_id::VARCHAR), 1, 15))::BIGINT
-                          % 10 = 0 AS fg
-                 FROM events)
-      SELECT CAST(bkt AS INTEGER) AS bkt,
-             CAST(count(*) AS BIGINT) AS n_before,
-             CAST(sum(CASE WHEN NOT fg THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
-             CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
-             bool_or(fg) AS rewritten
-      FROM e GROUP BY 1""",
+    "cdc_forget_keys" -> forgetKeysOracleSql,
+    // the STREAMED erasure must land on the identical purged layout: one
+    // shared SQL string with the batch purge (the two arrival batches
+    // partition the same md5 forget set — arrival batching changes
+    // nothing about what ends up erased)
+    "stream_forget_keys" -> forgetKeysOracleSql,
     "cdc_asof_snapshot" -> s"""
       WITH $scd2Ctes,
       c(asof_us) AS (VALUES (1704672000000000), (1705363200000000),

@@ -70,4 +70,42 @@ class ForgetKeysSpec extends SparkSpec {
       }
     } finally graft.streaming.StagedEvents.deleteRecursively(dir)
   }
+
+  test("streamed erasure: a replayed batchId is a no-op — no rewrite, no re-delete") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("stream-forget-replay-table")
+    val log = Files.createTempDirectory("stream-forget-replay-log")
+    try {
+      ForgetKeys.stage(spark, sf, table)
+      // one arriving deletion batch: three users across two buckets
+      val users = spark.read.parquet(table.toString)
+        .select(col("user_id")).distinct().limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val keys = users.toDF("user_id")
+      val touched = graft.streaming.StreamForgetKeys
+        .applyForgetBatch(spark, table, log, keys, 0L)
+      assert(touched == users.map(u => (u % 16).toInt).toSet, s"footprint $touched")
+      val afterFirst = listing(table)
+      assert(spark.read.parquet(table.toString)
+        .filter(col("user_id").isin(users: _*)).head(1).isEmpty,
+        "forgotten users must be gone after the first application")
+      // the retry delivers the SAME batchId: marker short-circuits — no
+      // partition rewritten (every file byte- and mtime-identical), no
+      // directory deleted
+      val replayTouched = graft.streaming.StreamForgetKeys
+        .applyForgetBatch(spark, table, log, keys, 0L)
+      assert(replayTouched.isEmpty, "replayed batchId must rewrite nothing")
+      assert(listing(table) == afterFirst,
+        "replay touched the table: file listing changed")
+      // end-to-end: the streamed audit equals the batch purge's audit
+      val streamed = graft.streaming.StreamForgetKeys.audit(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = ForgetKeys.audit(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally {
+      graft.streaming.StagedEvents.deleteRecursively(table)
+      graft.streaming.StagedEvents.deleteRecursively(log)
+    }
+  }
 }
