@@ -124,6 +124,12 @@ object Bench {
       // triage — three rounds of >=2x regression triage (r05-r07) reduced
       // to exactly this distinction
       val builds = graft.queries.StageBuildLog.drain()
+      // Free this query's loop-checkpoint blocks (BFS/LPA/beam-walk rounds)
+      // before the next query: loop frames are per-invocation — never
+      // session-shared — so draining here bounds persisted-block residency
+      // across the 295-query sweep instead of accumulating 3-reps' worth
+      // per iterative query until releaseAll.
+      graft.queries.SessionCaches.releaseLoopCheckpoints(spark)
       (name, reps.head, reps(reps.size / 2), jobs, shufMb, builds)
     }
     // Stdout contract: the driver captures only the LAST ~2.2 KB of stdout,

@@ -149,9 +149,24 @@ object Multimodal {
     *   by design, not one-time shared stages.
     */
   private[graft] def stageOnce(dir: String, logBuild: Boolean = true)(
-      write: String => Unit): String =
+      write: String => Unit): String = {
+    stageOnceCommitted(dir, logBuild)(write)
+    dir
+  }
+
+  /** Like [[stageOnce]] but reports the race outcome: true iff THIS call
+    * performed the atomic move that committed the data. False means either
+    * the marker already existed (no write attempted) or another JVM won
+    * the commit race and this call's temp dir was discarded — callers that
+    * promise "returns true iff this call staged the data" (the idempotent
+    * micro-batch sink) must key off this, not off whether their write
+    * callback ran.
+    */
+  private[graft] def stageOnceCommitted(dir: String, logBuild: Boolean = true)(
+      write: String => Unit): Boolean =
     stageLock.synchronized {
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      var committed = false
       val root = Paths.get(dir)
       val done = root.resolve("_SUCCESS")
       if (!Files.exists(done)) {
@@ -179,6 +194,7 @@ object Multimodal {
             if (Files.exists(root))
               graft.streaming.StagedEvents.deleteRecursively(root)
             Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+            committed = true
           }
         } catch {
           case _: java.nio.file.FileSystemException =>
@@ -190,7 +206,7 @@ object Multimodal {
               s"staging race left $dir without a committed _SUCCESS marker")
         }
       }
-      dir
+      committed
     }
 
   /** `mm_decode_scan`: the decode pipeline over the staged BINARY-column

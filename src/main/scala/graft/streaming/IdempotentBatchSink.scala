@@ -23,17 +23,17 @@ object IdempotentBatchSink {
     * retry path).
     */
   def commit(batch: DataFrame, root: String, batchId: Long,
-      partitionCols: Seq[String] = Nil): Boolean = {
-    var wrote = false
+      partitionCols: Seq[String] = Nil): Boolean =
     // logBuild = false: micro-batch commits are part of every run by
-    // design, not one-time shared stages the bench should attribute
-    graft.ops.Multimodal.stageOnce(s"$root/batch_id=$batchId", logBuild = false) { tmp =>
+    // design, not one-time shared stages the bench should attribute.
+    // The return value is stageOnceCommitted's race outcome — whether the
+    // atomic move landed — NOT whether our write callback ran: a loser
+    // whose tmp is discarded after another JVM's commit must report false.
+    graft.ops.Multimodal.stageOnceCommitted(
+        s"$root/batch_id=$batchId", logBuild = false) { tmp =>
       val w = batch.write.mode("overwrite")
       // Spark's parquet commit drops the _SUCCESS marker stageOnce keys on
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
-      wrote = true
     }
-    wrote
-  }
 }

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -63,13 +65,25 @@ object StreamForgetKeys {
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
         // a bucket whose every row this batch forgets emits no survivors,
-        // so dynamic overwrite left its stale dir — delete it (≤16 dirs)
+        // so dynamic overwrite left its stale dir — delete it (≤16 dirs).
+        // Guard the read with a part-file listing first: a crash between
+        // file deletion and dir removal (or an interrupted overwrite) can
+        // leave the dir existing but parquet-empty, where schema inference
+        // would throw and fail the batch instead of converging on replay —
+        // a part-less dir IS fully forgotten, delete it without reading.
         affected.foreach { b =>
           val pdir = tableDir.resolve(s"bkt=$b")
-          if (Files.exists(pdir) &&
-              spark.read.parquet(pdir.toString)
-                .join(broadcast(k), Seq("user_id"), "left_anti").head(1).isEmpty)
-            StagedEvents.deleteRecursively(pdir)
+          if (Files.exists(pdir)) {
+            val listing = Files.list(pdir)
+            val hasParts =
+              try listing.iterator().asScala.exists(
+                _.getFileName.toString.endsWith(".parquet"))
+              finally listing.close()
+            if (!hasParts ||
+                spark.read.parquet(pdir.toString)
+                  .join(broadcast(k), Seq("user_id"), "left_anti").head(1).isEmpty)
+              StagedEvents.deleteRecursively(pdir)
+          }
         }
       }
       Files.createDirectories(marker)
