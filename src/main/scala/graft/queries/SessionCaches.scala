@@ -111,6 +111,7 @@ object SessionCaches {
     Similarity.knnGraphShared(s, d)
     Similarity.knnBaseGraphShared(s, d)
     Similarity.knnIncGraphShared(s, d)
+    Similarity.knnLabeledGraphShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)

@@ -3417,6 +3417,126 @@ object Similarity {
           round(col("post_hits") / col("n_exact"), 6).as("post_recall"))
     }),
 
+    // The LABEL-AWARE build's inventory — what the stitch actually adds,
+    // per label: how many same-label edges the blind graph already had,
+    // how many shortcut edges the stitch contributes beyond them, and —
+    // the dead-end census that motivated it — how many nodes had ZERO
+    // same-label out-edges before vs after (before: the stranded-walk
+    // population sim_knn_graph_search_filtered measured; after: 0 by
+    // construction, every node gets LblK same-label shortcuts unless its
+    // label-blocks hold no other member). All integer counts.
+    "sim_knn_graph_labeled_build" -> ((s, d) => {
+      val lb = fanOut(embeddings(s, d), s).select(col("vec_id"), col("label"))
+      val ge = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      val gl = knnLabeledGraphShared(s, d)
+      def sameLabel(g: DataFrame): DataFrame = g
+        .join(lb, Seq("vec_id"))
+        .join(lb.select(col("vec_id").as("nbr"), col("label").as("nl")), Seq("nbr"))
+        .filter(col("label") === col("nl"))
+        .select(col("vec_id"), col("label"))
+      val nodes = lb.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      def edgeCounts(g: DataFrame, as: String): DataFrame =
+        sameLabel(g).groupBy(col("label")).agg(count(lit(1)).as(as))
+      val added = gl.join(ge, Seq("vec_id", "nbr"), "left_anti")
+        .join(lb, Seq("vec_id"))
+        .groupBy(col("label")).agg(count(lit(1)).as("added_edges"))
+      def noSame(g: DataFrame, as: String): DataFrame =
+        lb.join(sameLabel(g).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .groupBy(col("label")).agg(count(lit(1)).as(as))
+      nodes
+        .join(edgeCounts(ge, "base_same_edges"), Seq("label"), "left")
+        .join(added, Seq("label"), "left")
+        .join(edgeCounts(gl, "aug_same_edges"), Seq("label"), "left")
+        .join(noSame(ge, "no_same_before"), Seq("label"), "left")
+        .join(noSame(gl, "no_same_after"), Seq("label"), "left")
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("base_same_edges"), lit(0L)).as("base_same_edges"),
+          coalesce(col("added_edges"), lit(0L)).as("added_edges"),
+          coalesce(col("aug_same_edges"), lit(0L)).as("aug_same_edges"),
+          coalesce(col("no_same_before"), lit(0L)).as("no_same_before"),
+          coalesce(col("no_same_after"), lit(0L)).as("no_same_after"))
+    }),
+
+    // The labeled search — sim_knn_graph_search_filtered's three-way
+    // measurement RE-RUN where it matters: the filtered (in-walk
+    // predicate) beam walk over the STITCHED graph (lab), the same
+    // filtered walk over the blind graph (blind — replays the original
+    // pre leg verbatim), and the unfiltered walk over the stitched graph
+    // with its visited set filtered (vis — the zero-predicate-pushdown
+    // serving lever on the new index). The finding this lands: the
+    // stitch flips the ordering — predicate-inside-the-index only wins
+    // once the index is built label-aware, exactly the Filtered-DiskANN
+    // claim, now a measured row per probe against the same shared
+    // filtered-exact truth.
+    "sim_knn_graph_search_labeled" -> ((s, d) => {
+      val base = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val ge = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      val gl = knnLabeledGraphShared(s, d)
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("tgt"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      def score(cand: DataFrame): DataFrame =
+        cand
+          .join(base.select(col("vec_id").as("cand"), col("label"),
+            col("v"), col("nrm")), Seq("cand"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("tgt"), col("cand"), col("label"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      val wB = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+      def walkVisited(g: DataFrame, filtered: Boolean): DataFrame = {
+        var beam = probes.select(col("q_id"), col("q_id").as("cand"))
+        var visited: DataFrame = null
+        for (_ <- 1 to 3) {
+          val expand = beam
+            .join(g.select(col("vec_id").as("cand"), col("nbr")), Seq("cand"))
+            .select(col("q_id"), col("nbr").as("cand"))
+            .filter(col("cand") =!= col("q_id"))
+            .distinct()
+          val sc = score(expand)
+          val scored =
+            (if (filtered) sc.filter(col("label") === col("tgt")) else sc)
+              .select(col("q_id"), col("cand"), col("cos"))
+          // per-round lineage truncation — see the bfsFrom discipline
+          visited = SessionCaches.loopCheckpoint(
+            if (visited == null) scored
+            else visited.unionByName(scored).distinct())
+          beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
+            .select(col("q_id"), col("cand"))
+        }
+        visited
+      }
+      def top5(v: DataFrame): DataFrame =
+        v.withColumn("rk", row_number().over(wB)).filter(col("rk") <= 5)
+          .select(col("q_id"), col("cand").as("vec_id"))
+      val lab = top5(walkVisited(gl, filtered = true)).withColumn("lab_hit", lit(1))
+      val blind = top5(walkVisited(ge, filtered = true)).withColumn("blind_hit", lit(1))
+      val vis = top5(walkVisited(gl, filtered = false)
+        .join(base.select(col("vec_id").as("cand"), col("label")), Seq("cand"))
+        .join(broadcast(probes.select(col("q_id"), col("tgt"))), Seq("q_id"))
+        .filter(col("label") === col("tgt"))
+        .select(col("q_id"), col("cand"), col("cos")))
+        .withColumn("vis_hit", lit(1))
+      filteredExact(s, d)
+        .join(lab, Seq("q_id", "vec_id"), "left")
+        .join(blind, Seq("q_id", "vec_id"), "left")
+        .join(vis, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"), col("tgt"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("lab_hit"), lit(0))).as("lab_hits"),
+          sum(coalesce(col("blind_hit"), lit(0))).as("blind_hits"),
+          sum(coalesce(col("vis_hit"), lit(0))).as("vis_hits"))
+        .select(col("q_id"), col("tgt").as("target_label"), col("n_exact"),
+          col("lab_hits"), col("blind_hits"), col("vis_hits"),
+          round(col("lab_hits") / col("n_exact"), 6).as("lab_recall"),
+          round(col("blind_hits") / col("n_exact"), 6).as("blind_recall"),
+          round(col("vis_hits") / col("n_exact"), 6).as("vis_recall"))
+    }),
+
     // The recall-vs-cost SWEEP for the graph search — the nprobe-sweep
     // analogue for the graph index: beam width B ∈ {4, 8, 16} × rounds
     // 1..3, each cell's visited-set top-5 scored against the exact
@@ -3603,6 +3723,13 @@ object Similarity {
   private val KnnBlocks = 16
   private val KnnIters = 4
 
+  /** Same-label shortcut edges kept per node and the label-scoped salted
+    * block count of the STITCHED label-aware build — shared with the
+    * generated oracle (the KnnK/KnnBlocks convention).
+    */
+  private val LblK = 4
+  private val LblBlocks = 4
+
   /** The layout's block-routing hash — the b1 init-block formula, shared
     * by the layout writer, the fragmentation poll, and the compacted
     * walk's per-hop partition filter so the three can never disagree on
@@ -3662,6 +3789,54 @@ object Similarity {
   private val sharedKnnGraph = new SessionFrameCache(4, "sharedKnnGraph")
   def knnGraphShared(s: SparkSession, d: String): DataFrame =
     sharedKnnGraph.getOrBuild(s, d)(nnDescentHistory(s, ivfBase(s, d)))
+
+  /** The STITCHED label-aware graph — the Filtered-DiskANN remedy
+    * (Gollapudi et al., WWW 2023, the StitchedVamana variant) for the
+    * measured dead-end finding of `sim_knn_graph_search_filtered`: on the
+    * label-blind graph the filtered walk strands 6/10 probes with no
+    * same-label neighbor to step to (pre 0.16 < vis 0.34). The stitch is
+    * the blind graph UNION per-node same-label shortcut edges: each node's
+    * top-[[LblK]] exact-cosine neighbors among LABEL-SCOPED salted-block
+    * candidates — the NN-Descent init discipline applied within each
+    * label (two md5 salts so no block is an island), so build cost stays
+    * blocked-brute-force bounded at any corpus size and the whole stitch
+    * is one label+block equi-join, never a per-label cartesian. Session
+    * shared: the build inventory and the labeled search both read it.
+    */
+  private val sharedLabeledGraph = new SessionFrameCache(4, "knnLabeledGraph")
+  def knnLabeledGraphShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    knnGraphShared(s, d)
+    sharedLabeledGraph.getOrBuild(s, d) {
+      val base = fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      def blkOf(salt: String): Column =
+        conv(substring(md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % LblBlocks
+      val blk = base.select(col("vec_id"), col("label"),
+        blkOf("lb1").as("b1"), blkOf("lb2").as("b2"))
+      def pairs(bc: String): DataFrame =
+        blk.select(col("label"), col(bc).as("bb"), col("vec_id"))
+          .join(blk.select(col("label"), col(bc).as("bb"), col("vec_id").as("nbr")),
+            Seq("label", "bb"))
+          .filter(col("vec_id") =!= col("nbr"))
+          .select(col("vec_id"), col("nbr"))
+      val cand = pairs("b1").union(pairs("b2")).distinct()
+      val wS = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr"))
+      val shortcuts = cand
+        .join(base.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        .join(base.select(col("vec_id").as("nbr"), col("v").as("nv"),
+          col("nrm").as("nn")), Seq("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          round(dot(col("v"), col("nv")) / (col("nrm") * col("nn")), 6).as("cos"))
+        .withColumn("rk", row_number().over(wS)).filter(col("rk") <= LblK)
+        .select(col("vec_id"), col("nbr"))
+      knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+        .unionByName(shortcuts).distinct()
+    }
+  }
 
   /** The append-batch membership predicate of the incremental-maintenance
     * pair: ~1/8 of the corpus by a salted md5 bucket of vec_id — shared
@@ -3814,6 +3989,7 @@ object Similarity {
     * cannot be re-executed — checkpoint lineage is truncated).
     */
   def releaseKnnGraph(s: SparkSession): Unit = {
+    sharedLabeledGraph.release(s) // derives from the full graph: derived first
     sharedKnnInc.release(s) // derives from the base graph: derived first
     sharedKnnGraph.release(s)
     sharedKnnBase.release(s)
@@ -4318,6 +4494,34 @@ object Similarity {
 
   private def knnOracleCtes: String = knnChainCtes("", "")
 
+  /** The stitched label-aware graph's CTE block — the SQL twin of
+    * [[knnLabeledGraphShared]]. Expects the vector CTE `c` and the blind
+    * graph CTE `ge(vec_id, nbr)` in scope; defines `lb` (labels), the
+    * label-scoped two-salt block candidates, the top-[[LblK]] shortcut
+    * edges `lsc`, and the stitched graph `gl(vec_id, nbr)`.
+    */
+  private def labeledGraphCtes: String = s"""
+      lb AS (SELECT vec_id, label FROM embeddings),
+      lblk AS MATERIALIZED (SELECT c.vec_id, lb.label,
+               ('0x' || substr(md5('lb1' || c.vec_id::VARCHAR), 1, 15))::BIGINT
+                 % $LblBlocks AS b1,
+               ('0x' || substr(md5('lb2' || c.vec_id::VARCHAR), 1, 15))::BIGINT
+                 % $LblBlocks AS b2
+             FROM c JOIN lb ON lb.vec_id = c.vec_id),
+      lcand AS (SELECT DISTINCT a.vec_id, e.vec_id AS nbr
+             FROM lblk a JOIN lblk e
+               ON a.label = e.label AND (a.b1 = e.b1 OR a.b2 = e.b2)
+                  AND a.vec_id <> e.vec_id),
+      lsc AS MATERIALIZED (SELECT vec_id, nbr FROM (
+             SELECT cd.vec_id, cd.nbr,
+                    row_number() OVER (PARTITION BY cd.vec_id
+                      ORDER BY $knnCosExpr DESC, cd.nbr) AS rk
+             FROM lcand cd JOIN c x ON x.vec_id = cd.vec_id
+                  JOIN c y ON y.vec_id = cd.nbr) WHERE rk <= $LblK),
+      gl AS MATERIALIZED (SELECT DISTINCT vec_id, nbr FROM (
+             SELECT vec_id, nbr FROM ge
+             UNION ALL SELECT vec_id, nbr FROM lsc))"""
+
   /** The three-step incremental-insert CTE block — the SQL twin of
     * [[knnIncInsert]], shared by the incremental metric and the
     * serve-path comparison so the maintained graph has exactly one
@@ -4530,6 +4734,94 @@ object Similarity {
       LEFT JOIN pre pr ON pr.q_id = e.q_id AND pr.vec_id = e.vec_id
       LEFT JOIN visleg vl ON vl.q_id = e.q_id AND vl.vec_id = e.vec_id
       LEFT JOIN post po ON po.q_id = e.q_id AND po.vec_id = e.vec_id
+      GROUP BY 1, 2""",
+    // sim_knn_graph_labeled_build: the stitch re-derived — per label, the
+    // blind graph's same-label edges, the shortcut edges added beyond
+    // them, and the zero-same-label-out-edge node census before/after
+    "sim_knn_graph_labeled_build" -> s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      $labeledGraphCtes,
+      samege AS (SELECT g.vec_id, a.label FROM ge g
+                 JOIN lb a ON a.vec_id = g.vec_id
+                 JOIN lb b ON b.vec_id = g.nbr AND b.label = a.label),
+      samegl AS (SELECT g.vec_id, a.label FROM gl g
+                 JOIN lb a ON a.vec_id = g.vec_id
+                 JOIN lb b ON b.vec_id = g.nbr AND b.label = a.label),
+      added AS (SELECT a.label, count(*) AS added_edges
+                FROM (SELECT vec_id, nbr FROM gl
+                      EXCEPT SELECT vec_id, nbr FROM ge) x
+                JOIN lb a ON a.vec_id = x.vec_id GROUP BY 1)
+      SELECT lb.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(coalesce(any_value(eg.n), 0) AS BIGINT) AS base_same_edges,
+             CAST(coalesce(any_value(added.added_edges), 0) AS BIGINT) AS added_edges,
+             CAST(coalesce(any_value(egl.n), 0) AS BIGINT) AS aug_same_edges,
+             CAST(sum(CASE WHEN lb.vec_id NOT IN (SELECT vec_id FROM samege)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS no_same_before,
+             CAST(sum(CASE WHEN lb.vec_id NOT IN (SELECT vec_id FROM samegl)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS no_same_after
+      FROM lb
+      LEFT JOIN (SELECT label, count(*) AS n FROM samege GROUP BY 1) eg
+             ON eg.label = lb.label
+      LEFT JOIN (SELECT label, count(*) AS n FROM samegl GROUP BY 1) egl
+             ON egl.label = lb.label
+      LEFT JOIN added ON added.label = lb.label
+      GROUP BY 1""",
+    // sim_knn_graph_search_labeled: THREE walk replays — the filtered
+    // walk over the stitched graph, the same filtered walk over the
+    // blind graph, and the unfiltered stitched walk visited-filtered —
+    // each scored per probe against the filtered-exact truth
+    "sim_knn_graph_search_labeled" -> s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      $labeledGraphCtes,
+      qs AS (SELECT c.vec_id AS q_id, lb.label AS tgt, c.v AS qv, c.nrm AS qn
+             FROM c JOIN lb ON lb.vec_id = c.vec_id WHERE c.vec_id < 10),
+      lbeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("l", 8, "gl",
+        "\n                    JOIN lb ON lb.vec_id = x.cand WHERE lb.label = q.tgt")},
+      bbeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("b", 8, "ge",
+        "\n                    JOIN lb ON lb.vec_id = x.cand WHERE lb.label = q.tgt")},
+      ubeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("u", 8, "gl")},
+      labl AS (SELECT q_id, cand AS vec_id FROM (
+                SELECT q_id, cand,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand) AS rk
+                FROM lvis3) WHERE rk <= 5),
+      blind AS (SELECT q_id, cand AS vec_id FROM (
+                SELECT q_id, cand,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand) AS rk
+                FROM bvis3) WHERE rk <= 5),
+      visleg AS (SELECT q_id, cand AS vec_id FROM (
+                   SELECT t.q_id, t.cand,
+                          row_number() OVER (PARTITION BY t.q_id
+                            ORDER BY t.cos DESC, t.cand) AS rk
+                   FROM uvis3 t
+                   JOIN qs q ON q.q_id = t.q_id
+                   JOIN lb ON lb.vec_id = t.cand
+                   WHERE lb.label = q.tgt) WHERE rk <= 5),
+      ex AS (SELECT q_id, tgt, vec_id FROM (
+               SELECT p.q_id, p.tgt, s.vec_id,
+                      round(list_dot_product(p.qv, s.v) / (p.qn * s.nrm), 6) AS cos
+               FROM c s JOIN lb ON lb.vec_id = s.vec_id CROSS JOIN qs p
+               WHERE s.vec_id <> p.q_id AND lb.label = p.tgt)
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) <= 5)
+      SELECT e.q_id, CAST(e.tgt AS INTEGER) AS target_label,
+             count(*) AS n_exact,
+             CAST(sum(CASE WHEN la.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lab_hits,
+             CAST(sum(CASE WHEN bl.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blind_hits,
+             CAST(sum(CASE WHEN vl.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vis_hits,
+             round(sum(CASE WHEN la.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS lab_recall,
+             round(sum(CASE WHEN bl.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS blind_recall,
+             round(sum(CASE WHEN vl.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS vis_recall
+      FROM ex e
+      LEFT JOIN labl la ON la.q_id = e.q_id AND la.vec_id = e.vec_id
+      LEFT JOIN blind bl ON bl.q_id = e.q_id AND bl.vec_id = e.vec_id
+      LEFT JOIN visleg vl ON vl.q_id = e.q_id AND vl.vec_id = e.vec_id
       GROUP BY 1, 2""",
     // sim_knn_graph_search_sweep: three full walks (B ∈ {4, 8, 16}), the
     // per-round top-5 of each compared against the exact cosine top-5
