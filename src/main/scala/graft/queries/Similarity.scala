@@ -1440,6 +1440,60 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("erank"))
   }
 
+  /** Top-5 per probe by integer L2² over SQ8 codes — emb_quantize_int8's
+    * exact per-dim symmetric rule, the scales a driver-side d-bounded
+    * collect re-entered as an array literal so quantization is one
+    * zero-shuffle projection pass. Shared by the SQ8 recall audit and the
+    * quantization ladder.
+    */
+  private def sq8Top5(s: SparkSession, d: String): DataFrame = {
+    val vu = pqVu(s, d)
+    // bounded (64 rows = embedding dimensionality, never N): per-dim max|xu|
+    val m = vu.select(posexplode(col("vu")).as(Seq("dim", "xu")))
+      .groupBy(col("dim")).agg(max(abs(col("xu"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    val mLit = m.mkString("array(", "L, ", "L)")
+    val q8 = vu.selectExpr("vec_id",
+      s"""zip_with(vu, $mLit, (x, m) -> CASE WHEN m = 0L THEN 0L
+         ELSE CAST(signum(x) AS BIGINT) * ((abs(x) * 254 + m) div (2 * m))
+         END) AS q8""")
+    val probes = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q8").as("qq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    q8.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.VectorExpressions.l2sq(col("qq"), col("q8")).as("d2"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** Top-5 per probe from the binary rung: sign codes packed as two
+    * 32-dim BIGINT words, Hamming top-50 shortlist, exact integer-L2²
+    * re-rank. The per-row pack is one bounded 64-element fold (d-bounded,
+    * zero shuffle); the pair work is 2 XORs + 2 popcounts. Shared by the
+    * binary recall audit and the quantization ladder.
+    */
+  private def binaryTop5(s: SparkSession, d: String): DataFrame = {
+    val vu = pqVu(s, d)
+    val words = vu.selectExpr("vec_id", "vu",
+      "aggregate(transform(vu, (x, i) -> IF(x > 0L AND i < 32, shiftleft(1L, i), 0L)), 0L, (a, w) -> a | w) AS lo",
+      "aggregate(transform(vu, (x, i) -> IF(x > 0L AND i >= 32, shiftleft(1L, i - 32), 0L)), 0L, (a, w) -> a | w) AS hi")
+    val probes = words.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vu").as("qu"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val wH = Window.partitionBy(col("q_id")).orderBy(col("h"), col("vec_id"))
+    val wD = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    words.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("vu"), col("qu"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).as("h"))
+      .withColumn("r", row_number().over(wH)).filter(col("r") <= 50)
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.VectorExpressions.l2sq(col("qu"), col("vu")).as("d2"))
+      .withColumn("r", row_number().over(wD)).filter(col("r") <= 5)
+      .select(col("q_id"), col("vec_id"))
+  }
+
   /** 16×dim random-hyperplane matrix with ±1 components derived from
     * md5("p_i") — the same portable-hash rule the MinHash pipeline uses, so
     * the DuckDB oracle rebuilds the IDENTICAL matrix in SQL
@@ -1995,6 +2049,67 @@ object Similarity {
         .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
         .select(col("q_id"), col("n_hits"),
           round(col("n_hits") / 5.0, 6).as("recall"))
+    }),
+
+    // SCALAR (SQ8) quantization recall — the 4×-compression rung of the
+    // quantization ladder (float32 2048 bits → SQ8 512 → PQ 64 → binary
+    // 64): top-5 by integer L2² over emb_quantize_int8's EXACT per-dim
+    // symmetric int8 codes, scored against the exact micro-unit top-5.
+    // The per-dim scales are a d-bounded (64-row) aggregate collected
+    // driver-side and re-entered as an array literal (the emb_pca_topk
+    // d-bounded-scalar precedent), so quantization itself is a
+    // ZERO-SHUFFLE projection pass — at 100 TB the corpus never moves
+    // for its own compression. Distances stay in the codegen'd integer
+    // l2sq kernel; every rank boundary is integer, no float tie anywhere.
+    "sim_sq8_recall" -> ((s, d) =>
+      sq8Top5(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        .join(pqExactTop5(s, d), Seq("q_id", "vec_id"), "right")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / 5.0, 6).as("recall"))),
+
+    // BINARY quantization + Hamming re-rank — the 1-bit rung: sign codes
+    // packed as two 32-dim words per vector (32 bits per BIGINT word —
+    // 1L<<63 overflows portably, and the w32 layout generalizes to any
+    // d), Hamming-distance top-50 shortlist (bit_count(xor) — the only
+    // per-pair work, 2 XORs + 2 popcounts), exact integer-L2² re-rank of
+    // the shortlist, recall@5 vs the exact top-5. This is the
+    // binary-embedding serving shape (32× smaller index, shortlist
+    // quality is the whole question — the rung the ladder query ranks).
+    "sim_binary_rerank" -> ((s, d) =>
+      binaryTop5(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        .join(pqExactTop5(s, d), Seq("q_id", "vec_id"), "right")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / 5.0, 6).as("recall"))),
+
+    // The QUANTIZATION LADDER — the one decision-grade table a pipeline
+    // reads before picking its index compression: every rung's total
+    // recall@5 over the shared 10-probe set next to its bits/vector.
+    // float32 is the exact baseline (1.0 by construction — the sanity
+    // anchor), SQ8 the 4× rung, PQ 8×8 the 32× rung, binary+rerank the
+    // 32×-with-popcount-scan rung. Measured at sf0.01 the ladder reads
+    // the honest guidance: SQ8 keeps (nearly) everything, raw PQ@64-bit
+    // is a shortlist generator (0.32), binary's Hamming shortlist +
+    // exact re-rank buys most of the exactness back at the same 64 bits.
+    // Each leg reuses its family's shared stages; the fusion is four
+    // 10-row aggregates.
+    "sim_quant_ladder" -> ((s, d) => {
+      val ex = pqExactTop5(s, d)
+      def leg(scheme: String, bits: Int, top5: DataFrame): DataFrame =
+        ex.join(top5.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+            Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(lit(scheme).as("scheme"), lit(bits).as("bits_per_vec"),
+            col("n_hits"), round(col("n_hits") / 50.0, 6).as("recall_at_5"))
+      leg("float32", 2048, ex)
+        .unionByName(leg("sq8", 512, sq8Top5(s, d)))
+        .unionByName(leg("pq8x8", 64, queries("sim_pq_adc")(s, d)))
+        .unionByName(leg("binary_rerank", 64, binaryTop5(s, d)))
     }),
 
     // IVF-PQ: the layout billion-vector ANN actually deploys (FAISS
@@ -4289,6 +4404,68 @@ object Similarity {
       FROM adc
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 5"""
 
+  /** The shared (c, vu) prefix of the quantization-ladder legs: per-dim
+    * integer micro-unit coordinates of every vector.
+    */
+  private val quantVuCtes: String = """
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vu AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r)"""
+
+  /** Exact integer-L2² top-5 per probe — the SQL twin of [[pqExactTop5]],
+    * the baseline every ladder rung scores against.
+    */
+  private val intExactTop5Sql: String = quantVuCtes + """,
+      ex AS (SELECT p.vec_id AS q_id, b.vec_id,
+                    sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+             FROM vu p JOIN vu b ON p.dim = b.dim
+             WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+             GROUP BY 1, 2)
+      SELECT q_id, vec_id FROM ex
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
+
+  /** SQ8 top-5 per probe — the SQL twin of [[sq8Top5]]: emb_quantize_int8's
+    * exact integer quantization rule, integer L2² over the codes.
+    */
+  private val sq8Top5Sql: String = quantVuCtes + """,
+      sc AS (SELECT dim, max(abs(xu)) AS m FROM vu GROUP BY dim),
+      q AS (SELECT vec_id, vu.dim,
+                   CASE WHEN m = 0 THEN 0
+                        ELSE CAST(sign(xu) AS BIGINT) * ((abs(xu) * 254 + m) // (2 * m))
+                   END AS q8
+            FROM vu JOIN sc ON vu.dim = sc.dim),
+      ad AS (SELECT p.vec_id AS q_id, b.vec_id,
+                    sum((p.q8 - b.q8) * (p.q8 - b.q8)) AS d2
+             FROM q p JOIN q b ON p.dim = b.dim
+             WHERE p.vec_id < 10 AND b.vec_id <> p.vec_id
+             GROUP BY 1, 2)
+      SELECT q_id, vec_id FROM ad
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
+
+  /** Binary-rung top-5 per probe — the SQL twin of [[binaryTop5]]: sign
+    * codes as two 32-dim words (bit 63 never set, so popcount semantics
+    * can't diverge on sign), Hamming top-50, exact re-rank.
+    */
+  private val binTop5Sql: String = quantVuCtes + """,
+      w AS (SELECT vec_id,
+                   bit_or(CASE WHEN xu > 0 AND dim < 32
+                               THEN (1::BIGINT << dim) ELSE 0 END) AS lo,
+                   bit_or(CASE WHEN xu > 0 AND dim >= 32
+                               THEN (1::BIGINT << (dim - 32)) ELSE 0 END) AS hi
+            FROM vu GROUP BY 1),
+      hm AS (SELECT p.vec_id AS q_id, b.vec_id,
+                    bit_count(xor(p.lo, b.lo)) + bit_count(xor(p.hi, b.hi)) AS h
+             FROM w p JOIN w b ON b.vec_id <> p.vec_id WHERE p.vec_id < 10),
+      sl AS (SELECT q_id, vec_id FROM hm
+             QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY h, vec_id) <= 50),
+      rr AS (SELECT s.q_id, s.vec_id,
+                    sum((p.xu - b.xu) * (p.xu - b.xu)) AS d2
+             FROM sl s JOIN vu p ON p.vec_id = s.q_id
+                  JOIN vu b ON b.vec_id = s.vec_id AND b.dim = p.dim
+             GROUP BY 1, 2)
+      SELECT q_id, vec_id FROM rr
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) <= 5"""
+
   /** Two-stage: ADC top-[[RerankShortlist]] shortlist, exact integer-L2²
     * re-rank to top-5 — the oracle replay of sim_pq_rerank (xu carries
     * per-dim integer coordinates, so the exact leg reuses it keyed on
@@ -5456,6 +5633,37 @@ object Similarity {
              round(count(a.vec_id) / 5.0, 6) AS recall
       FROM x LEFT JOIN a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
       GROUP BY x.q_id""",
+    "sim_sq8_recall" -> s"""
+      WITH x AS (SELECT q_id, vec_id FROM ($intExactTop5Sql)),
+      a AS (SELECT q_id, vec_id FROM ($sq8Top5Sql))
+      SELECT x.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             round(count(a.vec_id) / 5.0, 6) AS recall
+      FROM x LEFT JOIN a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY x.q_id""",
+    "sim_binary_rerank" -> s"""
+      WITH x AS (SELECT q_id, vec_id FROM ($intExactTop5Sql)),
+      a AS (SELECT q_id, vec_id FROM ($binTop5Sql))
+      SELECT x.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             round(count(a.vec_id) / 5.0, 6) AS recall
+      FROM x LEFT JOIN a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY x.q_id""",
+    "sim_quant_ladder" -> s"""
+      WITH x AS (SELECT q_id, vec_id FROM ($intExactTop5Sql)),
+      pq AS (SELECT q_id, vec_id FROM ($pqAdcSql)),
+      s8 AS (SELECT q_id, vec_id FROM ($sq8Top5Sql)),
+      bi AS (SELECT q_id, vec_id FROM ($binTop5Sql))
+      SELECT 'float32' AS scheme, CAST(2048 AS INTEGER) AS bits_per_vec,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             round(count(*) / 50.0, 6) AS recall_at_5 FROM x
+      UNION ALL
+      SELECT 'sq8', 512, CAST(count(*) AS BIGINT), round(count(*) / 50.0, 6)
+      FROM x JOIN s8 ON x.q_id = s8.q_id AND x.vec_id = s8.vec_id
+      UNION ALL
+      SELECT 'pq8x8', 64, CAST(count(*) AS BIGINT), round(count(*) / 50.0, 6)
+      FROM x JOIN pq ON x.q_id = pq.q_id AND x.vec_id = pq.vec_id
+      UNION ALL
+      SELECT 'binary_rerank', 64, CAST(count(*) AS BIGINT), round(count(*) / 50.0, 6)
+      FROM x JOIN bi ON x.q_id = bi.q_id AND x.vec_id = bi.vec_id""",
     "emb_covariance" -> """
       WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       ex AS (SELECT vec_id, i - 1 AS di, CAST(round(v[i] * 1000000) AS BIGINT) AS xu
