@@ -1291,6 +1291,77 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("c16").as("cell"))
   }
 
+  /** The ~10% salted-md5 forget set of the index-erasure pair — shared
+    * verbatim with the DuckDB oracle (the knnBatchSql convention), so
+    * both engines agree on exactly which vectors are erased.
+    */
+  private[graft] def forgetPred: Column =
+    conv(substring(md5(concat(lit("fgt"), col("vec_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % 50L === 0L
+
+  /** Write the compacted inverted-list layout (cells ⋈ codes,
+    * repartition(cell) + partitionBy(cell) — one file per list) into
+    * `dir`: the sim_ivfpq_compaction write factored out so the erasure
+    * pair and IvfpqForgetSpec start from the identical physical state.
+    */
+  private[graft] def stageIvfpqLayout(s: SparkSession, d: String, dir: String): Unit =
+    ivfpqCellsShared(s, d).join(pqCodesShared(s, d), Seq("vec_id"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** Partition-pruned purge of the forget set from a staged inverted-list
+    * layout. The plan comes from the FORGET SET alone — its cells read
+    * off the in-memory cell directory (bounded: ≤16 rows, one per list),
+    * zero scans of the physical index — then ONLY those cells' partition
+    * dirs are dynamically overwritten with their survivors; every other
+    * list's file is never opened. A cell whose every vector was forgotten
+    * leaves a stale dir under dynamic overwrite: it is deleted, with the
+    * part-file-listing guard (the StreamForgetKeys crash-replay lesson).
+    * Returns per-cell forgotten counts for the caller's census.
+    */
+  private[graft] def purgeForgotten(
+      s: SparkSession, d: String, dir: String): Map[Long, Long] = {
+    // bounded (≤16 rows: one per inverted list)
+    val nf = ivfpqCellsShared(s, d).filter(forgetPred)
+      .groupBy(col("cell")).agg(countDistinct(col("vec_id")).as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (nf.nonEmpty) {
+      val affected = nf.keySet.toSeq
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try {
+        s.read.parquet(dir)
+          .filter(col("cell").cast("long").isin(affected: _*))
+          .filter(!forgetPred)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      // fully-forgotten dirs (≤16, part-file-guarded before any read)
+      affected.foreach { cl =>
+        val pdir = java.nio.file.Paths.get(dir, s"cell=$cl")
+        if (java.nio.file.Files.exists(pdir)) {
+          val listing = java.nio.file.Files.list(pdir)
+          val hasParts =
+            try {
+              val it = listing.iterator()
+              var found = false
+              while (it.hasNext && !found)
+                found = it.next().getFileName.toString.endsWith(".parquet")
+              found
+            } finally listing.close()
+          if (!hasParts ||
+              s.read.parquet(pdir.toString).filter(!forgetPred).head(1).isEmpty)
+            graft.streaming.StagedEvents.deleteRecursively(pdir)
+        }
+      }
+    }
+    nf
+  }
+
   /** The IVF-PQ pipeline's exact tail downstream of the per-(probe,
     * candidate) ADC totals: top-50 shortlist, exact integer-L2 re-rank,
     * top-5 with 6dp distances. Shared by [[ivfpqFrom]] and the streamed
@@ -3019,6 +3090,78 @@ object Similarity {
     // one writer task per cell — one file per list, not one per
     // (task × cell) fragment; at 100 TB this is the compaction job that
     // turns a streamed append log into a servable index.
+    // GDPR ERASURE FOR THE ANN INDEX — cdc_forget_keys' discipline
+    // applied to the servable inverted-list layout: the purge is planned
+    // from the FORGET SET alone (its cells come off the ≤16-row cell
+    // directory, zero index scans), only the affected cells' partition
+    // dirs are rewritten (dynamic overwrite), every other inverted list's
+    // file is never opened (byte-identity spec-pinned in
+    // IvfpqForgetSpec). The emitted census is the post-purge read-back —
+    // per cell: survivors, codes, how many vectors the purge removed,
+    // and whether the cell was rewritten at all — hash-matched against
+    // the logical purged index DuckDB re-derives from raw parquet.
+    "sim_ivfpq_forget_purge" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-forget")
+      try {
+        stageIvfpqLayout(s, d, dir.toString)
+        val nf = purgeForgotten(s, d, dir.toString)
+        // bounded (≤16 rows): collected so the result outlives the temp dir
+        s.read.parquet(dir.toString)
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(countDistinct(col("vec_id")).as("n_vectors"),
+            count(lit(1)).as("n_codes"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            nf.getOrElse(r.getInt(0).toLong, 0L), nf.contains(r.getInt(0).toLong)))
+          .toSeq
+          .toDF("cell", "n_vectors", "n_codes", "n_forgotten", "rewritten")
+      } finally graft.streaming.StagedEvents.deleteRecursively(dir)
+    }),
+
+    // The SERVING side of index erasure — what a tier does between purge
+    // jobs: dead vectors are TOMBSTONED (a broadcast-bounded id set) and
+    // dropped from each probe's candidates BEFORE ranking, so answers
+    // are exact w.r.t. the purged corpus while the physical lists still
+    // hold dead codes. Per probe the row reads the cost and the
+    // guarantee: candidates scanned with tombstones vs after the
+    // physical purge (the dead-scan overhead the purge job reclaims),
+    // the served top-5 checksum, and the agreement flag pinning that
+    // tombstone serving ≡ purged serving — both legs computed end to end
+    // and replayed leg for leg in the oracle.
+    "sim_ivfpq_forget_serve" -> ((s, d) => {
+      val cells = ivfpqCellsShared(s, d)
+      val pc = ivfpqProbeCells(s, d)
+      val cand = cells.join(broadcast(pc), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), forgetPred.as("dead"))
+      val counts = cand.groupBy(col("q_id")).agg(
+        count(lit(1)).as("n_scanned_tomb"),
+        sum(when(col("dead"), 1L).otherwise(0L)).as("n_dead"))
+      def top5(c: DataFrame): DataFrame = {
+        val adcr = c
+          .join(pqCodesShared(s, d), Seq("vec_id"))
+          .join(broadcast(pqLut(s, d)), Seq("q_id", "sub", "c_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc_u"))
+        ivfpqExactTail(s, d, adcr).select(col("q_id"), col("vec_id"))
+      }
+      val tomb = top5(cand.filter(!col("dead")).select(col("q_id"), col("vec_id")))
+        .groupBy(col("q_id"))
+        .agg(sum(col("vec_id")).as("top5_sum"), count(lit(1)).as("tn"))
+      val purged = top5(cells.filter(!forgetPred)
+          .join(broadcast(pc), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id")))
+        .groupBy(col("q_id"))
+        .agg(sum(col("vec_id")).as("p_sum"), count(lit(1)).as("pn"))
+      counts.join(tomb, Seq("q_id")).join(purged, Seq("q_id"))
+        .select(col("q_id"), col("n_scanned_tomb"), col("n_dead"),
+          (col("n_scanned_tomb") - col("n_dead")).as("n_scanned_purged"),
+          col("top5_sum"),
+          (col("top5_sum") === col("p_sum") && col("tn") === col("pn")).as("agree"))
+    }),
+
     "sim_ivfpq_compaction" -> ((s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("ivfpq-compaction")
@@ -4396,6 +4539,35 @@ object Similarity {
       FROM codes cds JOIN cellasn a ON cds.vec_id = a.vec_id
       GROUP BY 1"""
 
+  /** The forget-set predicate shared verbatim with [[forgetPred]]. */
+  private val forgetSqlPred =
+    "('0x' || substr(md5('fgt' || vec_id::VARCHAR), 1, 15))::BIGINT % 50 = 0"
+
+  /** One serve leg of the erasure-serving oracle: candidates → ADC →
+    * top-50 shortlist → exact re-rank → per-probe top-5 checksum. Two
+    * instantiations (tombstone-filtered, physically purged) must agree —
+    * the equivalence the query's `agree` flag pins.
+    */
+  private def forgetServeLeg(pfx: String, candSql: String): String = s"""
+      ${pfx}cand AS ($candSql),
+      ${pfx}adc AS (SELECT ca.q_id, ca.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_u
+               FROM ${pfx}cand ca JOIN codes cds ON cds.vec_id = ca.vec_id
+               JOIN lut l ON l.q_id = ca.q_id AND l.sb = cds.sb AND l.c_id = cds.c_id
+               GROUP BY 1, 2),
+      ${pfx}short AS (SELECT q_id, vec_id FROM ${pfx}adc
+                 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) <= 50),
+      ${pfx}ex AS (SELECT sh.q_id, sh.vec_id,
+                     CAST(sum((p.xu - b.xu) * (p.xu - b.xu)) AS BIGINT) AS d2
+              FROM ${pfx}short sh JOIN xu p ON p.vec_id = sh.q_id
+              JOIN xu b ON b.vec_id = sh.vec_id AND b.sb = p.sb AND b.wd = p.wd
+              GROUP BY 1, 2),
+      ${pfx}top AS (SELECT q_id, CAST(sum(vec_id) AS BIGINT) AS s5,
+                       count(*) AS n5
+               FROM (SELECT q_id, vec_id FROM ${pfx}ex
+                     QUALIFY row_number() OVER (PARTITION BY q_id
+                       ORDER BY d2, vec_id) <= 5)
+               GROUP BY 1)"""
+
   /** ADC top-5: the codes-only ranking sim_pq_adc returns. */
   private val pqAdcSql: String = pqAdcCtes + """
       SELECT q_id, vec_id,
@@ -5297,6 +5469,49 @@ object Similarity {
     // the compacted layout's per-cell inventory must equal the logical
     // index table re-derived from raw parquet
     "sim_ivfpq_compaction" -> ivfpqCompactionSql,
+    // sim_ivfpq_forget_purge: the purged index re-derived LOGICALLY —
+    // per cell, survivors/codes/forgotten under the shared md5 forget
+    // set; a fully-forgotten cell emits no row (its dir is deleted)
+    "sim_ivfpq_forget_purge" -> (pqAdcCtes + cellAsnCtes + s""",
+      fgt AS (SELECT vec_id FROM c WHERE $forgetSqlPred)
+      SELECT CAST(a.cell AS INTEGER) AS cell,
+             CAST(count(DISTINCT cds.vec_id) FILTER (WHERE f.vec_id IS NULL) AS BIGINT) AS n_vectors,
+             CAST(count(*) FILTER (WHERE f.vec_id IS NULL) AS BIGINT) AS n_codes,
+             CAST(count(DISTINCT cds.vec_id) FILTER (WHERE f.vec_id IS NOT NULL) AS BIGINT) AS n_forgotten,
+             count(DISTINCT cds.vec_id) FILTER (WHERE f.vec_id IS NOT NULL) > 0 AS rewritten
+      FROM codes cds JOIN cellasn a ON cds.vec_id = a.vec_id
+      LEFT JOIN fgt f ON f.vec_id = cds.vec_id
+      GROUP BY 1
+      HAVING count(*) FILTER (WHERE f.vec_id IS NULL) > 0"""),
+    // sim_ivfpq_forget_serve: both serve legs replayed end to end — the
+    // tombstone-filtered candidates and the purged index's candidates
+    // each run ADC → shortlist → exact re-rank → top-5
+    "sim_ivfpq_forget_serve" -> (pqAdcCtes + cellAsnCtes + s""",
+      fgt AS (SELECT vec_id FROM c WHERE $forgetSqlPred),
+      probecells AS (SELECT vec_id AS q_id, cell FROM cd2
+                     WHERE vec_id < 10
+                     QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cell) <= 2),
+      candf AS (SELECT p.q_id, a.vec_id, (f.vec_id IS NOT NULL) AS dead
+                FROM cellasn a JOIN probecells p ON a.cell = p.cell
+                LEFT JOIN fgt f ON f.vec_id = a.vec_id
+                WHERE a.vec_id <> p.q_id),
+      cnts AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_scanned_tomb,
+                      CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+               FROM candf GROUP BY 1),
+      ${forgetServeLeg("t", "SELECT q_id, vec_id FROM candf WHERE NOT dead")},
+      ${forgetServeLeg("g",
+        """SELECT p.q_id, a.vec_id
+                FROM cellasn a JOIN probecells p ON a.cell = p.cell
+                WHERE a.vec_id <> p.q_id
+                  AND a.vec_id NOT IN (SELECT vec_id FROM fgt)""")}
+      SELECT c.q_id, c.n_scanned_tomb, c.n_dead,
+             c.n_scanned_tomb - c.n_dead AS n_scanned_purged,
+             t.s5 AS top5_sum,
+             (t.s5 = g.s5 AND t.n5 = g.n5) AS agree
+      FROM cnts c
+      JOIN ttop t ON t.q_id = c.q_id
+      JOIN gtop g ON g.q_id = c.q_id"""),
     // the maintenance loop must lose nothing: same logical inventory
     "sim_ivfpq_recompaction" -> ivfpqCompactionSql,
     "sim_ivfpq_scan_cost" -> ivfpqScanCostSql,
