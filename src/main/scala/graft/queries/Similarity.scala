@@ -1490,6 +1490,83 @@ object Similarity {
       transform(asDouble(col("embedding")),
         x => round(x * 1000000).cast("long")).as("vu"))
 
+  /** The k-center oracle's shared CTE chain: micro-unit dims, the seed,
+    * and the 7 unrolled (argmax, distance, fold-min) steps — one string
+    * so the selection and the census oracles can never drift.
+    */
+  private lazy val kcenterOracleCtes: String = {
+    def dist(cte: String, centerCte: String) =
+      s"""$cte AS MATERIALIZED (
+        SELECT a.vec_id, CAST(sum((a.xu - b.xu) * (a.xu - b.xu)) AS BIGINT) AS d2
+        FROM vud a JOIN $centerCte s ON true
+             JOIN vud b ON b.vec_id = s.cid AND b.dim = a.dim
+        GROUP BY 1)"""
+    val steps = (1 to 7).map { k =>
+      s""",
+      c$k AS MATERIALIZED (SELECT vec_id AS cid, dmin FROM m$k
+        QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+      ${dist(s"d$k", s"c$k")},
+      m${k + 1} AS MATERIALIZED (
+        SELECT m.vec_id, CASE WHEN d.d2 < m.dmin THEN d.d2 ELSE m.dmin END AS dmin
+        FROM m$k m JOIN d$k d ON d.vec_id = m.vec_id)"""
+    }.mkString
+    s"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vud AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xu
+             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+      c0 AS (SELECT min(vec_id) AS cid FROM c),
+      ${dist("m1x", "c0")},
+      m1 AS MATERIALIZED (SELECT vec_id, d2 AS dmin FROM m1x)$steps"""
+  }
+
+  /** Integer-micro-unit vectors for the k-center family (pqVu's shape,
+    * bound separately so the sampling operator doesn't entangle with the
+    * PQ session caches).
+    */
+  private def kcenterVu(s: SparkSession, d: String): DataFrame =
+    fanOut(embeddings(s, d), s).select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000000).cast("long")).as("vu"))
+
+  /** The greedy farthest-point selection log — (step, center_id, sel_d2u)
+    * with the step-0 seed (no radius) and the step-8 residual row (no
+    * center). Driver-side content-stamped memo (the covarianceMatrix
+    * discipline): the loop's 8 bounded one-row collects run once per
+    * (dir, content) and both sample_kcenter and the census read the same
+    * selection.
+    */
+  private val kcenterMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(Int, java.lang.Long, java.lang.Long)]]()
+
+  private def kcenterRows(
+      s: SparkSession, d: String): Seq[(Int, java.lang.Long, java.lang.Long)] =
+    kcenterMemo.computeIfAbsent(d + "|" + ContentStamp.of(d), _ => {
+      val vu = kcenterVu(s, d)
+      val l2 = graft.expressions.VectorExpressions.l2sq _
+      // bounded collect: exactly one row per greedy step (k = 8)
+      val seed = vu.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      def distTo(cid: Long): DataFrame =
+        vu.crossJoin(broadcast(
+            vu.filter(col("vec_id") === cid).select(col("vu").as("cu"))))
+          .select(col("vec_id"), l2(col("vu"), col("cu")).as("dmin"))
+      val rows = scala.collection.mutable.ArrayBuffer[
+        (Int, java.lang.Long, java.lang.Long)]((0, seed, null))
+      var minD = distTo(seed)
+      for (step <- 1 to 7) {
+        val top = minD.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        val cid = top.getLong(0)
+        rows += ((step, cid, top.getLong(1)))
+        minD = SessionCaches.loopCheckpoint(
+          minD.join(distTo(cid).withColumnRenamed("dmin", "d2"), Seq("vec_id"))
+            .select(col("vec_id"), least(col("dmin"), col("d2")).as("dmin")))
+      }
+      val residual = minD.agg(max(col("dmin"))).collect()(0).getLong(0)
+      rows += ((8, null, residual))
+      rows.toSeq
+    })
+
   /** Exact integer-L2² top-5 per probe — the declared brute-force baseline
     * both PQ recall audits compare against.
     */
@@ -1800,31 +1877,39 @@ object Similarity {
     // Oracle: the 8 steps unrolled as generated MATERIALIZED CTEs.
     "sample_kcenter" -> ((s, d) => {
       import s.implicits._
-      val vu = fanOut(embeddings(s, d), s).select(col("vec_id"),
-        transform(asDouble(col("embedding")),
-          x => round(x * 1000000).cast("long")).as("vu"))
-      val l2 = graft.expressions.VectorExpressions.l2sq _
-      // bounded collect: exactly one row per greedy step (k = 8)
-      val seed = vu.agg(min(col("vec_id"))).collect()(0).getLong(0)
-      def distTo(cid: Long): DataFrame =
-        vu.crossJoin(broadcast(
-            vu.filter(col("vec_id") === cid).select(col("vu").as("cu"))))
-          .select(col("vec_id"), l2(col("vu"), col("cu")).as("dmin"))
-      val rows = scala.collection.mutable.ArrayBuffer[
-        (Int, java.lang.Long, java.lang.Long)]((0, seed, null))
-      var minD = distTo(seed)
-      for (step <- 1 to 7) {
-        val top = minD.orderBy(col("dmin").desc, col("vec_id")).limit(1)
-          .collect()(0)
-        val cid = top.getLong(0)
-        rows += ((step, cid, top.getLong(1)))
-        minD = SessionCaches.loopCheckpoint(
-          minD.join(distTo(cid).withColumnRenamed("dmin", "d2"), Seq("vec_id"))
-            .select(col("vec_id"), least(col("dmin"), col("d2")).as("dmin")))
+      kcenterRows(s, d).toDF("step", "center_id", "sel_d2u")
+    }),
+
+    // The ASSIGNMENT CENSUS under the final 8 k-center exemplars — the
+    // table that turns the selection curve into a usable coverage map:
+    // every vector assigned to its nearest center (exact integer-L2²,
+    // ties to the smaller center id), then per center the population,
+    // the covering radius (max assigned distance), and the exact total
+    // distance — what a curation sampler reads to budget per-region
+    // quotas, and what flags a region one exemplar can't represent
+    // (large n × large radius). The greedy selection is a driver-side
+    // content-stamped memo shared with sample_kcenter (the
+    // covarianceMatrix discipline), so the census costs ONE extra
+    // linear pass: corpus × the 8-row broadcast center table.
+    "sample_kcenter_census" -> ((s, d) => {
+      val centers = kcenterRows(s, d).collect {
+        case (_, cid, _) if cid != null => cid.longValue()
       }
-      val residual = minD.agg(max(col("dmin"))).collect()(0).getLong(0)
-      rows += ((8, null, residual))
-      rows.toSeq.toDF("step", "center_id", "sel_d2u")
+      val vu = kcenterVu(s, d)
+      val cents = broadcast(vu.filter(col("vec_id").isin(centers: _*))
+        .select(col("vec_id").as("center_id"), col("vu").as("cu")))
+      val l2 = graft.expressions.VectorExpressions.l2sq _
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("center_id"))
+      vu.crossJoin(cents)
+        .select(col("vec_id"), col("center_id"), l2(col("vu"), col("cu")).as("d2"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .groupBy(col("center_id"))
+        .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("radius_d2u"),
+          // exact BIGINT total (a mean at 1e12 magnitude has no stable
+          // 6-decimal rounding in doubles — ulp is ~2e-4 there); the
+          // reader divides
+          sum(col("d2")).as("sum_d2u"))
     }),
 
     // One Lloyd iteration of k-means (k=8, cosine assignment): assign every
@@ -6131,37 +6216,35 @@ object Similarity {
     // generated MATERIALIZED CTEs — per step a linear distance pass to
     // the one new center and an integer argmax with the vec_id tiebreak
     "sample_kcenter" -> {
-      def dist(cte: String, centerCte: String) =
-        s"""$cte AS MATERIALIZED (
-        SELECT a.vec_id, CAST(sum((a.xu - b.xu) * (a.xu - b.xu)) AS BIGINT) AS d2
-        FROM vud a JOIN $centerCte s ON true
-             JOIN vud b ON b.vec_id = s.cid AND b.dim = a.dim
-        GROUP BY 1)"""
-      val steps = (1 to 7).map { k =>
-        s""",
-      c$k AS MATERIALIZED (SELECT vec_id AS cid, dmin FROM m$k
-        QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
-      ${dist(s"d$k", s"c$k")},
-      m${k + 1} AS MATERIALIZED (
-        SELECT m.vec_id, CASE WHEN d.d2 < m.dmin THEN d.d2 ELSE m.dmin END AS dmin
-        FROM m$k m JOIN d$k d ON d.vec_id = m.vec_id)"""
-      }.mkString
       val sel = (1 to 7).map(k =>
         s"UNION ALL SELECT $k, (SELECT cid FROM c$k), (SELECT dmin FROM c$k)")
         .mkString("\n      ")
       s"""
-      WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      vud AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
-                   CAST(round(v[i] * 1000000) AS BIGINT) AS xu
-             FROM c, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
-      c0 AS (SELECT min(vec_id) AS cid FROM c),
-      ${dist("m1x", "c0")},
-      m1 AS MATERIALIZED (SELECT vec_id, d2 AS dmin FROM m1x)$steps
+      WITH $kcenterOracleCtes
       SELECT CAST(0 AS INTEGER) AS step, (SELECT cid FROM c0) AS center_id,
              CAST(NULL AS BIGINT) AS sel_d2u
       $sel
       UNION ALL SELECT 8, CAST(NULL AS BIGINT), (SELECT max(dmin) FROM m8)"""
     },
+    // sample_kcenter_census: the shared selection chain + one assignment
+    // pass (every vector × the 8 selected centers, argmin with the
+    // center-id tiebreak)
+    "sample_kcenter_census" -> s"""
+      WITH $kcenterOracleCtes,
+      cents AS (SELECT cid FROM c0
+      ${(1 to 7).map(k => s"UNION ALL SELECT cid FROM c$k").mkString("\n      ")}),
+      ad AS (SELECT a.vec_id, b.vec_id AS center_id,
+                    CAST(sum((a.xu - b.xu) * (a.xu - b.xu)) AS BIGINT) AS d2
+             FROM vud a JOIN vud b ON b.dim = a.dim
+                  AND b.vec_id IN (SELECT cid FROM cents)
+             GROUP BY 1, 2),
+      asg AS (SELECT vec_id, center_id, d2 FROM ad
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, center_id) = 1)
+      SELECT center_id, CAST(count(*) AS BIGINT) AS n_assigned,
+             CAST(max(d2) AS BIGINT) AS radius_d2u,
+             CAST(sum(d2) AS BIGINT) AS sum_d2u
+      FROM asg GROUP BY 1""",
     "sim_ivf_trained" -> s"""
       WITH km AS (SELECT * FROM ($kmeansSql)),
       tc0 AS (SELECT c_id, list(mean_x ORDER BY dim) AS cv FROM km GROUP BY c_id),

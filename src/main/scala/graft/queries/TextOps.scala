@@ -2753,6 +2753,67 @@ object TextOps {
             round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
             .as("auc"))
     }),
+
+    // CALIBRATION audit for the quality gate — AUC (above) says the
+    // scorer RANKS well; calibration says whether its score MEANS what
+    // it claims, which is what a threshold choice actually consumes
+    // (a gate set at "p > 0.9" filters garbage if the model's 0.9 is
+    // really 0.6). The reliability table in LOG-ODDS space: docs bucket
+    // by the integer logit (10k-micro-unit bins, sized to the corpus's
+    // narrow observed logit span — a production gate would fit quantile
+    // bins; fixed width keeps the oracle exact), and per bin the
+    // claimed log-odds (the bin's mean logit — the model's own
+    // assertion) sits next to the empirical log-odds ln((pos+1)/(neg+1))
+    // (+1-smoothed so single-class bins stay finite). The gap column is
+    // |claimed − empirical| in micro-units and the verdict flags bins
+    // off by more than one nat — the rows a recalibration (Platt /
+    // isotonic) would be fitted on. A final 'overall' row (bin 999)
+    // carries the n-weighted mean gap — the expected-calibration-error
+    // analogue a dashboard tracks. Everything is integer counts and
+    // ln-micro-units (the text_bigram_logprob discipline): zero float
+    // reductions, one corpus scan, one ≤~17-group agg.
+    "text_quality_calibration" -> ((s, d) => {
+      def ratioU(pat: String) =
+        expr(s"(length(regexp_replace(text, '$pat', '')) * 1000000L) div length(text)")
+      val scored = fanOut(documents(s, d), s)
+        .filter(length(col("text")) > 0)
+        .withColumn("logit_u",
+          lit(-900000L) + lit(2L) * ratioU("[^A-Za-z]") - lit(4L) * ratioU("[^0-9]")
+            + ratioU("[^ ]") - lit(3L) * ratioU("[^A-Z]"))
+        .select(col("logit_u"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        // binning floors on the DOUBLE quotient in both engines (never
+        // integer `div`: Spark's div truncates toward zero on negative
+        // logits while DuckDB's // floors — they'd disagree on bin -1)
+        .withColumn("bin",
+          floor(col("logit_u").cast("double") / 10000.0).cast("long"))
+      def gapCols(g: DataFrame): DataFrame = g
+        .withColumn("claimed_u",
+          round(col("sum_logit").cast("double") / col("n")).cast("long"))
+        .withColumn("emp_u",
+          round(log((col("n_pos") + lit(1L))
+            / (col("n") - col("n_pos") + lit(1L))) * 1000000).cast("long"))
+        .select(col("bin"), col("n"), col("n_pos"), col("claimed_u"), col("emp_u"),
+          abs(col("claimed_u") - col("emp_u")).as("gap_u"),
+          (abs(col("claimed_u") - col("emp_u")) <= 1000000L).as("calibrated"))
+      val perBin = gapCols(scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("logit_u")).as("sum_logit")))
+      // the overall row: the n-weighted mean per-bin gap (ECE in
+      // log-odds space) annotated onto the corpus totals
+      val overall = perBin
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+          sum(col("n") * col("claimed_u")).as("wc"),
+          sum(col("n") * col("emp_u")).as("we"),
+          sum(col("n") * col("gap_u")).as("wg"))
+        .select(lit(999L).as("bin"), col("n"), col("n_pos"),
+          round(col("wc").cast("double") / col("n")).cast("long").as("claimed_u"),
+          round(col("we").cast("double") / col("n")).cast("long").as("emp_u"),
+          round(col("wg").cast("double") / col("n")).cast("long").as("gap_u"),
+          (round(col("wg").cast("double") / col("n")).cast("long") <= 1000000L)
+            .as("calibrated"))
+      perBin.unionByName(overall)
+    }),
   )
 
   /** Max Hamming distance for dedup_simhash_pairs; must stay < the band
@@ -4024,5 +4085,37 @@ object TextOps {
                              / (2.0 * sum(pos_g) * sum(neg_g)), 6)
              END AS auc
       FROM cum GROUP BY 1""",
+    "text_quality_calibration" -> """
+      WITH f AS (
+        SELECT CAST(-900000
+                 + 2 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000 // length(text))
+                 - 4 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000 // length(text))
+                 +     (length(regexp_replace(text, '[^ ]', '', 'g')) * 1000000 // length(text))
+                 - 3 * (length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1000000 // length(text))
+                 AS BIGINT) AS logit_u,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE length(text) > 0),
+      b AS (SELECT CAST(floor(logit_u / 10000.0) AS BIGINT) AS bin, logit_u, y FROM f),
+      g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(logit_u) AS BIGINT) AS sum_logit
+            FROM b GROUP BY 1),
+      per AS (SELECT bin, n, n_pos,
+                     CAST(round(CAST(sum_logit AS DOUBLE) / n) AS BIGINT) AS claimed_u,
+                     CAST(round(ln((n_pos + 1) / CAST(n - n_pos + 1 AS DOUBLE))
+                                * 1000000) AS BIGINT) AS emp_u
+              FROM g),
+      pg AS (SELECT bin, n, n_pos, claimed_u, emp_u,
+                    abs(claimed_u - emp_u) AS gap_u,
+                    abs(claimed_u - emp_u) <= 1000000 AS calibrated
+             FROM per)
+      SELECT * FROM pg
+      UNION ALL
+      SELECT 999, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
+             CAST(round(CAST(sum(n * claimed_u) AS DOUBLE) / sum(n)) AS BIGINT),
+             CAST(round(CAST(sum(n * emp_u) AS DOUBLE) / sum(n)) AS BIGINT),
+             CAST(round(CAST(sum(n * gap_u) AS DOUBLE) / sum(n)) AS BIGINT),
+             CAST(round(CAST(sum(n * gap_u) AS DOUBLE) / sum(n)) AS BIGINT) <= 1000000
+      FROM pg""",
   )
 }

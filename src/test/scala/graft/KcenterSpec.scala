@@ -53,4 +53,37 @@ class KcenterSpec extends SparkSpec {
     // vacuousness: the curve genuinely decreases somewhere
     assert(radii.head > radii.last, "flat radius curve — selection is vacuous")
   }
+
+  test("sample_kcenter_census equals the brute-force nearest-center assignment") {
+    val vu = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val byId = vu.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // centers from the selection query itself (already brute-pinned above)
+    val centers = graft.queries.Similarity.queries("sample_kcenter")(spark, sf)
+      .collect().filter(!_.isNullAt(1)).map(_.getLong(1)).sorted
+    val brute = vu.map { case (id, v) =>
+      val (cid, dv) = centers.map(c => (c, d2(v, byId(c))))
+        .minBy { case (c, dd) => (dd, c) }
+      (id, cid, dv)
+    }.groupBy(_._2).map { case (cid, xs) =>
+      cid -> (xs.length.toLong, xs.map(_._3).max, xs.map(_._3).sum)
+    }
+    val got = graft.queries.Similarity.queries("sample_kcenter_census")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == brute.keySet, "center sets differ")
+    brute.foreach { case (c, v) =>
+      assert(got(c) == v, s"center $c: got ${got(c)}, brute $v")
+    }
+    // every center covers itself (distance 0 is its own minimum), so all
+    // 8 selected exemplars appear and the populations sum to the corpus
+    assert(got.values.map(_._1).sum == vu.length.toLong)
+  }
 }

@@ -631,7 +631,11 @@ class PlanSpec extends SparkSpec {
       // two 1-row scalars (distinct train bigrams D, train vocab V) ×
       // the held-half bigram stream — the annotate-with-constant shape;
       // the three LM joins are broadcast-hash on vocab-bounded tables
-      "text_kn_heldout")
+      "text_kn_heldout",
+      // the assignment pass is every vector × the BOUNDED broadcast
+      // 8-center table (the canonical IVF/k-means quantizer shape); the
+      // greedy selection's per-step pass is the same shape with ONE row
+      "sample_kcenter_census", "sample_kcenter")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
