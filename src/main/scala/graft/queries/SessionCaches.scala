@@ -46,7 +46,7 @@ object SessionCaches {
     * [[releaseLoopCheckpoints]] / [[releaseAll]] once consumers are done
     * (after which the frame cannot be re-executed: lineage is truncated).
     */
-  private[queries] def loopCheckpoint(df: DataFrame): DataFrame = {
+  private[graft] def loopCheckpoint(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(false)
     liveLoopCheckpoints.synchronized {
       liveLoopCheckpoints.getOrElseUpdate(out.sparkSession,

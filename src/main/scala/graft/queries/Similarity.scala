@@ -5219,6 +5219,37 @@ object Similarity {
     sb.toString
   }
 
+  /** The hier-entry fragment — the sampled upper layer, the per-probe
+    * argmax entry, and the unrolled walk from it (prefix `hr`) — bound
+    * once and shared by sim_knn_graph_entry's hier leg AND
+    * stream_graph_probe's oracle: the streamed serving path's whole
+    * contract is that it answers identically to the batch leg, so both
+    * must pin against one SQL string. Expects `c` and `qs` in scope.
+    */
+  private lazy val hierWalkCtes: String = s"""l1 AS MATERIALIZED (SELECT vec_id FROM c
+            WHERE ('0x' || substr(md5('hl' || vec_id::VARCHAR), 1, 15))::BIGINT % 8 = 0),
+      hr AS (SELECT q_id, cand AS hier_entry FROM (
+               SELECT q.q_id, v.vec_id AS cand,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) DESC,
+                                 v.vec_id) AS r
+               FROM qs q JOIN l1 l ON l.vec_id <> q.q_id
+                    JOIN c v ON v.vec_id = l.vec_id) WHERE r = 1),
+      hrbeam0 AS (SELECT q_id, hier_entry AS cand FROM hr)${beamWalkCtes("hr", 8)}"""
+
+  /** The hier-entry walk's top-5 as a standalone oracle —
+    * stream_graph_probe must land on this, hash for hash.
+    */
+  private[graft] lazy val knnHierWalkOracle: String = s"""
+      WITH $knnOracleCtes,
+      ge AS (SELECT vec_id, nbr FROM g$KnnIters),
+      qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
+      $hierWalkCtes
+      SELECT q_id, cand AS vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q_id, cand, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS rank
+        FROM hrvis3) WHERE rank <= 5"""
+
   /** The unrolled B=8 beam-walk replay — bound once and shared by
     * sim_knn_graph_search AND sim_knn_graph_search_compacted: the
     * layout-serving variant's whole contract is that it answers
@@ -5422,20 +5453,11 @@ object Similarity {
       WITH $knnOracleCtes,
       ge AS (SELECT vec_id, nbr FROM g$KnnIters),
       qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 10),
-      l1 AS MATERIALIZED (SELECT vec_id FROM c
-            WHERE ('0x' || substr(md5('hl' || vec_id::VARCHAR), 1, 15))::BIGINT % 8 = 0),
+      $hierWalkCtes,
       fx AS (SELECT min(vec_id) AS fixed_entry FROM l1),
-      hr AS (SELECT q_id, cand AS hier_entry FROM (
-               SELECT q.q_id, v.vec_id AS cand,
-                      row_number() OVER (PARTITION BY q.q_id
-                        ORDER BY round(list_dot_product(q.qv, v.v) / (q.qn * v.nrm), 6) DESC,
-                                 v.vec_id) AS r
-               FROM qs q JOIN l1 l ON l.vec_id <> q.q_id
-                    JOIN c v ON v.vec_id = l.vec_id) WHERE r = 1),
       sebeam0 AS (SELECT q_id, q_id AS cand FROM qs)${beamWalkCtes("se", 8)},
       fxbeam0 AS (SELECT q_id, (SELECT fixed_entry FROM fx) AS cand FROM qs)${
         beamWalkCtes("fx", 8)},
-      hrbeam0 AS (SELECT q_id, hier_entry AS cand FROM hr)${beamWalkCtes("hr", 8)},
       se5 AS (SELECT q_id, cand AS vec_id FROM (
                 SELECT q_id, cand,
                        row_number() OVER (PARTITION BY q_id

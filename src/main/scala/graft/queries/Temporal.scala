@@ -838,6 +838,15 @@ object Temporal {
     "stream_compacted_probe" -> ((s, d) =>
       graft.streaming.CompactedProbe.ivfpqTop5(s, d)),
 
+    // The streamed GRAPH-ANN probe — the hier entry chosen in-stream
+    // against the broadcast upper layer (stateless join + complete-mode
+    // argmax), the 3-round beam walk batch-side over the drained entry
+    // set, adjacency read per hop from the partitionBy(blk) serving
+    // layout with the beam's blocks as a literal partition filter. Must
+    // land on the batch hier leg's own walk, hash for hash.
+    "stream_graph_probe" -> ((s, d) =>
+      graft.streaming.GraphProbe.hierTop5(s, d)),
+
     // W9: exponentially-decayed moving average per user — the recency-
     // weighted engagement score (α = 1/2 over the last 8 events, so the
     // weights are exact powers of two: newest 128 … oldest 1). A true
@@ -1430,6 +1439,7 @@ object Temporal {
     // the compacted-layout probe must produce the batch IVF-PQ top-5:
     // the physical layout and the streamed ADC leg change NOTHING
     "stream_compacted_probe" -> graft.queries.Similarity.oracle("sim_ivfpq_topk"),
+    "stream_graph_probe" -> graft.queries.Similarity.knnHierWalkOracle,
     // the streamed per-row media decode must land on the batch decode's
     // closed-form table exactly
     "stream_media_decode" -> graft.queries.Extended.oracle("mm_decode_meta"),
