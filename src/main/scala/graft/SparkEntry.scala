@@ -45,5 +45,6 @@ object SparkEntry {
       ("pipeline_hybrid_ksweep" -> graft.queries.Similarity.hybridKsweepSql(spark, sfDir)) +
       ("pipeline_hybrid_depth_curve" -> graft.queries.Similarity.hybridDepthCurveSql(spark, sfDir)) +
       ("pipeline_retrieval_metrics" -> graft.queries.Similarity.hybridMetricsSql(spark, sfDir)) +
-      ("sim_opq_train_curve" -> graft.queries.Similarity.opqTrainCurveSql(spark, sfDir))
+      ("sim_opq_train_curve" -> graft.queries.Similarity.opqTrainCurveSql(spark, sfDir)) +
+      ("text_quality_isotonic" -> graft.queries.TextOps.isotonicOracleSql(spark, sfDir))
 }

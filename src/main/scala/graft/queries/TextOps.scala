@@ -2773,20 +2773,6 @@ object TextOps {
     // ln-micro-units (the text_bigram_logprob discipline): zero float
     // reductions, one corpus scan, one ≤~17-group agg.
     "text_quality_calibration" -> ((s, d) => {
-      def ratioU(pat: String) =
-        expr(s"(length(regexp_replace(text, '$pat', '')) * 1000000L) div length(text)")
-      val scored = fanOut(documents(s, d), s)
-        .filter(length(col("text")) > 0)
-        .withColumn("logit_u",
-          lit(-900000L) + lit(2L) * ratioU("[^A-Za-z]") - lit(4L) * ratioU("[^0-9]")
-            + ratioU("[^ ]") - lit(3L) * ratioU("[^A-Z]"))
-        .select(col("logit_u"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-        // binning floors on the DOUBLE quotient in both engines (never
-        // integer `div`: Spark's div truncates toward zero on negative
-        // logits while DuckDB's // floors — they'd disagree on bin -1)
-        .withColumn("bin",
-          floor(col("logit_u").cast("double") / 10000.0).cast("long"))
       def gapCols(g: DataFrame): DataFrame = g
         .withColumn("claimed_u",
           round(col("sum_logit").cast("double") / col("n")).cast("long"))
@@ -2796,9 +2782,7 @@ object TextOps {
         .select(col("bin"), col("n"), col("n_pos"), col("claimed_u"), col("emp_u"),
           abs(col("claimed_u") - col("emp_u")).as("gap_u"),
           (abs(col("claimed_u") - col("emp_u")) <= 1000000L).as("calibrated"))
-      val perBin = gapCols(scored.groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-          sum(col("logit_u")).as("sum_logit")))
+      val perBin = gapCols(qualityBins(s, d))
       // the overall row: the n-weighted mean per-bin gap (ECE in
       // log-odds space) annotated onto the corpus totals
       val overall = perBin
@@ -2814,7 +2798,125 @@ object TextOps {
             .as("calibrated"))
       perBin.unionByName(overall)
     }),
+
+    // ISOTONIC RECALIBRATION of the quality gate — the audit→fix loop
+    // closed: text_quality_calibration SHOWS the gate is miscalibrated;
+    // this fits the standard monotone correction (pool-adjacent-
+    // violators over the reliability bins, weighted by bin population)
+    // and emits the per-bin corrected log-odds next to the raw
+    // empirical ones. The fit itself is a bounded driver-side
+    // computation over the ≤(logit-span / bin-width) bin rows — exactly
+    // where a 100 TB pipeline runs it (the bins aggregate the corpus;
+    // the fit is O(bins)) — and the fitted pools re-enter the
+    // distributed query as a broadcast literal map (the emb_pca_topk
+    // driver-kernel discipline; the oracle embeds the same knots as
+    // VALUES literals at Verify time, so DuckDB re-derives the bins and
+    // joins the identical fit). PAV pools on the +1-smoothed pooled
+    // log-odds: a violating adjacent pair merges, the pooled statistic
+    // recomputes from summed counts, and merging repeats until the step
+    // function is monotone — pool_lo names each bin's pool so the
+    // pooling structure is itself hash-pinned.
+    "text_quality_isotonic" -> ((s, d) => {
+      import s.implicits._
+      val bins = qualityBins(s, d)
+      // bounded collect: one row per occupied logit bin (≈7 here)
+      val collected = bins.select(col("bin"), col("n"), col("n_pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val mapDf = broadcast(pavPools(collected).flatMap {
+        case (members, _, _, iso) =>
+          members.map(b => (b, iso, members.min))
+      }.toDF("bin", "iso_u", "pool_lo"))
+      bins.join(mapDf, Seq("bin"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(log((col("n_pos") + lit(1L))
+            / (col("n") - col("n_pos") + lit(1L))) * 1000000).cast("long")
+            .as("emp_u"),
+          col("iso_u"), col("pool_lo"))
+    }),
   )
+
+  /** Per-bin logit/label counts — the shared aggregate under the
+    * calibration table, the isotonic fit, and its Verify-time oracle
+    * generator, so the three can never disagree on the binning.
+    */
+  private[graft] def qualityBins(s: SparkSession, d: String): DataFrame = {
+    def ratioU(pat: String) =
+      expr(s"(length(regexp_replace(text, '$pat', '')) * 1000000L) div length(text)")
+    fanOut(documents(s, d), s)
+      .filter(length(col("text")) > 0)
+      .withColumn("logit_u",
+        lit(-900000L) + lit(2L) * ratioU("[^A-Za-z]") - lit(4L) * ratioU("[^0-9]")
+          + ratioU("[^ ]") - lit(3L) * ratioU("[^A-Z]"))
+      .select(col("logit_u"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      // binning floors on the DOUBLE quotient in both engines (never
+      // integer `div`: Spark's div truncates toward zero on negative
+      // logits while DuckDB's // floors — they'd disagree on bin -1)
+      .withColumn("bin",
+        floor(col("logit_u").cast("double") / 10000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("logit_u")).as("sum_logit"))
+  }
+
+  /** Pool-adjacent-violators over (bin, n, n_pos) rows sorted by bin,
+    * pooling on the +1-smoothed log-odds in integer micro-units. Returns
+    * one entry per pool: (member bins, n, n_pos, fitted log-odds).
+    * Deterministic: integer counts in, one rounding per pooled value.
+    */
+  private[graft] def pavPools(bins: Seq[(Long, Long, Long)])
+      : Seq[(Seq[Long], Long, Long, Long)] = {
+    def lodds(pos: Long, n: Long): Long =
+      BigDecimal(math.log((pos + 1L).toDouble / (n - pos + 1L).toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val st = scala.collection.mutable.ArrayBuffer[(Vector[Long], Long, Long)]()
+    for ((b, n, p) <- bins.sortBy(_._1)) {
+      st += ((Vector(b), n, p))
+      while (st.length >= 2 &&
+          lodds(st(st.length - 2)._3, st(st.length - 2)._2) >
+            lodds(st.last._3, st.last._2)) {
+        val a = st(st.length - 2); val c = st.last
+        st.remove(st.length - 2, 2)
+        st += ((a._1 ++ c._1, a._2 + c._2, a._3 + c._3))
+      }
+    }
+    st.map(p => (p._1, p._2, p._3, lodds(p._3, p._2))).toSeq
+  }
+
+  /** DuckDB SQL for text_quality_isotonic, generated at Verify time: the
+    * binning re-derived in SQL, the driver-fitted pools embedded as
+    * VALUES literals (the emb_pca_topk literal-kernel discipline).
+    */
+  def isotonicOracleSql(s: SparkSession, d: String): String = {
+    val collected = qualityBins(s, d).select(col("bin"), col("n"), col("n_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val values = pavPools(collected).flatMap { case (members, _, _, iso) =>
+      members.map(b => s"($b, ${iso}, ${members.min})")
+    }.mkString(", ")
+    s"""
+      WITH f AS (
+        SELECT CAST(-900000
+                 + 2 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000 // length(text))
+                 - 4 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000 // length(text))
+                 +     (length(regexp_replace(text, '[^ ]', '', 'g')) * 1000000 // length(text))
+                 - 3 * (length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1000000 // length(text))
+                 AS BIGINT) AS logit_u,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE length(text) > 0),
+      g AS (SELECT CAST(floor(logit_u / 10000.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos
+            FROM f GROUP BY 1),
+      iso AS (SELECT * FROM (VALUES $values) v(bin, iso_u, pool_lo))
+      SELECT g.bin, g.n, g.n_pos,
+             CAST(round(ln((g.n_pos + 1) / CAST(g.n - g.n_pos + 1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS emp_u,
+             CAST(iso_u AS BIGINT) AS iso_u,
+             CAST(pool_lo AS BIGINT) AS pool_lo
+      FROM g JOIN iso ON iso.bin = g.bin"""
+  }
 
   /** Max Hamming distance for dedup_simhash_pairs; must stay < the band
     * count (4) for the banding to be recall-exact.
