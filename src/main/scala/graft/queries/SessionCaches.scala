@@ -285,46 +285,67 @@ final class SessionFrameCache(maxEntries: Int, name: String = "frame-cache") {
     }
   }
 
+  /** A cached entry: the `served` truncated view every consumer gets, and
+    * the `backing` persisted frame that owns the CacheManager entry (the
+    * handle release/eviction must unpersist).
+    */
+  private final case class Entry(served: DataFrame, backing: DataFrame)
+
   private val cache =
-    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+          e: java.util.Map.Entry[String, Entry]): Boolean = {
         val evict = size() > maxEntries
         // stopped-session frames can't unpersist; eviction must still happen
-        if (evict) try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+        if (evict)
+          try e.getValue.backing.unpersist(blocking = false)
+          catch { case _: Throwable => () }
         evict
       }
     }
 
   /** The cached frame for (session, dir, dir-content-stamp), building +
     * persisting it on first use. The eager count() materializes the blocks
-    * so reuse never re-plans the upstream pass. A stamp change (the dir was
-    * regenerated in place) unpersists and drops the stale entry before
+    * so reuse never re-plans the upstream pass, and consumers are handed a
+    * [[org.apache.spark.sql.GraftDatasetShim.truncated]] view — a
+    * `LogicalRDD` leaf over the materialized scan that carries the real
+    * post-materialization statistics. persist() alone kept the full build
+    * tree in every consumer's plan (measured r13:
+    * sim_knn_graph_incremental at 20k plan lines / 1594 Exchange nodes,
+    * re-analyzed per action); an eager localCheckpoint would truncate too,
+    * but it destroys lineage, so a released or LRU-evicted frame crashes
+    * still-held references instead of recomputing, and its missing stats
+    * degrade auto-broadcast joins to SortMergeJoin. The truncated view
+    * keeps persist's graceful-recompute and stats semantics with
+    * checkpoint's constant-size consumer plans. A stamp change (the dir
+    * was regenerated in place) unpersists and drops the stale entry before
     * building against the live files.
     */
   def getOrBuild(s: SparkSession, d: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
       val prefix = sessionId(s) + "|" + d + "|"
       val key = prefix + ContentStamp.of(d)
-      Option(cache.get(key)).getOrElse {
+      Option(cache.get(key)).map(_.served).getOrElse {
         // same (session, dir) under an older stamp → stale: free it now
         // rather than leaving dead blocks pinned until LRU eviction
         val it = cache.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
           if (e.getKey.startsWith(prefix)) {
-            try e.getValue.unpersist(blocking = true) catch { case _: Throwable => () }
+            try e.getValue.backing.unpersist(blocking = true)
+            catch { case _: Throwable => () }
             it.remove()
           }
         }
         val t0 = System.nanoTime()
         val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count()
+        val served = org.apache.spark.sql.GraftDatasetShim.truncated(df)
         // a cache MISS is a one-time shared-stage build: log it so bench
         // reps that absorb it carry the attribution (StageBuildLog)
         StageBuildLog.record(name, (System.nanoTime() - t0) / 1e9)
-        cache.put(key, df)
-        df
+        cache.put(key, Entry(served, df))
+        served
       }
     }
 
@@ -334,7 +355,8 @@ final class SessionFrameCache(maxEntries: Int, name: String = "frame-cache") {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.startsWith(sessionId(s) + "|")) {
-        try e.getValue.unpersist(blocking = true) catch { case _: Throwable => () }
+        try e.getValue.backing.unpersist(blocking = true)
+        catch { case _: Throwable => () }
         it.remove()
       }
     }

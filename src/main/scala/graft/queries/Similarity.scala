@@ -858,20 +858,111 @@ object Similarity {
       .select(col("vec_id"), expr("dim div 8").as("sub"), (col("dim") % 8).as("wd"),
         round(col("x") * 1000000).cast("long").as("xu"))
 
-  /** Nearest centroid per (vector, subspace) — exact integer L2², ties to
-    * the lower c_id. `cents` must carry (sub, wd, c_id, cu) and be
-    * codebook-bounded (it broadcasts; the corpus never shuffles for the
-    * quantizer).
+  // ---- array-shape PQ kernel (r13 optimization) -------------------------
+  //
+  // The original per-dimension kernel ([[pqAssign]]/[[qerrAgainst]]/
+  // [[lloydUpdate]]) joined the 64-rows-per-vector coordinate stream
+  // against the broadcast codebook on (sub, wd) — a 16× row explosion to
+  // N·1024 intermediate rows — then needed a hash aggregate over
+  // N·128 (vec, sub, c_id) groups (one Exchange) AND an argmin window over
+  // (vec, sub) (a second Exchange) per assignment pass; a training curve
+  // runs eight such passes (bench r13 baseline: 114-117 shuffle-MB per
+  // curve query). The array shape slices each vector into its 8 subvectors
+  // ONCE (pure map, 8 rows per vector), broadcasts the codebook as one
+  // 8-row (sub → 16 candidate structs) dim, and folds the argmin PER ROW —
+  // the exact shape the streaming encoder (EncodeIngest) already proved
+  // bit-identical: strict less-than over c_id-ascending candidates replays
+  // the (d2, c_id)-ascending window rule. Assignment and quantization
+  // error become ZERO-shuffle map passes; the Lloyd update's only exchange
+  // carries 1024-group partial means. At scale this is the difference
+  // between shuffling the corpus per training pass and never shuffling it.
+
+  /** (vec_id, sub, xs: array<long>[8]) — every vector's 8 subvectors in
+    * integer micro-units; pure chunked projection, no shuffle. The same
+    * rounding as [[pqXu]] (round(x·1e6) per dimension), so all integer
+    * arithmetic downstream is bit-identical.
     */
-  private def pqAssign(xu: DataFrame, cents: DataFrame): DataFrame = {
-    val wA = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("c_id"))
-    xu.join(broadcast(cents), Seq("sub", "wd"))
-      .groupBy(col("vec_id"), col("sub"), col("c_id"))
-      .agg(sum((col("xu") - col("cu")) * (col("xu") - col("cu"))).as("d2"))
-      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
-      .select(col("vec_id"), col("sub"), col("c_id"))
-  }
+  private def pqXuArr(s: SparkSession, d: String): DataFrame =
+    chunkedXuFrame(fanOut(embeddings(s, d), s),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000000).cast("long")))
+
+  /** Per-subspace candidate directory from a per-dim (sub, wd, c_id, cu)
+    * codebook: (sub, cands: array<struct<c_id, cu[8]>>) with cands sorted
+    * by c_id ascending — the tie order the argmin fold relies on. Two
+    * codebook-bounded aggregations (≤128 → ≤8 rows); the corpus never
+    * participates.
+    */
+  private def centsBySub(cents: DataFrame): DataFrame =
+    centsArrBySub(cents.groupBy(col("sub"), col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("wd"), col("cu")))),
+        w => w.getField("cu")).as("cu")))
+
+  /** As [[centsBySub]], from an already array-shaped (sub, c_id, cu[8])
+    * codebook (seed frames are born in this shape).
+    */
+  private def centsArrBySub(centsArr: DataFrame): DataFrame =
+    centsArr.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cu")))).as("cands"))
+
+  /** Argmin struct (d2, c_id) over a c_id-ascending candidate array:
+    * strict less-than keeps the FIRST (= lowest c_id) candidate on d2
+    * ties — the [[pqAssign]] (d2, c_id)-ascending rule. The accumulator
+    * seeds with the first candidate's c_id (so the id type is inherited,
+    * never invented) and an unreachable d2 (real distances are ≤
+    * 8·(2e6)² ≪ Long.MaxValue), so the first candidate always replaces it.
+    */
+  private def argminCand(cands: Column, d2Of: Column => Column): Column =
+    aggregate(cands,
+      struct(lit(Long.MaxValue).as("d2"),
+        element_at(cands, 1).getField("c_id").as("c_id")),
+      (acc, c) => {
+        val d2 = d2Of(c)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("c_id").as("c_id"))).otherwise(acc)
+      })
+
+  private def assignBest(xuArr: DataFrame, cands: DataFrame): DataFrame =
+    xuArr.join(broadcast(cands), Seq("sub"))
+      .withColumn("best", argminCand(col("cands"),
+        c => VectorExpressions.l2sq(col("xs"), c.getField("cu"))))
+
+  /** [[pqAssign]] in the array shape: (vec_id, sub, c_id), zero shuffle. */
+  private def pqAssignArr(xuArr: DataFrame, cents: DataFrame): DataFrame =
+    assignBest(xuArr, centsBySub(cents))
+      .select(col("vec_id"), col("sub"), col("best").getField("c_id").as("c_id"))
+
+  /** [[qerrAgainst]] in the array shape: one (t) row, zero shuffle before
+    * the scalar aggregate.
+    */
+  private def qerrAgainstArr(xuArr: DataFrame, cands: DataFrame): DataFrame =
+    assignBest(xuArr, cands)
+      .select(col("best").getField("d2").as("d2"))
+      .agg(sum(col("d2")).as("t"))
+
+  /** [[lloydUpdate]] in the array shape: assignment and member-mean update
+    * in ONE corpus pass (the subvector rides the row to the explode — no
+    * join back onto the coordinate table), one 1024-group exchange.
+    */
+  private def lloydUpdateCands(xuArr: DataFrame, cands: DataFrame): DataFrame =
+    assignBest(xuArr, cands)
+      .select(col("sub"), col("best").getField("c_id").as("c_id"),
+        posexplode(col("xs")).as(Seq("wd", "xu")))
+      .groupBy(col("sub"), col("c_id"), col("wd"))
+      .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+
+  private def lloydUpdateArr(xuArr: DataFrame, cents: DataFrame): DataFrame =
+    lloydUpdateCands(xuArr, centsBySub(cents))
+
+  /** [[trainCents]] in the array shape: seed assignment + one Lloyd
+    * update; seeds (vec_id < 16) are already array-shaped rows.
+    */
+  private def trainCentsArr(xuArr: DataFrame): DataFrame =
+    lloydUpdateCands(xuArr, centsArrBySub(
+      xuArr.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("sub"), col("xs").as("cu"))))
+  // ---- end array-shape PQ kernel ----------------------------------------
+
 
   /** (vec_id, sub, wd, xu) with xu = round((x − mean)·1e6) — [[pqXu]]'s
     * shape over CENTERED coordinates, the middle rung of the OPQ audit
@@ -886,6 +977,41 @@ object Similarity {
           (x, m) => round((x - m) * 1000000).cast("long"))).as(Seq("dim", "xu")))
       .select(col("vec_id"), expr("dim div 8").as("sub"),
         (col("dim") % 8).as("wd"), col("xu"))
+  }
+
+  /** Chunk a 64-long per-dim integer coordinate array into the
+    * (vec_id, sub: long, xs[8]) subvector rows of the array-shape kernel —
+    * pure map, no shuffle.
+    */
+  private def chunkedXuFrame(base: DataFrame, xuPerDim: Column): DataFrame =
+    base.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(7)), sA =>
+          transform(sequence(lit(0), lit(7)),
+            w => element_at(xuPerDim, sA * lit(8) + w + lit(1)))))
+        .as(Seq("sub0", "xs")))
+      .select(col("vec_id"), col("sub0").cast("long").as("sub"), col("xs"))
+
+  /** [[centeredXu]] in the array shape. */
+  private def centeredXuArr(
+      s: SparkSession, d: String, mean: Array[Double]): DataFrame = {
+    val mLit = array(mean.toSeq.map(lit): _*)
+    chunkedXuFrame(fanOut(embeddings(s, d), s),
+      zip_with(asDouble(col("embedding")), mLit,
+        (x, m) => round((x - m) * 1000000).cast("long")))
+  }
+
+  /** [[opqXu]] in the array shape. */
+  private def opqXuArr(s: SparkSession, d: String,
+      basis: Seq[Array[Double]], mean: Array[Double]): DataFrame = {
+    val bLit = array(basis.map(vj => array(vj.toSeq.map(lit): _*)): _*)
+    val oLit = array(basis.map(vj =>
+      lit(mean.indices.map(i => mean(i) * vj(i)).sum)): _*)
+    chunkedXuFrame(
+      fanOut(embeddings(s, d), s)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      zip_with(bLit, oLit, (bj, oj) =>
+        round((aggregate(zip_with(col("v"), bj, (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x) - oj) * 1000000).cast("long")))
   }
 
   /** (vec_id, sub, wd, xu) in the OPQ basis: new coordinate j =
@@ -915,10 +1041,10 @@ object Similarity {
     * quantization error — an exact BIGINT total (order-free), with the
     * per-dimension MSE formed once from integers both engines agree on.
     */
-  private def pqQerrRow(s: SparkSession, d: String, xu: DataFrame,
+  private def pqQerrRow(s: SparkSession, d: String, xuArr: DataFrame,
       cents: DataFrame, scheme: String, dim: Int): DataFrame = {
     val n = embeddings(s, d).agg(count(lit(1)).as("n"))
-    qerrAgainst(xu, cents).crossJoin(n)
+    qerrAgainstArr(xuArr, centsBySub(cents)).crossJoin(n)
       .select(lit(scheme).as("scheme"), col("t").as("total_qerr_u"),
         round(col("t").cast("double") / col("n") / dim.toDouble
           / 1000000000000.0, 6).as("mse"))
@@ -931,10 +1057,20 @@ object Similarity {
     * memoized in [[covarianceMatrix]]).
     */
   private val sharedOpqXu = new SessionFrameCache(4, "sharedOpqXu")
-  def opqXuShared(s: SparkSession, d: String): DataFrame = {
+
+  /** The ARRAY-shape rotated coordinate table (vec_id, sub, xs[8]) — what
+    * the cache actually holds (8 rows per vector instead of 64; the
+    * array-shape kernel's native input). [[opqXuShared]] derives the
+    * per-dim view from it with one shuffle-free posexplode.
+    */
+  def opqXuArrShared(s: SparkSession, d: String): DataFrame = {
     val (basis, mean) = opqBasis(s, d)
-    sharedOpqXu.getOrBuild(s, d)(opqXu(s, d, basis, mean))
+    sharedOpqXu.getOrBuild(s, d)(opqXuArr(s, d, basis, mean))
   }
+
+  def opqXuShared(s: SparkSession, d: String): DataFrame =
+    opqXuArrShared(s, d)
+      .select(col("vec_id"), col("sub"), posexplode(col("xs")).as(Seq("wd", "xu")))
 
   /** Unpersist and drop every shared rotated-coordinate frame of `s`. */
   def releaseOpqXu(s: SparkSession): Unit = sharedOpqXu.release(s)
@@ -947,8 +1083,8 @@ object Similarity {
   def opqCentsShared(s: SparkSession, d: String): DataFrame = {
     // parent materialized OUTSIDE this cache's monitor (the TextOps lock
     // discipline: derived → parent only, no jobs under two monitors)
-    val xu = opqXuShared(s, d)
-    sharedOpqCents.getOrBuild(s, d)(trainCents(xu))
+    val xu = opqXuArrShared(s, d)
+    sharedOpqCents.getOrBuild(s, d)(trainCentsArr(xu))
   }
 
   /** Unpersist and drop every shared rotated-codebook frame of `s`. */
@@ -961,9 +1097,9 @@ object Similarity {
   private val sharedOpqCodes = new SessionFrameCache(4, "sharedOpqCodes")
   def opqCodesShared(s: SparkSession, d: String): DataFrame = {
     // parents materialized OUTSIDE this cache's monitor (lock discipline)
-    val xu = opqXuShared(s, d)
+    val xu = opqXuArrShared(s, d)
     val cents = opqCentsShared(s, d)
-    sharedOpqCodes.getOrBuild(s, d)(pqAssign(xu, cents))
+    sharedOpqCodes.getOrBuild(s, d)(pqAssignArr(xu, cents))
   }
 
   /** Unpersist and drop every shared rotated-code frame of `s`. */
@@ -1005,29 +1141,8 @@ object Similarity {
     */
   private val sharedPqCodebook = new SessionFrameCache(4, "sharedPqCodebook")
   def pqCodebookShared(s: SparkSession, d: String): DataFrame =
-    sharedPqCodebook.getOrBuild(s, d)(trainCents(pqXu(s, d)))
+    sharedPqCodebook.getOrBuild(s, d)(trainCentsArr(pqXuArr(s, d)))
 
-  /** One Lloyd training iteration over any (vec_id, sub, wd, xu)
-    * coordinate table: L2 re-assignment to `cents`, then per-dimension
-    * member means rounded back to micro-units (the single rounding per
-    * iteration). A centroid losing every member simply vanishes — the
-    * same natural-death rule the SQL replay expresses by grouping only
-    * over assigned members.
-    */
-  private def lloydUpdate(xu: DataFrame, cents: DataFrame): DataFrame =
-    pqAssign(xu, cents).join(xu, Seq("vec_id", "sub"))
-      .groupBy(col("sub"), col("c_id"), col("wd"))
-      .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
-
-  /** One PQ training pass (seed assignment + one [[lloydUpdate]]) over any
-    * (vec_id, sub, wd, xu) coordinate table: the family's standard
-    * one-iteration codebook. Factored out of [[pqCodebookShared]] so the
-    * OPQ audit trains the SAME quantizer over rotated coordinates and the
-    * training curve can iterate it.
-    */
-  private def trainCents(xu: DataFrame): DataFrame =
-    lloydUpdate(xu, xu.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu")))
 
   /** Shrunk-shortlist recall read-out shared by the code-quality audits
     * (sim_ivfpq_code_gain, sim_opq_ivfpq_gain): ADC top-10 shortlist →
@@ -1075,15 +1190,22 @@ object Similarity {
     * legs are the per-modality retrieval services a fusion layer
     * consumes, computed once per query batch.
     */
+  /** The UNCACHED legs build — what [[hybridLegsShared]] materializes.
+    * Exposed for PlanSpec: since the cache serves a truncated LogicalRDD
+    * view (r13), the corpus-pass plan contract (probe-broadcast joins,
+    * keyed ranking) is pinned on this build plan, not the consumer's.
+    */
+  private[graft] def hybridLegsBuild(s: SparkSession, d: String): DataFrame =
+    hybridDenseLeg(s, d).withColumn("leg", lit("dense"))
+      .unionByName(hybridLexLeg(s, d).withColumn("leg", lit("lex")))
+
   private val sharedHybridLegs = new SessionFrameCache(4, "sharedHybridLegs")
   def hybridLegsShared(s: SparkSession, d: String): DataFrame = {
     // parents materialized OUTSIDE this cache's monitor (the TextOps
-    // lock discipline: acquisition order is derived → parent only)
-    val dense = hybridDenseLeg(s, d)
-    val lex = hybridLexLeg(s, d)
-    sharedHybridLegs.getOrBuild(s, d)(
-      dense.withColumn("leg", lit("dense"))
-        .unionByName(lex.withColumn("leg", lit("lex"))))
+    // lock discipline: acquisition order is derived → parent only) —
+    // constructing the build plan here triggers the parent caches' builds
+    val legs = hybridLegsBuild(s, d)
+    sharedHybridLegs.getOrBuild(s, d)(legs)
   }
 
   /** Unpersist and drop every shared hybrid-leg frame of session `s`. */
@@ -1124,18 +1246,6 @@ object Similarity {
       .groupBy(col("q_id"), col("sub"), col("c_id"))
       .agg(sum((col("qu") - col("cu")) * (col("qu") - col("cu"))).as("d2"))
 
-  /** Exact total quantization error of `xu` against `cents`: per
-    * (vector, subspace) minimal integer L2², summed — one (t) row.
-    */
-  private def qerrAgainst(xu: DataFrame, cents: DataFrame): DataFrame = {
-    val wA = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("c_id"))
-    xu.join(broadcast(cents), Seq("sub", "wd"))
-      .groupBy(col("vec_id"), col("sub"), col("c_id"))
-      .agg(sum((col("xu") - col("cu")) * (col("xu") - col("cu"))).as("d2"))
-      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
-      .agg(sum(col("d2")).as("t"))
-  }
 
   /** Unpersist and drop every shared PQ codebook frame of session `s`. */
   def releasePqCodebook(s: SparkSession): Unit = sharedPqCodebook.release(s)
@@ -1154,7 +1264,16 @@ object Similarity {
     // codebook materialized OUTSIDE this cache's monitor (the TextOps
     // lock discipline: derived → parent only, no jobs under two monitors)
     val cents = pqCodebookShared(s, d)
-    sharedPqCodes.getOrBuild(s, d)(pqAssign(pqXu(s, d), cents))
+    sharedPqCodes.getOrBuild(s, d)(pqAssignArr(pqXuArr(s, d), cents))
+  }
+
+  /** The UNCACHED code-table build — what [[pqCodesShared]] materializes.
+    * Exposed for PlanSpec to pin the r13 array-kernel shape (broadcast
+    * candidate dim + per-row argmin fold, zero corpus shuffle).
+    */
+  private[graft] def pqCodesBuild(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCodebookShared(s, d)
+    pqAssignArr(pqXuArr(s, d), cents)
   }
 
   /** Unpersist and drop every shared PQ code frame of session `s`. */
@@ -1417,6 +1536,23 @@ object Similarity {
         (col("xu") - col("ccu")).as("xu"))
   }
 
+  /** [[residualXu]] in the array shape: (vec_id, cell, sub, xs[8]) with
+    * xs = x − centroid(cell), element-wise over the subvector — same
+    * integer arithmetic, one broadcast join fewer (the per-cell centroid
+    * subvectors join as ONE 128-row dim instead of a per-dim 1024-row
+    * one) and an 8× narrower row stream.
+    */
+  private def residualXuArr(s: SparkSession, d: String): DataFrame = {
+    val cells = ivfpqCellsShared(s, d)
+    val xu = pqXuArr(s, d)
+    val cellCu = xu.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("sub"), col("xs").as("ccu"))
+    xu.join(cells, Seq("vec_id"))
+      .join(broadcast(cellCu), Seq("cell", "sub"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        zip_with(col("xs"), col("ccu"), (a, b) => a - b).as("xs"))
+  }
+
   /** Session-shared residual PQ codebook (8×16×8 cells trained by one
     * Lloyd step over residual space, seeds = vec_id ∈ [16, 32) residuals)
     * — the train-once artifact, same lifecycle as [[pqCodebookShared]].
@@ -1424,13 +1560,10 @@ object Similarity {
   private val sharedResidualCents = new SessionFrameCache(4, "sharedResidualCents")
   def residualCentsShared(s: SparkSession, d: String): DataFrame =
     sharedResidualCents.getOrBuild(s, d) {
-      val rxu = residualXu(s, d).drop("cell")
+      val rxu = residualXuArr(s, d).drop("cell")
       val rseeds = rxu.filter(col("vec_id") >= 16 && col("vec_id") < 32)
-        .select((col("vec_id") - 16).as("c_id"), col("sub"), col("wd"),
-          col("xu").as("cu"))
-      pqAssign(rxu, rseeds).join(rxu, Seq("vec_id", "sub"))
-        .groupBy(col("sub"), col("c_id"), col("wd"))
-        .agg(round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("cu"))
+        .select((col("vec_id") - 16).as("c_id"), col("sub"), col("xs").as("cu"))
+      lloydUpdateCands(rxu, centsArrBySub(rseeds))
     }
 
   /** Unpersist and drop every shared residual codebook of session `s`. */
@@ -1445,8 +1578,8 @@ object Similarity {
     // parent materialized OUTSIDE this cache's monitor (lock discipline)
     val cents = residualCentsShared(s, d)
     sharedResidualCodes.getOrBuild(s, d) {
-      val rxu = residualXu(s, d)
-      pqAssign(rxu.drop("cell"), cents)
+      val rxu = residualXuArr(s, d)
+      pqAssignArr(rxu.drop("cell"), cents)
         .join(rxu.select(col("vec_id"), col("cell")).distinct(), Seq("vec_id"))
     }
   }
@@ -2641,13 +2774,13 @@ object Similarity {
     "sim_opq_code_gain" -> ((s, d) => {
       val (_, mean) = opqBasis(s, d)
       val dim = mean.length
-      val cxu = centeredXu(s, d, mean)
+      val cxu = centeredXuArr(s, d, mean)
       // raw and opq rungs read the session-shared codebooks (identical
       // arithmetic to training in place — trainCents(pqXu) IS the shared
       // codebook's definition); only the centered middle rung trains fresh
-      pqQerrRow(s, d, pqXu(s, d), pqCodebookShared(s, d), "raw", dim)
-        .unionAll(pqQerrRow(s, d, cxu, trainCents(cxu), "centered", dim))
-        .unionAll(pqQerrRow(s, d, opqXuShared(s, d), opqCentsShared(s, d), "opq", dim))
+      pqQerrRow(s, d, pqXuArr(s, d), pqCodebookShared(s, d), "raw", dim)
+        .unionAll(pqQerrRow(s, d, cxu, trainCentsArr(cxu), "centered", dim))
+        .unionAll(pqQerrRow(s, d, opqXuArrShared(s, d), opqCentsShared(s, d), "opq", dim))
     }),
 
     // The TRAINING-COST-vs-MSE curve the one-Lloyd-step codebook the PQ
@@ -2663,14 +2796,21 @@ object Similarity {
     // both engines. Static unrolled SQL oracle — no data-dependent
     // literals, full hash-match.
     "sim_pq_train_curve" -> ((s, d) => {
-      val xu = pqXu(s, d)
+      val xu = pqXuArr(s, d)
       val n = embeddings(s, d).agg(count(lit(1)).as("n"))
       def row(cents: DataFrame, iter: Int): DataFrame =
-        qerrAgainst(xu, cents).crossJoin(n)
+        qerrAgainstArr(xu, centsBySub(cents)).crossJoin(n)
           .select(lit(iter).cast("int").as("iter"), col("t").as("total_qerr_u"),
             round(col("t").cast("double") / col("n") / 64.0
               / 1000000000000.0, 6).as("mse"))
-      Iterator.iterate(trainCents(xu))(lloydUpdate(xu, _))
+      // Each round's ≤1024-row codebook is lazily loop-checkpointed:
+      // without truncation round i's qerr leg replays rounds 1..i−1's
+      // corpus passes inside ONE plan (1+2+3+4 = 10 assignment passes per
+      // rep instead of 4+4); the blocks materialize inside the query's own
+      // timed action and Bench/Verify free them per query.
+      import SessionCaches.loopCheckpoint
+      Iterator.iterate(loopCheckpoint(trainCentsArr(xu)))(
+          c => loopCheckpoint(lloydUpdateArr(xu, c)))
         .take(4).zipWithIndex
         .map { case (c, i) => row(c, i + 1) }
         .reduce(_ unionAll _)
@@ -2689,14 +2829,17 @@ object Similarity {
     // itself. Oracle: generated — DuckDB re-derives the rotation from
     // the basis literals and unrolls the same 4 rounds.
     "sim_opq_train_curve" -> ((s, d) => {
-      val xu = opqXuShared(s, d)
+      val xu = opqXuArrShared(s, d)
       val n = embeddings(s, d).agg(count(lit(1)).as("n"))
       def row(cents: DataFrame, iter: Int): DataFrame =
-        qerrAgainst(xu, cents).crossJoin(n)
+        qerrAgainstArr(xu, centsBySub(cents)).crossJoin(n)
           .select(lit(iter).cast("int").as("iter"), col("t").as("total_qerr_u"),
             round(col("t").cast("double") / col("n") / 64.0
               / 1000000000000.0, 6).as("mse"))
-      Iterator.iterate(trainCents(xu))(lloydUpdate(xu, _))
+      // per-round lazy loopCheckpoint — see sim_pq_train_curve
+      import SessionCaches.loopCheckpoint
+      Iterator.iterate(loopCheckpoint(trainCentsArr(xu)))(
+          c => loopCheckpoint(lloydUpdateArr(xu, c)))
         .take(4).zipWithIndex
         .map { case (c, i) => row(c, i + 1) }
         .reduce(_ unionAll _)
@@ -2715,16 +2858,17 @@ object Similarity {
     // honest expectation is a wash — but the OPQ audits taught that
     // predictions lose to measurements here.
     "sim_pq_seed_audit" -> ((s, d) => {
-      val xu = pqXu(s, d)
+      val xu = pqXuArr(s, d)
       val dim = 64 // the PQ family's fixed 8×8 layout
       val md5Sel = fanOut(embeddings(s, d), s)
         .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
         .orderBy(col("h"), col("vec_id")).limit(16)
         .select(col("vec_id"))
       val md5Seeds = xu.join(broadcast(md5Sel), Seq("vec_id"))
-        .select(col("vec_id").as("c_id"), col("sub"), col("wd"), col("xu").as("cu"))
+        .select(col("vec_id").as("c_id"), col("sub"), col("xs").as("cu"))
       pqQerrRow(s, d, xu, pqCodebookShared(s, d), "fixture", dim)
-        .unionAll(pqQerrRow(s, d, xu, lloydUpdate(xu, md5Seeds), "md5", dim))
+        .unionAll(pqQerrRow(s, d, xu,
+          lloydUpdateCands(xu, centsArrBySub(md5Seeds)), "md5", dim))
     }),
 
     // The END-TO-END rung of the FAISS OPQ ladder: IVF-PQ over
@@ -4425,24 +4569,36 @@ object Similarity {
         .filter(col("vec_id") =!= col("nbr"))
         .select(col("vec_id"), col("nbr"))
     }
-    val n0 = knnRank(seedPairs("b1").union(seedPairs("b2")).distinct(), vecs)
-      .select(col("vec_id"), col("nbr"))
+    // Each step below is referenced several times by the next step and by
+    // the consuming query (n1 appears in hop/aff/affCand/ginc; ginc and aff
+    // each 3-4× in the cohort readout), so without truncation the final
+    // logical plan nests the whole chain multiplicatively — measured r13:
+    // a 20k-line / 1594-Exchange plan the driver re-analyzed per action.
+    // LAZY loopCheckpoints (the BFS idiom) keep the insert's cost inside
+    // the query's own timed action while collapsing every re-reference to
+    // a LogicalRDD leaf; Bench/Verify free the blocks after each query.
+    import SessionCaches.loopCheckpoint
+    val n0 = loopCheckpoint(
+      knnRank(seedPairs("b1").union(seedPairs("b2")).distinct(), vecs)
+        .select(col("vec_id"), col("nbr")))
     // (2) one search hop through the base graph + re-rank
     val hop = n0
       .join(base.select(col("vec_id").as("nbr"), col("nbr").as("nbr2")), Seq("nbr"))
       .select(col("vec_id"), col("nbr2").as("nbr"))
       .filter(col("vec_id") =!= col("nbr"))
-    val n1 = knnRank(n0.union(hop).distinct(), vecs)
-      .select(col("vec_id"), col("nbr"))
+    val n1 = loopCheckpoint(
+      knnRank(n0.union(hop).distinct(), vecs)
+        .select(col("vec_id"), col("nbr")))
     // (3) affected base neighborhoods: old edges ∪ reverse new edges
     val newIds = vecs.filter(knnBatchPred).select(col("vec_id"))
-    val aff = n1.select(col("nbr").as("vec_id")).distinct()
-      .join(newIds, Seq("vec_id"), "left_anti")
+    val aff = loopCheckpoint(
+      n1.select(col("nbr").as("vec_id")).distinct()
+        .join(newIds, Seq("vec_id"), "left_anti"))
     val affCand = base.join(aff, Seq("vec_id"))
       .union(n1.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
         .join(aff, Seq("vec_id")))
       .distinct()
-    val ga = knnRank(affCand, vecs).select(col("vec_id"), col("nbr"))
+    val ga = loopCheckpoint(knnRank(affCand, vecs).select(col("vec_id"), col("nbr")))
     val ginc = base.join(aff, Seq("vec_id"), "left_anti")
       .unionByName(ga).unionByName(n1)
     (ginc, aff)

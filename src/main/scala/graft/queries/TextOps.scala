@@ -745,10 +745,14 @@ object TextOps {
       : (Seq[(Int, String, Long)], DataFrame, DataFrame) = {
     def sqlLit(x: String): String =
       "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    // split once into a column, THEN form pairs: the previous inline
+    // `split(trim(sw), ' ')` inside the transform lambda re-ran the split
+    // per element (HOF lambdas get no common-subexpression elimination),
+    // making the argmax pass O(word_len²) per word (r13, guide §1.2
+    // per-task work)
     val pairOf = expr(
-      "transform(sequence(1, size(split(trim(sw), ' ')) - 1), " +
-        "i -> concat(element_at(split(trim(sw), ' '), i), ' ', " +
-        "element_at(split(trim(sw), ' '), i + 1)))")
+      "transform(sequence(1, size(sy) - 1), " +
+        "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")
     var cur = toks(s, d)
       .select(explode(col("t")).as("w"))
       .select(lower(col("w")).as("w"))
@@ -757,7 +761,8 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     val merges = (1 to BpeTrainRounds).map { r =>
-      val top = cur.select(explode(pairOf).as("pair"))
+      val top = cur.select(split(trim(col("sw")), " ").as("sy"))
+        .select(explode(pairOf).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(1).head()
       // cur is fully materialized by the argmax job above — its parent's
@@ -1134,26 +1139,30 @@ object TextOps {
     // rows), so three configurations cost one keyed argmin aggregation,
     // never three corpus scans.
     "text_winnowing_sweep" -> ((s, d) => {
-      val kg = toks(s, d)
+      // r13 reshape (guide §2.4, remove shuffles outright): a document's
+      // whole winnowing selection is a function of ITS OWN token array, so
+      // the per-(w, doc, window) argmin needs no data motion at all. The
+      // previous formulation exploded every k-gram to its 2+4+8 window
+      // memberships and shuffled the 14×-token stream into a keyed argmin
+      // aggregation + distinct (75 shuffle-MB at sf0.1); this one computes
+      // each doc's per-w distinct window-min count inside the row (the
+      // same key arithmetic: hash·2²⁴ + (2²⁴−1 − p), min per window,
+      // distinct per doc) and shuffles only the 3-row per-doc counts'
+      // partial sums. Zero corpus exchange at any scale.
+      val perDoc = toks(s, d)
         .filter(size(col("t")) >= 4) // at least one k-gram
         .select(col("doc_id"), (size(col("t")) - 3).as("m"),
-          explode(expr(
-            "transform(sequence(1, size(t) - 3), " +
-              "i -> struct(i AS p, array_join(slice(t, i, 4), ' ') AS s))")).as("kg"))
-        .select(col("doc_id"), col("m"), col("kg.p").as("p"),
-          (conv(substring(md5(col("kg.s")), 1, 9), 16, 10).cast("long")
-            * lit(16777216L) + (lit(16777215L) - col("kg.p"))).as("key"))
-      val sel = kg.select(col("doc_id"), col("key"),
-        explode(expr("flatten(transform(filter(array(2, 4, 8), w -> m >= w), " +
-          "w -> transform(sequence(greatest(p - w + 1, 1), least(p, m - w + 1)), " +
-          "ws -> struct(w AS w, ws AS ws))))")).as("x"))
-        .select(col("doc_id"), col("key"), col("x.w").as("w"), col("x.ws").as("ws"))
-      val picked = sel.groupBy(col("w"), col("doc_id"), col("ws"))
-        .agg(min(col("key")).as("k"))
-        .select(col("w"), col("doc_id"), col("k")).distinct()
+          expr("transform(sequence(1, size(t) - 3), i -> " +
+            "CAST(conv(substr(md5(array_join(slice(t, i, 4), ' ')), 1, 9), 16, 10) " +
+            "AS BIGINT) * 16777216 + (16777215 - i))").as("keys"))
+      val picks = perDoc.select(
+        explode(expr("transform(filter(array(2, 4, 8), w -> m >= w), w -> " +
+          "struct(w AS w, size(array_distinct(transform(sequence(1, m - w + 1), " +
+          "ws -> array_min(slice(keys, ws, w))))) AS n))")).as("x"))
+        .select(col("x.w").as("w"), col("x.n").as("n"))
       val tot = toks(s, d)
         .agg(sum(greatest(size(col("t")) - 3, lit(0)).cast("long")).as("n_kgrams"))
-      picked.groupBy(col("w")).agg(count(lit(1)).as("n_fp"))
+      picks.groupBy(col("w")).agg(sum(col("n")).as("n_fp"))
         .crossJoin(broadcast(tot))
         .select(col("w").cast("int").as("w"),
           (col("w") + 3).cast("int").as("t_guarantee"),
@@ -1860,11 +1869,15 @@ object TextOps {
         .filter(length(col("f")) > 0)
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % B).as("b"))
-      val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgt = feats.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val byBucket = raw.join(tgt, Seq("b"), "left")
-        .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      // raw and target counts in ONE pass (guide §2.3, aggregate before
+      // you shuffle): the previous raw/tgt split scanned and exploded the
+      // corpus twice and joined the two B-bounded counts back together —
+      // a conditional count in the same keyed aggregation reads the
+      // feature stream once and needs no join (3 corpus passes → 2; the
+      // remaining two are DSIR's floor: one to build the bucket ratio,
+      // one to score documents against it)
+      val byBucket = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
       val tots = byBucket.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
       val ratio = byBucket.crossJoin(broadcast(tots))
         .select(col("b"),

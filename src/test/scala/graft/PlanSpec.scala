@@ -337,13 +337,19 @@ class PlanSpec extends SparkSpec {
     // the composed retrieval stack touches the corpus exactly twice — the
     // posting-table probe join (lexical leg) and the 8-byte code scan
     // (dense leg) — and BOTH must join against BROADCAST probe-side dims
-    // (the corpus never shuffles for a probe); every ranking window is
-    // keyed by the probe id, never a global sort
+    // (the corpus never shuffles for a probe). Since r13 the two corpus
+    // passes live in the session-shared legs BUILD (the query plan reads
+    // the materialized legs as a LogicalRDD leaf), so the corpus-pass
+    // contract is asserted on the build plan and the query plan pins the
+    // fusion shape: probe-keyed ranking windows, never a global sort.
+    val legs = graft.queries.Similarity.hybridLegsBuild(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(countOf(legs, "BroadcastHashJoin") >= 3, legs)
+    assert(legs.contains("hashpartitioning(q_doc"), legs)
     val p = plan("pipeline_hybrid_retrieval")
-    assert(countOf(p, "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("Scan ExistingRDD"), p) // the materialized legs leaf
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("hashpartitioning(q_id"), p)
-    assert(p.contains("hashpartitioning(q_doc"), p)
   }
 
   test("text_chunk_windows: pure per-row chunking — zero shuffles") {
@@ -361,10 +367,31 @@ class PlanSpec extends SparkSpec {
     // sums, not pairwise expressions), and the top-5 ranks in a window
     // keyed by the probe id
     val p = plan("sim_pq_adc")
-    assert(countOf(p, "BroadcastHashJoin") >= 3, p)
+    // since r13 the code table and codebook read back as materialized
+    // LogicalRDD leaves, so the in-plan broadcasts are the LUT build and
+    // the ADC scan's LUT join (the codebook's own broadcast sits in the
+    // shared encode build, pinned by the zero-exchange assertion below)
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("Scan ExistingRDD"), p) // the 8-byte code-table leaf
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p) // the corpus never shuffles for a join
     assert(p.contains("hashpartitioning(q_id"), p)
+  }
+
+  test("pq code-table build: zero-shuffle argmin encode (r13 array kernel)") {
+    // the reshaped PQ assignment must stay a broadcast-join + per-row fold:
+    // no aggregation over an N×16 explosion, no argmin window, and the only
+    // exchange anywhere is the 1024-group codebook mean update inside the
+    // training parent — the corpus itself never shuffles to be encoded
+    val p = graft.queries.Similarity.pqCodesBuild(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // the 8-row (sub → cands) dim
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p) // argmin is a per-row fold, not a window
+    // exchanges: only codebook-bounded ones (the training mean update and
+    // the candidate-directory rollup) — never hashpartitioning(vec_id
+    assert(!p.contains("hashpartitioning(vec_id"), p)
   }
 
   test("w7_attribution: one user-keyed corpus window, no global funnel") {
@@ -404,8 +431,11 @@ class PlanSpec extends SparkSpec {
     // regression that triples the per-iteration work — is visible as
     // missing InMemoryTableScans.
     val p = plan("graph_pagerank")
-    assert(countOf(p, "InMemoryTableScan") >= 3,
-      s"expected >=3 cached-edge reads (one per iteration):\n$p")
+    // the materialized edge frame reads back as a LogicalRDD leaf since
+    // r13 (truncated shared-cache view) — one ExistingRDD scan per
+    // iteration replaces the InMemoryTableScans persist() used to show
+    assert(countOf(p, "Scan ExistingRDD") >= 3,
+      s"expected >=3 materialized-edge reads (one per iteration):\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
