@@ -63,7 +63,14 @@ object Bench {
     // Deterministic name-sorted order: HashMap iteration reshuffles whenever
     // a query is added, which moves every other query's GC/memory context and
     // made round-over-round per-query diffs noise (r03-r05 triage tax).
+    // SPARK_GRAFT_ONLY (comma-separated names) is a builder-local iteration
+    // knob: time just the named queries with the full bench discipline
+    // (warm-up, prewarm, gc+drain, min-of-3). The driver never sets it, so
+    // the contract run is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
 
     val warmDir = "/root/testdata/sf0.001"
     ordered.foreach { case (_, fn) =>
@@ -167,8 +174,11 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,""" +
         s""""prewarm_builds":${buildsJson(prewarmBuilds)},"sf":"$sfDir"}"""
+    // subset runs (SPARK_GRAFT_ONLY) write to a scratch file so the
+    // committed full-sweep record is never clobbered by iteration runs
+    val localFile = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+      java.nio.file.Paths.get(localFile), fullLine + "\n")
     catch { case _: Throwable => () } // file copy is best-effort; stdout is the contract
     val headline = Seq("q1_agg", "q5_multijoin", "dedup_minhash_lsh",
       "dedup_cluster_cc", "sim_ivf_topk", "text_tfidf_topk",

@@ -195,10 +195,18 @@ object Extended {
     // computed as (n+1) div 2 and (19n+19) div 20 — no float rank.
     "a13c_quantile_merge" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val li = fanOut(lineitem(s, d), s, partitions = 8)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          floor(col("l_extendedprice") / 256).cast("long").as("b"),
-          (col("l_orderkey") % 3).as("slice"))
+      // The projected+repartitioned scan feeds THREE independent
+      // aggregations (per-slice sketches, the one-pass sketch, the exact
+      // percentile leg); without truncation each consumer re-ran the
+      // repartition exchange (3 × ~37 shuffle-MB at sf0.1 — the whole
+      // query's data motion). One lazy per-invocation checkpoint shares
+      // the single 4-column pass; the blocks free after the query (r13,
+      // guide §2.4: two operations keyed the same way share one exchange).
+      val li = SessionCaches.loopCheckpoint(
+        fanOut(lineitem(s, d), s, partitions = 8)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            floor(col("l_extendedprice") / 256).cast("long").as("b"),
+            (col("l_orderkey") % 3).as("slice")))
       // independent per-slice sketches → merged by addition; the one-pass
       // sketch is built from the same scan for the equality audit
       val perSlice = li.groupBy(col("l_returnflag"), col("slice"), col("b"))

@@ -109,6 +109,7 @@ object SessionCaches {
     Similarity.opqCodesShared(s, d)
     Similarity.hybridLegsShared(s, d)
     Similarity.knnGraphShared(s, d)
+    Similarity.knnFinalGraphShared(s, d)
     Similarity.knnBaseGraphShared(s, d)
     Similarity.knnIncGraphShared(s, d)
     Similarity.knnLabeledGraphShared(s, d)

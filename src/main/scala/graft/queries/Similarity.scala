@@ -3699,7 +3699,7 @@ object Similarity {
     // (every per-round CTE MATERIALIZED — the text_bpe_train lesson: the
     // doubly-referenced round CTE inlines exponentially otherwise).
     "sim_knn_graph" -> ((s, d) =>
-      knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"), col("rank"), col("cos"))),
 
     // The convergence audit of the same build: recall@K per round against
@@ -3755,7 +3755,7 @@ object Similarity {
     // the number an index-maintenance job alarms on.
     "sim_knn_graph_incremental" -> ((s, d) => {
       val vecs = ivfBase(s, d)
-      val full = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val full = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val (ginc, aff) = knnIncInsert(s, d)
       // cohort labels + recall vs the from-scratch rebuild
@@ -3803,7 +3803,7 @@ object Similarity {
         val blk = (conv(substring(
           md5(concat(lit("b1"), col("vec_id").cast("string"))), 1, 15),
           16, 10).cast("long") % KnnBlocks).as("blk")
-        knnGraphShared(s, d).filter(col("iter") === KnnIters)
+        knnFinalGraphShared(s, d)
           .select(col("vec_id"), col("nbr"), blk)
           .repartition(col("blk"))
           .write.mode("overwrite").partitionBy("blk").parquet(dir.toString)
@@ -3834,7 +3834,7 @@ object Similarity {
       val blk = (conv(substring(
         md5(concat(lit("b1"), col("vec_id").cast("string"))), 1, 15),
         16, 10).cast("long") % KnnBlocks).as("blk")
-      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"), blk)
       val dir = java.nio.file.Files.createTempDirectory("knn-frag-log")
       try {
@@ -3870,7 +3870,7 @@ object Similarity {
     // scores must all agree for the hash to match.
     "sim_knn_graph_search" -> ((s, d) => {
       val vecs = ivfBase(s, d)
-      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -3925,7 +3925,7 @@ object Similarity {
       val base = fanOut(embeddings(s, d), s)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val probes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("label").as("tgt"),
@@ -4006,7 +4006,7 @@ object Similarity {
     // label-blocks hold no other member). All integer counts.
     "sim_knn_graph_labeled_build" -> ((s, d) => {
       val lb = fanOut(embeddings(s, d), s).select(col("vec_id"), col("label"))
-      val ge = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val ge = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val gl = knnLabeledGraphShared(s, d)
       def sameLabel(g: DataFrame): DataFrame = g
@@ -4053,7 +4053,7 @@ object Similarity {
       val base = fanOut(embeddings(s, d), s)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val ge = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val ge = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val gl = knnLabeledGraphShared(s, d)
       val probes = base.filter(col("vec_id") < 10)
@@ -4146,7 +4146,7 @@ object Similarity {
     // differing only in their beam0 CTE.
     "sim_knn_graph_entry" -> ((s, d) => {
       val vecs = ivfBase(s, d)
-      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -4235,7 +4235,7 @@ object Similarity {
     // exactly like the search query; only the beam cut differs per B.
     "sim_knn_graph_search_sweep" -> ((s, d) => {
       val vecs = ivfBase(s, d)
-      val g = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -4292,7 +4292,7 @@ object Similarity {
     // on before scheduling the full rebuild.
     "sim_knn_graph_serve_maintained" -> ((s, d) => {
       val vecs = ivfBase(s, d)
-      val full = knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      val full = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val ginc = knnIncGraphShared(s, d)
       val probes = vecs.filter(col("vec_id") < 10)
@@ -4443,7 +4443,7 @@ object Similarity {
       .map("%02x".format(_)).mkString.take(12)
     graft.ops.Multimodal.stageOnce(
       s"${sys.props("java.io.tmpdir")}/graft_knn_layout_$key") { tmp =>
-      knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"), knnBlkOf(col("vec_id")).as("blk"))
         .repartition(col("blk"))
         .write.mode("overwrite").partitionBy("blk").parquet(tmp)
@@ -4477,6 +4477,20 @@ object Similarity {
   private val sharedKnnGraph = new SessionFrameCache(4, "sharedKnnGraph")
   def knnGraphShared(s: SparkSession, d: String): DataFrame =
     sharedKnnGraph.getOrBuild(s, d)(nnDescentHistory(s, ivfBase(s, d)))
+
+  /** The FINAL-round graph — the history filtered to iter == KnnIters,
+    * materialized once for the 13 serving/search/maintenance consumers.
+    * Under the r13 truncated-view cache a consumer-side filter re-scans
+    * the whole 5-round history leaf per hop read (the InMemoryRelation's
+    * batch-stat pruning that used to skip non-final batches is gone with
+    * the IMR); this K-bounded frame restores — and beats — that pruning.
+    */
+  private val sharedKnnFinal = new SessionFrameCache(4, "sharedKnnFinal")
+  def knnFinalGraphShared(s: SparkSession, d: String): DataFrame = {
+    // parent materialized OUTSIDE this cache's monitor (lock discipline)
+    val hist = knnGraphShared(s, d)
+    sharedKnnFinal.getOrBuild(s, d)(hist.filter(col("iter") === KnnIters))
+  }
 
   /** The STITCHED label-aware graph — the Filtered-DiskANN remedy
     * (Gollapudi et al., WWW 2023, the StitchedVamana variant) for the
@@ -4520,7 +4534,7 @@ object Similarity {
           round(dot(col("v"), col("nv")) / (col("nrm") * col("nn")), 6).as("cos"))
         .withColumn("rk", row_number().over(wS)).filter(col("rk") <= LblK)
         .select(col("vec_id"), col("nbr"))
-      knnGraphShared(s, d).filter(col("iter") === KnnIters)
+      knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
         .unionByName(shortcuts).distinct()
     }
@@ -4691,6 +4705,7 @@ object Similarity {
   def releaseKnnGraph(s: SparkSession): Unit = {
     sharedLabeledGraph.release(s) // derives from the full graph: derived first
     sharedKnnInc.release(s) // derives from the base graph: derived first
+    sharedKnnFinal.release(s) // derives from the history: derived first
     sharedKnnGraph.release(s)
     sharedKnnBase.release(s)
     liveKnnCheckpoints.synchronized {
