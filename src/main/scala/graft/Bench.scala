@@ -67,8 +67,16 @@ object Bench {
     // knob: time just the named queries with the full bench discipline
     // (warm-up, prewarm, gc+drain, min-of-3). The driver never sets it, so
     // the contract run is unchanged.
+    // blank tokens are dropped (an empty SPARK_GRAFT_ONLY means "all", not
+    // a silent 0-query sweep) and names matching no registered query fail
+    // fast instead of being silently ignored (a typo'd subset run would
+    // otherwise time the wrong thing and look like a regression)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names match no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
 
@@ -118,12 +126,28 @@ object Bench {
       cost.drain()
       val jobs0 = cost.jobsEnded.get
       val shuf0 = cost.shuffleWriteBytes.get
+      // GC attribution (r13 verdict item 3: same-plan headline swings —
+      // q5_multijoin 0.90–1.51 s across records with identical jobs and
+      // shuffle — need a mechanical cause). gc_ms is the JVM-wide GC wall
+      // time that elapsed INSIDE this query's three reps (post the
+      // pre-query full collection above); heap_mb is the used-heap level
+      // the query started from. A min that moves with identical
+      // jobs+shuffle but a fat gc_ms (or a high starting heap_mb from a
+      // grown registry shifting this query's sweep position) is GC
+      // context, mechanically — no fresh-JVM triage needed.
+      import scala.jdk.CollectionConverters._
+      def gcMs: Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+      val gc0 = gcMs
+      val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / 1048576
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       cost.drain()
+      val gcDeltaMs = gcMs - gc0
       val jobs = cost.jobsEnded.get - jobs0
       val shufMb = (cost.shuffleWriteBytes.get - shuf0) / 1048576.0
       // keep min AND median: a wide min/med spread marks a context-noise
@@ -137,7 +161,8 @@ object Bench {
       // across the 295-query sweep instead of accumulating 3-reps' worth
       // per iterative query until releaseAll.
       graft.queries.SessionCaches.releaseLoopCheckpoints(spark)
-      (name, reps.head, reps(reps.size / 2), jobs, shufMb, builds)
+      (name, reps.head, reps(reps.size / 2), jobs, shufMb, builds,
+        gcDeltaMs, heapMb)
     }
     // Stdout contract: the driver captures only the LAST ~2.2 KB of stdout,
     // so a 95-query map (~2.4 KB) printed as one line gets FRONT-truncated
@@ -159,15 +184,18 @@ object Bench {
     // diff scripts parsing numeric values) keeps a stable field instead of
     // breaking on the new shape. The stdout contract line below stays
     // plain min-seconds throughout.
-    val qs = results.map { case (k, mn, md, jobs, shufMb, builds) =>
+    val qs = results.map { case (k, mn, md, jobs, shufMb, builds, gcMs, heapMb) =>
       // "stage_builds" appears ONLY when a one-time shared-stage build
       // landed inside this query's reps — the r11 same-plan-seesaw
       // attribution: a min that moved with identical jobs+shuffle and a
-      // build entry here is cold-stage absorption, mechanically
+      // build entry here is cold-stage absorption, mechanically.
+      // "gc_ms"/"heap_mb" (r14): GC wall time inside the reps and the
+      // used-heap starting level — the same-plan variance attribution.
       val sb = if (builds.isEmpty) ""
         else ",\"stage_builds\":" + buildsJson(builds)
       s"\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) +
-        ",\"jobs\":" + jobs + ",\"shuffle_mb\":" + fmt(shufMb) + sb + "}"
+        ",\"jobs\":" + jobs + ",\"shuffle_mb\":" + fmt(shufMb) +
+        ",\"gc_ms\":" + gcMs + ",\"heap_mb\":" + heapMb + sb + "}"
     }.mkString("{", ",", "}")
     val qsMin = results.map(r => s"\"${r._1}\":" + fmt(r._2))
       .mkString("{", ",", "}")

@@ -69,12 +69,21 @@ object ForgetKeys {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       // a fully-forgotten bucket emits no survivors, so dynamic overwrite
-      // leaves its stale directory — delete it explicitly (≤16 dirs)
-      affected.foreach { b =>
-        val pdir = dir.resolve(s"bkt=$b")
-        if (Files.exists(pdir) &&
-            spark.read.parquet(pdir.toString).filter(!forgotten).head(1).isEmpty)
-          graft.streaming.StagedEvents.deleteRecursively(pdir)
+      // leaves its stale directory — delete it explicitly (≤16 dirs).
+      // ONE survivor census over all affected dirs (basePath keeps the
+      // bkt partition column) instead of one driver-sequential probe job
+      // per bucket: the loop was ≤16 tiny Spark jobs run back-to-back on
+      // the driver — pure scheduling overhead at any scale (guide §5).
+      val existing = affected.toSeq.sorted
+        .filter(b => Files.exists(dir.resolve(s"bkt=$b")))
+      if (existing.nonEmpty) {
+        val surviving = spark.read.option("basePath", dir.toString)
+          .parquet(existing.map(b => dir.resolve(s"bkt=$b").toString): _*)
+          .filter(!forgotten)
+          .select(col("bkt").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        existing.filterNot(surviving).foreach(b =>
+          graft.streaming.StagedEvents.deleteRecursively(dir.resolve(s"bkt=$b")))
       }
       // bounded (≤16 rows): read the purged layout back — the audit
       // proves the purge from the files, not the plan

@@ -1091,6 +1091,12 @@ object Extended {
     // operations, so the strict `>` boundary cannot diverge. 100 TB path:
     // approx_percentile for both passes (a13b's sketch), same plan shape.
     "a19_mad_outliers" -> ((s, d) => {
+      // Examined r14: the 50 shuffle-MB is the percentile aggregations'
+      // own partial value buffers across MAD's two-level floor (median →
+      // deviations → MAD + outlier count) — three DISTINCT aggregation
+      // exchanges, not a repeated scan exchange (fanOut never repartitions
+      // the multi-file lineitem), so an a13c-style shared checkpoint
+      // showed zero delta (jobs/shuffle/wall identical) and was dropped.
       val li = fanOut(lineitem(s, d), s, partitions = 8)
         .select(col("l_returnflag"), col("l_extendedprice"))
       val med = li.groupBy(col("l_returnflag"))

@@ -64,11 +64,20 @@ object SessionCaches {
   /** Free session `s`'s still-persisted loop-checkpoint blocks. Call after
     * the consuming queries have materialized — a released loop frame cannot
     * be re-executed (localCheckpoint truncates lineage).
+    *
+    * Non-blocking: a BLOCKING unpersist here raced the DAGScheduler's
+    * task-completion drain (straggling task attempts of the query that
+    * just finished report accumulators after their job completed; a
+    * synchronous block-removal wait in that window surfaced as
+    * `ERROR DAGScheduler: Failed to update accumulator ... non-existent
+    * accumulator` in every sweep tail — r13 verdict item 3). The async
+    * removal frees the same blocks without holding the caller across the
+    * drain.
     */
   def releaseLoopCheckpoints(s: SparkSession): Unit = liveLoopCheckpoints.synchronized {
     val live = s.sparkContext.getPersistentRDDs
     liveLoopCheckpoints.remove(s).foreach(_.foreach(id =>
-      live.get(id).foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })))
+      live.get(id).foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })))
   }
 
   /** Materialize every session-shared stage for data dir `d` — the shared
@@ -115,6 +124,9 @@ object SessionCaches {
     Similarity.knnLabeledGraphShared(s, d)
     TextOps.bpeCorpusShared(s, d)
     Relational.prewarmStagedLayouts(s, d)
+    // the encode-at-ingest arrival fixtures (stage-once, content-stamped)
+    graft.streaming.EncodeIngest.stagedRing(s, d, 1)
+    graft.streaming.EncodeIngest.stagedRing(s, d, 2)
     graft.sources.mzml.MzmlSynth.stagedRuns(32, 96, 128)
     ()
   }

@@ -733,6 +733,24 @@ object Similarity {
     (opqSnakeOrder(mean.length, 8).toSeq.map(vecs(_)), mean)
   }
 
+  /** Single-Literal constant vectors/matrices (the EncodeIngest centsLit
+    * discipline): `array(lit(...))` per element builds a tree ANALYSIS
+    * re-walks on every action before ConstantFolding collapses it — a
+    * 64×64 basis is ~4k nodes of per-action planning tax. One pre-folded
+    * Literal node carries the identical values under the identical type.
+    */
+  private def dArrLit(xs: Seq[Double]): Column =
+    org.apache.spark.sql.GraftDatasetShim.literalCol(xs,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+
+  private def dMatLit(m: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftDatasetShim.literalCol(m,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        containsNull = false))
+
   /** Shared projection column builder: col j = round(dot(x, b_j) −
     * dot(mean, b_j), 6) (+0.0 canonicalizes IEEE −0 after rounding). The
     * mean offset folds to a driver scalar so centering never touches the
@@ -742,7 +760,7 @@ object Similarity {
       basis: Seq[Array[Double]], mean: Array[Double], prefix: String) =
     basis.zipWithIndex.map { case (vj, j) =>
       val offset = mean.indices.map(i => mean(i) * vj(i)).sum
-      val vLit = array(vj.toSeq.map(lit): _*)
+      val vLit = dArrLit(vj.toSeq)
       (round(aggregate(
         zip_with(asDouble(col("embedding")), vLit, (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x) - offset, 6) + 0.0).as(s"$prefix${j + 1}")
@@ -970,7 +988,7 @@ object Similarity {
     */
   private[graft] def centeredXu(
       s: SparkSession, d: String, mean: Array[Double]): DataFrame = {
-    val mLit = array(mean.toSeq.map(lit): _*)
+    val mLit = dArrLit(mean.toSeq)
     fanOut(embeddings(s, d), s)
       .select(col("vec_id"), posexplode(
         zip_with(asDouble(col("embedding")), mLit,
@@ -994,7 +1012,7 @@ object Similarity {
   /** [[centeredXu]] in the array shape. */
   private def centeredXuArr(
       s: SparkSession, d: String, mean: Array[Double]): DataFrame = {
-    val mLit = array(mean.toSeq.map(lit): _*)
+    val mLit = dArrLit(mean.toSeq)
     chunkedXuFrame(fanOut(embeddings(s, d), s),
       zip_with(asDouble(col("embedding")), mLit,
         (x, m) => round((x - m) * 1000000).cast("long")))
@@ -1003,9 +1021,8 @@ object Similarity {
   /** [[opqXu]] in the array shape. */
   private def opqXuArr(s: SparkSession, d: String,
       basis: Seq[Array[Double]], mean: Array[Double]): DataFrame = {
-    val bLit = array(basis.map(vj => array(vj.toSeq.map(lit): _*)): _*)
-    val oLit = array(basis.map(vj =>
-      lit(mean.indices.map(i => mean(i) * vj(i)).sum)): _*)
+    val bLit = dMatLit(basis.map(_.toSeq))
+    val oLit = dArrLit(basis.map(vj => mean.indices.map(i => mean(i) * vj(i)).sum))
     chunkedXuFrame(
       fanOut(embeddings(s, d), s)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")),
@@ -1022,9 +1039,8 @@ object Similarity {
     */
   private[graft] def opqXu(s: SparkSession, d: String,
       basis: Seq[Array[Double]], mean: Array[Double]): DataFrame = {
-    val bLit = array(basis.map(vj => array(vj.toSeq.map(lit): _*)): _*)
-    val oLit = array(basis.map(vj =>
-      lit(mean.indices.map(i => mean(i) * vj(i)).sum)): _*)
+    val bLit = dMatLit(basis.map(_.toSeq))
+    val oLit = dArrLit(basis.map(vj => mean.indices.map(i => mean(i) * vj(i)).sum))
     fanOut(embeddings(s, d), s)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"), posexplode(
@@ -1459,23 +1475,35 @@ object Similarity {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
-      // fully-forgotten dirs (≤16, part-file-guarded before any read)
-      affected.foreach { cl =>
-        val pdir = java.nio.file.Paths.get(dir, s"cell=$cl")
-        if (java.nio.file.Files.exists(pdir)) {
-          val listing = java.nio.file.Files.list(pdir)
-          val hasParts =
-            try {
-              val it = listing.iterator()
-              var found = false
-              while (it.hasNext && !found)
-                found = it.next().getFileName.toString.endsWith(".parquet")
-              found
-            } finally listing.close()
-          if (!hasParts ||
-              s.read.parquet(pdir.toString).filter(!forgetPred).head(1).isEmpty)
-            graft.streaming.StagedEvents.deleteRecursively(pdir)
-        }
+      // fully-forgotten dirs (≤16, part-file-guarded before any read).
+      // Readable dirs are censused in ONE job (basePath keeps the cell
+      // partition column) instead of one driver-sequential probe job per
+      // cell — the ≤16-tiny-job loop was pure scheduling overhead at any
+      // scale (guide §5 driver discipline).
+      val existing = affected.sorted.filter(cl =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"cell=$cl")))
+      val (readable, bare) = existing.partition { cl =>
+        val listing = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, s"cell=$cl"))
+        try {
+          val it = listing.iterator()
+          var found = false
+          while (it.hasNext && !found)
+            found = it.next().getFileName.toString.endsWith(".parquet")
+          found
+        } finally listing.close()
+      }
+      bare.foreach(cl => graft.streaming.StagedEvents.deleteRecursively(
+        java.nio.file.Paths.get(dir, s"cell=$cl")))
+      if (readable.nonEmpty) {
+        val surviving = s.read.option("basePath", dir)
+          .parquet(readable.map(cl => s"$dir/cell=$cl"): _*)
+          .filter(!forgetPred)
+          .select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        readable.filterNot(surviving).foreach(cl =>
+          graft.streaming.StagedEvents.deleteRecursively(
+            java.nio.file.Paths.get(dir, s"cell=$cl")))
       }
     }
     nf
@@ -3757,7 +3785,7 @@ object Similarity {
       val vecs = ivfBase(s, d)
       val full = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
-      val (ginc, aff) = knnIncInsert(s, d)
+      val (ginc, aff) = knnIncInsert(s, d, SessionCaches.loopCheckpoint)
       // cohort labels + recall vs the from-scratch rebuild
       val cohorts = vecs.select(col("vec_id"), knnBatchPred.as("nw"))
         .join(aff.select(col("vec_id"), lit(true).as("af")), Seq("vec_id"), "left")
@@ -3872,6 +3900,13 @@ object Similarity {
       val vecs = ivfBase(s, d)
       val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
+      // bounded-frame conf scope (the sim_knn_graph_entry discipline):
+      // per-hop frames are <= probes x beam x K rows at ANY corpus size,
+      // so their plans compile with AQE off + a fixed small partition
+      // count - no per-stage AQE jobs, no re-optimization of 10^2-row
+      // exchanges; shared parents above still build at session settings
+      graft.tables.Tables.withShufflePartitions(s, 4)(
+        graft.tables.Tables.withAqeOff(s) {
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       def score(cand: DataFrame): DataFrame =
@@ -3903,6 +3938,7 @@ object Similarity {
       visited.withColumn("rank", row_number().over(wB)).filter(col("rank") <= 5)
         .select(col("q_id"), col("cand").as("vec_id"), col("cos"),
           col("rank").cast("int").as("rank"))
+      })
     }),
 
     // FILTERED graph-ANN read — sim_ivf_filtered's question asked of the
@@ -3927,6 +3963,9 @@ object Similarity {
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
+      // bounded-frame conf scope - see sim_knn_graph_search
+      graft.tables.Tables.withShufflePartitions(s, 4)(
+        graft.tables.Tables.withAqeOff(s) {
       val probes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("label").as("tgt"),
           col("v").as("qv"), col("nrm").as("qn"))
@@ -3994,6 +4033,7 @@ object Similarity {
           round(col("pre_hits") / col("n_exact"), 6).as("pre_recall"),
           round(col("vis_hits") / col("n_exact"), 6).as("vis_recall"),
           round(col("post_hits") / col("n_exact"), 6).as("post_recall"))
+      })
     }),
 
     // The LABEL-AWARE build's inventory — what the stitch actually adds,
@@ -4056,6 +4096,9 @@ object Similarity {
       val ge = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val gl = knnLabeledGraphShared(s, d)
+      // bounded-frame conf scope - see sim_knn_graph_search
+      graft.tables.Tables.withShufflePartitions(s, 4)(
+        graft.tables.Tables.withAqeOff(s) {
       val probes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("label").as("tgt"),
           col("v").as("qv"), col("nrm").as("qn"))
@@ -4114,6 +4157,7 @@ object Similarity {
           round(col("lab_hits") / col("n_exact"), 6).as("lab_recall"),
           round(col("blind_hits") / col("n_exact"), 6).as("blind_recall"),
           round(col("vis_hits") / col("n_exact"), 6).as("vis_recall"))
+      })
     }),
 
     // ENTRY-POINT strategy for the graph walk — the missing HNSW rung.
@@ -4146,8 +4190,13 @@ object Similarity {
     // differing only in their beam0 CTE.
     "sim_knn_graph_entry" -> ((s, d) => {
       val vecs = ivfBase(s, d)
+      // shared parent materialized BEFORE the bounded-frame conf scope:
+      // a cold build must compile at session settings (AQE, data-scaled
+      // partitions), never at the walk's bounded-frame settings
       val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
+      graft.tables.Tables.withShufflePartitions(s, 4)(
+        graft.tables.Tables.withAqeOff(s) {
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       // the sampled upper layer: ~1/8 of the corpus by salted md5 — the
@@ -4223,6 +4272,7 @@ object Similarity {
           round(col("self_hits") / col("n_exact"), 6).as("self_recall"),
           round(col("fixed_hits") / col("n_exact"), 6).as("fixed_recall"),
           round(col("hier_hits") / col("n_exact"), 6).as("hier_recall"))
+      })
     }),
 
     // The recall-vs-cost SWEEP for the graph search — the nprobe-sweep
@@ -4237,6 +4287,9 @@ object Similarity {
       val vecs = ivfBase(s, d)
       val g = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
+      // bounded-frame conf scope - see sim_knn_graph_search
+      graft.tables.Tables.withShufflePartitions(s, 4)(
+        graft.tables.Tables.withAqeOff(s) {
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       def score(cand: DataFrame): DataFrame =
@@ -4276,6 +4329,7 @@ object Similarity {
         }
       }
       cells.flatten.reduce(_ unionByName _)
+      })
     }),
 
     // SERVE FROM THE MAINTAINED GRAPH — the end-to-end proof the
@@ -4295,6 +4349,11 @@ object Similarity {
       val full = knnFinalGraphShared(s, d)
         .select(col("vec_id"), col("nbr"))
       val ginc = knnIncGraphShared(s, d)
+      // Examined r14: the bounded-frame AQE-off scope the other walks use
+      // REGRESSED this query (A/B: 1.54 s AQE-on vs 2.39 s off while the
+      // control moved the other way) - the two-graph comparison's readout
+      // joins benefit from AQE's runtime sizing here. Left at session
+      // settings deliberately.
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       def score(cand: DataFrame): DataFrame =
@@ -4363,6 +4422,9 @@ object Similarity {
     "sim_knn_graph_search_compacted" -> ((s, d) => {
       val dir = knnLayoutDir(s, d)
       val vecs = ivfBase(s, d)
+      // bounded-frame conf scope - see sim_knn_graph_search
+      graft.tables.Tables.withShufflePartitions(s, 4)(
+        graft.tables.Tables.withAqeOff(s) {
       val probes = vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       def score(cand: DataFrame): DataFrame =
@@ -4400,6 +4462,7 @@ object Similarity {
       visited.withColumn("rank", row_number().over(wB)).filter(col("rank") <= 5)
         .select(col("q_id"), col("cand").as("vec_id"), col("cos"),
           col("rank").cast("int").as("rank"))
+      })
     }),
   )
 
@@ -4570,7 +4633,8 @@ object Similarity {
     * serving reads) run the identical steps. Returns (maintained graph
     * edges, affected base-node ids).
     */
-  private def knnIncInsert(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def knnIncInsert(s: SparkSession, d: String,
+      checkpoint: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val vecs = ivfBase(s, d)
     val base = knnBaseGraphShared(s, d).select(col("vec_id"), col("nbr"))
     // (1) new-node seeds: in-block mates under both salts, current corpus
@@ -4588,11 +4652,16 @@ object Similarity {
     // each 3-4× in the cohort readout), so without truncation the final
     // logical plan nests the whole chain multiplicatively — measured r13:
     // a 20k-line / 1594-Exchange plan the driver re-analyzed per action.
-    // LAZY loopCheckpoints (the BFS idiom) keep the insert's cost inside
-    // the query's own timed action while collapsing every re-reference to
-    // a LogicalRDD leaf; Bench/Verify free the blocks after each query.
-    import SessionCaches.loopCheckpoint
-    val n0 = loopCheckpoint(
+    // LAZY checkpoints keep the insert's cost inside the caller's own
+    // timed action while collapsing every re-reference to a LogicalRDD
+    // leaf. The truncation's LIFECYCLE is the caller's to choose
+    // (`checkpoint`): the per-invocation oracle query passes the BFS-idiom
+    // loopCheckpoint (Bench/Verify free the blocks after each query);
+    // the session-shared build passes the knn-lifecycle checkpoint —
+    // nothing session-cached may derive from per-query loop frames, or a
+    // post-release recompute (LRU eviction, stale stamp) walks freed
+    // localCheckpoint RDDs and dies with checkpoint-block-not-found.
+    val n0 = checkpoint(
       knnRank(seedPairs("b1").union(seedPairs("b2")).distinct(), vecs)
         .select(col("vec_id"), col("nbr")))
     // (2) one search hop through the base graph + re-rank
@@ -4600,19 +4669,19 @@ object Similarity {
       .join(base.select(col("vec_id").as("nbr"), col("nbr").as("nbr2")), Seq("nbr"))
       .select(col("vec_id"), col("nbr2").as("nbr"))
       .filter(col("vec_id") =!= col("nbr"))
-    val n1 = loopCheckpoint(
+    val n1 = checkpoint(
       knnRank(n0.union(hop).distinct(), vecs)
         .select(col("vec_id"), col("nbr")))
     // (3) affected base neighborhoods: old edges ∪ reverse new edges
     val newIds = vecs.filter(knnBatchPred).select(col("vec_id"))
-    val aff = loopCheckpoint(
+    val aff = checkpoint(
       n1.select(col("nbr").as("vec_id")).distinct()
         .join(newIds, Seq("vec_id"), "left_anti"))
     val affCand = base.join(aff, Seq("vec_id"))
       .union(n1.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
         .join(aff, Seq("vec_id")))
       .distinct()
-    val ga = loopCheckpoint(knnRank(affCand, vecs).select(col("vec_id"), col("nbr")))
+    val ga = checkpoint(knnRank(affCand, vecs).select(col("vec_id"), col("nbr")))
     val ginc = base.join(aff, Seq("vec_id"), "left_anti")
       .unionByName(ga).unionByName(n1)
     (ginc, aff)
@@ -4628,7 +4697,27 @@ object Similarity {
   def knnIncGraphShared(s: SparkSession, d: String): DataFrame = {
     // parents materialized OUTSIDE this cache's monitor (lock discipline)
     knnBaseGraphShared(s, d)
-    sharedKnnInc.getOrBuild(s, d)(knnIncInsert(s, d)._1)
+    // the shared build's truncation frames live under the KNN lifecycle
+    // (freed in releaseKnnGraph with the cached frame), NEVER the
+    // per-query loop registry: Bench/Verify free loop blocks after every
+    // query, and a later eviction/stale-stamp recompute of this cached
+    // frame would walk the freed checkpoint RDDs
+    sharedKnnInc.getOrBuild(s, d)(knnIncInsert(s, d, knnLifecycleCheckpoint(s))._1)
+  }
+
+  /** Lazy lineage truncation whose blocks are registered under the KNN
+    * session lifecycle ([[liveKnnCheckpoints]], freed in
+    * [[releaseKnnGraph]]) — for truncation INSIDE session-shared builds,
+    * where the per-query loop registry would free blocks the cached
+    * frame's recompute path still needs.
+    */
+  private def knnLifecycleCheckpoint(s: SparkSession)(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(false)
+    liveKnnCheckpoints.synchronized {
+      liveKnnCheckpoints.getOrElseUpdate(s, scala.collection.mutable.Set.empty[Int]) ++=
+        SessionCaches.checkpointRddIds(out)
+    }
+    out
   }
 
   /** One full NN-Descent history build over `vecs` — shared by the

@@ -3,6 +3,26 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
+/** Append-only log of every drained stream's per-micro-batch
+  * [[org.apache.spark.sql.streaming.StreamingQueryProgress]] — the
+  * measurement channel for the streaming family: a stream query's wall
+  * cost decomposes into the progress `durationMs` fields (queryPlanning,
+  * addBatch, walCommit, commitOffsets, latestOffset) that seconds alone
+  * cannot attribute. Tooling (StreamProf) drains it; recording is a
+  * buffer append, nothing about the drain changes.
+  */
+object ProgressLog {
+  private val buf = scala.collection.mutable.ArrayBuffer
+    .empty[(String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])]
+
+  def record(prefix: String,
+      ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit =
+    buf.synchronized { buf += ((prefix, ps)) }
+
+  def drain(): Seq[(String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])] =
+    buf.synchronized { val out = buf.toList; buf.clear(); out }
+}
+
 /** Shared scaffold for the finite streaming queries: write the stream to a
   * uniquely-named memory sink, drain it with Trigger.AvailableNow, and
   * return the sink table. Every oracle-checked stream_* query funnels
@@ -28,6 +48,7 @@ object Drain {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    ProgressLog.record(prefix, q.recentProgress.toSeq)
     (s.table(qn), q.recentProgress.toSeq)
   }
 }

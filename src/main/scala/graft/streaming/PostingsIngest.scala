@@ -27,17 +27,22 @@ object PostingsIngest {
   def inventory(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
       import spark.implicits._
-      val staged = Files.createTempDirectory("postings-ingest-src")
       val out = Files.createTempDirectory("postings-ingest-idx")
       val cp = Files.createTempDirectory("postings-ingest-cp")
-      try {
+      // doc-parity arrival fixture: pure function of the documents table,
+      // staged once per content stamp and shared (the sink + checkpoint
+      // dirs above stay per-invocation — the query writes them)
+      val staged = StagedEvents.stageOnceFixture("postings_ingest_src",
+        java.nio.file.Paths.get(sfDir, "documents.parquet").toString) { tmp =>
         val docs = graft.tables.Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text"))
         require(docs.head(1).nonEmpty, s"$sfDir/documents.parquet is empty")
         StagedEvents.writePart(docs.filter(col("doc_id") % 2 === 0),
-          staged, "b0_docs.parquet", 60)
+          tmp, "b0_docs.parquet", 60)
         StagedEvents.writePart(docs.filter(col("doc_id") % 2 === 1),
-          staged, "b1_docs.parquet", 45)
+          tmp, "b1_docs.parquet", 45)
+      }
+      try {
         val schema =
           spark.read.parquet(staged.resolve("b0_docs.parquet").toString).schema
         val postings = spark.readStream.schema(schema)
@@ -69,7 +74,6 @@ object PostingsIngest {
           .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
           .toSeq.toDF("bucket", "n_terms", "n_postings", "n_tokens")
       } finally {
-        StagedEvents.deleteRecursively(staged)
         StagedEvents.deleteRecursively(out)
         StagedEvents.deleteRecursively(cp)
       }

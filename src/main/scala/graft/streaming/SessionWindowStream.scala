@@ -33,7 +33,7 @@ object SessionWindowStream {
   def apply(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
       val (staged, schema) = StagedEvents.stage(spark, sfDir)
-      try {
+      locally {
         val sessions = spark.readStream.schema(schema)
           .parquet(staged.toString)
           .transform(graft.tables.Tables.toEventTime(_, "ts"))
@@ -46,6 +46,6 @@ object SessionWindowStream {
         Drain.toMemory(spark, "stream_session_window", sessions)
           .filter(col("n_events") > 0)
           .select(col("user_id"), col("n_events"), col("duration_sec"))
-      } finally StagedEvents.deleteRecursively(staged)
+      }
     }
 }

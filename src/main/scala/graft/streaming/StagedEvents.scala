@@ -17,12 +17,49 @@ import org.apache.spark.sql.functions._
   */
 object StagedEvents {
 
-  /** Stage `sfDir`'s events plus the per-user sentinels into a fresh temp
-    * dir; returns (staging dir, event schema). The caller deletes the dir
-    * after the query drains.
+  /** Stage-once ARRIVAL FIXTURE dir for a streaming replay whose staged
+    * files are a pure function of one source table: keyed by the source's
+    * content fingerprint (the Relational partitionedEventsDir discipline),
+    * `_SUCCESS`-marked, built in temp + atomically renamed, and shared by
+    * every invocation until the dataset is regenerated (stamp flips →
+    * re-stage). Mod-time ordering within the dir is relative (strictly
+    * decreasing modSecsAgo at build time), so the file-source batch
+    * composition is frozen with the fixture. ONLY for read-only input
+    * fixtures — tables a query mutates (StreamForgetKeys), checkpoint
+    * dirs, and applied logs stay per-invocation.
+    */
+  def stageOnceFixture(name: String, sourcePath: String)(
+      build: Path => Unit): Path = {
+    val key = graft.queries.ContentStamp.of(sourcePath)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_${name}_$key"
+    graft.ops.Multimodal.stageOnce(dir) { tmp =>
+      val t = java.nio.file.Paths.get(tmp)
+      build(t)
+      // stageOnce's commit marker (underscore-prefixed: both the batch
+      // reader and the streaming file source ignore it as hidden)
+      Files.createFile(t.resolve("_SUCCESS"))
+    }
+    java.nio.file.Paths.get(dir)
+  }
+
+  /** Stage `sfDir`'s events plus the per-user sentinels — a pure function
+    * of the events table, staged ONCE per content stamp via
+    * [[stageOnceFixture]] and shared by the five sentinel-closed stateful
+    * replays (sessionize, session-window, latest-state, scd2, asof);
+    * returns (staging dir, event schema). Previously each invocation
+    * re-wrote the identical sentinel file (schema probe + max(ts) + the
+    * distinct-users write) into a fresh temp dir per rep.
     */
   def stage(spark: SparkSession, sfDir: String): (Path, org.apache.spark.sql.types.StructType) = {
-    val stage = Files.createTempDirectory("stream-staged-events")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = stageOnceFixture("staged_events",
+      java.nio.file.Paths.get(sfDir, "events.parquet").toString) { tmp =>
+      stageInto(spark, sfDir, tmp)
+    }
+    (dir, schema)
+  }
+
+  private def stageInto(spark: SparkSession, sfDir: String, stage: Path): Unit = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     // An empty events table has no max(ts): the long branch would NPE and
     // the timestamp branch would stage a NullType `ts` whose parquet schema
@@ -81,7 +118,7 @@ object StagedEvents {
       parts.zipWithIndex
         .foreach { case (p, i) => stageFile(p, f"events_$i%05d.parquet") }
     } else stageFile(src, "events.parquet")
-    (stage, raw.schema)
+    ()
   }
 
   /** Write `df` as a single parquet file `name` under `dir`, with its

@@ -87,7 +87,6 @@ object StatefulLatestState {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
     val drained = Drain.toMemory(spark, "stream_latest_state", compacted.toDF())
-    StagedEvents.deleteRecursively(stage)
     drained.select(col("user_id"), col("last_us"), col("last_value"), col("n_events"))
   }
 }

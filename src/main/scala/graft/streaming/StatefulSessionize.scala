@@ -125,7 +125,6 @@ object StatefulSessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
     val drained = Drain.toMemory(spark, "stream_sessionize", sessions.toDF())
     // the memory sink holds the full result; the staged input can go
-    StagedEvents.deleteRecursively(stage)
     drained
       .select(col("user_id"), col("session_id"), col("n_events"), col("duration_sec"))
   }

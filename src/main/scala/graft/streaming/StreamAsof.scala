@@ -108,7 +108,6 @@ object StreamAsof {
         .flatMapGroupsWithState(
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
       val drained = Drain.toMemory(spark, "stream_asof", enriched.toDF())
-      StagedEvents.deleteRecursively(stage)
       drained.select(col("user_id"), col("event_id"), col("p_us"),
         col("v_us"), col("v_cents"))
     }

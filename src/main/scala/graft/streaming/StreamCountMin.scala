@@ -27,15 +27,19 @@ object StreamCountMin {
 
   def apply(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
-      val staged = Files.createTempDirectory("stream-countmin")
-      try {
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // doc-parity arrival fixture: pure function of the documents table,
+      // staged once per content stamp and shared across invocations
+      val staged = StagedEvents.stageOnceFixture("countmin_src",
+        java.nio.file.Paths.get(sfDir, "documents.parquet").toString) { tmp =>
         require(docs.head(1).nonEmpty,
           s"$sfDir/documents.parquet is empty — cannot stage an ingest replay")
         StagedEvents.writePart(docs.filter(col("doc_id") % 2 === 0),
-          staged, "b0_docs_even.parquet", 60)
+          tmp, "b0_docs_even.parquet", 60)
         StagedEvents.writePart(docs.filter(col("doc_id") % 2 =!= 0),
-          staged, "b1_docs_odd.parquet", 45)
+          tmp, "b1_docs_odd.parquet", 45)
+      }
+      locally {
         val schema = spark.read
           .parquet(staged.resolve("b0_docs_even.parquet").toString).schema
         val tokStream = spark.readStream.schema(schema)
@@ -54,6 +58,6 @@ object StreamCountMin {
         val probes = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
           .orderBy(col("exact_n").desc, col("token")).limit(10)
         graft.queries.TextOps.cmsProbe(sketch, probes, 1024)
-      } finally StagedEvents.deleteRecursively(staged)
+      }
     }
 }

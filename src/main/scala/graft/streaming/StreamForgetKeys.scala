@@ -71,19 +71,28 @@ object StreamForgetKeys {
         // leave the dir existing but parquet-empty, where schema inference
         // would throw and fail the batch instead of converging on replay —
         // a part-less dir IS fully forgotten, delete it without reading.
-        affected.foreach { b =>
-          val pdir = tableDir.resolve(s"bkt=$b")
-          if (Files.exists(pdir)) {
-            val listing = Files.list(pdir)
-            val hasParts =
-              try listing.iterator().asScala.exists(
-                _.getFileName.toString.endsWith(".parquet"))
-              finally listing.close()
-            if (!hasParts ||
-                spark.read.parquet(pdir.toString)
-                  .join(broadcast(k), Seq("user_id"), "left_anti").head(1).isEmpty)
-              StagedEvents.deleteRecursively(pdir)
-          }
+        // The readable dirs are censused in ONE job (basePath keeps the
+        // bkt partition column) instead of one driver-sequential probe
+        // job per bucket (≤16 tiny jobs of pure scheduling overhead —
+        // guide §5 driver discipline).
+        val existing = affected.toSeq.sorted
+          .filter(b => Files.exists(tableDir.resolve(s"bkt=$b")))
+        val (readable, bare) = existing.partition { b =>
+          val listing = Files.list(tableDir.resolve(s"bkt=$b"))
+          try listing.iterator().asScala.exists(
+            _.getFileName.toString.endsWith(".parquet"))
+          finally listing.close()
+        }
+        bare.foreach(b =>
+          StagedEvents.deleteRecursively(tableDir.resolve(s"bkt=$b")))
+        if (readable.nonEmpty) {
+          val surviving = spark.read.option("basePath", tableDir.toString)
+            .parquet(readable.map(b => tableDir.resolve(s"bkt=$b").toString): _*)
+            .join(broadcast(k), Seq("user_id"), "left_anti")
+            .select(col("bkt").cast("int")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          readable.filterNot(surviving).foreach(b =>
+            StagedEvents.deleteRecursively(tableDir.resolve(s"bkt=$b")))
         }
       }
       Files.createDirectories(marker)

@@ -33,13 +33,17 @@ object StreamFunnel {
 
   def audit(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
-      val staged = Files.createTempDirectory("stream-funnel-src")
-      try {
+      // the arrival fixture (events copy + per-leg sentinels) is a pure
+      // function of the events table — staged once per content stamp and
+      // shared across invocations (StagedEvents.stageOnceFixture); each
+      // invocation still runs the full 3-trigger drain
+      val staged = StagedEvents.stageOnceFixture("funnel_src",
+        java.nio.file.Paths.get(sfDir, "events.parquet").toString) { tmp =>
         val ev = spark.read.parquet(s"$sfDir/events.parquet")
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))
         require(ev.head(1).nonEmpty, s"$sfDir/events.parquet is empty")
-        StagedEvents.writePart(ev, staged, "b0_events.parquet", 60)
+        StagedEvents.writePart(ev, tmp, "b0_events.parquet", 60)
         // the nudge: one sentinel PER LEG, 2 h past the max event time.
         // Catalyst pushes each leg's event_type filter BELOW its
         // EventTimeWatermark node (measured: a sentinel with a type
@@ -66,7 +70,9 @@ object StreamFunnel {
             when(col("user_id") === -1L, lit("view")).otherwise(lit("purchase"))
               .as("event_type"),
             lit(0.0).as("value"), lit("").as("props"))
-        StagedEvents.writePart(sentinel, staged, "b1_nudge.parquet", 45)
+        StagedEvents.writePart(sentinel, tmp, "b1_nudge.parquet", 45)
+      }
+      locally {
         val schema =
           spark.read.parquet(staged.resolve("b0_events.parquet").toString).schema
         def src = spark.readStream.schema(schema)
@@ -95,6 +101,6 @@ object StreamFunnel {
           .agg(count(lit(1)).as("n_views"),
             sum(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("n_conv"),
             min(col("p_us") - col("v_us")).as("min_latency_us"))
-      } finally StagedEvents.deleteRecursively(staged)
+      }
     }
 }

@@ -41,12 +41,22 @@ object StreamPsiGate {
   def apply(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
       import spark.implicits._
-      val staged = Files.createTempDirectory("stream-psi-gate")
-      try {
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
-          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      // the odd-slice arrival fixture is a pure function of the events
+      // table — staged once per content stamp and shared across
+      // invocations (StagedEvents.stageOnceFixture)
+      val staged = StagedEvents.stageOnceFixture("psi_gate_src",
+        java.nio.file.Paths.get(sfDir, "events.parquet").toString) { tmp =>
         require(ev.head(1).nonEmpty,
           s"$sfDir/events.parquet is empty — cannot stage an ingest replay")
+        val odd = ev.filter(col("event_id") % 2 =!= 0)
+        StagedEvents.writePart(odd.filter(col("user_id") % 2 === 0),
+          tmp, "b0_users_even.parquet", 60)
+        StagedEvents.writePart(odd.filter(col("user_id") % 2 =!= 0),
+          tmp, "b1_users_odd.parquet", 45)
+      }
+      locally {
         // reference = the even-event_id slice's per-(type, bin) histogram
         // with per-type totals — the "already trusted" load. Bounded
         // (|types| × 20 rows), collected once, broadcast into each batch.
@@ -57,11 +67,6 @@ object StreamPsiGate {
           .agg(sum(col("cref")).as("n_ref"))
         // current = the odd slice with the SAME planted 1.5× purchase
         // scale-up as diag_psi_drift, arriving in two user-parity batches
-        val odd = ev.filter(col("event_id") % 2 =!= 0)
-        StagedEvents.writePart(odd.filter(col("user_id") % 2 === 0),
-          staged, "b0_users_even.parquet", 60)
-        StagedEvents.writePart(odd.filter(col("user_id") % 2 =!= 0),
-          staged, "b1_users_odd.parquet", 45)
         val schema = spark.read
           .parquet(staged.resolve("b0_users_even.parquet").toString).schema
         val out = ArrayBuffer.empty[(Int, String, Long, Long, Long)]
@@ -133,6 +138,6 @@ object StreamPsiGate {
           .select(col("batch_ord"), col("event_type"), col("n_ref"), col("n_cur"),
             round(col("psi_nano").cast("double") / 1e9, 6).as("psi"),
             (col("psi_nano") > 100000000L).as("drifted"))
-      } finally StagedEvents.deleteRecursively(staged)
+      }
     }
 }

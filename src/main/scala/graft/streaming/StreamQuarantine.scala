@@ -32,17 +32,22 @@ object StreamQuarantine {
   def audit(spark: SparkSession, sfDir: String): DataFrame =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
       import spark.implicits._
-      val staged = Files.createTempDirectory("stream-quarantine-src")
       val out = Files.createTempDirectory("stream-quarantine-sink")
       val cp = Files.createTempDirectory("stream-quarantine-cp")
-      try {
+      // doc-parity arrival fixture: pure function of the documents table,
+      // staged once per content stamp and shared (sink + checkpoint dirs
+      // stay per-invocation — the query writes them)
+      val staged = StagedEvents.stageOnceFixture("quarantine_src",
+        java.nio.file.Paths.get(sfDir, "documents.parquet").toString) { tmp =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"), col("n_chars"))
         require(docs.head(1).nonEmpty, s"$sfDir/documents.parquet is empty")
         StagedEvents.writePart(docs.filter(col("doc_id") % 2 === 0),
-          staged, "b0_docs.parquet", 60)
+          tmp, "b0_docs.parquet", 60)
         StagedEvents.writePart(docs.filter(col("doc_id") % 2 =!= 0),
-          staged, "b1_docs.parquet", 45)
+          tmp, "b1_docs.parquet", 45)
+      }
+      try {
         val schema =
           spark.read.parquet(staged.resolve("b0_docs.parquet").toString).schema
         // the four documents checks of diag_quarantine, verbatim: a row
@@ -93,7 +98,6 @@ object StreamQuarantine {
             r.getString(3), r.getString(4))).toSeq
           .toDF("check_name", "severity", "n_rows", "min_key", "max_key")
       } finally {
-        StagedEvents.deleteRecursively(staged)
         StagedEvents.deleteRecursively(out)
         StagedEvents.deleteRecursively(cp)
       }

@@ -86,32 +86,38 @@ object StreamRetractFold {
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
     graft.tables.Tables.withShufflePartitions(spark, 4) {
       import spark.implicits._
-      val staged = java.nio.file.Files.createTempDirectory("stream-retract-src")
-      try {
-        val ev = graft.tables.Tables.events(spark, sfDir).select(
-          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-          col("event_type"), col("event_id"), col("user_id"),
-          round(col("value") * 100).cast("long").as("cents"))
+      val ev = graft.tables.Tables.events(spark, sfDir).select(
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // agg_incremental_retract's retraction rule, verbatim
+      val isRt = conv(substring(
+        md5(concat(lit("rt"), col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 20 === 0
+      // the CDC arrival fixture is a pure function of the events table —
+      // staged once per content stamp (StagedEvents.stageOnceFixture) and
+      // shared across invocations; each invocation still drains all 4
+      // triggers through the stateful fold
+      val staged = StagedEvents.stageOnceFixture("retract_src",
+        java.nio.file.Paths.get(sfDir, "events.parquet").toString) { tmp =>
         require(ev.head(1).nonEmpty, s"$sfDir/events.parquet is empty")
-        // agg_incremental_retract's retraction rule, verbatim
-        val isRt = conv(substring(
-          md5(concat(lit("rt"), col("event_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long") % 20 === 0
         def cdc(df: DataFrame, mult: Long) = df.select(
           col("day"), col("event_type"), col("cents"), lit(mult).as("mult"))
         // arrivals: the standing load as +1 (two user-parity files), the
         // correction as −1, then the per-group sentinel flush
         StagedEvents.writePart(cdc(ev.filter(col("user_id") % 2 === 0), 1L),
-          staged, "b0_ins_even.parquet", 75)
+          tmp, "b0_ins_even.parquet", 75)
         StagedEvents.writePart(cdc(ev.filter(col("user_id") % 2 =!= 0), 1L),
-          staged, "b1_ins_odd.parquet", 60)
+          tmp, "b1_ins_odd.parquet", 60)
         StagedEvents.writePart(cdc(ev.filter(isRt), -1L),
-          staged, "b2_retract.parquet", 45)
+          tmp, "b2_retract.parquet", 45)
         StagedEvents.writePart(
           ev.select(col("day"), col("event_type")).distinct()
             .select(col("day"), col("event_type"),
               lit(0L).as("cents"), lit(0L).as("mult")),
-          staged, "b3_sentinel.parquet", 30)
+          tmp, "b3_sentinel.parquet", 30)
+      }
+      locally {
         val schema = spark.read
           .parquet(staged.resolve("b0_ins_even.parquet").toString).schema
         val folded = spark.readStream.schema(schema)
@@ -145,6 +151,6 @@ object StreamRetractFold {
             col("touched").as("recomputed"),
             round(col("sum_cents") / col("n") / 100.0, 6).as("avg_value"))
         (outDf, progress)
-      } finally StagedEvents.deleteRecursively(staged)
+      }
     }
 }

@@ -125,7 +125,6 @@ object StreamScd2 {
         .flatMapGroupsWithState(
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
       val drained = Drain.toMemory(spark, "stream_scd2", versions.toDF())
-      StagedEvents.deleteRecursively(stage)
       drained.select(col("user_id"), col("version"), col("tier"),
         col("valid_from_us"), col("valid_to_us"), col("is_current"))
     }

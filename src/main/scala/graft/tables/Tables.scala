@@ -84,6 +84,28 @@ object Tables {
     try body finally s.conf.set(key, prev)
   }
 
+  /** AQE off for the plans COMPILED inside `body` — for iterative loops
+    * over bounded per-round frames (beam walks: ≤ probes × beam ≈ 10²
+    * rows/round) whose lazy loop-checkpoints fix their physical plan at
+    * construction. AQE materializes every Exchange of every round as its
+    * own job and re-optimizes between them; on frames this small the
+    * re-optimization buys nothing and the per-stage job machinery is the
+    * dominant cost (r13 verdict: sim_knn_graph_entry 264 jobs at 8 cores,
+    * all scheduling overhead). Plans built AFTER body returns — the
+    * query's final readout, which sees real data sizes — keep AQE. Only
+    * sane with a small explicit shuffle-partition count in scope (the
+    * withShufflePartitions(4) the walk queries already run under):
+    * without AQE coalescing, each loop exchange runs exactly that many
+    * tasks at any cluster size, which is the right shape for a bounded
+    * frame but wrong for anything data-scaled.
+    */
+  def withAqeOff[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

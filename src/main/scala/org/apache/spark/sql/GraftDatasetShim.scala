@@ -30,4 +30,26 @@ object GraftDatasetShim {
       org.apache.spark.sql.execution.LogicalRDD
         .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
   }
+
+  /** ONE literal expression node holding `value` under exactly `dt`
+    * (field names, nullability — byte-for-byte the schema the
+    * element-wise `array(struct(lit(...)))` construction produced).
+    *
+    * The element-wise construction of a large constant directory (a
+    * 128-entry codebook = ~1.5k expression nodes, a 64×64 rotation basis
+    * = ~4k) is only folded to a single Literal by ConstantFolding at
+    * OPTIMIZATION time — every ANALYSIS walks the full tree first, and a
+    * streaming micro-batch re-analyzes its plan per trigger
+    * (IncrementalExecution), so the per-value tree is re-walked by every
+    * rule on every batch. Handing the planner the already-folded Literal
+    * removes that tax without changing a single produced byte.
+    */
+  def literalCol(value: Any, dt: org.apache.spark.sql.types.DataType): Column = {
+    // the TYPED converter (handles Product → InternalRow for struct
+    // elements, which the typeless Literal.create conversion does not)
+    val toCatalyst =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)
+    classic.ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(toCatalyst(value), dt))
+  }
 }
